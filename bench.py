@@ -1,0 +1,64 @@
+"""Benchmark runner: executes the engine's query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line with per-query
+wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    if not os.path.isdir(sf_dir):
+        print(f"error: SPARK_GRAFT_SF_DIR={sf_dir} is not a directory", file=sys.stderr)
+        sys.exit(2)
+
+    from data_lake_demo_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # keep the bench line intact on one failure
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, cheapest first (the standard LLM-data-pipeline ladder):
+
+1. **Exact** — hash-groupBy on a content digest. One shuffle on the
+   digest; at 100 TB the digest (16 bytes) shuffles, never the text.
+2. **MinHash + LSH banding** — shingle → 64 independent min-hashes →
+   band → self-join on (band_id, band_hash). Candidate pairs only;
+   verification by n-gram Jaccard. All JVM-side expressions.
+3. **SimHash** — 64-bit weighted-majority fingerprint; near-dups share
+   fingerprints (or differ in few bits). Bucket on the fingerprint.
+4. **Embedding cosine** — see operators/similarity.py.
+
+All operators avoid Python row-at-a-time UDFs: shingling and hashing
+use ``F.transform`` / ``F.xxhash64`` (whole-stage codegen); the only
+shuffles are the keyed groupBys/joins on compact integer keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact content match.
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary
+    row) — required both for oracle parity and reproducible pipelines.
+    """
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col).cast("binary")))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__digest")
+    )
+
+
+def shingles(text_col: str, n: int = 5) -> F.Column:
+    """Word n-gram shingles as an array<string> — pure JVM expression:
+    split → slide a window with transform over index sequence."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
+    """64 independent min-hashes via seeded xxhash64 — array<bigint>.
+
+    ``xxhash64(shingle, seed_i)`` is a distinct hash family member per
+    seed; min over the shingle set approximates Jaccard similarity.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda seed: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    rows = documents sharing ≥1 band (id_a < id_b), with their
+    estimated Jaccard (fraction of matching minhashes).
+
+    Scale path: the self-join key is (band_id, hash-of-band-slice) —
+    a compact shuffle; the text column is dropped before the explode,
+    so the wide payload never shuffles.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / float(64)
+    return pairs.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: majority vote per bit over token
+    hashes. Explode → xxhash64 per token → ONE groupBy(id) carrying 64
+    static conditional sums. The shuffle payload is (id, hash) — 16
+    bytes/token — never the text itself.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(
+            f"__b{b}"
+        )
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    fp = None
+    for b in range(bits):
+        weight = F.lit(-(2**63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        term = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), weight).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select("id", fp.alias("fp"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by exact SimHash fingerprint (near-dups collide).
+    Output one row per fingerprint bucket."""
+    return (
+        simhash_fingerprints(df, text_col, id_col)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact word n-gram Jaccard.
+
+    Joins the texts back only for the (small) candidate set — the
+    classic candidate-then-verify pattern that keeps the O(n²) part
+    bounded by LSH recall, not corpus size.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("grams"),
+    )
+    return (
+        candidate_pairs.join(
+            grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"),
+            "id_a",
+        )
+        .join(
+            grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b"))
+            ).alias("jaccard"),
+        )
+    )

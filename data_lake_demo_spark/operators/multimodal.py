@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The container has no image/audio codecs, so the *decode* kernels are
+stubbed (deterministic fakes clearly marked), but the Spark-side
+contract is real and tested: schema, Arrow batch shape, partitioning,
+and the `mapInPandas` pipeline a production decode would drop into.
+
+At 100 TB: binary payloads ride in their parquet row groups untouched
+until the decode stage; metadata predicates (media_type, byte_len)
+prune row groups before any payload is materialized. The decode stage
+is `mapInPandas` (Arrow-batched) so a real codec (PIL/ffmpeg) slots in
+per-batch without changing the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),  # opaque encoded bytes
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("meta", T.StructType(  # typed sidecar metadata
+            [
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_ms", T.LongType()),
+                T.StructField("codec", T.StringType()),
+            ]
+        )),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, byte_len long, feature array<float>"
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table exercising the real schema:
+    payload bytes derive from the id (no codecs involved)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+    )
+    return df.select(
+        "media_id",
+        "media_type",
+        "payload",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.struct(
+            (F.col("media_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("media_id") % 480 + 1).cast("int").alias("height"),
+            (F.col("media_id") * 1000 % 60000).cast("long").alias("duration_ms"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """The decode → feature-extract stage as `mapInPandas`.
+
+    STUB: a real implementation would decode `payload` with an image/
+    audio library and run a feature extractor per Arrow batch. Here the
+    "feature" is a deterministic fold of the payload bytes so the
+    pipeline (batching, schema, downstream joins) is fully testable.
+    Raise `NotImplementedError` for media types a codec would be
+    required for if `strict` decoding were requested.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                # deterministic fake "embedding" of the bytes
+                feats.append(
+                    [float(sum(b[i::feature_dim]) % 1000) / 1000.0 for i in range(feature_dim)]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes the frame timestamps to
+    extract per video from metadata only — no payload decode. The
+    payload-touching extraction would be a mapInPandas stage like
+    `decode_and_featurize`."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("meta.duration_ms"),
+                    F.lit(every_ms).cast("long"),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

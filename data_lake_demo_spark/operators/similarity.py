@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force top-k** (the exactness baseline): broadcast the query
+  set, compute cosine JVM-side, per-query top-k via window. Cost is
+  O(|queries| × |corpus|) but embarrassingly parallel and shuffle-free
+  until the final tiny top-k — correct choice when |queries| is small.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (sign of dot with random vectors) bucket the corpus; candidates are
+  fetched by bucket equi-join, then re-ranked exactly. At 100 TB the
+  corpus is scanned once to build signatures; each query touches only
+  its bucket's rows.
+
+An IVF variant (k-means coarse quantizer via pyspark.ml KMeans) is a
+natural extension; LSH is preferred here because it is stateless and
+deterministic (seeded), so results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Output: (qid, nid, cos_sim) with cos_sim quantized to 1e-6 so
+    ordering/tie-breaks are engine-reproducible. Self-matches are
+    excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cos_sim", "rk")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signatures(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per row — a single long.
+
+    The hyperplanes are literal arrays baked into the plan (a few KB),
+    not a driver-side loop: one pass, codegen'd, no shuffle.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = to_double_array(F.col(vec_col))
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = (
+            F.aggregate(
+                F.zip_with(v, plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("long") * F.lit(1 << i).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket,
+    re-ranked by exact cosine. Equi-join on the bucket id replaces the
+    cross join — the 100 TB path."""
+    dim = 64
+    c = lsh_signatures(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+        vec_col="nvec",
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+    )
+    q = lsh_signatures(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        vec_col="qvec",
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+    )
+    scored = (
+        c.join(F.broadcast(q), "lsh_bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            quantize(
+                cosine(to_double_array(F.col("qvec")), to_double_array(F.col("nvec")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cos_sim", "rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing + exact
+    verification (id_a < id_b, cos ≥ threshold)."""
+    sig = lsh_signatures(df, vec_col=vec_col, n_planes=n_planes, seed=seed).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            quantize(
+                cosine(to_double_array(F.col("a.vec")), to_double_array(F.col("b.vec")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python in the hot path. Each op is also
+SQL-expressible, so the DuckDB oracle checks it (plans/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Chosen to be mutually exclusive markers.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def word_tokens_bpe_ish(text: Column) -> Column:
+    """BPE-ish sub-token segmentation via regex: word pieces, digits,
+    and punctuation split into separate tokens (a cheap deterministic
+    proxy for a real BPE vocab)."""
+    spaced = F.regexp_replace(text, r"([^a-zA-Z0-9\s])", r" $1 ")
+    return F.filter(F.split(spaced, r"\s+"), lambda x: x != "")
+
+
+def stopword_ratio(text: Column, markers: list[str]) -> Column:
+    """Fraction of characters covered by marker-stopword occurrences —
+    computed with length arithmetic (replace), no regex engine drift."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    total = F.length(padded)
+    hits = None
+    for m in markers:
+        # each removed occurrence shortens the string by len(m)-1 (overlap-free markers)
+        h = (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(" ")))) / F.lit(
+            float(len(m) - 1)
+        )
+        hits = h if hits is None else hits + h
+    return hits / total
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / whitespace / digit features per document —
+    the standard cheap quality-filter feature set."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_spaces = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("long")
+    n_tokens = token_count(t)
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "n_spaces": n_spaces,
+            "avg_token_len": (n_chars - n_spaces) / n_tokens,
+            "ws_ratio": n_spaces / n_chars,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: highest marker-stopword density wins;
+    'unk' when no marker fires. Pure CASE-WHEN over length arithmetic
+    (portable to the SQL oracle verbatim)."""
+    t = F.col(text_col)
+    scores = {
+        lang: stopword_ratio(t, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang, score in scores.items():
+        cond = None
+        for other, other_score in scores.items():
+            if other == lang:
+                continue
+            c = score > other_score
+            cond = c if cond is None else cond & c
+        guess = F.when(cond & (score > 0), F.lit(lang))
+        best = guess if best is None else best.when(cond & (score > 0), F.lit(lang))
+    return df.withColumn("lang_guess", F.coalesce(best, F.lit("unk")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full md5 digest + a 16-bit rolling-hash
+    style bucket (first 4 hex chars) for cheap pre-clustering."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "md5_fp": F.md5(t.cast("binary")),
+            "fp_bucket": F.substring(F.md5(t.cast("binary")), 1, 4),
+        }
+    )

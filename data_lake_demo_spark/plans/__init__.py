@@ -1,0 +1,27 @@
+"""The engine's query library.
+
+Each module exposes ``QUERIES: dict[str, callable]`` mapping a query
+name to ``fn(spark, sf_dir) -> DataFrame``, and ``ORACLE: dict[str,
+str]`` with the DuckDB-equivalent ANSI SQL (omitted for ops that are
+not SQL-expressible — the driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from data_lake_demo_spark.plans import events, llm, relational
+
+ALL_MODULES = [relational, events, llm]
+
+
+def all_queries():
+    out = {}
+    for m in ALL_MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql():
+    out = {}
+    for m in ALL_MODULES:
+        out.update(m.ORACLE)
+    return out

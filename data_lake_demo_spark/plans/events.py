@@ -1,0 +1,233 @@
+"""Event-stream analytics over the ``events`` fixture (batch form).
+
+These are the batch equivalents of the streaming operators in
+SURVEY.md §2.9 (T6: tumbling/sliding/session windows, event-time
+semantics); ``data_lake_demo_spark.streaming`` runs the same logic as
+Structured Streaming queries. Batch form is what the DuckDB oracle
+can check.
+
+Timestamp parity note: ``events.ts`` is nanosecond-precision parquet.
+Our loader truncates to µs (Spark's native resolution); every oracle
+query applies ``CAST(ts AS TIMESTAMP)`` so DuckDB truncates ns→µs
+identically before any comparison or bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.operators.asof import asof_join
+from data_lake_demo_spark.plans.relational import SCALE, _sql_qsum, qsum
+from data_lake_demo_spark.sources.testdata import load_table
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (T6). ``F.window`` is
+    epoch-aligned, identical to date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n, {_sql_qsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 30 minutes. Each event lands
+    in exactly 2 windows; Spark expands them JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+SLIDING_SQL = f"""
+WITH slotted AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes']) AS window_start,
+         value
+  FROM events)
+SELECT window_start, count(*) AS n, {_sql_qsum('value', 'total_value')}
+FROM slotted GROUP BY 1 ORDER BY window_start
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30 min gaps
+    (lag + cumulative flag — one shuffle on user_id). The streaming
+    twin is ``F.session_window`` (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+ s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (SURVEY F5): pull ``k`` out of the
+    ``props`` JSON column, bucket it, aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"), "value")
+        .withColumn("k_bucket", (F.col("k") / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), "total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+JSON_EXTRACT_SQL = f"""
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT)
+         AS k_bucket,
+       count(*) AS n, {_sql_qsum('value', 'total_value')}
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def events_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day conditional counts across the event funnel (manual
+    pivot; the streaming twin aggregates the same per window)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+                "signups"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_FUNNEL_SQL = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, SURVEY §2.13 family): for every
+    purchase, the timestamp of the same user's latest view at-or-before
+    the purchase. One shuffle on user_id — see operators/asof.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views.select("user_id", "view_ts", F.col("view_ts").alias("vts")),
+        on=["user_id"],
+        left_time="ts",
+        right_time="vts",
+        value_cols=["view_ts"],
+        suffix="",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("view_ts").alias("last_view_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+ASOF_SQL = """
+SELECT p.user_id, p.event_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       (SELECT max(CAST(v.ts AS TIMESTAMP)) FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, p.event_id
+"""
+
+
+QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_sessionization": events_sessionization,
+    "events_json_extract": events_json_extract,
+    "events_daily_funnel": events_daily_funnel,
+    "events_asof_last_view": events_asof_last_view,
+}
+
+ORACLE = {
+    "events_tumbling_hourly": TUMBLING_SQL,
+    "events_sliding_windows": SLIDING_SQL,
+    "events_sessionization": SESSIONIZATION_SQL,
+    "events_json_extract": JSON_EXTRACT_SQL,
+    "events_daily_funnel": DAILY_FUNNEL_SQL,
+    "events_asof_last_view": ASOF_SQL,
+}

@@ -1,0 +1,320 @@
+"""LLM-data-pipeline queries over ``documents`` and ``embeddings``
+(SURVEY.md §2.13): dedup ladder, similarity search, text analysis.
+
+SQL-expressible ops carry a DuckDB oracle; LSH/MinHash ops are
+rows-only checked (driver's weaker check) because their hash families
+are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
+from data_lake_demo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from data_lake_demo_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+from data_lake_demo_spark.operators.textops import (
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_features,
+    word_tokens_bpe_ish,
+)
+from data_lake_demo_spark.sources.testdata import load_table
+
+
+# --------------------------------------------------------------------------
+# Dedup (oracle-checked where exact)
+# --------------------------------------------------------------------------
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("keep_id")
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint buckets (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_dedup(docs)
+        .select("fp", "n_docs", "keep_id")
+        .orderBy("fp")
+    )
+
+
+def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-verify: MinHash candidates re-scored with exact
+    3-gram Jaccard (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs)
+    return (
+        ngram_jaccard_pairs(docs, cands)
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, whitespace tokens, avg chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+       avg(n_chars) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/whitespace/token ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_m", "n_tokens", "n_spaces", "avg_token_len", "ws_ratio"
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+         / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         / length(text) AS ws_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex sub-token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(word_tokens_bpe_ish(F.col("text"))).cast("long").alias("n_subtokens"),
+    ).orderBy("doc_id")
+
+
+BPE_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(
+           regexp_split_to_array(
+               regexp_replace(text, '([^a-zA-Z0-9\s])', ' \1 ', 'g'), '\s+'),
+           x -> x != '')) AS n_subtokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang (confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _lang_id_oracle() -> str:
+    """Generate the DuckDB CASE expression mirroring operators.textops
+    .language_id exactly (same marker order, same arithmetic)."""
+
+    def score(markers: list[str]) -> str:
+        padded = "concat(' ', text, ' ')"
+        parts = [
+            f"(length({padded}) - length(replace({padded}, '{m}', ' '))) / {float(len(m) - 1)}"
+            for m in markers
+        ]
+        return f"(({' + '.join(parts)}) / length({padded}))"
+
+    scores = {lang: score(m) for lang, m in LANG_MARKERS.items()}
+    whens = []
+    for lang in LANG_MARKERS:
+        conds = [
+            f"{scores[lang]} > {scores[other]}" for other in LANG_MARKERS if other != lang
+        ]
+        conds.append(f"{scores[lang]} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unk' END"
+    return f"""
+SELECT lang, {case} AS lang_guess, count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess
+"""
+
+
+def doc_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint prefix buckets (cheap pre-clustering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs)
+        .groupBy("fp_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("fp_bucket")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT substr(md5(text), 1, 4) AS fp_bucket,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 ORDER BY fp_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (brute-force oracle-checked; LSH rows-only)
+# --------------------------------------------------------------------------
+
+COS_Q = 1_000_000
+
+
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding, fixed-point quantized for parity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    norm_sq = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        quantize(F.sqrt(norm_sq), COS_Q).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+EMB_NORMS_SQL = f"""
+SELECT vec_id, label,
+       floor(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * {COS_Q} + 0.5) / {COS_Q}
+         AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+     scored AS (
+       SELECT qid, nid,
+              floor((list_sum(list_transform(list_zip(qe, ne),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                    * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+       FROM c CROSS JOIN q WHERE nid <> qid)
+SELECT qid, nid, cos_sim, rk FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM scored) t
+WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only check — the hash
+    family is engine-specific)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of each vector against its label centroid — a grouped
+    vector aggregate (array-wise avg), all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    dim = 64
+    sums = [
+        F.sum(F.element_at(v, i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
+    centroids = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select(
+            "label",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("centroid"),
+        )
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        quantize(cosine(v, F.col("centroid")), 10_000).alias("centroid_sim"),
+    ).orderBy("vec_id")
+
+
+QUERIES = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_minhash_near_dups": doc_minhash_near_dups,
+    "doc_simhash_buckets": doc_simhash_buckets,
+    "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint_buckets": doc_fingerprint_buckets,
+    "emb_norms": emb_norms,
+    "knn_brute_force": knn_brute_force,
+    "emb_lsh_ann": emb_lsh_ann,
+    "emb_label_centroid_sim": emb_label_centroid_sim,
+}
+
+ORACLE = {
+    "doc_exact_dedup": EXACT_DEDUP_SQL,
+    "doc_token_stats": TOKEN_STATS_SQL,
+    "doc_quality_scores": QUALITY_SQL,
+    "doc_bpe_token_counts": BPE_COUNT_SQL,
+    "doc_lang_id": _lang_id_oracle(),
+    "doc_fingerprint_buckets": FINGERPRINT_SQL,
+    "emb_norms": EMB_NORMS_SQL,
+    "knn_brute_force": KNN_SQL,
+    # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /
+    # emb_lsh_ann / emb_label_centroid_sim: rows-only (hash-family /
+    # FP-accumulation specifics are engine-side).
+}

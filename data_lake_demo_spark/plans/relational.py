@@ -1,0 +1,853 @@
+"""Relational query library over the TPC-H-ish fixture tables.
+
+Covers SURVEY.md §2.3 (joins), §2.4 (aggregations), §2.5 (windows),
+§2.6 (sort/limit/top-k), §2.7 (set ops), §2.8 (scalar functions) as
+named, oracle-checked queries. Reference parity targets are cited per
+query (the reference executes these shapes via Athena SQL; see
+SURVEY.md for file:line citations into /root/reference).
+
+Determinism contract with the DuckDB oracle
+-------------------------------------------
+Floating-point SUM/AVG is order-dependent, and Spark and DuckDB
+accumulate in different orders. Every aggregated double is therefore
+quantized per row to an exact integer (``floor(x*1000 + 0.5)``) and
+summed as integers — bit-identical on both engines — then scaled back.
+Row-level double expressions (no aggregation) are IEEE-deterministic
+and need no quantization. Every top-k query carries a unique tie-break
+key so the selected row *set* is identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from data_lake_demo_spark.sources.testdata import load_table
+
+SCALE = 1000
+
+
+def qsum(col: Column, name: str) -> Column:
+    """Order-insensitive exact sum of a double: quantize to 1/SCALE
+    integer units per row, sum as bigint, scale back to double."""
+    return (F.sum(F.floor(col * SCALE + F.lit(0.5))) / float(SCALE)).alias(name)
+
+
+def qavg(col: Column, name: str) -> Column:
+    return (
+        F.sum(F.floor(col * SCALE + F.lit(0.5))) / (F.count(col) * float(SCALE))
+    ).alias(name)
+
+
+# `CAST(n AS DOUBLE)` rather than a bare `n.0` literal: Spark SQL parses
+# `1000.0` as DECIMAL (DuckDB as DOUBLE), which would change the result type.
+def _sql_qsum(expr: str, name: str) -> str:
+    return (
+        f"sum(floor(({expr}) * {SCALE} + 0.5)) / CAST({SCALE} AS DOUBLE) AS {name}"
+    )
+
+
+def _sql_qavg(expr: str, name: str) -> str:
+    return (
+        f"sum(floor(({expr}) * {SCALE} + 0.5))"
+        f" / (count({expr}) * CAST({SCALE} AS DOUBLE)) AS {name}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate groupBy. Partial (map-side)
+    aggregation + final agg — one shuffle on the tiny group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qsum(F.col("l_quantity"), "sum_qty"),
+            qsum(F.col("l_extendedprice"), "sum_base_price"),
+            qsum(disc_price, "sum_disc_price"),
+            qsum(charge, "sum_charge"),
+            qavg(F.col("l_quantity"), "avg_qty"),
+            qavg(F.col("l_extendedprice"), "avg_price"),
+            qavg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_qsum('l_quantity', 'sum_qty')},
+       {_sql_qsum('l_extendedprice', 'sum_base_price')},
+       {_sql_qsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_sql_qsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {_sql_qavg('l_quantity', 'avg_qty')},
+       {_sql_qavg('l_extendedprice', 'avg_price')},
+       {_sql_qavg('l_discount', 'avg_disc')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def group_count_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference smoke query shape (grouped COUNT(*), ordinal GROUP BY,
+    mixed-direction sort): README.md:74-80 / SURVEY A1+O1."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("files"))
+        .orderBy(F.col("o_orderpriority").desc(), F.col("o_orderstatus"))
+    )
+
+
+GROUP_COUNT_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS files
+FROM orders GROUP BY 1, 2
+ORDER BY o_orderpriority DESC, o_orderstatus
+"""
+
+
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand aggregate (SURVEY A3; comprehensive_rbac_demo.py:140)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total_records")
+    )
+
+
+GLOBAL_COUNT_SQL = "SELECT count(*) AS total_records FROM lineitem"
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (SURVEY §2.4 'absent from reference' set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+FROM lineitem
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(qsum(F.col("l_extendedprice"), "revenue"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_qsum('l_extendedprice', 'revenue')}, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(qsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, {_sql_qsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {_sql_qsum('o_totalprice', 'total')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, {_sql_qsum('o_totalprice', 'total')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING on an aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), qsum(F.col("l_quantity"), "qty"))
+        .filter(F.col("n_items") > 50)
+        .orderBy("l_suppkey")
+    )
+
+
+HAVING_SQL = f"""
+SELECT l_suppkey, count(*) AS n_items, {_sql_qsum('l_quantity', 'qty')}
+FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50 ORDER BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, grouped revenue,
+    top-10. customer side is broadcast (small dim at any SF after the
+    segment filter); lineitem never leaves its scan partitioning until
+    the group-by shuffle."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(qsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_sql_qsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the star schema. All dims
+    broadcast; the only shuffle is the final tiny group-by."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(qsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_sql_qsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective scan + global agg. The three predicates
+    push down into the parquet reader (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(qsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+Q6_SQL = f"""
+SELECT {_sql_qsum('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join + group + top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(qsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_sql_qsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≡ left-semi join (SURVEY §2.3 engine surface)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≡ left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates on the nation key."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def non_equi_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: nation pairs within the same region (n1 < n2) —
+    TPC-H Q7-style self-join, broadcast both sides (25 rows)."""
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            F.broadcast(n2),
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_regionkey").alias("regionkey"),
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+        )
+        .orderBy("regionkey", "nation_a", "nation_b")
+    )
+
+
+NON_EQUI_SQL = """
+SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+ORDER BY regionkey, nation_a, nation_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the canonical windowed top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per key with a fully-deterministic frame
+    order; quantized so the cumulative double is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    q = F.floor(F.col("l_extendedprice") * SCALE + F.lit(0.5))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(q).over(w) / float(SCALE)).alias("running_revenue"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+RUNNING_SQL = f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(floor(l_extendedprice * {SCALE} + 0.5)) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST({SCALE} AS DOUBLE)
+       AS running_revenue
+FROM lineitem WHERE l_suppkey <= 5
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: days since a customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def rank_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with real ties (p_size within brand)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") <= "Brand#15")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_size").desc(), F.col("p_partkey"))
+    wt = W.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_size",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wt).alias("rnk"),
+            F.dense_rank().over(wt).alias("drnk"),
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+RANK_SQL = """
+SELECT p_brand, p_partkey, p_size,
+       row_number() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rn,
+       rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk
+FROM part WHERE p_brand <= 'Brand#15'
+ORDER BY p_brand, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT k — Spark plans TakeOrderedAndProject (true
+    top-k: per-partition heaps, no global sort). Unique tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (all DISTINCT semantics) over customer
+    cohorts, tagged and re-unioned into one checkable result."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    u = building.union(rich).distinct().withColumn("cohort", F.lit("building_or_rich"))
+    i = building.intersect(urgent).withColumn("cohort", F.lit("building_and_urgent"))
+    e = rich.subtract(urgent).withColumn("cohort", F.lit("rich_not_urgent"))
+    return u.union(i).union(e).orderBy("cohort", "c_custkey")
+
+
+SET_OPS_SQL = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     urgent   AS (SELECT o_custkey AS c_custkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT')
+SELECT c_custkey, 'building_or_rich' AS cohort
+FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+UNION ALL
+SELECT c_custkey, 'building_and_urgent' AS cohort
+FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM urgent)
+UNION ALL
+SELECT c_custkey, 'rich_not_urgent' AS cohort
+FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM urgent)
+ORDER BY cohort, c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Subqueries
+# --------------------------------------------------------------------------
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average account balance (scalar subquery →
+    broadcast of a 1-row aggregate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(qavg(F.col("c_acctbal"), "a"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+SCALAR_SUBQ_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_sql_qavg('c_acctbal', 'a')} FROM customer)
+ORDER BY c_custkey
+"""
+
+
+def in_subquery_asia_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery ≡ semi join through two dimension hops."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    return (
+        supp.join(
+            F.broadcast(asia_nations),
+            supp.s_nationkey == asia_nations.n_nationkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+IN_SUBQ_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / hash scalar surface (F1-F9): upper,
+    substring, concat, length, year/month, date_trunc, abs, floor/ceil,
+    md5, zero-pad formatting — all JVM-side, codegen'd."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.year(F.col("o_orderdate")).cast("long").alias("yr"),
+        F.month(F.col("o_orderdate")).cast("long").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dev"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("o_totalprice")).cast("long").alias("price_ceil"),
+        F.md5(F.col("o_orderpriority").cast("binary")).alias("prio_md5"),
+        F.lpad(F.col("o_orderkey").cast("string"), 6, "0").alias("key_padded"),
+    ).orderBy("o_orderkey")
+
+
+SCALAR_FNS_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       length(o_orderpriority) AS prio_len,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       date_trunc('month', o_orderdate) AS month_start,
+       abs(o_totalprice - 1000.0) AS price_dev,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       md5(o_orderpriority) AS prio_md5,
+       lpad(CAST(o_orderkey AS VARCHAR), 6, '0') AS key_padded
+FROM orders WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+def case_when_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates (manual pivot, TPC-H Q8/Q12 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_extendedprice") * SCALE + F.lit(0.5))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            (F.sum(F.when(F.col("l_returnflag") == "R", q).otherwise(0)) / float(SCALE)).alias(
+                "returned_revenue"
+            ),
+            (F.sum(F.when(F.col("l_returnflag") != "R", q).otherwise(0)) / float(SCALE)).alias(
+                "kept_revenue"
+            ),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "n_returned"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+CASE_WHEN_SQL = f"""
+SELECT l_linestatus,
+       sum(CASE WHEN l_returnflag = 'R'
+                THEN floor(l_extendedprice * {SCALE} + 0.5) ELSE 0 END) / {SCALE}.0
+           AS returned_revenue,
+       sum(CASE WHEN l_returnflag <> 'R'
+                THEN floor(l_extendedprice * {SCALE} + 0.5) ELSE 0 END) / {SCALE}.0
+           AS kept_revenue,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "group_count_ordinal": group_count_ordinal,
+    "global_count": global_count,
+    "distinct_counts": distinct_counts,
+    "rollup_revenue": rollup_revenue,
+    "cube_quantity": cube_quantity,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "having_filter": having_filter,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "full_outer_nation_activity": full_outer_nation_activity,
+    "non_equi_nation_pairs": non_equi_nation_pairs,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "running_revenue_by_supplier": running_revenue_by_supplier,
+    "order_gaps_lag_lead": order_gaps_lag_lead,
+    "rank_dense_rank_parts": rank_dense_rank_parts,
+    "topk_expensive_orders": topk_expensive_orders,
+    "set_ops_customer_cohorts": set_ops_customer_cohorts,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "in_subquery_asia_suppliers": in_subquery_asia_suppliers,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "case_when_conditional_agg": case_when_conditional_agg,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "group_count_ordinal": GROUP_COUNT_SQL,
+    "global_count": GLOBAL_COUNT_SQL,
+    "distinct_counts": DISTINCT_COUNTS_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "cube_quantity": CUBE_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "having_filter": HAVING_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "semi_join_customers_with_orders": SEMI_JOIN_SQL,
+    "anti_join_customers_without_orders": ANTI_JOIN_SQL,
+    "full_outer_nation_activity": FULL_OUTER_SQL,
+    "non_equi_nation_pairs": NON_EQUI_SQL,
+    "top3_orders_per_customer": TOP3_SQL,
+    "running_revenue_by_supplier": RUNNING_SQL,
+    "order_gaps_lag_lead": LAG_LEAD_SQL,
+    "rank_dense_rank_parts": RANK_SQL,
+    "topk_expensive_orders": TOPK_SQL,
+    "set_ops_customer_cohorts": SET_OPS_SQL,
+    "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,
+    "in_subquery_asia_suppliers": IN_SUBQ_SQL,
+    "scalar_functions_showcase": SCALAR_FNS_SQL,
+    "case_when_conditional_agg": CASE_WHEN_SQL,
+}

@@ -1,0 +1,44 @@
+"""Loaders for the driver's synthetic parquet tables.
+
+Plain ``spark.read.parquet`` — Catalyst gets full pushdown/pruning;
+no schema inference cost (parquet footers carry types).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_lake_demo_spark.model import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Columnar scan; filters/projections
+    placed on top of this are pushed into the parquet reader.
+
+    ``events.ts`` is nanosecond-precision in the parquet footer, which
+    Spark's vectorized reader surfaces as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — normalize it to a µs
+    TimestampType (identical truncation to DuckDB's TIMESTAMP cast).
+    """
+    if name == "events":
+        # the driver may hand us a session without this conf; it is
+        # runtime-settable and required to read ns-precision parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds the
+        # double-exact range, so float division would be off by ±1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (for the SQL API)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
