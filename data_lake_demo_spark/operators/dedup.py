@@ -54,17 +54,48 @@ def shingles(text_col: str, n: int = 5) -> F.Column:
     )
 
 
-def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
-    """64 independent min-hashes via seeded xxhash64 — array<bigint>.
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
 
-    ``xxhash64(shingle, seed_i)`` is a distinct hash family member per
-    seed; min over the shingle set approximates Jaccard similarity.
+    rng = random.Random(seed)
+    # 31-bit coefficients over a 31-bit reduced hash: a*h+b < 2^63, so
+    # the arithmetic never overflows (Spark 4 ANSI mode errors on wrap)
+    return [
+        (rng.randrange(1, 2**31) | 1, rng.randrange(0, 2**31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash signature per document → (id, sig array<bigint>).
+
+    Each shingle is hashed with xxhash64 exactly ONCE (explode → one
+    string hash per row); the 64 hash-family members are affine
+    permutations ``aᵢ·h + bᵢ`` (Java long wraparound — deterministic),
+    reduced with 64 map-side-combinable ``min`` aggregates. This is
+    ~64× cheaper than re-hashing every shingle per family member and
+    shuffles only (id, 64×8 bytes) after partial aggregation.
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda seed: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, seed))
-        ),
+    params = _affine_params(num_hashes)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
+    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(2**31)))
+    mins = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -87,9 +118,8 @@ def minhash_lsh_candidates(
     so the wide payload never shuffles.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     banded = sig.select(
         "id",
