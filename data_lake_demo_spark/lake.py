@@ -1,0 +1,154 @@
+"""The Lake facade: one object tying zones, ingestion, catalog, and
+governance together — the engine's equivalent of the reference's
+whole deployment (S3 zones + planner/worker + Glue + Athena + LF).
+
+Zones (README.md:126-127, 243-253):
+    <root>/raw/      gzip JSON, partitioned source=/ingestion_date=
+    <root>/curated/  typed parquet, same partitioning ("join-ready")
+    <root>/results/<principal>/   per-principal query output (G4)
+    <root>/quarantine/            failed/corrupt records (DLQ analog)
+
+Idempotency (SURVEY S7/T5): the reference guards each object write
+with a deterministic key + existence check (worker.py:27-28,214-221).
+Here the same guarantee is partition-level: dynamic partition
+overwrite makes re-ingesting a (source, ingestion_date) partition
+replace it byte-for-byte instead of duplicating — proven by the
+double-run test.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark import catalog as cat
+from data_lake_demo_spark.model import RAW_PARTITIONS, RAW_RECORD
+from data_lake_demo_spark.rbac import Rbac
+from data_lake_demo_spark.sources.mock import plan_work, mock_fetch
+
+
+@dataclass
+class Lake:
+    spark: SparkSession
+    root: str
+    db: str = "lake_db"
+    rbac: Rbac = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.rbac = Rbac(self.spark)
+        # partition-level idempotency for every overwrite in this lake
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- paths -----------------------------------------------------------
+    @property
+    def raw_path(self) -> str:
+        return os.path.join(self.root, "raw")
+
+    @property
+    def curated_path(self) -> str:
+        return os.path.join(self.root, "curated")
+
+    @property
+    def quarantine_path(self) -> str:
+        return os.path.join(self.root, "quarantine")
+
+    def results_path(self, principal: str) -> str:
+        return os.path.join(self.root, "results", principal)
+
+    # ---- ingestion (E2) --------------------------------------------------
+    def ingest_mock(
+        self,
+        ingestion_date: str,
+        endpoints=None,
+        pages: int = 10,
+    ) -> dict:
+        """One planner+worker run: plan work → mock-fetch → partitioned
+        gzip-JSON write into raw/. Re-runs overwrite their partitions
+        (idempotent), never duplicate."""
+        from data_lake_demo_spark.sources.mock import DEFAULT_ENDPOINTS
+
+        endpoints = endpoints or DEFAULT_ENDPOINTS
+        work = plan_work(self.spark, ingestion_date, endpoints, pages)
+        records = mock_fetch(work)
+        (
+            records.repartition("source", "ingestion_date")
+            .write.mode("overwrite")
+            .partitionBy(*RAW_PARTITIONS)
+            .option("compression", "gzip")
+            .json(self.raw_path)
+        )
+        return {
+            "planned": len(endpoints) * pages,
+            "ingestion_date": ingestion_date,
+            "endpoints": list(endpoints),
+        }
+
+    # ---- raw zone reads --------------------------------------------------
+    def read_raw(self) -> DataFrame:
+        """Schema-pinned read of the raw zone (partition columns come
+        from directory discovery)."""
+        return (
+            self.spark.read.schema(RAW_RECORD)
+            .option("basePath", self.raw_path)
+            .json(self.raw_path)
+        )
+
+    # ---- catalog (E3) ----------------------------------------------------
+    def refresh_catalog(self) -> None:
+        """The 'crawler': infer/refresh the raw table + partitions."""
+        cat.infer_and_register(
+            self.spark, self.db, "raw", self.raw_path, RAW_PARTITIONS
+        )
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(f"{self.db}.{name}")
+
+    # ---- curated promotion (S10) ----------------------------------------
+    def promote_curated(self) -> None:
+        """raw → typed, join-ready parquet: cast dates/timestamps,
+        explode nothing — one row per page record, same partitioning."""
+        raw = self.table("raw")
+        curated = raw.select(
+            "endpoint",
+            F.to_date("date").alias("date"),
+            F.col("page").cast("long").alias("page"),
+            F.to_timestamp("fetched_at").alias("fetched_at"),
+            "items",
+            F.size("items").cast("long").alias("item_count"),
+            "source",
+            "ingestion_date",
+        )
+        (
+            curated.repartition("source", "ingestion_date")
+            .write.mode("overwrite")
+            .partitionBy(*RAW_PARTITIONS)
+            .parquet(self.curated_path)
+        )
+        cat.register_parquet_table(
+            self.spark, self.db, "curated", self.curated_path, RAW_PARTITIONS
+        )
+
+    # ---- governed querying (E1) -----------------------------------------
+    def grant(self, principal: str, table: str = "raw", **kw) -> None:
+        self.rbac.grant(principal, f"{self.db}.{table}", **kw)
+
+    def table_for(self, principal: str, table: str = "raw") -> DataFrame:
+        return self.rbac.table_for(principal, f"{self.db}.{table}")
+
+    def sql(self, principal: str, query: str) -> DataFrame:
+        """Run SQL as a principal (tables resolve to secured views)."""
+        governed = [t for (p, t) in self.rbac.grants if p == principal]
+        return self.rbac.sql(principal, query, tables=governed)
+
+    def sql_to_results(self, principal: str, query: str, name: str = "q") -> str:
+        """E1 end-state: per-principal result segregation (G4)."""
+        out = os.path.join(
+            self.results_path(principal),
+            f"{name}-{datetime.now(timezone.utc).strftime('%Y%m%dT%H%M%S')}",
+        )
+        self.sql(principal, query).write.mode("overwrite").json(out)
+        return out

@@ -1,0 +1,154 @@
+"""Reference-faithful E2E: ingestion goldens + catalog + RBAC suite.
+
+Golden numbers come from the reference (via BASELINE.md):
+- 4 endpoints × 10 pages/day → 40 files/rows per day (planner.py:44,
+  stack.py:62; smoke query README.md:71-83)
+- 5 items per page (worker.py:98; shape query README.md:87-106)
+- RBAC world = 2 days = 80 records; Core (endpoint='api-a') sees 20,
+  PII sees 80; Core selecting `items` FAILS
+  (rbac-demo/README.md:29,88,126-137; comprehensive_rbac_demo.py)
+- re-running ingestion must not duplicate (worker.py:214-221 →
+  dynamic partition overwrite)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.lake import Lake
+
+D1, D2 = "2024-06-01", "2024-06-02"
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    lk = Lake(spark, str(tmp_path_factory.mktemp("lake")), db="t_lake_db")
+    lk.ingest_mock(D1)
+    lk.ingest_mock(D2)
+    lk.refresh_catalog()
+    lk.grant(
+        "core",
+        row_filter="endpoint = 'api-a'",
+        columns=["endpoint", "date", "page", "fetched_at", "source", "ingestion_date"],
+    )
+    lk.grant("pii")  # all rows, all columns
+    return lk
+
+
+def test_smoke_grouped_counts(lake):
+    # README.md:74-83: one row per (source, day), ~10 files each
+    got = (
+        lake.table("raw")
+        .groupBy("source", "ingestion_date")
+        .agg(F.count(F.lit(1)).alias("files"))
+        .orderBy(F.col("ingestion_date").desc(), "source")
+        .collect()
+    )
+    assert len(got) == 8  # 4 endpoints × 2 days
+    assert all(r.files == 10 for r in got)
+    assert [r.source for r in got[:4]] == ["api-a", "api-b", "api-c", "api-d"]
+    assert got[0].ingestion_date == D2  # DESC date ordering
+
+
+def test_shape_five_items_per_page(lake):
+    # README.md:87-106 + worker.py:98: cardinality(items) == 5
+    rows = (
+        lake.table("raw")
+        .select("source", "page", F.size("items").alias("items_in_page"))
+        .collect()
+    )
+    assert len(rows) == 80
+    assert all(r.items_in_page == 5 for r in rows)
+
+
+def test_item_payload_deterministic(lake):
+    # worker.py:98: id = f"{endpoint}-{date}-{page}-{i}", value = i
+    r = (
+        lake.table("raw")
+        .filter((F.col("source") == "api-b") & (F.col("page") == 3))
+        .filter(F.col("ingestion_date") == D1)
+        .select(F.explode("items").alias("it"))
+        .select("it.id", "it.value")
+        .orderBy("value")
+        .collect()
+    )
+    assert [x.value for x in r] == [0, 1, 2, 3, 4]
+    assert r[2].id == f"api-b-{D1}-3-2"
+
+
+def test_idempotent_rerun(lake):
+    # double-run the same day: partition overwritten, no duplicates
+    before = lake.table("raw").count()
+    lake.ingest_mock(D1)
+    lake.refresh_catalog()
+    assert lake.table("raw").count() == before
+
+
+def test_partition_pruning_plan(lake):
+    # P2: equality predicate on a partition column prunes the scan
+    df = lake.table("raw").filter(F.col("ingestion_date") == D1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 40
+    assert "PartitionFilters" in plan
+
+
+def test_catalog_ddl(lake):
+    tables = {r.tableName for r in lake.spark.sql("SHOW TABLES IN t_lake_db").collect()}
+    assert "raw" in tables
+    parts = lake.spark.sql("SHOW PARTITIONS t_lake_db.raw").collect()
+    assert len(parts) == 8
+
+
+def test_rbac_row_security(lake):
+    # T1+T3 (comprehensive_rbac_demo.py:109-119,133-143): 20 vs 80
+    core = lake.table_for("core")
+    pii = lake.table_for("pii")
+    assert core.count() == 20
+    assert pii.count() == 80
+    assert {r.endpoint for r in core.select("endpoint").distinct().collect()} == {"api-a"}
+    assert (
+        pii.select("endpoint").distinct().count() == 4
+    )
+
+
+def test_rbac_column_security(lake):
+    # T2 (comprehensive_rbac_demo.py:121-131,191-200): Core query on
+    # `items` must FAIL; PII succeeds
+    q = "SELECT endpoint, CARDINALITY(items) AS item_count FROM t_lake_db.raw LIMIT 3"
+    with pytest.raises(AnalysisException):
+        lake.sql("core", q).collect()
+    ok = lake.sql("pii", q).collect()
+    assert len(ok) == 3 and all(r.item_count == 5 for r in ok)
+
+
+def test_rbac_same_query_different_results(lake):
+    # G3: identical SQL, different principal ⇒ different result
+    q = (
+        "SELECT endpoint, COUNT(*) AS files FROM t_lake_db.raw "
+        "GROUP BY endpoint ORDER BY endpoint"
+    )
+    core = lake.sql("core", q).collect()
+    pii = lake.sql("pii", q).collect()
+    assert [(r.endpoint, r.files) for r in core] == [("api-a", 20)]
+    assert [(r.endpoint, r.files) for r in pii] == [
+        ("api-a", 20), ("api-b", 20), ("api-c", 20), ("api-d", 20)
+    ]
+
+
+def test_curated_promotion(lake):
+    lake.promote_curated()
+    cur = lake.table("curated")
+    assert cur.count() == 80
+    assert dict(cur.dtypes)["fetched_at"] == "timestamp"
+    assert dict(cur.dtypes)["date"] == "date"
+    assert cur.filter(F.col("item_count") != 5).count() == 0
+
+
+def test_results_segregation(lake, tmp_path):
+    # G4: per-principal result prefixes
+    out = lake.sql_to_results("core", "SELECT COUNT(*) AS n FROM t_lake_db.raw")
+    assert "/results/core/" in out
+    got = lake.spark.read.json(out).collect()
+    assert got[0].n == 20
