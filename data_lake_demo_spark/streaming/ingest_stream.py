@@ -1,0 +1,113 @@
+"""Streaming ingestion: the reference's SQS→worker micro-batch loop
+(SURVEY §2.9 T1-T5) as Structured Streaming.
+
+Mapping:
+- SQS queue of work/records  → file-source stream on a landing dir
+- batch_size=2 / 2s window   → ``maxFilesPerTrigger`` (T2/T3
+  back-pressure; processing-time trigger in production,
+  ``availableNow`` for drain-and-stop runs)
+- retry → DLQ after 5        → quarantine split: rows whose payload
+  fails schema parse go to quarantine/, good rows to raw/ (T4); no
+  poison row ever aborts the stream
+- at-least-once + idempotent keys → the transactional file sink:
+  its per-checkpoint commit log gives exactly-once file visibility
+  across restarts/replays (T5) with zero custom bookkeeping — the
+  engine-level upgrade of the reference's deterministic-key
+  existence check (worker.py:214-221)
+
+At scale: landing-dir listing is the only driver-side cost; parse,
+validate and partitioned write run on executors, partitioned by
+(source, ingestion_date) exactly like the batch path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from data_lake_demo_spark.model import RAW_PARTITIONS, RAW_RECORD
+
+# landing files are JSON-lines of {endpoint, ingestion_date, page, payload:str}
+LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("endpoint", T.StringType()),
+        T.StructField("ingestion_date", T.StringType()),
+        T.StructField("page", T.LongType()),
+        T.StructField("payload", T.StringType()),  # JSON text of RAW_RECORD
+    ]
+)
+
+
+def _landing_stream(spark: SparkSession, landing_dir: str, max_files_per_trigger: int):
+    return (
+        spark.readStream.schema(LANDING_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+        .withColumn("rec", F.from_json("payload", RAW_RECORD))
+    )
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    raw_dir: str,
+    quarantine_dir: str,
+    checkpoint_root: str,
+    *,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Start the good-path and quarantine streams; returns both
+    queries. Exactly-once via the file sink's commit log."""
+    parsed = _landing_stream(spark, landing_dir, max_files_per_trigger)
+    ok_pred = F.col("rec").isNotNull() & F.col("rec.endpoint").isNotNull()
+
+    good = parsed.filter(ok_pred).select(
+        "rec.endpoint",
+        "rec.date",
+        "rec.page",
+        "rec.fetched_at",
+        "rec.items",
+        F.col("rec.endpoint").alias("source"),
+        "ingestion_date",
+    )
+    bad = parsed.filter(~ok_pred).select(
+        "endpoint", "ingestion_date", "page", "payload"
+    )
+
+    def _writer(df, sub: str):
+        w = (
+            df.writeStream.format("json")
+            .option("checkpointLocation", os.path.join(checkpoint_root, sub))
+            .option("compression", "gzip")
+        )
+        return w.trigger(availableNow=True) if available_now else w.trigger(
+            processingTime="5 seconds"
+        )
+
+    good_q = (
+        _writer(good, "good")
+        .partitionBy(*RAW_PARTITIONS)
+        .option("path", raw_dir)
+        .start()
+    )
+    bad_q = _writer(bad, "bad").option("path", quarantine_dir).start()
+    return good_q, bad_q
+
+
+def read_raw_stream_output(spark: SparkSession, raw_dir: str):
+    """Read the streamed raw zone (the sink's _spark_metadata log makes
+    this an exactly-once view of committed files)."""
+    return spark.read.schema(
+        T.StructType(
+            list(RAW_RECORD.fields)
+            + [
+                T.StructField("source", T.StringType()),
+                T.StructField("ingestion_date", T.StringType()),
+            ]
+        )
+    ).option("basePath", raw_dir).json(raw_dir)

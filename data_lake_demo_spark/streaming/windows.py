@@ -1,0 +1,81 @@
+"""Event-time streaming aggregations (SURVEY T6): watermark +
+tumbling / sliding / session windows, and a custom stateful operator.
+
+These are the streaming twins of plans/events.py — identical
+aggregation logic, expressed over a ``readStream`` source, so the
+batch oracle validates the semantics and the streaming tests validate
+delivery (append-mode emission after watermark passage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour windows; watermark bounds state (late rows
+    beyond it are dropped, state is evicted — the 100 TB requirement
+    for unbounded streams)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap — the built-in
+    streaming form of plans/events.events_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value total across micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

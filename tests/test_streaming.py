@@ -1,0 +1,171 @@
+"""Structured Streaming tests: micro-batch ingestion with quarantine
+and exactly-once restart; watermarked windows match their batch twins;
+custom stateful operator accumulates across batches.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.sources.testdata import load_table
+from data_lake_demo_spark.streaming.ingest_stream import (
+    read_raw_stream_output,
+    start_ingest_stream,
+)
+from data_lake_demo_spark.streaming.windows import (
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _landing_file(path, endpoint, date, pages, corrupt_page=None):
+    with open(path, "w") as f:
+        for p in pages:
+            payload = json.dumps(
+                {
+                    "endpoint": endpoint,
+                    "date": date,
+                    "page": p,
+                    "fetched_at": f"{date}T00:00:00Z",
+                    "items": [
+                        {"id": f"{endpoint}-{date}-{p}-{i}", "value": i}
+                        for i in range(5)
+                    ],
+                }
+            )
+            if corrupt_page == p:
+                payload = "{not json"
+            f.write(
+                json.dumps(
+                    {
+                        "endpoint": endpoint,
+                        "ingestion_date": date,
+                        "page": p,
+                        "payload": payload,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _drain(*queries):
+    for q in queries:
+        q.awaitTermination(120)
+
+
+def test_ingest_stream_with_quarantine_and_restart(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    raw = str(tmp_path / "raw")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    _landing_file(landing / "b1.json", "api-a", "2024-06-01", [1, 2, 3])
+    _landing_file(landing / "b2.json", "api-b", "2024-06-01", [1, 2], corrupt_page=2)
+
+    _drain(*start_ingest_stream(spark, str(landing), raw, quar, ckpt))
+    good = read_raw_stream_output(spark, raw)
+    assert good.count() == 4  # 3 + 1 (one corrupted row quarantined)
+    assert spark.read.json(quar).count() == 1
+
+    # late-arriving file + restart from the same checkpoint: the new
+    # file is processed exactly once, earlier files are NOT replayed
+    _landing_file(landing / "b3.json", "api-a", "2024-06-02", [4])
+    _drain(*start_ingest_stream(spark, str(landing), raw, quar, ckpt))
+    good = read_raw_stream_output(spark, raw)
+    assert good.count() == 5
+    assert good.filter(F.col("ingestion_date") == "2024-06-02").count() == 1
+    # partition layout intact
+    assert good.select("source").distinct().count() == 2
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    # re-materialize sf0.001 events as a streaming-friendly parquet dir
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_parquet")
+    ev.write.parquet(path)
+    return spark.readStream.schema(ev.schema).parquet(path), ev
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, event_type, n, total_value FROM tumbling_out"
+    )
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    j = got.alias("g").join(
+        expected.alias("e"), ["window_start", "event_type"], "left"
+    )
+    assert got.count() > 0
+    assert j.filter(
+        (F.col("g.n") != F.col("e.n"))
+        | (F.abs(F.col("g.total_value") - F.col("e.total_value")) > 1e-9)
+    ).count() == 0
+
+
+def test_session_stream_runs(spark, events_stream):
+    stream, _ = events_stream
+    q = (
+        session_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM session_out")
+    assert out.count() > 0
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_running_totals(spark, events_stream):
+    stream, batch = events_stream
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user equals the batch per-user totals
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rk
+          FROM stateful_out) WHERE rk = 1
+        """
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    diff = got.alias("g").join(expected.alias("e"), "user_id").filter(
+        (F.col("g.n_events") != F.col("e.n_events"))
+        | (F.abs(F.col("g.total_value") - F.col("e.total_value")) > 1e-6)
+    )
+    assert got.count() == expected.count()
+    assert diff.count() == 0
