@@ -289,7 +289,37 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: payloads are synthetic, no codecs)
+# --------------------------------------------------------------------------
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas decode/featurize stage →
+    per-type feature stats (operators/multimodal.py; the decode kernel
+    is a deterministic stub, the Spark plumbing is real)."""
+    from data_lake_demo_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96)
+    feats = decode_and_featurize(media)
+    return (
+        feats.select("media_id", "media_type", "byte_len", F.explode("feature").alias("f"))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_feature_values"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.min("f").alias("min_f"),
+            F.max("f").alias("max_f"),
+        )
+        .orderBy("media_type")
+    )
+
+
 QUERIES = {
+    "media_feature_stats": media_feature_stats,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_buckets": doc_simhash_buckets,

@@ -794,6 +794,134 @@ FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+# Pivot / unpivot / range join / approx aggregates
+# --------------------------------------------------------------------------
+
+
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (groupBy().pivot()) with an explicit value list —
+    compiles to the same conditional-agg plan the SQL oracle spells
+    out, no extra pass to discover pivot values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") * SCALE + F.lit(0.5))
+    return (
+        li.withColumn("q", q)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("q"))
+        .select(
+            "l_returnflag",
+            (F.coalesce(F.col("O"), F.lit(0)) / float(SCALE)).alias("qty_open"),
+            (F.coalesce(F.col("F"), F.lit(0)) / float(SCALE)).alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_SQL = f"""
+SELECT l_returnflag,
+       coalesce(sum(CASE WHEN l_linestatus = 'O'
+                    THEN floor(l_quantity * {SCALE} + 0.5) END), 0)
+         / CAST({SCALE} AS DOUBLE) AS qty_open,
+       coalesce(sum(CASE WHEN l_linestatus = 'F'
+                    THEN floor(l_quantity * {SCALE} + 0.5) END), 0)
+         / CAST({SCALE} AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def unpivot_customer_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native unpivot/melt operator."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nation"], "measure", "val"
+    ).orderBy("c_custkey", "measure")
+
+
+UNPIVOT_SQL = """
+SELECT c_custkey, measure, val FROM (
+  SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS val
+  FROM customer WHERE c_custkey <= 100
+  UNION ALL
+  SELECT c_custkey, 'nation' AS measure, CAST(c_nationkey AS DOUBLE) AS val
+  FROM customer WHERE c_custkey <= 100)
+ORDER BY c_custkey, measure
+"""
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (banded non-equi) join: parts binned into literal price
+    bands. The band table is broadcast, so the non-equi condition is
+    evaluated map-side — no nested-loop shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), qavg(F.col("p_retailprice"), "avg_price"))
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT band, count(*) AS n_parts, {_sql_qavg('p_retailprice', 'avg_price')}
+FROM part
+JOIN (VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('premium', 1200.0, 1000000000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def not_in_subquery_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null subquery (≡ anti join on these fixtures)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent_cust = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        orders.join(urgent_cust, "o_custkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+NOT_IN_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ distinct + approximate
+    quantiles (rows-only check — sketch internals are engine-specific;
+    the exact twins are oracle-checked in distinct_counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -821,6 +949,11 @@ QUERIES = {
     "in_subquery_asia_suppliers": in_subquery_asia_suppliers,
     "scalar_functions_showcase": scalar_functions_showcase,
     "case_when_conditional_agg": case_when_conditional_agg,
+    "pivot_qty_by_status": pivot_qty_by_status,
+    "unpivot_customer_measures": unpivot_customer_measures,
+    "range_join_price_bands": range_join_price_bands,
+    "not_in_subquery_priorities": not_in_subquery_priorities,
+    "approx_stats": approx_stats,
 }
 
 ORACLE = {
@@ -850,4 +983,9 @@ ORACLE = {
     "in_subquery_asia_suppliers": IN_SUBQ_SQL,
     "scalar_functions_showcase": SCALAR_FNS_SQL,
     "case_when_conditional_agg": CASE_WHEN_SQL,
+    "pivot_qty_by_status": PIVOT_SQL,
+    "unpivot_customer_measures": UNPIVOT_SQL,
+    "range_join_price_bands": RANGE_JOIN_SQL,
+    "not_in_subquery_priorities": NOT_IN_SQL,
+    # approx_stats: rows-only (sketches are engine-specific)
 }
