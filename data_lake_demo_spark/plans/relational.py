@@ -922,6 +922,190 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Deeper TPC-H-shaped coverage (q12/q13/q14/q18/q19/q22 analogues)
+# --------------------------------------------------------------------------
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation
+    (orders per customer → customers per order-count)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of two quantized sums (exact on both
+    engines because numerator/denominator are integer-exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE + F.lit(0.5)
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev_q).otherwise(0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo) / F.sum(rev_q)).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+           THEN floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5)
+           ELSE 0 END)
+       / sum(floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5))
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered subquery driving a semi join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, {_sql_qsum('l_quantity', 'total_qty')}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(floor(l_quantity * {SCALE} + 0.5)) / CAST({SCALE} AS DOUBLE) > 150
+     ) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 25
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive band predicates across the
+    join — Catalyst pushes the common part (join key) and evaluates
+    the disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return j.filter(cond).agg(
+        qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sql_qsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        qavg(F.col("c_acctbal"), "thresh")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), qsum(F.col("c_acctbal"), "totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, count(*) AS numcust, {_sql_qsum('c_acctbal', 'totacctbal')}
+FROM customer
+WHERE c_acctbal > (SELECT {_sql_qavg('c_acctbal', 'thresh')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -954,6 +1138,12 @@ QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "approx_stats": approx_stats,
+    "q12_priority_by_flag": q12_priority_by_flag,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue_pct": q14_promo_revenue_pct,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
 }
 
 ORACLE = {
@@ -988,4 +1178,10 @@ ORACLE = {
     "range_join_price_bands": RANGE_JOIN_SQL,
     "not_in_subquery_priorities": NOT_IN_SQL,
     # approx_stats: rows-only (sketches are engine-specific)
+    "q12_priority_by_flag": Q12_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q14_promo_revenue_pct": Q14_SQL,
+    "q18_large_volume_orders": Q18_SQL,
+    "q19_disjunctive_predicates": Q19_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
 }

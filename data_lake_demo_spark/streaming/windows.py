@@ -52,6 +52,40 @@ def session_counts(
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (broadcast)
+    dimension — no state, re-resolved per micro-batch."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    purchase to a view by the same user within the preceding hour.
+    Watermarks bound both join states (the 100 TB requirement — state
+    eviction is what keeps an unbounded join finite)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "event_id", "purchase_ts", "view_id", "view_ts", "value")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + value total across micro-batches."""

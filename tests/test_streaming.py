@@ -18,6 +18,8 @@ from data_lake_demo_spark.streaming.ingest_stream import (
 from data_lake_demo_spark.streaming.windows import (
     running_user_totals,
     session_counts,
+    stream_static_enrich,
+    stream_stream_purchase_attribution,
     tumbling_counts,
 )
 
@@ -139,6 +141,56 @@ def test_session_stream_runs(spark, events_stream):
     out = spark.sql("SELECT * FROM session_out")
     assert out.count() > 0
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stream_static_join(spark, events_stream):
+    stream, batch = events_stream
+    dim = batch.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "gold").otherwise("basic")
+    )
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM enrich_out")
+    assert out.count() == batch.count()
+    assert out.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    q = (
+        stream_stream_purchase_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, view_id FROM attrib_out")
+    # batch twin: plain self-join with the same time-bound predicate
+    v = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    expected = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "view_id")
+    assert got.count() == expected.count()
+    assert got.subtract(expected).count() == 0
 
 
 def test_stateful_running_totals(spark, events_stream):
