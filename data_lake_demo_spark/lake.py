@@ -71,7 +71,10 @@ class Lake:
         (idempotent), never duplicate."""
         from data_lake_demo_spark.sources.mock import DEFAULT_ENDPOINTS
 
+        from data_lake_demo_spark import metrics
+
         endpoints = endpoints or DEFAULT_ENDPOINTS
+        started = datetime.now(timezone.utc)
         work = plan_work(self.spark, ingestion_date, endpoints, pages)
         records = mock_fetch(work)
         (
@@ -81,7 +84,29 @@ class Lake:
             .option("compression", "gzip")
             .json(self.raw_path)
         )
+        # A4 per-key counters: written pages per endpoint, from the lake
+        written = {
+            r["source"]: r["n"]
+            for r in self.spark.read.schema(RAW_RECORD)
+            .option("basePath", self.raw_path)
+            .json(self.raw_path)
+            .filter(F.col("ingestion_date") == ingestion_date)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        run_id = metrics.log_run(
+            self.spark,
+            metrics.runlog_path(self.root),
+            ingestion_date=ingestion_date,
+            per_endpoint=[
+                (ep, pages, int(written.get(ep, 0)), pages - int(written.get(ep, 0)))
+                for ep in endpoints
+            ],
+            started_at=started,
+        )
         return {
+            "run_id": run_id,
             "planned": len(endpoints) * pages,
             "ingestion_date": ingestion_date,
             "endpoints": list(endpoints),

@@ -147,6 +147,72 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into ``nlist`` cells; each query probes its ``nprobe``
+    nearest cells and re-ranks exactly.
+
+    Scale shape: one KMeans fit (sampled), one corpus pass to assign
+    cells, then per-query work proportional to nprobe/nlist of the
+    corpus. The centroid table (nlist × dim floats) is broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
+    ).withColumn("features", array_to_vector("nvec"))
+    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("nid", "nvec", "cell")
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cos_sim", "rk")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -264,6 +264,15 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + nprobe) approximate top-5 (rows-only)."""
+    from data_lake_demo_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each vector against its label centroid — a grouped
     vector aggregate (array-wise avg), all JVM-side."""
@@ -332,6 +341,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
+    "emb_ivf_ann": emb_ivf_ann,
     "emb_label_centroid_sim": emb_label_centroid_sim,
 }
 

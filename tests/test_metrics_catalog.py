@@ -1,0 +1,129 @@
+"""Run-log / ops metrics (SURVEY T7/A4), streaming progress listener,
+schema evolution (D4), and IVF ANN recall.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark import metrics
+from data_lake_demo_spark.lake import Lake
+from data_lake_demo_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+from data_lake_demo_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    lk = Lake(spark, str(tmp_path_factory.mktemp("metrics_lake")), db="m_lake_db")
+    lk.ingest_mock("2024-07-01")
+    lk.ingest_mock("2024-07-02")
+    return lk
+
+
+def test_runlog_per_endpoint_counters(lake):
+    rl = metrics.read_runlog(lake.spark, metrics.runlog_path(lake.root))
+    assert rl.count() == 8  # 2 runs × 4 endpoints
+    assert rl.filter(F.col("pages_written") != 10).count() == 0
+    assert rl.filter(F.col("failures") != 0).count() == 0
+
+    summary = metrics.ops_summary(lake.spark, metrics.runlog_path(lake.root)).collect()
+    assert [r.endpoint for r in summary] == ["api-a", "api-b", "api-c", "api-d"]
+    assert all(r.pages_written == 20 and r.n_runs == 2 for r in summary)
+
+
+def test_alerts_empty_then_fire(lake):
+    path = metrics.runlog_path(lake.root)
+    assert metrics.alerts(lake.spark, path).count() == 0
+    # inject a failing run row → alarm fires (worker_errors analog)
+    from datetime import datetime, timezone
+
+    metrics.log_run(
+        lake.spark,
+        path,
+        ingestion_date="2024-07-03",
+        per_endpoint=[("api-a", 10, 7, 3)],
+        started_at=datetime.now(timezone.utc),
+    )
+    fired = metrics.alerts(lake.spark, path).collect()
+    assert len(fired) == 1 and fired[0].alarm == "worker_errors"
+
+
+def test_streaming_progress_listener(spark, tmp_path):
+    listener = metrics.ProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "ev")
+        ev.write.parquet(src)
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("listener_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        for _ in range(20):  # listener delivery is async
+            if sum(n for _, n in listener.batches) >= 1000:
+                break
+            time.sleep(0.5)
+        assert sum(n for _, n in listener.batches) == 1000
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_schema_evolution_update_in_database(lake):
+    """D4: a new column appearing in raw is adopted on refresh; old
+    rows read NULL for it (UPDATE_IN_DATABASE policy)."""
+    import gzip
+    import os
+
+    part_dir = os.path.join(
+        lake.raw_path, "source=api-e", "ingestion_date=2024-07-04"
+    )
+    os.makedirs(part_dir, exist_ok=True)
+    rec = {
+        "endpoint": "api-e",
+        "date": "2024-07-04",
+        "page": 1,
+        "fetched_at": "2024-07-04T00:00:00Z",
+        "items": [{"id": "api-e-1", "value": 0}],
+        "api_version": "v2",  # NEW column, not in the original schema
+    }
+    with gzip.open(os.path.join(part_dir, "page-000001.json.gz"), "wt") as f:
+        f.write(json.dumps(rec) + "\n")
+
+    lake.refresh_catalog()
+    cols = set(lake.table("raw").columns)
+    assert "api_version" in cols
+    got = lake.table("raw").filter(F.col("source") == "api-e").collect()
+    assert len(got) == 1 and got[0].api_version == "v2"
+    old = (
+        lake.table("raw")
+        .filter(F.col("source") == "api-a")
+        .select("api_version")
+        .distinct()
+        .collect()
+    )
+    assert [r.api_version for r in old] == [None]
+
+
+def test_ivf_ann_recall(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_ann_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # 3/8 of the corpus probed, neighbors cluster
