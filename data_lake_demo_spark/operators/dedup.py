@@ -84,10 +84,18 @@ def minhash_signatures(
     shuffles only (id, 64×8 bytes) after partial aggregation.
     """
     params = _affine_params(num_hashes)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
-    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(2**31)))
+    # spread docs across the cluster BEFORE the expensive shingle
+    # explode: a single input file would otherwise pin the whole
+    # hash stage to one task (cheap here — only (id, text) moves)
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition(F.col("id"))
+        .select(
+            "id",
+            F.explode(F.array_distinct(shingles("__t", shingle_n))).alias("sh"),
+        )
+        .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(2**31)))
+    )
     mins = [
         F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
@@ -142,6 +150,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
+    # the self-join would otherwise recompute the whole signature
+    # pipeline for BOTH aliases; cache the (small) banded signatures.
+    # At production scale, materialize signatures to a table instead.
+    banded = banded.cache()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -178,10 +190,12 @@ def simhash_fingerprints(
     static conditional sums. The shuffle payload is (id, hash) — 16
     bytes/token — never the text itself.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition(F.col("id"))  # parallelize single-file inputs
+        .select("id", F.explode(F.split(F.trim(F.col("__t")), r"\s+")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     bit_sums = [
         F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(
             f"__b{b}"

@@ -43,10 +43,12 @@ FEATURE_SCHEMA = (
 )
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
+def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table exercising the real schema:
-    payload bytes derive from the id (no codecs involved)."""
-    df = spark.range(n).select(
+    payload bytes derive from the id (no codecs involved). Partition
+    count is capped so a tiny table doesn't fan out one Arrow/Python
+    worker per core downstream."""
+    df = spark.range(0, n, 1, partitions).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

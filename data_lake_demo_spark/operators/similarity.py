@@ -172,8 +172,19 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
     ).withColumn("features", array_to_vector("nvec"))
-    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(c)
+    # train the coarse quantizer on a bounded sample with cheap random
+    # init — at 100 TB one never fits k-means on the full corpus, and
+    # cell quality only needs a sketch of the density
+    train = c.select("features").limit(20 * 1000)
+    km = KMeans(
+        k=nlist,
+        seed=seed,
+        featuresCol="features",
+        predictionCol="cell",
+        initMode="random",
+        maxIter=8,
+    )
+    model = km.fit(train)
     assigned = model.transform(c).select("nid", "nvec", "cell")
 
     spark = corpus.sparkSession
