@@ -148,6 +148,42 @@ def test_dialect_reference_smoke_query_runs(spark):
     assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", df.collect()[0].d)
 
 
+def test_merge_upsert(spark):
+    from data_lake_demo_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_apply(spark):
+    from data_lake_demo_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", "2020-01-01", None, True),
+            (1, "al", "2019-01-01", "2020-01-01", False),
+            (2, "bob", "2020-01-01", None, True),
+        ],
+        "k long, name string, effective_ts string, end_ts string, is_current boolean",
+    ).select("k", "name", F.col("effective_ts"), "end_ts", "is_current")
+    changes = spark.createDataFrame(
+        [(1, "alice2", "2021-06-01")], "k long, name string, effective_ts string"
+    )
+    out = scd2_apply(dim, changes, "k")
+    rows = {(r.k, r.name): (r.effective_ts, r.end_ts, r.is_current) for r in out.collect()}
+    assert rows[(1, "alice")] == ("2020-01-01", "2021-06-01", False)  # closed out
+    assert rows[(1, "alice2")] == ("2021-06-01", None, True)          # new current
+    assert rows[(2, "bob")] == ("2020-01-01", None, True)             # untouched
+    assert rows[(1, "al")][2] is False                                # history kept
+    assert len(rows) == 4
+
+
 def test_multimodal_pipeline(spark):
     media = synthetic_media(spark, n=32)
     feats = decode_and_featurize(media, feature_dim=8)
