@@ -298,6 +298,96 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode tokens → per-doc term frequency → document
+    frequency → idf join → top-3 terms per doc (first 20 docs).
+
+    Scale shape: two shuffles (groupBy (doc,term), groupBy term); the
+    idf table is tiny and broadcast back. ln() on exact integer
+    ratios is IEEE-identical across engines; quantized anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar: metadata-sized
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            quantize(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 1_000_000
+            ),
+        )
+        .filter(F.col("doc_id") < 20)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tfidf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+ df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ n AS (SELECT count(*) AS n_docs FROM documents),
+ scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000 + 0.5)
+           / 1000000 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 20)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored) t
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+def doc_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + PII-style scrubbing pass: lowercase,
+    digit masking, whitespace collapse — the standard pre-tokenization
+    cleanup, all JVM regexp (checked against DuckDB's RE2)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "<num>"),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                           '\\s+', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                                  '\\s+', ' ', 'g'))) AS clean_len,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                               '\\s+', ' ', 'g'))) AS clean_digest
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: payloads are synthetic, no codecs)
 # --------------------------------------------------------------------------
@@ -338,6 +428,8 @@ QUERIES = {
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_normalize_scrub": doc_normalize_scrub,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
@@ -352,6 +444,8 @@ ORACLE = {
     "doc_bpe_token_counts": BPE_COUNT_SQL,
     "doc_lang_id": _lang_id_oracle(),
     "doc_fingerprint_buckets": FINGERPRINT_SQL,
+    "doc_tfidf_top_terms": TFIDF_SQL,
+    "doc_normalize_scrub": NORMALIZE_SQL,
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /
