@@ -1009,7 +1009,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = f"""
-SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+SELECT CAST(100 AS DOUBLE) * sum(CASE WHEN p_type LIKE 'PROMO%'
            THEN floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5)
            ELSE 0 END)
        / sum(floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5))

@@ -16,7 +16,11 @@ import pytest
 import __spark_entry__ as entrymod
 from data_lake_demo_spark.model import TESTDATA_TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01
+# to replicate the driver's gate scale exactly (verified green there too)
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
