@@ -78,7 +78,13 @@ class Lake:
         work = plan_work(self.spark, ingestion_date, endpoints, pages)
         records = mock_fetch(work)
         (
-            records.repartition("source", "ingestion_date")
+            # per-(source, date, page) tasks → one file per page, the
+            # reference's layout (worker.py:27-28); explicit partition
+            # count so AQE doesn't coalesce the tiny shuffle into one
+            # file per dir. compact_partition merges them later.
+            records.repartition(
+                len(endpoints) * pages, "source", "ingestion_date", "page"
+            )
             .write.mode("overwrite")
             .partitionBy(*RAW_PARTITIONS)
             .option("compression", "gzip")
@@ -156,6 +162,31 @@ class Lake:
         cat.register_parquet_table(
             self.spark, self.db, "curated", self.curated_path, RAW_PARTITIONS
         )
+
+    # ---- maintenance -----------------------------------------------------
+    def compact_partition(
+        self, source: str, ingestion_date: str, target_files: int = 1
+    ) -> int:
+        """Small-file compaction for one raw partition: rewrite its
+        many gzip-JSON objects as ``target_files`` files via dynamic
+        partition overwrite (only this partition is replaced). The
+        lake-maintenance op every object-store deployment needs —
+        the reference accumulates one file per page forever.
+
+        Returns the row count of the compacted partition.
+        """
+        part = self.read_raw().filter(
+            (F.col("source") == source) & (F.col("ingestion_date") == ingestion_date)
+        )
+        n = part.count()
+        (
+            part.repartition(target_files)
+            .write.mode("overwrite")
+            .partitionBy(*RAW_PARTITIONS)
+            .option("compression", "gzip")
+            .json(self.raw_path)
+        )
+        return n
 
     # ---- governed querying (E1) -----------------------------------------
     def grant(self, principal: str, table: str = "raw", **kw) -> None:

@@ -927,6 +927,37 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping()/grouping_id() markers distinguishing
+    subtotal levels (the standard way to consume CUBE/ROLLUP output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_ID_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + conditional counts per group."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1138,6 +1169,7 @@ QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "approx_stats": approx_stats,
+    "grouping_id_rollup": grouping_id_rollup,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue_pct": q14_promo_revenue_pct,
@@ -1178,6 +1210,7 @@ ORACLE = {
     "range_join_price_bands": RANGE_JOIN_SQL,
     "not_in_subquery_priorities": NOT_IN_SQL,
     # approx_stats: rows-only (sketches are engine-specific)
+    "grouping_id_rollup": GROUPING_ID_SQL,
     "q12_priority_by_flag": Q12_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q14_promo_revenue_pct": Q14_SQL,

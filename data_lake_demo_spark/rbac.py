@@ -26,10 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class Grant:
     """row_filter: SQL boolean expression or None (all rows);
-    columns: allowed column names or None (all columns)."""
+    columns: allowed column names or None (all columns);
+    masked: column → mask fn name ('md5' | 'null' | 'last4') — the
+    column stays selectable but returns masked values (the softer
+    alternative to a column DENY, cf. LF data filters)."""
 
     row_filter: str | None = None
     columns: list[str] | None = None
+    masked: dict[str, str] | None = None
 
 
 @dataclass
@@ -44,8 +48,19 @@ class Rbac:
         *,
         row_filter: str | None = None,
         columns: list[str] | None = None,
+        masked: dict[str, str] | None = None,
     ) -> None:
-        self.grants[(principal, table)] = Grant(row_filter, columns)
+        self.grants[(principal, table)] = Grant(row_filter, columns, masked)
+
+    @staticmethod
+    def _mask_expr(col: str, fn: str) -> str:
+        if fn == "md5":
+            return f"md5(CAST(`{col}` AS STRING)) AS `{col}`"
+        if fn == "null":
+            return f"CAST(NULL AS STRING) AS `{col}`"
+        if fn == "last4":
+            return f"right(CAST(`{col}` AS STRING), 4) AS `{col}`"
+        raise ValueError(f"unknown mask fn: {fn}")
 
     def view_name(self, principal: str, table: str) -> str:
         base = table.split(".")[-1]
@@ -57,7 +72,20 @@ class Rbac:
         g = self.grants.get((principal, table))
         if g is None:
             raise PermissionError(f"no grant for principal={principal} table={table}")
-        cols = ", ".join(f"`{c}`" for c in g.columns) if g.columns else "*"
+        masked = g.masked or {}
+        if g.columns:
+            col_list = g.columns
+        elif masked:
+            col_list = [f.name for f in self.spark.table(table).schema.fields]
+        else:
+            col_list = None
+        if col_list is None:
+            cols = "*"
+        else:
+            cols = ", ".join(
+                self._mask_expr(c, masked[c]) if c in masked else f"`{c}`"
+                for c in col_list
+            )
         where = f"WHERE {g.row_filter}" if g.row_filter else ""
         view = self.view_name(principal, table)
         self.spark.sql(

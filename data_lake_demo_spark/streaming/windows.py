@@ -58,11 +58,14 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
-def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
-    """Stream-stream inner join with event-time bounds: attribute each
+def stream_stream_purchase_attribution(
+    events: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join with event-time bounds: attribute each
     purchase to a view by the same user within the preceding hour.
     Watermarks bound both join states (the 100 TB requirement — state
-    eviction is what keeps an unbounded join finite)."""
+    eviction is what keeps an unbounded join finite). ``how`` may be
+    'inner' or 'leftOuter' (outer emission waits for the watermark)."""
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -82,7 +85,7 @@ def stream_stream_purchase_attribution(events: DataFrame) -> DataFrame:
         (F.col("user_id") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
-        "inner",
+        how,
     ).select("user_id", "event_id", "purchase_ts", "view_id", "view_ts", "value")
 
 

@@ -137,6 +137,47 @@ def test_rbac_same_query_different_results(lake):
     ]
 
 
+def test_rbac_column_masking(lake):
+    # softer governance: column stays selectable but masked
+    lake.grant(
+        "analyst",
+        row_filter=None,
+        masked={"endpoint": "md5", "fetched_at": "null", "date": "last4"},
+    )
+    rows = lake.table_for("analyst").select("endpoint", "fetched_at", "date").limit(5).collect()
+    import re
+
+    assert all(re.fullmatch(r"[0-9a-f]{32}", r.endpoint) for r in rows)
+    assert all(r.fetched_at is None for r in rows)
+    assert all(re.fullmatch(r"\d{2}-\d{2}", r.date[-5:]) or len(r.date) == 4 for r in rows)
+    # items column still fully visible (not masked, not denied)
+    assert lake.table_for("analyst").select("items").count() == 80
+
+
+def test_compact_partition(lake):
+    import glob
+    import os
+
+    part_glob = os.path.join(
+        lake.raw_path, "source=api-c", f"ingestion_date={D1}", "*.json.gz"
+    )
+    before = len(glob.glob(part_glob))
+    assert before >= 2  # multiple page files from ingestion
+    n = lake.compact_partition("api-c", D1, target_files=1)
+    assert n == 10
+    after = len(glob.glob(part_glob))
+    assert after == 1
+    # data intact, other partitions untouched
+    lake.refresh_catalog()
+    assert lake.table("raw").count() == 80
+    assert (
+        lake.table("raw")
+        .filter((F.col("source") == "api-c") & (F.col("ingestion_date") == D1))
+        .count()
+        == 10
+    )
+
+
 def test_curated_promotion(lake):
     lake.promote_curated()
     cur = lake.table("curated")

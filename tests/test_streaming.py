@@ -221,3 +221,36 @@ def test_stateful_running_totals(spark, events_stream):
     )
     assert got.count() == expected.count()
     assert diff.count() == 0
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    # outer-join emissions require the watermark to ADVANCE, which only
+    # happens between micro-batches: feed the data as several files
+    # with maxFilesPerTrigger=1 (time-ordered so late batches move the
+    # watermark past early purchases)
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev_multi")
+    ev.repartitionByRange(6, "ts").write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_stream_purchase_attribution(stream, how="leftOuter")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_outer_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, view_id FROM attrib_outer_out")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    matched = got.filter(F.col("view_id").isNotNull()).count()
+    unmatched = got.filter(F.col("view_id").isNull()).select("event_id").distinct().count()
+    # emitted rows never exceed purchases; unmatched purchases DO emit
+    # (with null view) once the watermark passes them
+    assert matched + unmatched <= n_purchases
+    assert unmatched > 0
