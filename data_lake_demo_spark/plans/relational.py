@@ -1137,6 +1137,56 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein distance over the nation
+    self-join (broadcast; 625 pairs) — the string-similarity scalar
+    surface (edit distance exists verbatim in both engines)."""
+    n1 = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("a"))
+    n2 = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("b"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("a", "b").cast("long").alias("dist"))
+        .filter(F.col("dist") <= 5)
+        .orderBy("a", "b")
+    )
+
+
+FUZZY_SQL = """
+SELECT n1.n_name AS a, n2.n_name AS b, levenshtein(n1.n_name, n2.n_name) AS dist
+FROM nation n1 CROSS JOIN nation n2
+WHERE n1.n_name < n2.n_name AND levenshtein(n1.n_name, n2.n_name) <= 5
+ORDER BY a, b
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group — the ordered-set
+    aggregate surface. Both engines linearly interpolate; quantized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50_raw"),
+            F.percentile("l_extendedprice", 0.95).alias("p95_raw"),
+        )
+        .select(
+            "l_returnflag",
+            (F.floor(F.col("p50_raw") * 100 + F.lit(0.5)) / 100.0).alias("p50"),
+            (F.floor(F.col("p95_raw") * 100 + F.lit(0.5)) / 100.0).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / CAST(100 AS DOUBLE) AS p50,
+       floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) / CAST(100 AS DOUBLE) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -1170,6 +1220,8 @@ QUERIES = {
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "approx_stats": approx_stats,
     "grouping_id_rollup": grouping_id_rollup,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
+    "exact_percentiles": exact_percentiles,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue_pct": q14_promo_revenue_pct,
@@ -1211,6 +1263,8 @@ ORACLE = {
     "not_in_subquery_priorities": NOT_IN_SQL,
     # approx_stats: rows-only (sketches are engine-specific)
     "grouping_id_rollup": GROUPING_ID_SQL,
+    "fuzzy_name_pairs": FUZZY_SQL,
+    "exact_percentiles": PERCENTILE_SQL,
     "q12_priority_by_flag": Q12_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q14_promo_revenue_pct": Q14_SQL,
