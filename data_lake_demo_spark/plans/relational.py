@@ -1187,6 +1187,289 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders with at least one late lineitem, counted by
+    priority — EXISTS via left-semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(li.l_shipdate > F.lit("1996-08-15").cast("timestamp"))
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1996-08-15 00:00:00')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year (supplier nation ≠ customer nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(F.col("supp_nation").isin("CHINA", "FRANCE") | F.col("cust_nation").isin("CHINA", "FRANCE"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(qsum(vol, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sql_qsum('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND (n1.n_name IN ('CHINA','FRANCE') OR n2.n_name IN ('CHINA','FRANCE'))) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue by year —
+    ratio of conditional quantized sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * SCALE + F.lit(0.5)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "GERMANY", vol_q).otherwise(0))
+                / F.sum(vol_q)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       sum(CASE WHEN n2.n_name = 'GERMANY'
+                THEN floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5)
+                ELSE 0 END)
+       / sum(floor(l_extendedprice * (1 - l_discount) * {SCALE} + 0.5)) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, profit =
+    discounted revenue): profit by supplier nation × year for parts
+    matching a name pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(qsum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {_sql_qsum('l_extendedprice * (1 - l_discount)', 'sum_profit')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving max revenue in a window
+    — aggregate, then join against its own max."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_sql_qsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lineitems below 20% of their part's
+    average quantity — correlated scalar subquery → broadcast join of
+    per-part aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        qavg(F.col("l_quantity"), "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(qsum(F.col("l_extendedprice"), "small_qty_revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q17_SQL = f"""
+SELECT {_sql_qsum('l_extendedprice', 'small_qty_revenue')}, count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, {_sql_qavg('l_quantity', 'avg_qty')}
+      FROM lineitem GROUP BY l_partkey) pa ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers with late lines on
+    multi-supplier orders where they were the ONLY late supplier —
+    EXISTS + NOT EXISTS stacked semi/anti joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select("l_orderkey", F.col("l_suppkey").alias("o_supp"))
+    l1 = late.alias("l1")
+    exists_other = (
+        l1.join(
+            others.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.o_supp")),
+            "left_semi",
+        )
+    )
+    other_late = late.select("l_orderkey", F.col("l_suppkey").alias("o_supp"))
+    only_late = exists_other.join(
+        other_late.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.o_supp")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -1222,6 +1505,13 @@ QUERIES = {
     "grouping_id_rollup": grouping_id_rollup,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "exact_percentiles": exact_percentiles,
+    "q4_order_priority_checking": q4_order_priority_checking,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue_pct": q14_promo_revenue_pct,
@@ -1265,6 +1555,13 @@ ORACLE = {
     "grouping_id_rollup": GROUPING_ID_SQL,
     "fuzzy_name_pairs": FUZZY_SQL,
     "exact_percentiles": PERCENTILE_SQL,
+    "q4_order_priority_checking": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q12_priority_by_flag": Q12_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q14_promo_revenue_pct": Q14_SQL,
