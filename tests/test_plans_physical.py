@@ -54,6 +54,27 @@ def test_q1_partial_aggregation_and_codegen(spark):
     assert "codegen id" in _plan(spark, df)
 
 
+def test_dynamic_partition_pruning_on_lake(spark, tmp_path):
+    """Joining the partitioned curated table against a filtered dim on
+    the partition column must inject a dynamic pruning subquery — the
+    partition-skipping mechanism that matters most at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.lake import Lake
+
+    lk = Lake(spark, str(tmp_path / "dpp_lake"), db="dpp_t_db")
+    lk.ingest_mock("2024-06-01")
+    lk.refresh_catalog()
+    lk.promote_curated()
+    dim = spark.createDataFrame(
+        [("api-a", "keep")], "source string, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = spark.table("dpp_t_db.curated").join(dim, "source").groupBy("source").count()
+    plan = _plan(spark, j)
+    assert "dynamicpruningexpression" in plan
+    assert j.collect()[0]["count"] == 10
+
+
 def test_no_python_udf_in_relational_paths(spark):
     for fn in (q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue):
         p = _plan(spark, fn(spark, SF))
