@@ -1470,6 +1470,37 @@ ORDER BY numwait DESC, s_name
 """
 
 
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set → sorted array, emitted as a
+    joined string so the cross-engine value hash is type-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("l_suppkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("suppkeys"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+       array_to_string(list_transform(list_sort(list(DISTINCT l_suppkey)),
+                                      x -> CAST(x AS VARCHAR)), ',') AS suppkeys
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -1504,6 +1535,7 @@ QUERIES = {
     "approx_stats": approx_stats,
     "grouping_id_rollup": grouping_id_rollup,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "array_agg_per_group": array_agg_per_group,
     "exact_percentiles": exact_percentiles,
     "q4_order_priority_checking": q4_order_priority_checking,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1554,6 +1586,7 @@ ORACLE = {
     # approx_stats: rows-only (sketches are engine-specific)
     "grouping_id_rollup": GROUPING_ID_SQL,
     "fuzzy_name_pairs": FUZZY_SQL,
+    "array_agg_per_group": ARRAY_AGG_SQL,
     "exact_percentiles": PERCENTILE_SQL,
     "q4_order_priority_checking": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
