@@ -214,7 +214,37 @@ ORDER BY p.user_id, p.event_id
 """
 
 
+def events_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily stats computed by
+    COMPOSING the hourly rollup's decomposable partials (count /
+    quantized sum / min / max) — the oracle aggregates raw events
+    directly, proving rollup-of-rollup ≡ direct aggregation."""
+    from data_lake_demo_spark.operators.rollup_time import rollup_to, time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = time_rollup(ev, interval="1 hour", group_cols=["event_type"])
+    daily = rollup_to(hourly, interval="1 day", group_cols=["event_type"])
+    return daily.select(
+        F.col("bucket_start").alias("day"),
+        "event_type",
+        "n",
+        "total_value",
+        "value_min",
+        "value_max",
+    ).orderBy("day", "event_type")
+
+
+ROLLUP_COMPOSE_SQL = f"""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       count(*) AS n,
+       {_sql_qsum('value', 'total_value')},
+       min(value) AS value_min, max(value) AS value_max
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
 QUERIES = {
+    "events_daily_from_hourly_rollup": events_daily_from_hourly_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_sessionization": events_sessionization,
@@ -224,6 +254,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_sliding_windows": SLIDING_SQL,
     "events_sessionization": SESSIONIZATION_SQL,
