@@ -37,11 +37,13 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink: every projected expression is fully computed
+            # (count() would let Catalyst prune projection-only queries)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             total += dt
-            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: {dt:.3f}s", file=sys.stderr)
         except Exception as e:  # keep the bench line intact on one failure
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)

@@ -167,7 +167,7 @@ def ivf_ann_topk(
     corpus. The centroid table (nlist × dim floats) is broadcast.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")

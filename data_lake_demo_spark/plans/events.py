@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_demo_spark.operators.asof import asof_join
-from data_lake_demo_spark.plans.relational import SCALE, _sql_qsum, qsum
+from data_lake_demo_spark.plans.relational import _sql_qsum, qsum
 from data_lake_demo_spark.sources.testdata import load_table
 
 

@@ -14,7 +14,6 @@ environment have no network; the mock source covers them.
 
 from __future__ import annotations
 
-import json
 import time
 from collections.abc import Iterator
 

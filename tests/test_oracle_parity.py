@@ -7,8 +7,6 @@ smoke check.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest

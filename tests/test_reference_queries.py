@@ -12,7 +12,6 @@ Sources of the SQL text:
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.dialect import translate
 from data_lake_demo_spark.lake import Lake
