@@ -601,6 +601,39 @@ ORDER BY p_brand, rn
 # --------------------------------------------------------------------------
 
 
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    / first_value / last_value with an explicit frame — deterministic
+    via unique ordering (acctbal ties broken by custkey)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        (F.floor(F.percent_rank().over(w) * 1_000_000 + F.lit(0.5)) / 1e6).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1_000_000 + F.lit(0.5)) / 1e6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first_value(F.col("c_custkey")).over(wf).alias("poorest_cust"),
+        F.last_value(F.col("c_custkey")).over(wf).alias("richest_cust"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+WINDOW_DIST_SQL = """
+SELECT c_mktsegment, c_custkey,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS cume,
+       ntile(4) OVER w AS quartile,
+       first_value(c_custkey) OVER wf AS poorest_cust,
+       last_value(c_custkey) OVER wf AS richest_cust
+FROM customer WHERE c_custkey <= 500
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY … LIMIT k — Spark plans TakeOrderedAndProject (true
     top-k: per-partition heaps, no global sort). Unique tie-break."""
@@ -1523,6 +1556,7 @@ QUERIES = {
     "order_gaps_lag_lead": order_gaps_lag_lead,
     "rank_dense_rank_parts": rank_dense_rank_parts,
     "topk_expensive_orders": topk_expensive_orders,
+    "window_distribution_functions": window_distribution_functions,
     "set_ops_customer_cohorts": set_ops_customer_cohorts,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "in_subquery_asia_suppliers": in_subquery_asia_suppliers,
@@ -1574,6 +1608,7 @@ ORACLE = {
     "order_gaps_lag_lead": LAG_LEAD_SQL,
     "rank_dense_rank_parts": RANK_SQL,
     "topk_expensive_orders": TOPK_SQL,
+    "window_distribution_functions": WINDOW_DIST_SQL,
     "set_ops_customer_cohorts": SET_OPS_SQL,
     "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,
     "in_subquery_asia_suppliers": IN_SUBQ_SQL,

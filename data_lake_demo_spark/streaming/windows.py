@@ -89,6 +89,18 @@ def stream_stream_purchase_attribution(
     ).select("user_id", "event_id", "purchase_ts", "view_id", "view_ts", "value")
 
 
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it — the at-least-once → effectively-
+    exactly-once repair stage for event streams (the streaming twin of
+    the reference's idempotent-key guard, worker.py:214-221)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + value total across micro-batches."""

@@ -254,3 +254,25 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     # (with null view) once the watermark passes them
     assert matched + unmatched <= n_purchases
     assert unmatched > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from data_lake_demo_spark.streaming.windows import stream_dedup
+
+    ev = load_table(spark, SF, "events").limit(200)
+    dup = ev.union(ev)  # every event twice
+    src = str(tmp_path / "dup_events")
+    dup.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_out")
+    assert out.count() == 200
+    assert out.distinct().count() == 200
