@@ -2,6 +2,12 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line with per-query
 wall times.
+
+Robustness: the JVM (log4j, Ivy, py4j) can write directly to file
+descriptor 1, bypassing ``sys.stdout`` — which corrupted the driver's
+parse of round 1's output. We therefore dup the real stdout away at
+startup, point fd 1 at stderr for the whole run, and emit exactly one
+compact JSON line on the saved descriptor at the end.
 """
 
 from __future__ import annotations
@@ -13,6 +19,10 @@ import time
 
 
 def main() -> None:
+    # Claim the real stdout before anything (incl. the JVM) can write to it.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -41,25 +51,27 @@ def main() -> None:
             # (count() would let Catalyst prune projection-only queries)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
+            timings[name] = round(dt, 2)
             total += dt
             print(f"# {name}: {dt:.3f}s", file=sys.stderr)
         except Exception as e:  # keep the bench line intact on one failure
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    os.write(real_stdout, line.encode() + b"\n")
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

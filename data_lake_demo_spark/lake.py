@@ -196,9 +196,9 @@ class Lake:
         return self.rbac.table_for(principal, f"{self.db}.{table}")
 
     def sql(self, principal: str, query: str) -> DataFrame:
-        """Run SQL as a principal (tables resolve to secured views)."""
-        governed = [t for (p, t) in self.rbac.grants if p == principal]
-        return self.rbac.sql(principal, query, tables=governed)
+        """Run SQL as a principal (tables resolve to secured views;
+        references outside the principal's grants are denied)."""
+        return self.rbac.sql(principal, query)
 
     def sql_to_results(self, principal: str, query: str, name: str = "q") -> str:
         """E1 end-state: per-principal result segregation (G4)."""

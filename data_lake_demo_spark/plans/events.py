@@ -108,9 +108,9 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
  s AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM t)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start,
@@ -165,11 +165,11 @@ def events_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DAILY_FUNNEL_SQL = """
 SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
 FROM events GROUP BY 1 ORDER BY day
 """
 

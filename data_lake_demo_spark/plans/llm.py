@@ -98,7 +98,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens,
        avg(n_chars) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """

@@ -98,19 +98,89 @@ class Rbac:
         """G1/G2: the principal's governed DataFrame."""
         return self.spark.table(self.materialize_views(principal, table))
 
-    def sql(self, principal: str, query: str, *, tables: list[str]) -> DataFrame:
+    def _referenced_tables(self, query: str) -> set[str]:
+        """Every table/view identifier the query references, extracted
+        from Spark's OWN parser (UnresolvedRelation nodes in the parsed
+        logical plan) — not regex — so backticked identifiers, string
+        literals, subqueries, and CTE aliases are all handled exactly
+        as the engine itself would resolve them."""
+        parser = self.spark._jsparkSession.sessionState().sqlParser()
+        plan = parser.parsePlan(query)
+        refs: set[str] = set()
+        ctes: set[str] = set()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "UnresolvedRelation":
+                refs.add(node.tableName().lower())
+            elif cls == "UnresolvedWith":
+                rels = node.cteRelations()
+                for i in range(rels.size()):
+                    t = rels.apply(i)
+                    ctes.add(t._1().lower())
+                    stack.append(t._2())
+            for coll in (node.children(), node.innerChildren()):
+                for i in range(coll.size()):
+                    stack.append(coll.apply(i))
+        return refs - ctes
+
+    def _grant_key_for(self, principal: str, ref: str) -> str | None:
+        """The registered grant table name matching a referenced
+        identifier (exact, or base-name ↔ qualified-name match)."""
+        for (p, t), _ in self.grants.items():
+            if p != principal:
+                continue
+            tl = t.lower()
+            if ref == tl or ref == tl.split(".")[-1] or ref.split(".")[-1] == tl:
+                return t
+        return None
+
+    @staticmethod
+    def _replace_table_ref(query: str, ref: str, view: str) -> str:
+        """Literal-safe, backtick-aware replacement of one table
+        reference (qualified or base-name form) with the secured view
+        name. Single-quoted string literals are left untouched."""
+        parts = ref.split(".")
+        def part_pat(p: str) -> str:
+            return rf"(?:`{re.escape(p)}`|{re.escape(p)})"
+        alts = []
+        for i in range(len(parts)):  # full name, then each shorter suffix
+            alts.append(r"\.".join(part_pat(p) for p in parts[i:]))
+        pat = re.compile(
+            rf"(?<![\w.`])(?:{'|'.join(alts)})(?![\w.`])", re.IGNORECASE
+        )
+        segs = re.split(r"('(?:[^']|'')*')", query)
+        for i in range(0, len(segs), 2):  # even segments are outside literals
+            segs[i] = pat.sub(view, segs[i])
+        return "".join(segs)
+
+    def sql(
+        self, principal: str, query: str, *, tables: list[str] | None = None
+    ) -> DataFrame:
         """G3: run one SQL string as a principal — every reference to a
         governed table resolves to that principal's secured view, so
         the same query text yields role-dependent results (or fails on
-        a column outside the grant)."""
+        a column outside the grant).
+
+        DENY BY DEFAULT (the reference's Lake Formation model: an
+        unauthorized query FAILS, comprehensive_rbac_demo.py:121-131):
+        the set of referenced tables comes from Spark's parser, and any
+        reference without a grant for this principal — including tables
+        never registered with the governance layer — raises
+        ``PermissionError`` instead of silently executing ungoverned.
+        The ``tables`` kwarg is accepted for backward compatibility but
+        the parsed reference set is authoritative.
+        """
+        del tables  # governance is derived from the query, not the caller
         rewritten = query
-        for t in tables:
+        for ref in sorted(self._referenced_tables(query), key=len, reverse=True):
+            t = self._grant_key_for(principal, ref)
+            if t is None:
+                raise PermissionError(
+                    f"principal={principal!r} has no grant on table {ref!r} "
+                    "(deny by default)"
+                )
             view = self.materialize_views(principal, t)
-            base = t.split(".")[-1]
-            # replace whole-word table identifiers (optionally qualified)
-            rewritten = re.sub(
-                rf"(?<![\w.`]){re.escape(t)}(?![\w.`])|(?<![\w.`]){re.escape(base)}(?![\w.`])",
-                view,
-                rewritten,
-            )
+            rewritten = self._replace_table_ref(rewritten, ref, view)
         return self.spark.sql(rewritten)

@@ -137,6 +137,42 @@ def test_rbac_same_query_different_results(lake):
     ]
 
 
+def test_rbac_deny_by_default(lake):
+    # The reference's Lake Formation model: an unauthorized query FAILS
+    # (comprehensive_rbac_demo.py:121-131). A principal with no grants —
+    # or a query touching any ungoverned table — must be denied, not
+    # silently executed against the base table.
+    with pytest.raises(PermissionError):
+        lake.sql("nobody", "SELECT COUNT(*) AS n FROM t_lake_db.raw").collect()
+    # governed principal + ungoverned table in the same query: denied
+    lake.spark.range(3).createOrReplaceTempView("ungoverned_side")
+    with pytest.raises(PermissionError):
+        lake.sql(
+            "core",
+            "SELECT COUNT(*) AS n FROM t_lake_db.raw JOIN ungoverned_side ON 1=1",
+        ).collect()
+
+
+def test_rbac_backtick_and_literal_rewrite(lake):
+    # backtick-quoted identifiers must not dodge the rewrite…
+    q = "SELECT COUNT(*) AS n FROM `t_lake_db`.`raw`"
+    assert lake.sql("core", q).collect()[0].n == 20
+    # …and table names inside string literals must not be rewritten
+    q2 = "SELECT 'from t_lake_db.raw' AS s, COUNT(*) AS n FROM t_lake_db.raw"
+    row = lake.sql("core", q2).collect()[0]
+    assert row.s == "from t_lake_db.raw" and row.n == 20
+
+
+def test_rbac_cte_alias_not_denied(lake):
+    # CTE aliases are not table references — only their sources are
+    q = (
+        "WITH c AS (SELECT endpoint FROM t_lake_db.raw) "
+        "SELECT COUNT(*) AS n FROM c"
+    )
+    assert lake.sql("core", q).collect()[0].n == 20
+    assert lake.sql("pii", q).collect()[0].n == 80
+
+
 def test_rbac_column_masking(lake):
     # softer governance: column stays selectable but masked
     lake.grant(

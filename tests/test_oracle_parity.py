@@ -72,6 +72,19 @@ def test_query_parity(name, spark, duck):
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    # Driver-canonicalizer emulation: a DuckDB HUGEINT (sum of integers)
+    # lands in pandas as float64 while Spark's BIGINT is int64 — the
+    # driver's value-hash then mismatches even though `1 == 1.0` here.
+    # Require the dtype KIND (int vs float vs other) to agree per column.
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        sk = "i" if sk == "u" else sk
+        ok = "i" if ok == "u" else ok
+        assert sk == ok, (
+            f"{name}.{c}: dtype-kind mismatch spark={sdf[c].dtype} "
+            f"oracle={odf[c].dtype} (HUGEINT/DECIMAL in oracle SQL? "
+            f"CAST to BIGINT/DOUBLE — see NOTES.md parity rules)"
+        )
     s, o = _normalize(sdf), _normalize(odf)
     mismatches = []
     for col in s.columns:
