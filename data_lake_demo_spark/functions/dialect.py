@@ -49,18 +49,59 @@ def translate_strftime(fmt: str) -> str:
     return "".join(out)
 
 
+def _translate_date_format_calls(sql: str) -> str:
+    """Rewrite every ``date_format(expr, '<strftime>')`` call site.
+
+    A tiny scanner (paren depth + quote state) rather than a regex:
+    the first argument may itself contain commas and nested calls
+    (``date_format(coalesce(a, b), '%Y-%m-%d')``), which a
+    ``([^,]+?)`` capture mis-splits, leaving the format untranslated.
+    Nested ``date_format`` in the first argument is handled
+    recursively; an unbalanced call is left untouched.
+    """
+    m = re.search(r"date_format\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    depth, in_str = 1, False
+    args: list[str] = []
+    arg_start = i = m.end()
+    while i < len(sql) and depth > 0:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":  # '' escape
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[arg_start:i])
+                break
+        elif ch == "," and depth == 1:
+            args.append(sql[arg_start:i])
+            arg_start = i + 1
+        i += 1
+    if depth != 0:  # unbalanced — not a call we can safely rewrite
+        return sql
+    head, tail = sql[: m.start()], sql[i + 1 :]
+    if len(args) == 2:
+        first = _translate_date_format_calls(args[0].strip())
+        fm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+        second = f"'{translate_strftime(fm.group(1))}'" if fm else args[1].strip()
+        call = f"date_format({first}, {second})"
+    else:
+        call = sql[m.start() : i + 1]
+    return head + call + _translate_date_format_calls(tail)
+
+
 def translate(sql: str) -> str:
     """Rewrite Presto-isms to Spark SQL equivalents."""
-
-    def fix_datefmt(m: re.Match) -> str:
-        return f"date_format({m.group(1)}, '{translate_strftime(m.group(2))}')"
-
-    sql = re.sub(
-        r"date_format\(\s*([^,]+?)\s*,\s*'([^']*)'\s*\)",
-        fix_datefmt,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    sql = _translate_date_format_calls(sql)
     # Presto double-quoted identifiers ("db"."table") → backticks
     sql = re.sub(r'"([A-Za-z_][\w$-]*)"', r"`\1`", sql)
     return sql

@@ -139,9 +139,14 @@ class Lake:
         return self.spark.table(f"{self.db}.{name}")
 
     # ---- curated promotion (S10) ----------------------------------------
-    def promote_curated(self) -> None:
+    def promote_curated(self, *, compression: str = "zstd") -> None:
         """raw → typed, join-ready parquet: cast dates/timestamps,
-        explode nothing — one row per page record, same partitioning."""
+        explode nothing — one row per page record, same partitioning.
+
+        Defaults to zstd column compression: at lake scale the curated
+        zone is read many times per write, and zstd trades a little CPU
+        on the single write for a smaller footprint and faster scans
+        than snappy."""
         raw = self.table("raw")
         curated = raw.select(
             "endpoint",
@@ -157,6 +162,7 @@ class Lake:
             curated.repartition("source", "ingestion_date")
             .write.mode("overwrite")
             .partitionBy(*RAW_PARTITIONS)
+            .option("compression", compression)
             .parquet(self.curated_path)
         )
         cat.register_parquet_table(
@@ -187,6 +193,74 @@ class Lake:
             .json(self.raw_path)
         )
         return n
+
+    def vacuum_results(
+        self, max_age_days: int = 30, *, now: datetime | None = None
+    ) -> list[str]:
+        """Result-retention lifecycle: delete per-principal result
+        directories older than ``max_age_days``.
+
+        Reference parity: the results bucket carries a 30-day expiry
+        lifecycle rule (option_a_cdk_py/option_a/stack.py:53-59). On a
+        real object store that rule does the deleting; this engine-side
+        op provides the same contract for filesystems without lifecycle
+        support and makes the policy testable. Age comes from the
+        ``-YYYYmmddTHHMMSS`` suffix ``sql_to_results`` stamps on each
+        directory (falling back to mtime for foreign dirs). Returns the
+        deleted paths.
+        """
+        import shutil
+
+        now = now or datetime.now(timezone.utc)
+        results_root = os.path.join(self.root, "results")
+        deleted: list[str] = []
+        if not os.path.isdir(results_root):
+            return deleted
+        for principal in sorted(os.listdir(results_root)):
+            pdir = os.path.join(results_root, principal)
+            if not os.path.isdir(pdir):
+                continue
+            for name in sorted(os.listdir(pdir)):
+                path = os.path.join(pdir, name)
+                stamp = name.rsplit("-", 1)[-1]
+                try:
+                    ts = datetime.strptime(stamp, "%Y%m%dT%H%M%S").replace(
+                        tzinfo=timezone.utc
+                    )
+                except ValueError:
+                    ts = datetime.fromtimestamp(
+                        os.path.getmtime(path), tz=timezone.utc
+                    )
+                if (now - ts).total_seconds() > max_age_days * 86400:
+                    shutil.rmtree(path)
+                    deleted.append(path)
+        return deleted
+
+    def register_per_source_tables(self) -> list[str]:
+        """The one-table-per-source layout variant the reference
+        discusses (README.md:256-258): registers ``raw_<source>``
+        external tables, each rooted at ``raw/source=<s>/`` and
+        partitioned by ``ingestion_date`` alone.
+
+        The single table with a ``source`` partition stays the default
+        (one schema, cross-source queries, one crawler pass); this
+        variant serves per-team isolation or per-source schema drift.
+        Both views share the same files — no data is copied. Returns
+        the registered table names.
+        """
+        import glob as _glob
+
+        from data_lake_demo_spark.model import RAW_RECORD as _REC
+
+        tables: list[str] = []
+        for d in sorted(_glob.glob(os.path.join(self.raw_path, "source=*"))):
+            source = os.path.basename(d).split("=", 1)[1]
+            tbl = "raw_" + "".join(c if c.isalnum() else "_" for c in source)
+            cat.register_json_table(
+                self.spark, self.db, tbl, d, _REC, ["ingestion_date"]
+            )
+            tables.append(tbl)
+        return tables
 
     # ---- governed querying (E1) -----------------------------------------
     def grant(self, principal: str, table: str = "raw", **kw) -> None:

@@ -115,6 +115,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    min_jaccard: float = 0.5,
+    signature_store: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -123,7 +125,11 @@ def minhash_lsh_candidates(
 
     Scale path: the self-join key is (band_id, hash-of-band-slice) —
     a compact shuffle; the text column is dropped before the explode,
-    so the wide payload never shuffles.
+    so the wide payload never shuffles. Pass ``signature_store`` (a
+    parquet path/URI) to materialize the banded signatures to storage
+    instead of ``.cache()`` — at 100 TB the signature set exceeds
+    executor storage memory, and a table also survives stage retries
+    and can be reused by later pipelines.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
@@ -151,9 +157,13 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
     # the self-join would otherwise recompute the whole signature
-    # pipeline for BOTH aliases; cache the (small) banded signatures.
-    # At production scale, materialize signatures to a table instead.
-    banded = banded.cache()
+    # pipeline for BOTH aliases: either materialize to a parquet store
+    # (production path) or cache in executor memory (small inputs).
+    if signature_store is not None:
+        banded.write.mode("overwrite").parquet(signature_store)
+        banded = df.sparkSession.read.parquet(signature_store)
+    else:
+        banded = banded.cache()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -176,10 +186,10 @@ def minhash_lsh_candidates(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
-    ) / float(64)
+    ) / float(num_hashes)
     return pairs.select(
         "id_a", "id_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= 0.5)
+    ).filter(F.col("est_jaccard") >= min_jaccard)
 
 
 def simhash_fingerprints(
@@ -214,18 +224,28 @@ def simhash_fingerprints(
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    include_members: bool = False,
 ) -> DataFrame:
     """Group documents by exact SimHash fingerprint (near-dups collide).
-    Output one row per fingerprint bucket."""
+    Output one row per fingerprint bucket.
+
+    ``member_ids`` is opt-in: ``collect_list`` is unbounded per bucket
+    (a pathological near-dup cluster at corpus scale can be millions of
+    ids in one row), so the scale-safe default returns only the count
+    and the keep representative.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("keep_id"),
+    ]
+    if include_members:
+        aggs.append(F.sort_array(F.collect_list("id")).alias("member_ids"))
     return (
-        simhash_fingerprints(df, text_col, id_col)
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("member_ids"),
-        )
+        simhash_fingerprints(df, text_col, id_col).groupBy("fp").agg(*aggs)
     )
 
 

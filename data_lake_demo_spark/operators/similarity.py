@@ -70,11 +70,25 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (a metadata-sized
+    driver lookup). All rows must share this dimensionality — a shorter
+    vector would zip against the hyperplanes with null padding and
+    produce null/garbage bucket bits, so callers get an explicit error
+    here instead of a silently degraded candidate set."""
+    row = df.select(F.size(to_double_array(F.col(vec_col))).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(
+            f"cannot infer embedding dimensionality from column {vec_col!r}"
+        )
+    return int(row.d)
+
+
 def lsh_signatures(
     df: DataFrame,
     *,
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
@@ -82,7 +96,13 @@ def lsh_signatures(
 
     The hyperplanes are literal arrays baked into the plan (a few KB),
     not a driver-side loop: one pass, codegen'd, no shuffle.
+
+    ``dim`` defaults to the dimensionality of the input's first vector
+    (see ``infer_dim``); pass it explicitly when hashing several frames
+    with the SAME hyperplane family (corpus + queries must agree).
     """
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     planes = random_hyperplanes(dim, n_planes, seed)
     v = to_double_array(F.col(vec_col))
     bucket = None
@@ -109,11 +129,17 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket,
     re-ranked by exact cosine. Equi-join on the bucket id replaces the
-    cross join — the 100 TB path."""
-    dim = 64
+    cross join — the 100 TB path.
+
+    ``dim`` (embedding dimensionality) is inferred from the corpus when
+    not given; the same value is used for the query side so both hash
+    against the same hyperplane family."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     c = lsh_signatures(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
         vec_col="nvec",

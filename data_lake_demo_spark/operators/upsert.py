@@ -16,18 +16,55 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+
+def _latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _assert_unique_keys(df: DataFrame, keys: Sequence[str], what: str) -> None:
+    """SQL MERGE raises when several source rows match one target row;
+    emulate that contract. One count-aggregate job over the (small)
+    source side — pass ``dedupe_order`` to skip the check and resolve
+    duplicates deterministically instead."""
+    dups = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dups:
+        raise ValueError(
+            f"multiple {what} rows share a merge key; pass dedupe_order=<ts "
+            "column> to keep the latest per key, or pre-deduplicate "
+            "(SQL MERGE fails on multiple matches for the same reason)"
+        )
 
 
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
     keys: Sequence[str],
+    *,
+    dedupe_order: str | None = None,
 ) -> DataFrame:
     """UPSERT (\"when matched update, when not matched insert\"):
     updated rows replace matched target rows; unmatched target rows
-    pass through. Returns the merged DataFrame (caller writes it)."""
+    pass through. Returns the merged DataFrame (caller writes it).
+
+    ``updates`` must be unique per key (checked, like SQL MERGE's
+    multiple-match error) unless ``dedupe_order`` names a column whose
+    per-key maximum picks the winning row.
+    """
     keys = list(keys)
+    if dedupe_order is not None:
+        updates = _latest_per_key(updates, keys, dedupe_order)
+    else:
+        _assert_unique_keys(updates, keys, "update")
     untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return untouched.unionByName(updates)
 
@@ -40,14 +77,23 @@ def scd2_apply(
     effective_col: str = "effective_ts",
     current_col: str = "is_current",
     end_col: str = "end_ts",
+    dedupe_order: str | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: close out current rows whose
     key appears in ``changes`` (set end_ts + is_current=false) and
     append the new versions as current.
 
     ``changes`` must carry the key, the new attribute columns, and
-    ``effective_ts``.
+    ``effective_ts`` — and must be unique per key (checked), otherwise
+    the close-out join would emit one closed copy per duplicate change
+    and corrupt history. Pass ``dedupe_order`` (typically
+    ``effective_ts``) to keep only the latest change per key; to apply
+    several versions of one key, apply the batches in sequence.
     """
+    if dedupe_order is not None:
+        changes = _latest_per_key(changes, [key], dedupe_order)
+    else:
+        _assert_unique_keys(changes, [key], "change")
     changed_keys = changes.select(key).distinct()
     closing = (
         dim.filter(F.col(current_col))

@@ -898,6 +898,21 @@ ORDER BY c_custkey, measure
 """
 
 
+def unpivot_stack_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via the SQL ``stack()`` generator — the expression-level
+    twin of ``DataFrame.unpivot`` (both compile to the same Expand
+    node; stack() is the form Athena/Presto users reach for)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return (
+        cust.selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nation', CAST(c_nationkey AS DOUBLE)) AS (measure, val)",
+        )
+        .orderBy("c_custkey", "measure")
+    )
+
+
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (banded non-equi) join: parts binned into literal price
     bands. The band table is broadcast, so the non-equi condition is
@@ -1599,6 +1614,7 @@ QUERIES = {
     "scalar_functions_showcase": scalar_functions_showcase,
     "pivot_qty_by_status": pivot_qty_by_status,
     "unpivot_customer_measures": unpivot_customer_measures,
+    "unpivot_stack_measures": unpivot_stack_measures,
     "range_join_price_bands": range_join_price_bands,
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "grouping_id_rollup": grouping_id_rollup,
@@ -1647,6 +1663,7 @@ ORACLE = {
     "case_when_conditional_agg": CASE_WHEN_SQL,
     "pivot_qty_by_status": PIVOT_SQL,
     "unpivot_customer_measures": UNPIVOT_SQL,
+    "unpivot_stack_measures": UNPIVOT_SQL,
     "range_join_price_bands": RANGE_JOIN_SQL,
     "not_in_subquery_priorities": NOT_IN_SQL,
     # approx_stats: rows-only (sketches are engine-specific)

@@ -229,3 +229,36 @@ def test_results_segregation(lake, tmp_path):
     assert "/results/core/" in out
     got = lake.spark.read.json(out).collect()
     assert got[0].n == 20
+
+
+def test_vacuum_results_lifecycle(lake):
+    # reference: results bucket expires objects after 30 days
+    # (option_a_cdk_py/option_a/stack.py:53-59)
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    out = lake.sql_to_results("pii", "SELECT 1 AS one FROM t_lake_db.raw LIMIT 1")
+    assert os.path.isdir(out)
+    # not old enough: nothing deleted
+    assert lake.vacuum_results(30) == []
+    assert os.path.isdir(out)
+    # 31 days later the same directory is expired
+    future = datetime.now(timezone.utc) + timedelta(days=31)
+    deleted = lake.vacuum_results(30, now=future)
+    assert out in deleted and not os.path.isdir(out)
+
+
+def test_per_source_table_layout(lake):
+    # README.md:256-258 layout variant: one external table per source,
+    # sharing the single-table layout's files (no copy)
+    tables = lake.register_per_source_tables()
+    assert tables == ["raw_api_a", "raw_api_b", "raw_api_c", "raw_api_d"]
+    a = lake.table("raw_api_a")
+    assert a.count() == 20
+    assert "source" not in a.columns  # partition moved out of the schema
+    parts = lake.spark.sql("SHOW PARTITIONS t_lake_db.raw_api_b").collect()
+    assert len(parts) == 2  # two ingestion dates
+    # same files as the single-table layout
+    assert (
+        lake.table("raw").filter(F.col("source") == "api-a").count() == a.count()
+    )

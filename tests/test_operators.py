@@ -129,6 +129,49 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.2
 
 
+def test_lsh_ann_infers_non64_dim(spark):
+    # dimensionality is inferred from the corpus, not hardcoded: a
+    # 8-dim embedding set must produce full (non-null) buckets and
+    # perfect self-similarity for an exact duplicate pair
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, list(rows[0][1])))  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 99)
+    got = lsh_ann_topk(emb, queries, k=3, n_planes=4).collect()
+    assert got, "non-64-dim corpus must still yield candidates"
+    best = got[0]
+    assert best.nid == 0 and best.cos_sim == 1.0
+
+
+def test_minhash_non_default_num_hashes(spark, near_dup_docs):
+    # est_jaccard divides by num_hashes, not a hardcoded 64
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(
+            near_dup_docs, shingle_n=3, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: all 32 minhashes match
+
+
+def test_minhash_signature_store_roundtrip(spark, near_dup_docs, tmp_path):
+    # production path: signatures materialized to parquet instead of cache
+    store = str(tmp_path / "sigs")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            near_dup_docs, shingle_n=3, signature_store=store
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    import glob as _glob
+
+    assert _glob.glob(store + "/*.parquet"), "signatures were not materialized"
+
+
 def test_dialect_translation():
     assert translate_strftime("%Y-%m-%d") == "yyyy-MM-dd"
     assert (
@@ -136,6 +179,23 @@ def test_dialect_translation():
         == "SELECT date_format(current_date, 'yyyy-MM-dd') FROM t"
     )
     assert translate('SELECT * FROM "db"."raw"') == "SELECT * FROM `db`.`raw`"
+
+
+def test_dialect_nested_comma_first_arg():
+    # comma-bearing first argument must not mis-split the call
+    assert (
+        translate("SELECT date_format(coalesce(a, b), '%Y-%m-%d') FROM t")
+        == "SELECT date_format(coalesce(a, b), 'yyyy-MM-dd') FROM t"
+    )
+    # nested date_format inside the first argument, plus a second call site
+    got = translate(
+        "SELECT date_format(concat(date_format(ts, '%H'), x), '%Y'), "
+        "date_format(d, '%m-%d') FROM t"
+    )
+    assert got == (
+        "SELECT date_format(concat(date_format(ts, 'HH'), x), 'yyyy'), "
+        "date_format(d, 'MM-dd') FROM t"
+    )
 
 
 def test_dialect_reference_smoke_query_runs(spark):
@@ -159,6 +219,45 @@ def test_merge_upsert(spark):
     )
     got = {r.k: (r.v, r.x) for r in merge_upsert(target, updates, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_duplicate_keys_guarded(spark):
+    # SQL MERGE fails on multiple source matches; so do we — unless a
+    # dedupe order resolves the winner deterministically
+    import pytest as _pytest
+
+    from data_lake_demo_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 1.0)], "k long, v string, x double")
+    dup_updates = spark.createDataFrame(
+        [(1, "new", 5.0), (1, "newer", 9.0)], "k long, v string, x double"
+    )
+    with _pytest.raises(ValueError, match="merge key"):
+        merge_upsert(target, dup_updates, ["k"])
+    got = {r.k: r.v for r in merge_upsert(target, dup_updates, ["k"], dedupe_order="x").collect()}
+    assert got == {1: "newer"}  # max(x) wins
+
+
+def test_scd2_duplicate_changes_guarded(spark):
+    import pytest as _pytest
+
+    from data_lake_demo_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "alice", "2020-01-01", None, True)],
+        "k long, name string, effective_ts string, end_ts string, is_current boolean",
+    )
+    dup_changes = spark.createDataFrame(
+        [(1, "v2", "2021-01-01"), (1, "v3", "2022-01-01")],
+        "k long, name string, effective_ts string",
+    )
+    with _pytest.raises(ValueError, match="merge key"):
+        scd2_apply(dim, dup_changes, "k")
+    out = scd2_apply(dim, dup_changes, "k", dedupe_order="effective_ts").collect()
+    rows = {(r.k, r.name): (r.end_ts, r.is_current) for r in out}
+    assert rows[(1, "v3")] == (None, True)       # latest change wins
+    assert rows[(1, "alice")] == ("2022-01-01", False)
+    assert (1, "v2") not in rows                 # earlier duplicate dropped
 
 
 def test_scd2_apply(spark):

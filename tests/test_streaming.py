@@ -256,6 +256,37 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     assert unmatched > 0
 
 
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    # fullOuter completes the stream-stream matrix: unmatched PURCHASES
+    # and unmatched VIEWS both emit (nulls on the other side) once the
+    # watermark passes their join window
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev_multi_fo")
+    ev.repartitionByRange(6, "ts").write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_stream_purchase_attribution(stream, how="fullOuter")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_full_outer_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, view_id FROM attrib_full_outer_out")
+    unmatched_purchases = got.filter(F.col("view_id").isNull()).count()
+    unmatched_views = got.filter(F.col("event_id").isNull()).count()
+    assert unmatched_purchases > 0
+    assert unmatched_views > 0
+    # every row carries at least one side
+    assert got.filter(F.col("view_id").isNull() & F.col("event_id").isNull()).count() == 0
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from data_lake_demo_spark.streaming.windows import stream_dedup
 
