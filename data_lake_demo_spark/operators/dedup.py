@@ -249,6 +249,66 @@ def simhash_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    ``(node, component)`` where component = min node id reachable.
+
+    This is the cluster step of near-duplicate dedup: LSH/Jaccard
+    emits PAIRS, but "keep one document per near-dup group" needs the
+    transitive closure (A~B, B~C ⇒ {A,B,C} one group).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors; converges
+    in O(diameter) rounds (near-dup clusters are small-diameter, so
+    typically 2–4). Each round is one join + one groupBy (two compact
+    shuffles of (node, label) longs); ``localCheckpoint`` truncates the
+    lineage so the plan does not grow per iteration. Convergence is
+    detected with a limit-1 changed-label probe. ``max_iter`` bounds
+    pathological chain graphs; for planet-scale graphs swap in the
+    large-star/small-star variant, which contracts star centers and
+    converges in O(log² n) — the per-round dataflow shape (join +
+    min-aggregate) is identical to this one.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select("u")
+        .union(sym.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
 from data_lake_demo_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    shingles,
     simhash_dedup,
 )
 from data_lake_demo_spark.operators.similarity import (
@@ -76,6 +78,72 @@ def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: connected components over a deterministic
+    similarity graph → one (doc_id, component) row per document, with
+    component = the keep-representative (min reachable id).
+
+    The graph here connects documents sharing EITHER an md5-prefix or
+    an md5-suffix bucket — deterministic on both engines, with real
+    transitive chaining (a doc can bridge two buckets), so the oracle
+    (a recursive CTE computing the same closure) genuinely exercises
+    the iterative propagation. In production the edge list would be
+    ``minhash_lsh_candidates`` + Jaccard verification instead; the CC
+    step is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 4).alias("k_pre"),
+        F.substring(F.md5(F.col("text").cast("binary")), 29, 4).alias("k_suf"),
+    )
+
+    def bucket_pairs(col: str) -> DataFrame:
+        a = keyed.select(F.col("doc_id").alias("id_a"), F.col(col).alias("k"))
+        b = keyed.select(F.col("doc_id").alias("id_b"), F.col(col).alias("k"))
+        return a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+
+    edges = bucket_pairs("k_pre").union(bucket_pairs("k_suf")).distinct()
+    comp = connected_components(edges)
+    # singletons (no edges) are their own component
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+ keyed AS (
+   SELECT doc_id, substr(md5(text), 1, 4) AS k_pre,
+          substr(md5(text), 29, 4) AS k_suf
+   FROM documents),
+ edges AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+   FROM keyed a JOIN keyed b ON a.k_pre = b.k_pre AND a.doc_id < b.doc_id
+   UNION
+   SELECT a.doc_id, b.doc_id
+   FROM keyed a JOIN keyed b ON a.k_suf = b.k_suf AND a.doc_id < b.doc_id),
+ sym AS (
+   SELECT id_a AS u, id_b AS v FROM edges
+   UNION
+   SELECT id_b, id_a FROM edges),
+ reach(u, lbl) AS (
+   SELECT doc_id, doc_id FROM documents
+   UNION
+   SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.u)
+SELECT u AS doc_id, min(lbl) AS component
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (oracle-checked)
 # --------------------------------------------------------------------------
@@ -123,6 +191,67 @@ SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
          / length(text) AS ws_ratio
 FROM documents ORDER BY doc_id
+"""
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    fraction of all word 2-grams taken by the most repeated 2-gram,
+    plus unique-token fraction. High top-2-gram fraction / low unique
+    fraction flags boilerplate and degenerate repetition.
+
+    Scale shape: one explode + two keyed aggregations on (doc_id,
+    gram) — map-side combinable; the unique-token fraction is a pure
+    array expression (no shuffle at all).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uniq = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_token_frac"),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 2)).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    rep = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_2grams"), F.max("n").alias("top_2gram_n")
+    )
+    return (
+        rep.join(uniq, "doc_id")
+        .select(
+            "doc_id",
+            "n_2grams",
+            "top_2gram_n",
+            (F.col("top_2gram_n") / F.col("n_2grams")).alias("top_2gram_frac"),
+            "uniq_token_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+ grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1]) END) AS g
+  FROM toks),
+ counts AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2),
+ rep AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+         CAST(max(n) AS BIGINT) AS top_2gram_n
+  FROM counts GROUP BY 1),
+ uq AS (
+  SELECT doc_id, CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+           AS uniq_token_frac
+  FROM toks)
+SELECT r.doc_id, n_2grams, top_2gram_n,
+       CAST(top_2gram_n AS DOUBLE) / n_2grams AS top_2gram_frac,
+       uniq_token_frac
+FROM rep r JOIN uq USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -421,11 +550,13 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_feature_stats": media_feature_stats,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_dedup_components": doc_dedup_components,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
+    "doc_repetition_signals": doc_repetition_signals,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
@@ -440,8 +571,10 @@ QUERIES = {
 
 ORACLE = {
     "doc_exact_dedup": EXACT_DEDUP_SQL,
+    "doc_dedup_components": DEDUP_COMPONENTS_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality_scores": QUALITY_SQL,
+    "doc_repetition_signals": REPETITION_SQL,
     "doc_bpe_token_counts": BPE_COUNT_SQL,
     "doc_lang_id": _lang_id_oracle(),
     "doc_fingerprint_buckets": FINGERPRINT_SQL,

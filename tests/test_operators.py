@@ -172,6 +172,18 @@ def test_minhash_signature_store_roundtrip(spark, near_dup_docs, tmp_path):
     assert _glob.glob(store + "/*.parquet"), "signatures were not materialized"
 
 
+def test_connected_components_transitive(spark):
+    from data_lake_demo_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 7-8,
+    # and an isolated edge 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
 def test_dialect_translation():
     assert translate_strftime("%Y-%m-%d") == "yyyy-MM-dd"
     assert (
