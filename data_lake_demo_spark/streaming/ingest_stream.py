@@ -99,6 +99,53 @@ def start_ingest_stream(
     return good_q, bad_q
 
 
+def start_foreach_batch_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    target_dir: str,
+    checkpoint_root: str,
+    *,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """T5 variant for sinks WITHOUT a transactional commit log:
+    ``foreachBatch`` + batch-id ledger = exactly-once effects on an
+    arbitrary sink (the pattern for JDBC/object-store/MERGE targets).
+
+    Each micro-batch writes its rows tagged with the batch id into a
+    batch-id-partitioned directory; a replayed batch (same id, after a
+    crash between write and checkpoint commit) dynamically OVERWRITES
+    its own partition instead of appending a duplicate — idempotent by
+    construction, the same guard the reference implements per-object
+    with deterministic keys + existence checks (worker.py:214-221).
+
+    At scale the ledger write is a partition-level operation on the
+    sink; the stream's state stays in the checkpoint as usual.
+    """
+    parsed = _landing_stream(spark, landing_dir, max_files_per_trigger)
+    good = parsed.filter(F.col("rec").isNotNull()).select(
+        "rec.endpoint", "rec.date", "rec.page", "rec.fetched_at", "ingestion_date"
+    )
+
+    def upsert_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            # self-contained dynamic overwrite: replace ONLY this
+            # batch's partition even if the session default is static
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target_dir)
+        )
+
+    return (
+        good.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_root, "upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_raw_stream_output(spark: SparkSession, raw_dir: str):
     """Read the streamed raw zone (the sink's _spark_metadata log makes
     this an exactly-once view of committed files)."""
