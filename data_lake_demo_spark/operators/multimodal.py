@@ -102,6 +102,53 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, *, strict: bool = False
+) -> DataFrame:
+    """Image resize stage as ``mapInPandas``.
+
+    STUB decode: with ``strict=True`` this raises
+    ``NotImplementedError`` (no image codec in this container); the
+    default non-strict path passes payload bytes through unchanged and
+    rewrites the metadata to the target dimensions, so the Spark-side
+    contract — schema, Arrow batching, metadata propagation — is fully
+    testable and a PIL/libvips kernel slots into ``op`` per-batch
+    without touching the plan.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("orig_width", T.IntegerType()),
+            T.StructField("orig_height", T.IntegerType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires an image codec (PIL/libvips), "
+                "not available in this container"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # a real kernel re-encodes here
+                    "width": width,
+                    "height": height,
+                    "orig_width": [m["width"] for m in pdf["meta"]],
+                    "orig_height": [m["height"] for m in pdf["meta"]],
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(op, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame timestamps to
     extract per video from metadata only — no payload decode. The

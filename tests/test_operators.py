@@ -340,3 +340,60 @@ def test_multimodal_pipeline(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
     plan = frame_sample_plan(media, every_ms=10000)
     assert plan.filter(F.col("frame_ts_ms") % 10000 != 0).count() == 0
+
+
+def test_multimodal_resize_plumbing(spark):
+    import pytest as _pytest
+
+    from data_lake_demo_spark.operators.multimodal import resize_images
+
+    media = synthetic_media(spark, n=32)
+    out = resize_images(media, width=224, height=224).collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(r.orig_width >= 1 and r.orig_height >= 1 for r in out)
+    assert all(r.payload is not None for r in out)
+    # strict mode surfaces the honest codec gap instead of fake output
+    with _pytest.raises(Exception, match="codec"):
+        resize_images(media, strict=True).collect()
+
+
+def test_connected_components_matches_union_find(spark):
+    # cross-check the distributed CC against a driver-side union-find
+    # on seeded random graphs (including chain-heavy shapes)
+    import random as _random
+
+    from data_lake_demo_spark.operators.dedup import connected_components
+
+    for seed in (1, 7, 13):
+        rng = _random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ] + [(i, i + 1) for i in range(0, 20)]  # a 21-node chain
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected component = min node id in each union-find set,
+        # restricted to nodes that appear in at least one edge
+        seen = {x for e in edges for x in e}
+        comp_min: dict[int, int] = {}
+        for x in seen:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in seen}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == expected, f"seed {seed}"
