@@ -79,3 +79,28 @@ def test_no_python_udf_in_relational_paths(spark):
     for fn in (q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue):
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_no_python_udf_in_llm_text_paths(spark):
+    """The whole text-analysis/dedup surface must stay JVM-side —
+    Python appears only behind Arrow in multimodal/http, never in the
+    document hot paths."""
+    from data_lake_demo_spark.plans.llm import (
+        doc_repetition_signals,
+        doc_token_stats,
+    )
+
+    for fn in (doc_token_stats, doc_repetition_signals):
+        p = _plan(spark, fn(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repetition_signals_partial_agg_and_pruning(spark):
+    from data_lake_demo_spark.plans.llm import doc_repetition_signals
+
+    plan = _plan(spark, doc_repetition_signals(spark, SF))
+    # map-side combine on the (doc_id, gram) counts before the shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+    # column pruning: lang/n_chars never reach the parquet reader
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("lang" not in l for l in reads)
