@@ -255,6 +255,32 @@ FROM rep r JOIN uq USING (doc_id) ORDER BY doc_id
 """
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed-width histogram over document
+    character counts (the pre-tokenization length screen every
+    training pipeline applies). One partial+final aggregation on the
+    bucket id — no shuffle of document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / 100).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+LENGTH_HIST_SQL = """
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY len_bucket
+"""
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex sub-token counts per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -557,6 +583,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_signals": doc_repetition_signals,
+    "doc_length_histogram": doc_length_histogram,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
@@ -575,6 +602,7 @@ ORACLE = {
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality_scores": QUALITY_SQL,
     "doc_repetition_signals": REPETITION_SQL,
+    "doc_length_histogram": LENGTH_HIST_SQL,
     "doc_bpe_token_counts": BPE_COUNT_SQL,
     "doc_lang_id": _lang_id_oracle(),
     "doc_fingerprint_buckets": FINGERPRINT_SQL,

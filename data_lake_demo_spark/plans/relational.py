@@ -898,6 +898,61 @@ ORDER BY c_custkey, measure
 """
 
 
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (operators/profile.py): row counts,
+    null counts, exact distincts, numeric min/max — all metrics for all
+    columns in a SINGLE aggregation pass, long-format output."""
+    from data_lake_demo_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        exact_distinct=True,
+    ).orderBy("column", "metric")
+
+
+PROFILE_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nul_ok,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS dis_ok,
+         CAST(min(o_orderkey) AS DOUBLE) AS min_ok,
+         CAST(max(o_orderkey) AS DOUBLE) AS max_ok,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nul_ck,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS dis_ck,
+         CAST(min(o_custkey) AS DOUBLE) AS min_ck,
+         CAST(max(o_custkey) AS DOUBLE) AS max_ck,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nul_tp,
+         CAST(count(DISTINCT o_totalprice) AS DOUBLE) AS dis_tp,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_tp,
+         CAST(max(o_totalprice) AS DOUBLE) AS max_tp,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nul_pr,
+         CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS dis_pr
+  FROM orders)
+SELECT "column", metric, value FROM (
+  SELECT 'o_orderkey' AS "column", 'n_rows' AS metric, n AS value FROM s
+  UNION ALL SELECT 'o_orderkey', 'n_nulls', nul_ok FROM s
+  UNION ALL SELECT 'o_orderkey', 'distinct', dis_ok FROM s
+  UNION ALL SELECT 'o_orderkey', 'min', min_ok FROM s
+  UNION ALL SELECT 'o_orderkey', 'max', max_ok FROM s
+  UNION ALL SELECT 'o_custkey', 'n_rows', n FROM s
+  UNION ALL SELECT 'o_custkey', 'n_nulls', nul_ck FROM s
+  UNION ALL SELECT 'o_custkey', 'distinct', dis_ck FROM s
+  UNION ALL SELECT 'o_custkey', 'min', min_ck FROM s
+  UNION ALL SELECT 'o_custkey', 'max', max_ck FROM s
+  UNION ALL SELECT 'o_totalprice', 'n_rows', n FROM s
+  UNION ALL SELECT 'o_totalprice', 'n_nulls', nul_tp FROM s
+  UNION ALL SELECT 'o_totalprice', 'distinct', dis_tp FROM s
+  UNION ALL SELECT 'o_totalprice', 'min', min_tp FROM s
+  UNION ALL SELECT 'o_totalprice', 'max', max_tp FROM s
+  UNION ALL SELECT 'o_orderpriority', 'n_rows', n FROM s
+  UNION ALL SELECT 'o_orderpriority', 'n_nulls', nul_pr FROM s
+  UNION ALL SELECT 'o_orderpriority', 'distinct', dis_pr FROM s)
+ORDER BY "column", metric
+"""
+
+
 def unpivot_stack_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot via the SQL ``stack()`` generator — the expression-level
     twin of ``DataFrame.unpivot`` (both compile to the same Expand
@@ -1615,6 +1670,7 @@ QUERIES = {
     "pivot_qty_by_status": pivot_qty_by_status,
     "unpivot_customer_measures": unpivot_customer_measures,
     "unpivot_stack_measures": unpivot_stack_measures,
+    "orders_table_profile": orders_table_profile,
     "range_join_price_bands": range_join_price_bands,
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "grouping_id_rollup": grouping_id_rollup,
@@ -1664,6 +1720,7 @@ ORACLE = {
     "pivot_qty_by_status": PIVOT_SQL,
     "unpivot_customer_measures": UNPIVOT_SQL,
     "unpivot_stack_measures": UNPIVOT_SQL,
+    "orders_table_profile": PROFILE_SQL,
     "range_join_price_bands": RANGE_JOIN_SQL,
     "not_in_subquery_priorities": NOT_IN_SQL,
     # approx_stats: rows-only (sketches are engine-specific)

@@ -359,6 +359,29 @@ def test_multimodal_resize_plumbing(spark):
         resize_images(media, strict=True).collect()
 
 
+def test_profile_table_metrics(spark):
+    from data_lake_demo_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None), (3, 30.0, None)],
+        "k long, v double, s string",
+    )
+    prof = {
+        (r["column"], r.metric): r.value
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    assert prof[("k", "n_rows")] == 4.0
+    assert prof[("k", "distinct")] == 3.0
+    assert prof[("k", "min")] == 1.0 and prof[("k", "max")] == 3.0
+    assert prof[("v", "n_nulls")] == 1.0
+    assert prof[("s", "n_nulls")] == 2.0
+    assert prof[("s", "distinct")] == 2.0
+    assert ("s", "min") not in prof  # non-numeric: no min/max
+    # approx mode runs (values are estimates; just check presence)
+    approx = profile_table(df, ["k"]).collect()
+    assert {(r["column"], r.metric) for r in approx} >= {("k", "distinct")}
+
+
 def test_connected_components_matches_union_find(spark):
     # cross-check the distributed CC against a driver-side union-find
     # on seeded random graphs (including chain-heavy shapes)
