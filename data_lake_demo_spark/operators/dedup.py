@@ -107,6 +107,38 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Explode a (id, sig) MinHash frame into LSH band rows
+    ``(id, sig, band_id, band_hash)`` — the join-ready form shared by
+    the batch self-join and the incremental streaming store."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -131,31 +163,10 @@ def minhash_lsh_candidates(
     executor storage memory, and a table also survives stage retries
     and can be reused by later pipelines.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "sig", "band.band_id", "band.band_hash")
+    banded = band_signatures(sig, num_hashes=num_hashes, bands=bands)
     # the self-join would otherwise recompute the whole signature
     # pipeline for BOTH aliases: either materialize to a parquet store
     # (production path) or cache in executor memory (small inputs).

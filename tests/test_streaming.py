@@ -328,6 +328,45 @@ def test_foreach_batch_idempotent_upsert(spark, tmp_path):
     assert spark.read.parquet(target).count() == 4
 
 
+def test_incremental_near_dup_stream(spark, tmp_path):
+    # a new document must be flagged against the HISTORICAL signature
+    # store, not just within its own micro-batch
+    from data_lake_demo_spark.streaming.near_dup_stream import (
+        start_near_dup_stream,
+    )
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    store = str(tmp_path / "sig_store")
+    pairs = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    with open(landing / "batch1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(
+            json.dumps({"doc_id": 2, "text": "completely different words " * 12})
+            + "\n"
+        )
+    start_near_dup_stream(
+        spark, str(landing), store, pairs, ckpt
+    ).awaitTermination(120)
+    assert spark.read.parquet(store).select("id").distinct().count() == 2
+    assert spark.read.parquet(pairs).count() == 0  # batch 1 has no dups
+
+    # batch 2: near-copy of doc 1 arrives later
+    with open(landing / "batch2.json", "w") as f:
+        f.write(
+            json.dumps({"doc_id": 30, "text": base + "with a tiny suffix"}) + "\n"
+        )
+    start_near_dup_stream(
+        spark, str(landing), store, pairs, ckpt
+    ).awaitTermination(120)
+    got = spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 30)}
+    assert spark.read.parquet(store).select("id").distinct().count() == 3
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from data_lake_demo_spark.streaming.windows import stream_dedup
 
