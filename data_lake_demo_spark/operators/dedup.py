@@ -176,7 +176,13 @@ def minhash_lsh_candidates(
     else:
         banded = banded.cache()
 
-    a = banded.alias("a")
+    # Self-join strategy is pinned to sort-merge: cached/unmaterialized
+    # plan stats are unknown, and Catalyst at 10× scale otherwise plans
+    # a broadcast of the (hundreds-of-MB) signature frame and dies with
+    # "Not enough memory to build and broadcast" — found by the 50k-doc
+    # scale probe. AQE still demotes to broadcast when the runtime size
+    # is genuinely small, which is the correct direction of adaptivity.
+    a = banded.alias("a").hint("merge")
     b = banded.alias("b")
     pairs = (
         a.join(

@@ -267,7 +267,9 @@ def embedding_near_dup_pairs(
     sig = lsh_signatures(df, vec_col=vec_col, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    # pin the self-join to sort-merge (see minhash_lsh_candidates: a
+    # mis-estimated broadcast of the full embedding frame OOMs at scale)
+    a, b = sig.alias("a").hint("merge"), sig.alias("b")
     return (
         a.join(
             b,

@@ -51,6 +51,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- heap: the local[N] JVM is BOTH driver and all executors;
+        #     Spark's 1g default OOMs well before the machine does
+        #     (found by the 50k-doc dedup probe). Only effective when
+        #     this process launches the JVM (i.e. always, for bench and
+        #     tests); a real cluster sets executor memory per node.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: the scale-out workhorse ---

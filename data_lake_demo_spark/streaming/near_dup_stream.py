@@ -57,8 +57,12 @@ def _est_jaccard(num_hashes: int) -> F.Column:
 def _candidates(
     left_banded: DataFrame, right_banded: DataFrame, num_hashes: int, min_jaccard: float
 ) -> DataFrame:
-    """Band-bucket equi-join → (id_a, id_b, est_jaccard), id_a < id_b."""
-    a = left_banded.alias("a")
+    """Band-bucket equi-join → (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Pinned to sort-merge: the store side grows without bound and a
+    mis-estimated broadcast would OOM (see minhash_lsh_candidates);
+    AQE demotes to broadcast when a side is genuinely small."""
+    a = left_banded.alias("a").hint("merge")
     b = right_banded.alias("b")
     pairs = (
         a.join(
