@@ -1,0 +1,143 @@
+"""Corpus-preparation operators for LLM training pipelines: deterministic
+train/val/test splits, context-window sequence packing, and overlapping
+document chunking.
+
+These are the steps between "deduplicated corpus" and "training shards".
+None exist in the reference (cmariscalaws/data-lake-demo stops at curated
+parquet, README.md:200-258); they extend the curated layer the same way
+the dedup ladder does.
+
+Design rules (100 TB):
+- Everything is built-in JVM expressions — no Python UDFs, no collect().
+- Splits hash a stable id (md5), never rand(): reproducible across runs,
+  engines, and backfills; adding documents never reassigns old ones.
+- Packing windows are PARTITIONED by a shard key, so the cumulative-sum
+  window never funnels the corpus through one reducer; each shard packs
+  independently, which is exactly how a 1000-executor job would write
+  training shards anyway.
+- Chunking explodes a per-row integer sequence (no join against a
+  numbers table), so it pipelines inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: float = 0.90,
+    val_pct: float = 0.05,
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split.
+
+    The split key is the first 4 hex chars of ``md5(cast(id AS STRING))``
+    compared lexicographically against fixed thresholds — stable across
+    engines (DuckDB md5 produces the identical lowercase hex) and across
+    reruns/backfills, unlike ``rand(seed)`` which depends on partitioning.
+    16^4 = 65536 buckets → per-mille resolution on the split fractions.
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    t_train = format(int(train_pct * 65536), "04x")
+    t_val = format(int((train_pct + val_pct) * 65536), "04x")
+    split = (
+        F.when(h < F.lit(t_train), F.lit("train"))
+        .when(h < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_thresholds(train_pct: float = 0.90, val_pct: float = 0.05) -> tuple[str, str]:
+    """The hex thresholds ``split_assign`` uses (for oracle SQL strings)."""
+    return (
+        format(int(train_pct * 65536), "04x"),
+        format(int((train_pct + val_pct) * 65536), "04x"),
+    )
+
+
+def whitespace_token_count(text_col: str = "text") -> Column:
+    """Whitespace token count, matching plans/llm.py doc_token_stats."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy concat-and-split sequence packing: assign each document to
+    a (shard, pack) so that each pack is a contiguous run of documents
+    whose cumulative whitespace-token count spans one ``ctx_tokens``
+    context window (GPT-style packing; a document is owned by the pack
+    where it starts).
+
+    The cumulative sum is windowed PER SHARD (``id % n_shards``), not
+    globally — a global ORDER BY window is a single-reducer funnel at
+    100 TB, while per-shard packing parallelizes across ``n_shards``
+    tasks and matches how training shards are physically written.
+    Deterministic: shard/order/token-count are all pure functions of the
+    row.
+    """
+    toks = whitespace_token_count(text_col)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    w = (
+        # ROWS UNBOUNDED PRECEDING .. 1 PRECEDING == tokens BEFORE this doc
+        "(PARTITION BY shard ORDER BY {id} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    ).format(id=id_col)
+    return (
+        df.select(F.col(id_col), shard, toks.alias("n_tokens"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.expr(f"sum(n_tokens) OVER {w}"), F.lit(0)),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("cum_before") / F.lit(ctx_tokens)).cast("long")
+        )
+        .drop("cum_before")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap_chars: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    (stride = chunk - overlap): chunk i covers ``[i*stride, i*stride +
+    chunk)``. Yields one row per (doc, chunk) with the chunk text.
+
+    ``sequence() + explode`` generates chunk indices per row inside the
+    scan stage — no numbers-table join, no shuffle; a 100 TB corpus
+    chunks map-side only.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    n_chunks = F.when(F.length(text_col) <= chunk_chars, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((F.length(text_col) - F.lit(chunk_chars)) / F.lit(float(stride)))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col(text_col), F.col("chunk_idx").cast("int") * stride + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )

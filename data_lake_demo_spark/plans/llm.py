@@ -24,6 +24,12 @@ from data_lake_demo_spark.operators.similarity import (
     brute_force_topk,
     lsh_ann_topk,
 )
+from data_lake_demo_spark.operators.corpus import (
+    chunk_documents,
+    pack_sequences,
+    split_assign,
+    split_thresholds,
+)
 from data_lake_demo_spark.operators.textops import (
     LANG_MARKERS,
     fingerprint,
@@ -549,6 +555,110 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Corpus preparation: splits / packing / chunking (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucketed train/val/test split, reported per
+    (lang, split) so the check also covers stratification balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _split_assign_oracle() -> str:
+    t_train, t_val = split_thresholds()
+    return f"""
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_train}'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_val}'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, avg(n_chars) AS avg_chars
+FROM documents GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing manifest: per (shard, pack), how many
+    documents landed in it, their token total, and the id range — the
+    table a shard-writer job would consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_sequences(docs, ctx_tokens=2048, n_shards=8)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunks (200 chars, 50 overlap): one row per
+    chunk with its length and md5, so the oracle checks the exact chunk
+    boundaries and content, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, chunk_chars=200, overlap_chars=50)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk_text").alias("chunk_chars"),
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_OVERLAP_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 200 THEN 1
+              ELSE 1 + CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)
+         END AS n_chunks
+  FROM documents),
+idx AS (
+  SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id, chunk_idx,
+       length(substr(text, CAST(chunk_idx AS INT) * 150 + 1, 200)) AS chunk_chars,
+       md5(substr(text, CAST(chunk_idx AS INT) * 150 + 1, 200)) AS chunk_md5
+FROM idx ORDER BY doc_id, chunk_idx
+"""
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas decode/featurize stage →
     per-type feature stats (operators/multimodal.py; the decode kernel
@@ -589,6 +699,9 @@ QUERIES = {
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_normalize_scrub": doc_normalize_scrub,
+    "doc_split_assign": doc_split_assign,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunk_overlap": doc_chunk_overlap,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
@@ -608,6 +721,9 @@ ORACLE = {
     "doc_fingerprint_buckets": FINGERPRINT_SQL,
     "doc_tfidf_top_terms": TFIDF_SQL,
     "doc_normalize_scrub": NORMALIZE_SQL,
+    "doc_split_assign": _split_assign_oracle(),
+    "doc_pack_sequences": PACK_SEQUENCES_SQL,
+    "doc_chunk_overlap": CHUNK_OVERLAP_SQL,
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /

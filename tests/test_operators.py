@@ -420,3 +420,62 @@ def test_connected_components_matches_union_find(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.component for r in connected_components(df).collect()}
         assert got == expected, f"seed {seed}"
+
+
+# --------------------------------------------------------------------------
+# Corpus preparation: splits / packing / chunking (operators/corpus.py)
+# --------------------------------------------------------------------------
+
+
+def test_split_assign_deterministic_and_balanced(spark):
+    from data_lake_demo_spark.operators.corpus import split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert a == b  # stable across runs (hash, not rand)
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    # 50 docs at sf0.001 — generous tolerance, but must be split-shaped
+    assert 0.75 <= frac_train <= 1.0
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_pack_sequences_invariants(spark):
+    from data_lake_demo_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(docs, ctx_tokens=256, n_shards=4).collect()
+    assert len(packed) == docs.count()  # every doc assigned exactly once
+    for r in packed:
+        assert r["shard"] == r["doc_id"] % 4
+    # within a shard, pack_id is non-decreasing in doc_id and a doc's
+    # pack is determined by the tokens before it
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["pack_id"] == cum // 256
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    from data_lake_demo_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 553), (2, "short"), (3, "b" * 200), (4, "c" * 201)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_chars=200, overlap_chars=50).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == "short"
+    assert len(by_doc[3]) == 1  # exactly chunk_chars → one chunk
+    assert len(by_doc[4]) == 2  # one char over → overlap chunk
+    # stride 150: chunks overlap by 50 and reconstruct the original
+    for doc_id, text in [(1, "a" * 553), (4, "c" * 201)]:
+        chunks = [t for _, t in sorted(by_doc[doc_id])]
+        rebuilt = chunks[0] + "".join(c[50:] for c in chunks[1:])
+        assert rebuilt == text
+        assert all(len(c) == 200 for c in chunks[:-1])
+        assert 0 < len(chunks[-1]) <= 200
