@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_lake_demo_spark.operators.dedup import shingles
+
 
 def split_assign(
     df: DataFrame,
@@ -100,6 +102,76 @@ def pack_sequences(
             "pack_id", F.floor(F.col("cum_before") / F.lit(ctx_tokens)).cast("long")
         )
         .drop("cum_before")
+    )
+
+
+def quality_filter_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 16,
+    max_chars: int = 500,
+    min_uniq_frac: float = 0.35,
+) -> DataFrame:
+    """C4/Gopher-style quality filter with first-failing-reason
+    attribution: each document gets a ``filter_reason`` of
+    ``too_short`` / ``too_long`` / ``repetitive`` / ``kept`` (checked
+    in that order), so the drop funnel is auditable per stage.
+
+    Every signal is a pure JVM expression over the row (token count,
+    char count, unique-token fraction via ``array_distinct``) — no
+    shuffle at all until the caller aggregates by reason, which then
+    shuffles only (reason, partial-agg) pairs. At 100 TB this is a
+    map-only pass over the corpus.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    uniq_frac = F.size(F.array_distinct(toks)) / F.size(toks)
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(n_chars > max_chars, F.lit("too_long"))
+        .when(uniq_frac < min_uniq_frac, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.withColumn("filter_reason", reason)
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    train_pct: float = 0.90,
+    val_pct: float = 0.05,
+) -> DataFrame:
+    """Train/test decontamination: flag TRAIN documents sharing any
+    word ``ngram``-gram with any TEST document (the eval-leakage check
+    every training pipeline runs before shipping a corpus). Returns
+    one row per contaminated train doc with its shared-shingle count.
+
+    100 TB shape: shingles are hashed to 64-bit ``xxhash64`` and
+    de-duplicated per (doc, hash) map-side, so the join shuffles only
+    (8-byte hash, id) pairs — document text never leaves the scan
+    stage. The test side reduces to a distinct-hash set a few % the
+    corpus size; AQE will broadcast it when it fits, and the join
+    degrades gracefully to sort-merge on the hash when it doesn't.
+    Hash collisions are the standard MinHash-family tradeoff
+    (P ≈ n²/2⁶⁵ — negligible below ~10¹² distinct shingles).
+    """
+    s = split_assign(df, id_col=id_col, train_pct=train_pct, val_pct=val_pct)
+    sh = (
+        s.select(
+            F.col(id_col),
+            "split",
+            F.explode(shingles(text_col, ngram)).alias("g"),
+        )
+        .select(id_col, "split", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    train = sh.filter(F.col("split") == "train").select(id_col, "h")
+    test = sh.filter(F.col("split") == "test").select("h").distinct()
+    return train.join(test, "h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
     )
 
 

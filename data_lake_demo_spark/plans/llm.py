@@ -26,7 +26,9 @@ from data_lake_demo_spark.operators.similarity import (
 )
 from data_lake_demo_spark.operators.corpus import (
     chunk_documents,
+    contamination_report,
     pack_sequences,
+    quality_filter_funnel,
     split_assign,
     split_thresholds,
 )
@@ -659,6 +661,74 @@ FROM idx ORDER BY doc_id, chunk_idx
 """
 
 
+def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: per first-failing-reason document counts
+    (operators/corpus.py quality_filter_funnel) — the auditable drop
+    report a C4-style cleaning pipeline publishes with each corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_filter_funnel(docs)
+        .groupBy("filter_reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+        .orderBy("filter_reason")
+    )
+
+
+QUALITY_FUNNEL_SQL = r"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+              AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+           AS uniq_frac
+  FROM documents)
+SELECT CASE WHEN n_tokens < 16 THEN 'too_short'
+            WHEN n_chars > 500 THEN 'too_long'
+            WHEN uniq_frac < 0.35 THEN 'repetitive'
+            ELSE 'kept' END AS filter_reason,
+       count(*) AS n_docs, avg(n_chars) AS avg_chars
+FROM f GROUP BY 1 ORDER BY filter_reason
+"""
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 5-gram decontamination report
+    (operators/corpus.py contamination_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_report(docs, ngram=5).orderBy("doc_id")
+
+
+def _decontaminate_oracle() -> str:
+    t_train, t_val = split_thresholds()
+    # string-shingle join (exact) vs Spark's xxhash64 join — identical
+    # counts barring 64-bit collisions (P ~ n^2/2^65, absent at test SF)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_train}'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_val}'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, split,
+         unnest(CASE WHEN len(t) - 4 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 3),
+                       i -> array_to_string(t[i:i+4], ' ')) END) AS g
+  FROM s),
+train AS (SELECT doc_id, g FROM sh WHERE split = 'train'),
+test AS (SELECT DISTINCT g FROM sh WHERE split = 'test')
+SELECT doc_id, count(*) AS n_shared_ngrams
+FROM train JOIN test USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas decode/featurize stage →
     per-type feature stats (operators/multimodal.py; the decode kernel
@@ -702,6 +772,8 @@ QUERIES = {
     "doc_split_assign": doc_split_assign,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_overlap": doc_chunk_overlap,
+    "doc_quality_funnel": doc_quality_funnel,
+    "doc_decontaminate": doc_decontaminate,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
@@ -724,6 +796,8 @@ ORACLE = {
     "doc_split_assign": _split_assign_oracle(),
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_chunk_overlap": CHUNK_OVERLAP_SQL,
+    "doc_quality_funnel": QUALITY_FUNNEL_SQL,
+    "doc_decontaminate": _decontaminate_oracle(),
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /

@@ -479,3 +479,54 @@ def test_chunk_documents_reconstructs_text(spark):
         assert rebuilt == text
         assert all(len(c) == 200 for c in chunks[:-1])
         assert 0 < len(chunks[-1]) <= 200
+
+
+def test_quality_filter_funnel_attribution(spark):
+    from data_lake_demo_spark.operators.corpus import quality_filter_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only five words right here now ok more pad pad pad"),  # 11 < 16
+            (2, ("word " * 200).strip()),  # long AND repetitive: too_long wins
+            (3, ("spam " * 50 + "x " * 20).strip()),  # repetitive (uniq 3/70)
+            (4, " ".join(f"w{i}" for i in range(30))),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["filter_reason"]
+        for r in quality_filter_funnel(docs).collect()
+    }
+    assert got == {1: "too_short", 2: "too_long", 3: "repetitive", 4: "kept"}
+
+
+def test_quality_filter_funnel_partitions_corpus(spark):
+    from data_lake_demo_spark.operators.corpus import quality_filter_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_filter_funnel(docs)
+    assert out.count() == docs.count()  # every doc gets exactly one reason
+    reasons = {r["filter_reason"] for r in out.select("filter_reason").distinct().collect()}
+    assert "kept" in reasons and len(reasons) >= 2  # funnel has teeth
+
+
+def test_contamination_report_planted_overlap(spark):
+    from data_lake_demo_spark.operators.corpus import contamination_report
+
+    leak = "alpha bravo charlie delta echo"  # one 5-gram, planted verbatim
+    rows = [(i, f"filler{i} " * 10 + ("" if i % 7 else leak)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # route docs by parity of doc_id through the REAL md5 split, then
+    # check: every flagged doc is a train doc carrying the leak string
+    got = contamination_report(docs, ngram=5).collect()
+    from data_lake_demo_spark.operators.corpus import split_assign
+
+    split = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    carriers = {i for i, t in rows if leak in t}
+    test_carriers = {i for i in carriers if split[i] == "test"}
+    flagged = {r["doc_id"] for r in got}
+    if test_carriers:  # leak present in the test split → all train carriers flagged
+        assert flagged == {i for i in carriers if split[i] == "train"}
+        assert all(r["n_shared_ngrams"] >= 1 for r in got)
+    else:
+        assert flagged == set()
