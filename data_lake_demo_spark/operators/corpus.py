@@ -105,6 +105,55 @@ def pack_sequences(
     )
 
 
+def sample_threshold_hex(rate: float) -> str:
+    """Inclusive 4-hex-char keep threshold for ``stratified_sample``
+    (md5-prefix <= threshold keeps exactly ``rate`` of the 65536
+    hash buckets; rate=1.0 → 'ffff' keeps everything)."""
+    if not 0.0 < rate <= 1.0:
+        raise ValueError("rate must be in (0, 1]")
+    return format(int(rate * 65536) - 1, "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-group downsampling — the domain-mixing step
+    that reweights a corpus (e.g. cap web text, keep all code) before
+    training. Keeps a row iff the first 4 hex chars of
+    ``md5('mix:' || id)`` fall at or below the group's rate threshold.
+
+    Hash-based (never ``rand()``/``sample()``): the same document is
+    kept or dropped identically across reruns, engines, and backfills,
+    and the 'mix:' salt decorrelates this decision from the
+    ``split_assign`` hash. Pure map-side filter — zero shuffle at any
+    scale; the rates dict compiles to a literal CASE expression, so no
+    join against a rates table is needed until the dict outgrows a
+    broadcast (thousands of domains), at which point swap the CASE for
+    a broadcast join on ``group_col``.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 4
+    )
+    thr = None
+    for grp, rate in sorted(rates.items()):
+        t = F.lit(sample_threshold_hex(rate))
+        thr = (
+            F.when(F.col(group_col) == grp, t)
+            if thr is None
+            else thr.when(F.col(group_col) == grp, t)
+        )
+    thr = (
+        thr.otherwise(F.lit(sample_threshold_hex(default_rate)))
+        if thr is not None
+        else F.lit(sample_threshold_hex(default_rate))
+    )
+    return df.filter(h <= thr)
+
+
 def quality_filter_funnel(
     df: DataFrame,
     text_col: str = "text",

@@ -29,8 +29,10 @@ from data_lake_demo_spark.operators.corpus import (
     contamination_report,
     pack_sequences,
     quality_filter_funnel,
+    sample_threshold_hex,
     split_assign,
     split_thresholds,
+    stratified_sample,
 )
 from data_lake_demo_spark.operators.textops import (
     LANG_MARKERS,
@@ -729,6 +731,55 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# Domain-mix targets for the showcase query: cap every non-English
+# language at a different rate so each CASE branch is exercised.
+DOC_MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.125, "zh": 0.75}
+
+
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing report: per-language corpus size before/after the
+    deterministic stratified sample (operators/corpus.py
+    stratified_sample). kept_frac converges to the configured rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        stratified_sample(docs, DOC_MIX_RATES)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+    return (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            n_kept.alias("n_kept"),
+            (n_kept / F.col("n_docs")).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _domain_mix_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{g}' THEN '{sample_threshold_hex(r)}'"
+        for g, r in sorted(DOC_MIX_RATES.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT lang, substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents),
+k AS (
+  SELECT lang, count(*) AS n_kept FROM t
+  WHERE h <= CASE lang {case} ELSE 'ffff' END
+  GROUP BY lang),
+tot AS (SELECT lang, count(*) AS n_docs FROM t GROUP BY lang)
+SELECT lang, n_docs, COALESCE(n_kept, 0) AS n_kept,
+       CAST(COALESCE(n_kept, 0) AS DOUBLE) / n_docs AS kept_frac
+FROM tot LEFT JOIN k USING (lang) ORDER BY lang
+"""
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas decode/featurize stage →
     per-type feature stats (operators/multimodal.py; the decode kernel
@@ -774,6 +825,7 @@ QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_quality_funnel": doc_quality_funnel,
     "doc_decontaminate": doc_decontaminate,
+    "doc_domain_mix": doc_domain_mix,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
@@ -798,6 +850,7 @@ ORACLE = {
     "doc_chunk_overlap": CHUNK_OVERLAP_SQL,
     "doc_quality_funnel": QUALITY_FUNNEL_SQL,
     "doc_decontaminate": _decontaminate_oracle(),
+    "doc_domain_mix": _domain_mix_oracle(),
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /

@@ -530,3 +530,30 @@ def test_contamination_report_planted_overlap(spark):
         assert all(r["n_shared_ngrams"] >= 1 for r in got)
     else:
         assert flagged == set()
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from data_lake_demo_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"en": 1.0, "es": 0.5, "de": 0.125}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    assert a == b  # hash-deterministic, not rand()
+    kept = stratified_sample(docs, rates).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    tot = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert got["en"] == tot["en"]  # rate 1.0 keeps everything
+    assert 0.3 <= got["es"] / tot["es"] <= 0.7  # ~0.5 (73 docs)
+    assert got["de"] < tot["de"] * 0.45  # ~0.125 (70 docs)
+    assert got["fr"] == tot["fr"]  # unlisted group -> default_rate 1.0
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    import pytest as _pytest
+
+    from data_lake_demo_spark.operators.corpus import sample_threshold_hex
+
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            sample_threshold_hex(bad)
