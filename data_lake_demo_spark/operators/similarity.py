@@ -190,35 +190,70 @@ def ivf_ann_topk(
     corpus into ``nlist`` cells; each query probes its ``nprobe``
     nearest cells and re-ranks exactly.
 
-    Scale shape: one KMeans fit (sampled), one corpus pass to assign
-    cells, then per-query work proportional to nprobe/nlist of the
-    corpus. The centroid table (nlist × dim floats) is broadcast.
+    Scale shape (the FAISS recipe): the quantizer trains on a BOUNDED
+    sample collected to the driver and fit with numpy — at 100 TB one
+    never fits k-means distributed on the full corpus, and Lloyd on
+    20k×dim doubles is milliseconds locally vs one Spark job per
+    iteration on the cluster. Cell assignment is a single codegen'd
+    argmin-over-centroids expression (array_min over (dist, cell)
+    structs) — one corpus pass, no row multiplication, no ML-lib
+    dependency. The centroid table (nlist × dim floats) is broadcast;
+    per-query work is proportional to nprobe/nlist of the corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
-    ).withColumn("features", array_to_vector("nvec"))
-    # train the coarse quantizer on a bounded sample with cheap random
-    # init and few iterations — at 100 TB one never fits k-means on the
-    # full corpus, and a coarse quantizer only needs a sketch of the
-    # density (recall comes from nprobe re-ranking, not cell quality)
-    train = c.select("features").limit(train_limit)
-    km = KMeans(
-        k=nlist,
-        seed=seed,
-        featuresCol="features",
-        predictionCol="cell",
-        initMode="random",
-        maxIter=max_iter,
     )
-    model = km.fit(train)
-    assigned = model.transform(c).select("nid", "nvec", "cell")
+    sample = np.asarray(
+        [r["nvec"] for r in c.select("nvec").limit(train_limit).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    nlist_eff = min(nlist, len(sample))
+    ctrs = sample[rng.choice(len(sample), size=nlist_eff, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
+        owner = d2.argmin(1)
+        for j in range(nlist_eff):
+            pts = sample[owner == j]
+            if len(pts):
+                ctrs[j] = pts.mean(0)
+
+    # One transform over a constant-folded array-of-structs centroid
+    # literal beats 16 unrolled distance expressions: the plan stays
+    # small (fast to compile) and the per-row loop is the same 16×dim
+    # flops either way. array_min picks (min dist, lowest cell).
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("ctr"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(ctrs)
+        ]
+    )
+    dist2 = lambda v, ctr: F.aggregate(  # noqa: E731
+        F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = c.withColumn(
+        "cell",
+        F.array_min(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    dist2(F.col("nvec"), s["ctr"]).alias("d"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"],
+    )
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(ctrs)],
         "cell int, centroid array<double>",
     )
     q = queries.select(
