@@ -104,3 +104,73 @@ def test_repetition_signals_partial_agg_and_pruning(spark):
     # column pruning: lang/n_chars never reach the parquet reader
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads and all("lang" not in l for l in reads)
+
+
+def test_corpus_prep_plans_stay_jvm_side(spark):
+    """Corpus-prep ops (splits/packing/chunking/funnel/decontam/mix)
+    are pure JVM expressions — no Python eval anywhere in the plan."""
+    from data_lake_demo_spark.plans.llm import (
+        doc_chunk_overlap,
+        doc_decontaminate,
+        doc_domain_mix,
+        doc_pack_sequences,
+        doc_quality_funnel,
+        doc_split_assign,
+    )
+
+    for fn in (
+        doc_split_assign,
+        doc_pack_sequences,
+        doc_chunk_overlap,
+        doc_quality_funnel,
+        doc_decontaminate,
+        doc_domain_mix,
+    ):
+        p = _plan(spark, fn(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn
+
+
+def test_chunking_is_map_side_only(spark):
+    """chunk_documents must pipeline inside the scan stage: the only
+    exchange in the whole query is the final presentation sort."""
+    from data_lake_demo_spark.operators.corpus import chunk_documents
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(spark, chunk_documents(docs))
+    assert "Exchange" not in plan  # no shuffle at all without an orderBy
+
+
+def test_stratified_sample_is_map_only(spark):
+    from data_lake_demo_spark.operators.corpus import stratified_sample
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(spark, stratified_sample(docs, {"en": 0.5}))
+    assert "Exchange" not in plan  # deterministic filter, zero shuffle
+
+
+def test_pack_sequences_partitions_window_by_shard(spark):
+    """The packing cumsum must hash-partition on the shard key — a
+    global (single-partition) window would funnel the corpus through
+    one reducer."""
+    from data_lake_demo_spark.operators.corpus import pack_sequences
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(spark, pack_sequences(docs))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ivf_assignment_has_no_ml_dependency(spark):
+    """IVF cell assignment is a codegen'd argmin expression, not an
+    ml.KMeans transform (no row multiplication, no JVM ML stage)."""
+    import inspect
+
+    from data_lake_demo_spark.operators.similarity import ivf_ann_topk
+    from data_lake_demo_spark.plans.llm import emb_ivf_ann
+
+    p = _plan(spark, emb_ivf_ann(spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "pyspark.ml" not in inspect.getsource(ivf_ann_topk)
