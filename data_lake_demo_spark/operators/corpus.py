@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_demo_spark.operators.dedup import shingles
+from data_lake_demo_spark.operators.dedup import shingles, tokens
 
 
 def split_assign(
@@ -199,28 +199,42 @@ def contamination_report(
     one row per contaminated train doc with its shared-shingle count.
 
     100 TB shape: shingles are hashed to 64-bit ``xxhash64`` and
-    de-duplicated per (doc, hash) map-side, so the join shuffles only
-    (8-byte hash, id) pairs — document text never leaves the scan
-    stage. The test side reduces to a distinct-hash set a few % the
-    corpus size; AQE will broadcast it when it fits, and the join
-    degrades gracefully to sort-merge on the hash when it doesn't.
-    Hash collisions are the standard MinHash-family tradeoff
-    (P ≈ n²/2⁶⁵ — negligible below ~10¹² distinct shingles).
+    de-duplicated per (doc, hash) map-side, so nothing but (8-byte
+    hash, id) pairs ever shuffles — document text never leaves the
+    scan stage. Train-vs-test matching is a single window over the
+    hash (``max(split='test')`` per hash partition), NOT a self-join:
+    a self-join would re-run the whole scan+shingle pipeline for each
+    side (2× the corpus), while the window reads the shingle stream
+    once and adds one hash-keyed shuffle. Hash collisions are the
+    standard MinHash-family tradeoff (P ≈ n²/2⁶⁵ — negligible below
+    ~10¹² distinct shingles).
     """
+    from pyspark.sql import Window as W
+
     s = split_assign(df, id_col=id_col, train_pct=train_pct, val_pct=val_pct)
     sh = (
-        s.select(
+        # val docs take no part in the check — drop them pre-shingle.
+        # The repartition parallelizes single-file test inputs (a no-op
+        # at real scale where the scan already has many splits).
+        s.filter(F.col("split") != "val")
+        .repartition(F.col(id_col))
+        .withColumn("__toks", tokens(text_col))
+        .select(
             F.col(id_col),
             "split",
-            F.explode(shingles(text_col, ngram)).alias("g"),
+            F.explode(shingles(F.col("__toks"), ngram)).alias("g"),
         )
         .select(id_col, "split", F.xxhash64("g").alias("h"))
         .distinct()
     )
-    train = sh.filter(F.col("split") == "train").select(id_col, "h")
-    test = sh.filter(F.col("split") == "test").select("h").distinct()
-    return train.join(test, "h").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shared_ngrams")
+    has_test = F.max((F.col("split") == "test").cast("int")).over(
+        W.partitionBy("h")
+    )
+    return (
+        sh.withColumn("__has_test", has_test)
+        .filter((F.col("split") == "train") & (F.col("__has_test") == 1))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
 
 

@@ -19,6 +19,7 @@ from data_lake_demo_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash_dedup,
+    tokens,
 )
 from data_lake_demo_spark.operators.similarity import (
     brute_force_topk,
@@ -220,8 +221,8 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_token_frac"),
     )
-    grams = docs.select(
-        "doc_id", F.explode(shingles("text", 2)).alias("g")
+    grams = docs.withColumn("__toks", tokens("text")).select(
+        "doc_id", F.explode(shingles(F.col("__toks"), 2)).alias("g")
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
     rep = counts.groupBy("doc_id").agg(
