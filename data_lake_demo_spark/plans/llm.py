@@ -9,6 +9,7 @@ are engine-specific.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
@@ -781,6 +782,67 @@ FROM tot LEFT JOIN k USING (lang) ORDER BY lang
 """
 
 
+def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build a user actually runs, as ONE composed
+    plan: quality filter (kept docs only) → exact dedup (keep-min-id per
+    content digest) → deterministic split assignment → per-shard sequence
+    packing of the train split → shard manifest. Catalyst fuses the
+    row-local stages (filter, digest, split hash) into the scan; the only
+    shuffles are the dedup window (digest-keyed) and the per-shard packing
+    window — the same two a hand-scheduled pipeline would need."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_filter_funnel(docs).filter(F.col("filter_reason") == "kept")
+    w_dup = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    deduped = (
+        kept.withColumn("__keep", F.min("doc_id").over(w_dup))
+        .filter(F.col("doc_id") == F.col("__keep"))
+    )
+    train = split_assign(deduped).filter(F.col("split") == "train")
+    packed = pack_sequences(train, ctx_tokens=2048, n_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _training_pipeline_oracle() -> str:
+    t_train, _ = split_thresholds()
+    return rf"""
+WITH f AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT (len(regexp_split_to_array(trim(text), '\s+')) < 16)
+    AND NOT (length(text) > 500)
+    AND NOT (CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+             AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) < 0.35)),
+d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM f) WHERE doc_id = keep),
+s AS (
+  SELECT doc_id, text FROM d
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t_train}'),
+toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM s),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks)
+SELECT shard, count(DISTINCT CAST(floor(cum_before / 2048.0) AS BIGINT))
+         AS n_packs,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM cum GROUP BY shard ORDER BY shard
+"""
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas decode/featurize stage →
     per-type feature stats (operators/multimodal.py; the decode kernel
@@ -827,6 +889,7 @@ QUERIES = {
     "doc_quality_funnel": doc_quality_funnel,
     "doc_decontaminate": doc_decontaminate,
     "doc_domain_mix": doc_domain_mix,
+    "doc_training_pipeline": doc_training_pipeline,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
@@ -852,6 +915,7 @@ ORACLE = {
     "doc_quality_funnel": QUALITY_FUNNEL_SQL,
     "doc_decontaminate": _decontaminate_oracle(),
     "doc_domain_mix": _domain_mix_oracle(),
+    "doc_training_pipeline": _training_pipeline_oracle(),
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /
