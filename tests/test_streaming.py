@@ -387,3 +387,52 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_out")
     assert out.count() == 200
     assert out.distinct().count() == 200
+
+
+def test_streaming_corpus_prep_pipeline(spark, tmp_path):
+    """Corpus-prep ops are stateless row-local expressions, so they
+    compose directly with Structured Streaming: stream documents
+    through quality-filter + split-assign + stratified-sample and land
+    kept train docs partitioned by split — the incremental form of the
+    batch doc_training_pipeline front half. Batch and streaming results
+    must agree exactly (same deterministic hash decisions)."""
+    from data_lake_demo_spark.operators.corpus import (
+        quality_filter_funnel,
+        split_assign,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "src")
+    # two micro-batch files to prove incremental processing
+    docs.filter("doc_id % 2 = 0").write.parquet(src)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+
+    def prep(df):
+        kept = quality_filter_funnel(df).filter("filter_reason = 'kept'")
+        return stratified_sample(split_assign(kept), {"en": 1.0, "es": 0.5})
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        prep(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("split")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = prep(docs)
+    assert got.count() == want.count()
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # split partition pruning works on the landed layout
+    trains = spark.read.parquet(out).filter("split = 'train'")
+    assert 0 < trains.count() < got.count()
