@@ -441,6 +441,22 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
+    exact cosine verification (rows-only — the hyperplane family is
+    engine-specific; operators/similarity.py embedding_near_dup_pairs).
+    The fixture embeddings are synthetic with no true near-dups (max
+    pair cosine ≈ 0.45), so the cut is 0.3 here to keep the verify
+    tier non-vacuous; production near-dup cuts are ≥0.9."""
+    from data_lake_demo_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(emb, threshold=0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each vector against its label centroid — a grouped
     vector aggregate (array-wise avg), all JVM-side."""
@@ -894,6 +910,7 @@ QUERIES = {
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
     "emb_ivf_ann": emb_ivf_ann,
+    "emb_near_dups": emb_near_dups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
 }
 
