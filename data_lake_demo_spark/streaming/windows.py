@@ -128,3 +128,65 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Incremental sequence packing: the streaming twin of
+    operators/corpus.pack_sequences, as a custom stateful operator
+    (applyInPandasWithState). State per shard is ONE long — the
+    cumulative token count — so a 1000-shard corpus carries 8 KB of
+    state total while packing unbounded document streams; each
+    micro-batch appends (doc, shard, pack_id) rows as soon as its
+    documents arrive.
+
+    Matches the batch operator exactly when documents arrive in id
+    order per shard (the planner contract for backfills); within a
+    micro-batch documents are sorted by id before packing.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "shard long, doc_id long, n_tokens long, pack_id long"
+    state_schema = "cum long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (cum,) = state.get if state.exists else (0,)
+        shards, ids, toks, packs = [], [], [], []
+        for pdf in pdfs:
+            for doc_id, n in (
+                pdf.sort_values("doc_id")[["doc_id", "n_tokens"]].itertuples(
+                    index=False
+                )
+            ):
+                shards.append(key[0])
+                ids.append(int(doc_id))
+                toks.append(int(n))
+                packs.append(cum // ctx_tokens)
+                cum += int(n)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {"shard": shards, "doc_id": ids, "n_tokens": toks, "pack_id": packs}
+        )
+
+    prepped = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return prepped.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -436,3 +436,40 @@ def test_streaming_corpus_prep_pipeline(spark, tmp_path):
     # split partition pruning works on the landed layout
     trains = spark.read.parquet(out).filter("split = 'train'")
     assert 0 < trains.count() < got.count()
+
+
+def test_stream_pack_matches_batch(spark, tmp_path):
+    """stream_pack_sequences == batch pack_sequences when documents
+    arrive in id order per shard: two ordered micro-batches, identical
+    (doc -> shard, pack) assignment, state carries one long per shard."""
+    from data_lake_demo_spark.operators.corpus import pack_sequences
+    from data_lake_demo_spark.streaming.windows import stream_pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "src")
+    # ascending id ranges => per-shard id-ordered arrival across batches
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_pack_sequences(stream, ctx_tokens=512, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("packed_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"])
+        for r in spark.sql("SELECT * FROM packed_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["shard"], r["pack_id"])
+        for r in pack_sequences(docs, ctx_tokens=512, n_shards=4).collect()
+    }
+    assert got == want
