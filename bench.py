@@ -39,27 +39,15 @@ def main() -> None:
     queries = entrymod.queries()
 
     # warm the JVM once so timings measure the queries, not one-time
-    # process costs: parquet footers, whole-stage-codegen compilation
-    # of a join+agg, and pyspark.ml class loading (KMeans pulls in the
-    # linalg stack on first use, which would otherwise land entirely on
-    # the alphabetically-unlucky first ML query)
+    # process costs: parquet footers and whole-stage-codegen compilation
+    # of a join+agg. (No pyspark.ml warm-up: the IVF quantizer fit is
+    # driver-side numpy since round 2.)
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     li.count()
     warm = spark.range(1000).withColumnRenamed("id", "k")
     warm.join(warm, "k").groupBy((warm.k % 10)).count().write.format(
         "noop"
     ).mode("overwrite").save()
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-        from pyspark.sql import functions as _F
-
-        tiny = spark.range(20).select(
-            array_to_vector(_F.array(_F.rand(1), _F.rand(2))).alias("features")
-        )
-        KMeans(k=2, maxIter=1, seed=1).fit(tiny)
-    except Exception as e:
-        print(f"# ml warmup skipped: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -12,9 +12,11 @@ Two tiers:
   corpus is scanned once to build signatures; each query touches only
   its bucket's rows.
 
-An IVF variant (k-means coarse quantizer via pyspark.ml KMeans) is a
-natural extension; LSH is preferred here because it is stateless and
-deterministic (seeded), so results are reproducible run-to-run.
+The IVF variant (``ivf_ann_topk``) fits its k-means coarse quantizer
+with driver-side numpy on a bounded sample (the FAISS recipe) and
+assigns cells with a single argmin expression — no pyspark.ml in the
+hot path. Both ANN paths are seeded and deterministic, so results are
+reproducible run-to-run.
 """
 
 from __future__ import annotations
