@@ -163,6 +163,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 5,
     min_jaccard: float = 0.5,
     signature_store: str | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -176,6 +177,16 @@ def minhash_lsh_candidates(
     instead of ``.cache()`` — at 100 TB the signature set exceeds
     executor storage memory, and a table also survives stage retries
     and can be reused by later pipelines.
+
+    ``max_bucket`` guards the quadratic blowup a boilerplate-dominated
+    bucket causes (one shared band among k docs → k² candidate pairs;
+    a 100k-doc bucket is 5×10⁹ pairs from a single key): buckets
+    larger than the cap are excluded from pairwise generation. Such
+    mega-buckets are near-identical clusters by construction — the
+    exact-dedup / connected-components path handles them at O(k), so
+    dropping their O(k²) pair enumeration loses nothing. The count is
+    a window over the same key the join shuffles on (co-partitioned,
+    no extra exchange). None disables the cap.
     """
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
@@ -189,6 +200,18 @@ def minhash_lsh_candidates(
         banded = df.sparkSession.read.parquet(signature_store)
     else:
         banded = banded.cache()
+
+    if max_bucket is not None:
+        from pyspark.sql import Window as _W
+
+        bucket_size = F.count(F.lit(1)).over(
+            _W.partitionBy("band_id", "band_hash")
+        )
+        banded = (
+            banded.withColumn("__bsz", bucket_size)
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
 
     # Self-join strategy is pinned to sort-merge: cached/unmaterialized
     # plan stats are unknown, and Catalyst at 10× scale otherwise plans

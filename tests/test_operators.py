@@ -557,3 +557,23 @@ def test_stratified_sample_rejects_bad_rate(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError):
             sample_threshold_hex(bad)
+
+
+def test_minhash_mega_bucket_cap(spark):
+    from data_lake_demo_spark.operators.dedup import minhash_lsh_candidates
+
+    # 40 identical boilerplate docs (one mega bucket in every band) plus
+    # one genuine near-dup pair with distinct text
+    boiler = "the same boilerplate footer text repeated on every page " * 3
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near_b = near_a + "tail"
+    rows = [(i, boiler) for i in range(40)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(docs, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # real near-dup pair survives the cap
+    assert not any(a < 40 and b < 40 for a, b in got)  # no O(k^2) blowup
+
+    uncapped = minhash_lsh_candidates(docs, max_bucket=None)
+    assert uncapped.filter("id_a < 40 AND id_b < 40").count() == 40 * 39 // 2
