@@ -300,7 +300,14 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing + exact
-    verification (id_a < id_b, cos ≥ threshold)."""
+    verification (id_a < id_b, cos ≥ threshold).
+
+    SIZE ``n_planes`` TO THE CORPUS: buckets number 2^n_planes and the
+    self-join emits O(Σ bucket²) pairs, so n_planes must grow with the
+    corpus to keep expected bucket size bounded (8 planes/256 buckets
+    suits ~10⁵ vectors; a 10⁹-vector corpus wants 20+ planes, i.e.
+    ~10⁶ buckets, optionally several independent plane families OR'd
+    together to recover recall the extra planes cost)."""
     sig = lsh_signatures(df, vec_col=vec_col, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
     )
