@@ -71,6 +71,7 @@ def pack_sequences(
     text_col: str = "text",
     ctx_tokens: int = 2048,
     n_shards: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy concat-and-split sequence packing: assign each document to
     a (shard, pack) so that each pack is a contiguous run of documents
@@ -85,7 +86,13 @@ def pack_sequences(
     Deterministic: shard/order/token-count are all pure functions of the
     row.
     """
-    toks = whitespace_token_count(text_col)
+    # tokens_col lets callers pass a precomputed count so text need
+    # not survive to (or shuffle through) this stage at all
+    toks = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else whitespace_token_count(text_col)
+    )
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
     w = (
         # ROWS UNBOUNDED PRECEDING .. 1 PRECEDING == tokens BEFORE this doc

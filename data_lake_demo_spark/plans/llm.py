@@ -808,13 +808,25 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the same two a hand-scheduled pipeline would need."""
     docs = load_table(spark, sf_dir, "documents")
     kept = quality_filter_funnel(docs).filter(F.col("filter_reason") == "kept")
-    w_dup = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    # every downstream stage needs only (id, digest, token count) —
+    # compute the row-local signals in the scan and DROP the text
+    # before the first shuffle, so the dedup window and packing window
+    # move ~32 bytes/doc instead of the documents themselves
+    slim = kept.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("__digest"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "__n_tokens"
+        ),
+    )
     deduped = (
-        kept.withColumn("__keep", F.min("doc_id").over(w_dup))
+        slim.withColumn("__keep", F.min("doc_id").over(W.partitionBy("__digest")))
         .filter(F.col("doc_id") == F.col("__keep"))
     )
     train = split_assign(deduped).filter(F.col("split") == "train")
-    packed = pack_sequences(train, ctx_tokens=2048, n_shards=8)
+    packed = pack_sequences(
+        train, ctx_tokens=2048, n_shards=8, tokens_col="__n_tokens"
+    )
     return (
         packed.groupBy("shard")
         .agg(

@@ -114,6 +114,7 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
         doc_decontaminate,
         doc_domain_mix,
         doc_pack_sequences,
+        doc_training_pipeline,
         doc_quality_funnel,
         doc_split_assign,
     )
@@ -125,6 +126,7 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
         doc_quality_funnel,
         doc_decontaminate,
         doc_domain_mix,
+        doc_training_pipeline,
     ):
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn
@@ -174,3 +176,23 @@ def test_ivf_assignment_has_no_ml_dependency(spark):
     p = _plan(spark, emb_ivf_ann(spark, SF))
     assert "BatchEvalPython" not in p
     assert "pyspark.ml" not in inspect.getsource(ivf_ann_topk)
+
+
+def test_training_pipeline_never_shuffles_text(spark):
+    """doc_training_pipeline computes digest/token-count in the scan
+    and drops the document text before the first Exchange — every
+    shuffle moves ~32 bytes/doc, not documents."""
+    import re
+
+    from data_lake_demo_spark.plans.llm import doc_training_pipeline
+
+    plan = _plan(spark, doc_training_pipeline(spark, SF))
+    exchange_blocks = [
+        b
+        for b in re.split(r"\n\n", plan)
+        if b.strip().startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert exchange_blocks  # the dedup + packing windows must shuffle
+    for b in exchange_blocks:
+        inputs = [l for l in b.splitlines() if l.startswith("Input")]
+        assert inputs and all("text#" not in l for l in inputs), b
