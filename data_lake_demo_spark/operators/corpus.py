@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_demo_spark.operators.dedup import shingles, tokens
+from data_lake_demo_spark.operators.dedup import (
+    shingles,
+    spread_small_input,
+    tokens,
+)
 
 
 def split_assign(
@@ -221,10 +225,9 @@ def contamination_report(
     s = split_assign(df, id_col=id_col, train_pct=train_pct, val_pct=val_pct)
     sh = (
         # val docs take no part in the check — drop them pre-shingle.
-        # The repartition parallelizes single-file test inputs (a no-op
-        # at real scale where the scan already has many splits).
-        s.filter(F.col("split") != "val")
-        .repartition(F.col(id_col))
+        # spread_small_input parallelizes single-file test inputs and
+        # skips the shuffle on many-split production scans.
+        spread_small_input(s.filter(F.col("split") != "val"), id_col)
         .withColumn("__toks", tokens(text_col))
         .select(
             F.col(id_col),

@@ -41,6 +41,18 @@ def exact_dedup(
     )
 
 
+def spread_small_input(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` ONLY when the input has fewer partitions
+    than the cluster has slots — i.e. parallelize single-file test
+    inputs without imposing a gratuitous full shuffle (of text-bearing
+    rows!) on a production scan that already has thousands of splits.
+    ``getNumPartitions`` is plan metadata — no job runs."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(F.col(key))
+    return df
+
+
 def tokens(text_col: str | F.Column) -> F.Column:
     """Whitespace token array for ``shingles``. ALWAYS materialize this
     as a real column (``withColumn``) before shingling: an expression
@@ -96,11 +108,14 @@ def minhash_signatures(
     """
     params = _affine_params(num_hashes)
     # spread docs across the cluster BEFORE the expensive shingle
-    # explode: a single input file would otherwise pin the whole
-    # hash stage to one task (cheap here — only (id, text) moves)
+    # explode: a single input file would otherwise pin the whole hash
+    # stage to one task. Conditional — a production scan with many
+    # splits skips the shuffle entirely (spread_small_input).
     exploded = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .repartition(F.col("id"))
+        spread_small_input(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            "id",
+        )
         .withColumn("__toks", tokens("__t"))
         .select(
             "id",
@@ -255,8 +270,10 @@ def simhash_fingerprints(
     bytes/token — never the text itself.
     """
     toks = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .repartition(F.col("id"))  # parallelize single-file inputs
+        spread_small_input(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            "id",
+        )  # parallelize single-file inputs; no-op on many-split scans
         .select("id", F.explode(F.split(F.trim(F.col("__t")), r"\s+")).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )

@@ -577,3 +577,24 @@ def test_minhash_mega_bucket_cap(spark):
 
     uncapped = minhash_lsh_candidates(docs, max_bucket=None)
     assert uncapped.filter("id_a < 40 AND id_b < 40").count() == 40 * 39 // 2
+
+
+def test_spread_small_input_is_conditional(spark):
+    """Narrow inputs get a spreading shuffle; already-wide inputs are
+    returned untouched (no Exchange) — the claim 'no-op on many-split
+    production scans' must be literal."""
+    from data_lake_demo_spark.operators.dedup import spread_small_input
+
+    few = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "id long, t string"
+    ).coalesce(1)
+    plan_few = spread_small_input(few, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(id" in plan_few
+
+    many = (
+        spark.range(1000)
+        .withColumnRenamed("id", "id2")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    kept = spread_small_input(many, "id2")
+    assert kept is many  # returned untouched — no extra shuffle node
