@@ -243,7 +243,55 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention: per activity day, distinct active
+    users and the fraction who return the next day. The corpus reduces
+    to distinct (user_id, day) pairs FIRST (map-side distinct of two
+    compact columns), so the self-join and both aggregations shuffle
+    16-byte rows regardless of raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    prev = days.select(
+        "user_id", (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day")
+    )
+    returned = days.join(prev, ["user_id", "day"], "left_semi")
+    act = days.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    ret = returned.groupBy("day").agg(F.count(F.lit(1)).alias("returned_users"))
+    n_ret = F.coalesce(F.col("returned_users"), F.lit(0)).cast("long")
+    return (
+        act.join(ret, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            n_ret.alias("returned_users"),
+            (n_ret / F.col("active_users")).alias("retention_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events),
+ret AS (
+  SELECT a.day, count(*) AS returned_users
+  FROM days a JOIN days b
+    ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+  GROUP BY a.day),
+act AS (SELECT day, count(*) AS active_users FROM days GROUP BY day)
+SELECT act.day, active_users,
+       CAST(COALESCE(returned_users, 0) AS BIGINT) AS returned_users,
+       CAST(COALESCE(returned_users, 0) AS DOUBLE) / active_users
+         AS retention_rate
+FROM act LEFT JOIN ret USING (day) ORDER BY day
+"""
+
+
 QUERIES = {
+    "events_daily_retention": events_daily_retention,
     "events_daily_from_hourly_rollup": events_daily_from_hourly_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -254,6 +302,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_daily_retention": RETENTION_SQL,
     "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_sliding_windows": SLIDING_SQL,
