@@ -272,6 +272,48 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (window ENDS on the
+    labeled day). Shape: distinct (user, day) pairs explode into the 7
+    window-days each contributes to, then one distinct-count per day —
+    a bounded ×7 expansion of 16-byte pairs plus one shuffle, instead
+    of a day-spine range join (whose skewed many-to-many explosion is
+    the usual scale trap for sliding distinct counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_day"),
+    )
+    return (
+        contrib.groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .orderBy("win_day")
+    )
+
+
+ROLLING_7D_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS win_day
+  FROM pairs)
+SELECT win_day, count(DISTINCT user_id) AS active_7d
+FROM contrib GROUP BY 1 ORDER BY win_day
+"""
+
+
 RETENTION_SQL = """
 WITH days AS (
   SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
@@ -292,6 +334,7 @@ FROM act LEFT JOIN ret USING (day) ORDER BY day
 
 QUERIES = {
     "events_daily_retention": events_daily_retention,
+    "events_rolling_7d_active": events_rolling_7d_active,
     "events_daily_from_hourly_rollup": events_daily_from_hourly_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -303,6 +346,7 @@ QUERIES = {
 
 ORACLE = {
     "events_daily_retention": RETENTION_SQL,
+    "events_rolling_7d_active": ROLLING_7D_SQL,
     "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_sliding_windows": SLIDING_SQL,
