@@ -1636,6 +1636,11 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # go FIRST so the fixes get a fresh CORRECTNESS row; the remainder keep
 # their round-1 green rows.
 QUERIES = {
+    # driver-UNPROVEN queries first (added round 2, never in the
+    # 50-entry correctness window), then round-1 fixes, then the
+    # r01-green padding that may safely fall out of the window
+    "unpivot_stack_measures": unpivot_stack_measures,
+    "orders_table_profile": orders_table_profile,
     "case_when_conditional_agg": case_when_conditional_agg,
     "q12_priority_by_flag": q12_priority_by_flag,
     "approx_stats": approx_stats,
@@ -1669,8 +1674,6 @@ QUERIES = {
     "scalar_functions_showcase": scalar_functions_showcase,
     "pivot_qty_by_status": pivot_qty_by_status,
     "unpivot_customer_measures": unpivot_customer_measures,
-    "unpivot_stack_measures": unpivot_stack_measures,
-    "orders_table_profile": orders_table_profile,
     "range_join_price_bands": range_join_price_bands,
     "not_in_subquery_priorities": not_in_subquery_priorities,
     "grouping_id_rollup": grouping_id_rollup,
