@@ -380,6 +380,95 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
+def connected_components_bigstar(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") → ``(node, component)`` with component =
+    min node id, same contract as :func:`connected_components`.
+
+    Why a second algorithm: min-label propagation converges in
+    O(diameter) rounds, which is fine for near-dup clusters (diameter
+    2-4) but pathological for chain-shaped graphs (web link graphs,
+    citation chains). Large-star/small-star contracts edges toward the
+    component minimum and converges in O(log² n) rounds REGARDLESS of
+    diameter — a 64-node chain resolves in ~5 rounds vs 64.
+
+    Per round (edges kept oriented ``hi > lo``, only long pairs ever
+    shuffle):
+
+    - **large-star**: per node u, m = min(u, Γ(u)); every strictly
+      larger neighbor re-attaches to m → one groupBy + one join.
+    - **small-star**: per node u, m = min of its smaller neighbors;
+      u and those neighbors all attach to m → one groupBy + one join.
+
+    Lineage is truncated per round with ``localCheckpoint``;
+    convergence is a single (count, hash-sum) aggregate over the new
+    edge set — no driver-side edge materialization.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("hi").alias("node"))
+        .union(e.select(F.col("lo").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: m(u) = min over {u} ∪ Γ(u); attach v>u to m(u)
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: m(u) = min of Γ⁻(u); attach u and Γ⁻(u)\{m} to m
+        grp = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            grp.select("hi", F.col("m").alias("lo"))
+            .union(
+                e.join(grp, "hi")
+                .filter(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor (order-independent, overflow-free; edges are distinct
+        # so xor cancellation can't collide with the count unchanged)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # converged edge set is a forest of stars centered on component minima
+    return (
+        nodes.join(e.withColumnRenamed("hi", "node"), "node", "left")
+        .select(
+            "node", F.coalesce(F.col("lo"), F.col("node")).alias("component")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

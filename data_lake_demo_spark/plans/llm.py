@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
 from data_lake_demo_spark.operators.dedup import (
     connected_components,
+    connected_components_bigstar,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -104,6 +105,28 @@ def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is identical.
     """
     docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_md5_bucket_edges(docs))
+    return _label_all_docs(docs, comp)
+
+
+def doc_dedup_components_bigstar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same similarity-graph closure as ``doc_dedup_components`` but
+    via large-star/small-star contraction (operators/dedup.py
+    connected_components_bigstar) — the O(log² n)-round scale path for
+    graphs whose diameter is NOT small (chains, web graphs). Shares
+    the recursive-CTE oracle with the min-label variant: the driver
+    proves both algorithms produce the identical closure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components_bigstar(_md5_bucket_edges(docs))
+    return _label_all_docs(docs, comp)
+
+
+def _md5_bucket_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic doc similarity edges: share an md5 prefix OR
+    suffix bucket (transitively chaining — see doc_dedup_components)."""
     keyed = docs.select(
         "doc_id",
         F.substring(F.md5(F.col("text").cast("binary")), 1, 4).alias("k_pre"),
@@ -117,8 +140,10 @@ def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b"
         )
 
-    edges = bucket_pairs("k_pre").union(bucket_pairs("k_suf")).distinct()
-    comp = connected_components(edges)
+    return bucket_pairs("k_pre").union(bucket_pairs("k_suf")).distinct()
+
+
+def _label_all_docs(docs: DataFrame, comp: DataFrame) -> DataFrame:
     # singletons (no edges) are their own component
     return (
         docs.select("doc_id")
@@ -899,6 +924,7 @@ QUERIES = {
     "media_feature_stats": media_feature_stats,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
+    "doc_dedup_components_bigstar": doc_dedup_components_bigstar,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
@@ -929,6 +955,7 @@ QUERIES = {
 ORACLE = {
     "doc_exact_dedup": EXACT_DEDUP_SQL,
     "doc_dedup_components": DEDUP_COMPONENTS_SQL,
+    "doc_dedup_components_bigstar": DEDUP_COMPONENTS_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality_scores": QUALITY_SQL,
     "doc_repetition_signals": REPETITION_SQL,

@@ -421,6 +421,41 @@ def test_connected_components_matches_union_find(spark):
         got = {r.node: r.component for r in connected_components(df).collect()}
         assert got == expected, f"seed {seed}"
 
+        from data_lake_demo_spark.operators.dedup import (
+            connected_components_bigstar,
+        )
+
+        got_bs = {
+            r.node: r.component
+            for r in connected_components_bigstar(df).collect()
+        }
+        assert got_bs == expected, f"bigstar seed {seed}"
+
+
+def test_bigstar_resolves_long_chain_in_few_rounds(spark):
+    # A 64-node chain has diameter 63: min-label propagation needs ~63
+    # rounds (and with max_iter=8 returns WRONG labels), while
+    # large-star/small-star contracts it within 8 rounds — the scale
+    # argument for chain-shaped graphs.
+    from data_lake_demo_spark.operators.dedup import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    bs = {
+        r.node: r.component
+        for r in connected_components_bigstar(chain, max_iter=8).collect()
+    }
+    assert bs == {i: 0 for i in range(64)}
+    ml = {
+        r.node: r.component
+        for r in connected_components(chain, max_iter=8).collect()
+    }
+    assert ml != bs  # min-label genuinely needs O(diameter) rounds
+
 
 # --------------------------------------------------------------------------
 # Corpus preparation: splits / packing / chunking (operators/corpus.py)
