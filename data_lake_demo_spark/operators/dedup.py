@@ -357,6 +357,7 @@ def connected_components(
         .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    prev_sig = None
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -367,16 +368,18 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # convergence probe: one narrow aggregate over the checkpointed
+        # labels (vs a join against the previous round). Labels only
+        # ever decrease, so an unchanged (count, xor-hash) signature
+        # means a fixpoint.
+        sig = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, lbl))").alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
             break
+        prev_sig = (sig["n"], sig["h"])
     return labels.select("node", F.col("lbl").alias("component"))
 
 
