@@ -165,6 +165,64 @@ def stratified_sample(
     return df.filter(h <= thr)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-dependent downsampling to a target TOKEN mix: given mixture
+    weights per group and a total token budget, derive each group's
+    keep rate from its measured token mass —
+    ``rate_g = min(1, weight_g · budget / tokens_g)`` — then keep each
+    document by deterministic hash at that rate.
+
+    This is the "hit 30% code / 60% web / 10% books by tokens" step of
+    a training-data build, where ``stratified_sample`` alone can't be
+    used because the rates depend on the data. Two-pass, scale-correct
+    shape: pass 1 is a tiny per-group token total (map-side partial
+    agg, output rows = number of groups) broadcast back; pass 2 is a
+    map-only keep decision per document. No rand(): the salted-hash
+    bucket (``md5('budget:' || id)``) keeps the same document across
+    reruns and engines, and the 'budget:' salt decorrelates it from
+    ``split_assign`` / ``stratified_sample`` decisions.
+
+    Returns the input with ``n_tok``, ``group_tokens``, ``keep_rate``
+    and boolean ``kept`` columns (filter on ``kept`` for the sampled
+    corpus; aggregate it for the mix report).
+    """
+    d = df.withColumn("n_tok", whitespace_token_count(text_col).cast("long"))
+    totals = d.groupBy(group_col).agg(F.sum("n_tok").alias("group_tokens"))
+    wmap = F.create_map(
+        *[F.lit(x) for g in sorted(weights) for x in (g, float(weights[g]))]
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+        * F.lit(float(budget_tokens))
+        / F.col("group_tokens"),
+    )
+    flagged = d.join(
+        F.broadcast(totals.withColumn("keep_rate", rate)), group_col
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("budget:"), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (F.col("keep_rate") >= 1.0) | (
+        bucket < F.floor(F.col("keep_rate") * F.lit(65536.0))
+    )
+    return flagged.withColumn("kept", kept)
+
+
 def quality_filter_funnel(
     df: DataFrame,
     text_col: str = "text",

@@ -36,6 +36,7 @@ from data_lake_demo_spark.operators.corpus import (
     split_assign,
     split_thresholds,
     stratified_sample,
+    token_budget_mix,
 )
 from data_lake_demo_spark.operators.textops import (
     LANG_MARKERS,
@@ -823,6 +824,69 @@ FROM tot LEFT JOIN k USING (lang) ORDER BY lang
 """
 
 
+# Token-budget mixture targets: fr is over-weighted relative to its
+# token mass so its rate saturates at 1.0 (keeps everything) while the
+# other groups genuinely downsample — both branches exercised.
+MIX_WEIGHTS = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.4, "zh": 0.1}
+MIX_BUDGET_TOKENS = 12_000
+
+
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture report: per-language docs/tokens before and
+    after sampling to a target token mix (operators/corpus.py
+    token_budget_mix — rate_g = min(1, weight_g·budget/tokens_g),
+    deterministic salted-hash keep decision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = token_budget_mix(docs, MIX_WEIGHTS, MIX_BUDGET_TOKENS)
+    kept_l = F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0))
+    kept_t = F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("group_tokens"),
+            F.sum(kept_l).cast("long").alias("n_docs_kept"),
+            F.sum(kept_t).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _token_budget_mix_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{g}' THEN CAST({w} AS DOUBLE)"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok,
+         substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents),
+ r AS (
+  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS group_tokens,
+         least(CAST(1 AS DOUBLE),
+               CASE lang {case} ELSE CAST(0 AS DOUBLE) END
+               * CAST({MIX_BUDGET_TOKENS} AS DOUBLE)
+               / CAST(sum(n_tok) AS DOUBLE)) AS keep_rate
+  FROM d GROUP BY lang),
+ k AS (
+  SELECT d.lang, d.n_tok,
+         (r.keep_rate >= CAST(1 AS DOUBLE) OR
+          d.h < lpad(lower(to_hex(CAST(floor(r.keep_rate
+                * CAST(65536 AS DOUBLE)) AS BIGINT))), 4, '0')) AS kept
+  FROM d JOIN r USING (lang))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS group_tokens,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus build a user actually runs, as ONE composed
     plan: quality filter (kept docs only) → exact dedup (keep-min-id per
@@ -943,6 +1007,7 @@ QUERIES = {
     "doc_quality_funnel": doc_quality_funnel,
     "doc_decontaminate": doc_decontaminate,
     "doc_domain_mix": doc_domain_mix,
+    "doc_token_budget_mix": doc_token_budget_mix,
     "doc_training_pipeline": doc_training_pipeline,
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
@@ -971,6 +1036,7 @@ ORACLE = {
     "doc_quality_funnel": QUALITY_FUNNEL_SQL,
     "doc_decontaminate": _decontaminate_oracle(),
     "doc_domain_mix": _domain_mix_oracle(),
+    "doc_token_budget_mix": _token_budget_mix_oracle(),
     "doc_training_pipeline": _training_pipeline_oracle(),
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,

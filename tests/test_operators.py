@@ -584,6 +584,49 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     assert got["fr"] == tot["fr"]  # unlisted group -> default_rate 1.0
 
 
+def test_token_budget_mix_rates_and_determinism(spark):
+    from data_lake_demo_spark.operators.corpus import token_budget_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.4, "zh": 0.1}
+    flagged = token_budget_mix(docs, weights, 12_000)
+    rows = flagged.groupBy("lang").agg(
+        F.first("keep_rate").alias("rate"),
+        F.sum("n_tok").alias("toks"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "kept_toks"
+        ),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    # fr is over-weighted: rate saturates at 1.0 and keeps everything
+    assert by_lang["fr"]["rate"] == 1.0
+    assert by_lang["fr"]["n_kept"] == by_lang["fr"]["n"]
+    # each unsaturated group's rate equals weight*budget/tokens and its
+    # kept token mass lands near the target (hash-uniformity tolerance)
+    for lang in ("en", "de", "es", "zh"):
+        r = by_lang[lang]
+        assert r["rate"] == pytest.approx(
+            weights[lang] * 12_000 / r["toks"]
+        )
+        assert r["rate"] < 1.0
+        target = weights[lang] * 12_000
+        assert 0.5 * target <= r["kept_toks"] <= 1.5 * target, lang
+    # deterministic: same kept set on a rerun
+    a = sorted(
+        r["doc_id"] for r in flagged.filter("kept").select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in token_budget_mix(docs, weights, 12_000)
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
 def test_stratified_sample_rejects_bad_rate(spark):
     import pytest as _pytest
 
