@@ -173,12 +173,17 @@ def token_budget_mix(
     group_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Data-dependent downsampling to a target TOKEN mix: given mixture
     weights per group and a total token budget, derive each group's
     keep rate from its measured token mass —
     ``rate_g = min(1, weight_g · budget / tokens_g)`` — then keep each
     document by deterministic hash at that rate.
+
+    The totals pass scans ``text_col`` a second time to count tokens;
+    at 100 TB pass ``token_count_col`` (a token count materialized at
+    ingest) so both passes prune the text column entirely.
 
     This is the "hit 30% code / 60% web / 10% books by tokens" step of
     a training-data build, where ``stratified_sample`` alone can't be
@@ -194,7 +199,12 @@ def token_budget_mix(
     and boolean ``kept`` columns (filter on ``kept`` for the sampled
     corpus; aggregate it for the mix report).
     """
-    d = df.withColumn("n_tok", whitespace_token_count(text_col).cast("long"))
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else whitespace_token_count(text_col)
+    )
+    d = df.withColumn("n_tok", n_tok.cast("long"))
     totals = d.groupBy(group_col).agg(F.sum("n_tok").alias("group_tokens"))
     wmap = F.create_map(
         *[F.lit(x) for g in sorted(weights) for x in (g, float(weights[g]))]
