@@ -72,6 +72,19 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _sql_double_array(vals) -> str:
+    """SQL text for a constant array<double> literal.
+
+    Building wide constant vectors element-by-element with ``F.lit``
+    costs one py4j round-trip per element — ~3 s of DRIVER time for a
+    16×64 centroid table (measured; see PERF.md). One ``F.expr`` over
+    this string is a single round-trip and parses in milliseconds.
+    ``repr(float)`` round-trips exactly; the D suffix forces DOUBLE
+    (bare decimal literals parse as DECIMAL in Spark SQL).
+    """
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
 def infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (a metadata-sized
     driver lookup). All rows must share this dimensionality — a shorter
@@ -109,7 +122,7 @@ def lsh_signatures(
     v = to_double_array(F.col(vec_col))
     bucket = None
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
+        plane = F.expr(_sql_double_array(p))
         bit = (
             F.aggregate(
                 F.zip_with(v, plane, lambda a, b: a * b),
@@ -226,14 +239,13 @@ def ivf_ann_topk(
     # literal beats 16 unrolled distance expressions: the plan stays
     # small (fast to compile) and the per-row loop is the same 16×dim
     # flops either way. array_min picks (min dist, lowest cell).
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("ctr"),
-                F.lit(i).alias("cell"),
-            )
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            f"struct({_sql_double_array(ctr)} as ctr, {i} as cell)"
             for i, ctr in enumerate(ctrs)
-        ]
+        )
+        + ")"
     )
     dist2 = lambda v, ctr: F.aggregate(  # noqa: E731
         F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
