@@ -125,15 +125,17 @@ def minhash_signatures(
         )
         .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(2**31)))
     )
+    # one F.expr per aggregate (not per literal): element-wise Column
+    # construction costs a py4j round-trip per call — ~1 s of driver
+    # time for 64 affine aggregates (see PERF.md)
     mins = [
-        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+        F.expr(f"min(h * {a}L + {b}L)").alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return (
-        exploded.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
+    sig = F.expr(
+        "array(" + ",".join(f"__m{i}" for i in range(num_hashes)) + ")"
     )
+    return exploded.groupBy("id").agg(*mins).select("id", sig.alias("sig"))
 
 
 def band_signatures(
@@ -277,20 +279,23 @@ def simhash_fingerprints(
         .select("id", F.explode(F.split(F.trim(F.col("__t")), r"\s+")).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
+    # SQL-string expressions: one py4j call per aggregate instead of
+    # one per operator/literal (~900 round-trips ≈ 1.4 s driver time)
     bit_sums = [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(
-            f"__b{b}"
-        )
+        F.expr(
+            f"sum(cast(shiftrightunsigned(h, {b}) & 1 as int))"
+        ).alias(f"__b{b}")
         for b in range(bits)
     ]
     per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
-    fp = None
-    for b in range(bits):
-        weight = F.lit(-(2**63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
-        term = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), weight).otherwise(
-            F.lit(0).cast("long")
+    # shiftleft(1L, b) is 2^b for b<63 and long-min (the sign bit) for
+    # b=63 — exactly the per-bit weights; Catalyst constant-folds it
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN __b{b} * 2 > __n THEN shiftleft(1L, {b}) ELSE 0L END)"
+            for b in range(bits)
         )
-        fp = term if fp is None else fp + term
+    )
     return per_doc.select("id", fp.alias("fp"))
 
 
