@@ -114,6 +114,7 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
         doc_decontaminate,
         doc_domain_mix,
         doc_pack_sequences,
+        doc_token_budget_mix,
         doc_training_pipeline,
         doc_quality_funnel,
         doc_split_assign,
@@ -126,10 +127,22 @@ def test_corpus_prep_plans_stay_jvm_side(spark):
         doc_quality_funnel,
         doc_decontaminate,
         doc_domain_mix,
+        doc_token_budget_mix,
         doc_training_pipeline,
     ):
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn
+
+
+def test_token_budget_mix_broadcasts_rates(spark):
+    """The data-dependent rates join must be a broadcast of the tiny
+    per-group totals — never a shuffle of the corpus by group (skewed:
+    one language can be most of a corpus)."""
+    from data_lake_demo_spark.plans.llm import doc_token_budget_mix
+
+    p = _plan(spark, doc_token_budget_mix(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_chunking_is_map_side_only(spark):
