@@ -21,6 +21,37 @@ def _plan(spark, df) -> str:
     )
 
 
+def test_query_build_time_stays_bounded(spark):
+    """DataFrame CONSTRUCTION must stay cheap: per-element F.lit /
+    Column-operator loops cost one py4j round-trip each and have
+    twice crept to multi-second driver stalls per query (see PERF.md
+    'Driver-side expression building'). Budget: 2.5 s per query build
+    at sf0.001, generous for real expression trees but well under the
+    regressed states (3-4 s). ivf stays in scope (its k-means sample
+    collect is ~0.3 s; the 3.3 s regression was literal-building);
+    only the iterative CC queries, which EXECUTE their rounds eagerly
+    during construction, are exempted."""
+    import time
+
+    import __spark_entry__ as entry
+
+    exempt = {
+        "doc_dedup_components",
+        "doc_dedup_components_bigstar",
+    }
+    qs = {n: f for n, f in entry.queries().items() if n not in exempt}
+    for fn in qs.values():  # warmup: JVM JIT / analysis-path one-timers
+        fn(spark, SF)
+    worst: list[tuple[float, str]] = []
+    for name, fn in qs.items():
+        t = time.time()
+        fn(spark, SF)
+        worst.append((time.time() - t, name))
+    worst.sort(reverse=True)
+    offenders = [(round(t, 2), n) for t, n in worst if t > 2.5]
+    assert not offenders, f"slow query builds: {offenders}"
+
+
 def test_q6_pushdown_and_pruning(spark):
     plan = _plan(spark, q6_forecast_revenue(spark, SF))
     assert "PushedFilters: [" in plan
