@@ -15,6 +15,17 @@ summed as integers — bit-identical on both engines — then scaled back.
 Row-level double expressions (no aggregation) are IEEE-deterministic
 and need no quantization. Every top-k query carries a unique tie-break
 key so the selected row *set* is identical on both engines.
+
+Broadcast-hint policy
+---------------------
+``F.broadcast`` hints bypass ``autoBroadcastJoinThreshold`` entirely,
+so they are reserved for frames whose size is bounded by CONSTRUCTION
+(nation=25 rows, region=5, literal band tables, single-row scalar
+aggregates). Tables that grow with scale factor (customer, supplier,
+part, per-key aggregates of facts) carry NO hint: under the threshold
+Catalyst/AQE auto-broadcasts them anyway (identical plans at test
+scale), and above it — customer at sf100 is gigabytes — the planner
+falls back to a shuffle join instead of OOMing on a forced broadcast.
 """
 
 from __future__ import annotations
@@ -250,7 +261,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(qsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -288,8 +299,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1149,7 +1160,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type").startswith("PROMO"), rev_q).otherwise(0)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (100.0 * F.sum(promo) / F.sum(rev_q)).alias("promo_revenue_pct")
         )
@@ -1205,7 +1216,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the disjunction post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
         | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
@@ -1357,7 +1368,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
@@ -1416,7 +1427,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation_c), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(nation_s), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
@@ -1460,8 +1471,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -1501,7 +1512,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1523,16 +1534,19 @@ ORDER BY s_suppkey
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of lineitems below 20% of their part's
-    average quantity — correlated scalar subquery → broadcast join of
-    per-part aggregates."""
+    average quantity — correlated scalar subquery → join of per-part
+    aggregates (semi-restricted to the filtered brand's parts first,
+    so the agg groups 1/25 of the partkeys, not all of them)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        qavg(F.col("l_quantity"), "avg_qty")
+    per_part = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(qavg(F.col("l_quantity"), "avg_qty"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(qsum(F.col("l_extendedprice"), "small_qty_revenue"),
              F.count(F.lit(1)).alias("n_lines"))
@@ -1574,7 +1588,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        only_late.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        only_late.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
