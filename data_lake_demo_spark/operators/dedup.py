@@ -503,8 +503,11 @@ def ngram_jaccard_pairs(
         .union(candidate_pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # no broadcast hint: the candidate-id set is corpus-proportional
+    # (LSH recall × corpus), so let the threshold/AQE decide — a hint
+    # would force a forced broadcast of 100M+ ids at corpus scale
     docs_used = df.select(F.col(id_col).alias("id"), F.col(text_col)).join(
-        F.broadcast(used), "id", "left_semi"
+        used, "id", "left_semi"
     )
     grams = docs_used.withColumn("__toks", tokens(text_col)).select(
         "id",

@@ -98,9 +98,9 @@ def scd2_apply(
     closing = (
         dim.filter(F.col(current_col))
         .join(
-            F.broadcast(
-                changes.select(key, F.col(effective_col).alias("__new_eff"))
-            ),
+            # no hint: a change batch is usually small but a backfill
+            # isn't — the threshold/AQE picks broadcast when it fits
+            changes.select(key, F.col(effective_col).alias("__new_eff")),
             key,
         )
         .withColumn(end_col, F.col("__new_eff"))

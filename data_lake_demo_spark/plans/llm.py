@@ -524,7 +524,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tfidf = (
-        tf.join(F.broadcast(df_), "term")
+        # no hint: vocabulary grows with the corpus; under the
+        # threshold this broadcasts anyway, above it the term-keyed
+        # shuffle join is the safe shape
+        tf.join(df_, "term")
         .withColumn(
             "tfidf",
             quantize(
