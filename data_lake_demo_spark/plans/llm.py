@@ -450,6 +450,67 @@ WHERE rk <= 5 ORDER BY qid, rk
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization roundtrip audit: quantize every
+    embedding (operators/quantize.py), dequantize, and report per-label
+    reconstruction stats. Pure map + one groupBy(label) — no shuffle of
+    vectors beyond the label agg, no driver state; the per-row max-abs
+    error is fixed-point quantized (1e-6) and summed as BIGINT per the
+    parity rule (never sum raw doubles)."""
+    from data_lake_demo_spark.operators.quantize import (
+        quantize_int8,
+        reconstruction_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    per_row = qd.select(
+        "label",
+        F.floor(reconstruction_error(qd) * COS_Q + F.lit(0.5))
+        .cast("long")
+        .alias("err_q"),
+        F.array_max(F.transform(F.col("q"), lambda e: F.abs(e.cast("long")))).alias(
+            "q_mag"
+        ),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_q").alias("sum_maxerr_q"),
+            F.max("q_mag").alias("max_q_mag"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZE_SQL = f"""
+WITH s AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+), e AS (
+  SELECT label,
+         CASE WHEN scale > 0 THEN
+           list_max(list_transform(v,
+             x -> abs(x - floor(x / scale + 0.5) * scale)))
+         ELSE 0.0 END AS max_err,
+         CASE WHEN scale > 0 THEN
+           list_max(list_transform(v,
+             x -> CAST(abs(floor(x / scale + 0.5)) AS BIGINT)))
+         ELSE 0 END AS q_mag
+  FROM s
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CAST(floor(max_err * {COS_Q} + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_maxerr_q,
+       CAST(max(q_mag) AS BIGINT) AS max_q_mag
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only check — the hash
     family is engine-specific)."""
@@ -1018,6 +1079,7 @@ QUERIES = {
     "emb_ivf_ann": emb_ivf_ann,
     "emb_near_dups": emb_near_dups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 ORACLE = {
@@ -1043,6 +1105,7 @@ ORACLE = {
     "doc_training_pipeline": _training_pipeline_oracle(),
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
     # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /
     # emb_lsh_ann / emb_label_centroid_sim: rows-only (hash-family /
     # FP-accumulation specifics are engine-side).

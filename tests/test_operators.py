@@ -676,3 +676,41 @@ def test_spread_small_input_is_conditional(spark):
     )
     kept = spread_small_input(many, "id2")
     assert kept is many  # returned untouched — no extra shuffle node
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    """q stays in [-127,127], the max-magnitude element hits exactly
+    +/-127, reconstruction error is bounded by scale/2, and an
+    all-zero vector quantizes to zeros with scale 0."""
+    from data_lake_demo_spark.operators.quantize import (
+        dequantize,
+        quantize_int8,
+        reconstruction_error,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),   # max |x| negative
+        (2, [2.0, 1.0, -0.5, 1.99]),   # max |x| positive
+        (3, [0.0, 0.0, 0.0, 0.0]),     # all-zero guard
+        (4, [1e-6, -1e-6, 5e-7, 0.0]), # tiny magnitudes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_int8(df).select(
+        "vec_id",
+        "q",
+        "q_scale",
+        reconstruction_error(quantize_int8(df)).alias("max_err"),
+        dequantize(F.col("q"), F.col("q_scale")).alias("dq"),
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    for vid, vec in rows:
+        r = got[vid]
+        assert all(-127 <= e <= 127 for e in r["q"]), r["q"]
+        if any(x != 0 for x in vec):
+            assert max(abs(e) for e in r["q"]) == 127
+            assert r["max_err"] <= r["q_scale"] / 2 + 1e-12
+        else:
+            assert r["q"] == [0, 0, 0, 0] and r["q_scale"] == 0.0
+            assert r["max_err"] == 0.0
+    # int8 storage type actually lands in the schema
+    assert dict(out.dtypes)["q"] == "array<tinyint>"
