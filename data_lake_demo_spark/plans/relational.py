@@ -408,6 +408,42 @@ ORDER BY c_custkey
 """
 
 
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py): orders of customers
+    in one nation, pre-filtered map-side by a 16 KB bloom bitset built
+    from the dim keys, exact-verified by a real left_semi join. The
+    result is identical to the plain semi-join (the oracle IS the
+    plain semi-join) — only the shuffle volume differs: at 100 TB the
+    bloom drops ~24/25 of fact rows inside the scan stage, before any
+    exchange."""
+    from data_lake_demo_spark.operators.bloom import bloom_semi_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            qsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_SEMI_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       {_sql_qsum('o_totalprice', 'sum_total')}
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS ≡ left-anti join: customers with no OPEN order.
 
@@ -1653,6 +1689,7 @@ QUERIES = {
     # driver-UNPROVEN queries first (added round 2, never in the
     # 50-entry correctness window), then round-1 fixes, then the
     # r01-green padding that may safely fall out of the window
+    "bloom_semi_join_orders": bloom_semi_join_orders,
     "unpivot_stack_measures": unpivot_stack_measures,
     "orders_table_profile": orders_table_profile,
     "case_when_conditional_agg": case_when_conditional_agg,
@@ -1707,6 +1744,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,
     "group_count_ordinal": GROUP_COUNT_SQL,
     "global_count": GLOBAL_COUNT_SQL,

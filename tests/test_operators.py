@@ -714,3 +714,62 @@ def test_quantize_int8_roundtrip_bounds(spark):
             assert r["max_err"] == 0.0
     # int8 storage type actually lands in the schema
     assert dict(out.dtypes)["q"] == "array<tinyint>"
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """bloom_semi_join returns EXACTLY the plain semi-join result (the
+    bloom has false positives but the verify join removes them, and a
+    bloom can never false-negative), and the probe filter alone keeps
+    every true key while pruning most non-members."""
+    from data_lake_demo_spark.operators.bloom import (
+        bloom_probe_filter,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))  # keys 0..99
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 7).alias("grp")
+    )  # fk 0..19999; true matches: fk < 100
+    got = set(
+        r["fk"] for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=1 << 12).collect()
+    )
+    assert got == set(range(100))
+    # probe alone: no false negatives, bounded false positives
+    blocks = build_bloom(dim, "k", n_bits=1 << 12)
+    probed = set(r["fk"] for r in bloom_probe_filter(fact, "fk", blocks).collect())
+    assert set(range(100)) <= probed
+    fp_rate = (len(probed) - 100) / (20_000 - 100)
+    assert fp_rate < 0.10, fp_rate  # 4096 bits / 100 keys, k=5 → ~0.2% expected
+
+
+def test_hll_daily_users_merge_property(spark):
+    """The HLL rollup's two contracts: (1) union-of-hourly sketches
+    estimates the same as one direct daily sketch (mergeability — the
+    reason to store sketches at all), and (2) the estimate tracks
+    exact distinct within the lgK=12 error envelope."""
+    from data_lake_demo_spark.plans.events import events_hll_daily_users
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rolled = {
+        r["day"]: r["approx_users"]
+        for r in events_hll_daily_users(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    direct = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # merge ≡ direct on the same input set
+    assert set(rolled) == set(exact)
+    for day, est in rolled.items():
+        assert abs(est - exact[day]) / exact[day] < 0.05, (day, est, exact[day])

@@ -240,3 +240,16 @@ def test_training_pipeline_never_shuffles_text(spark):
     for b in exchange_blocks:
         inputs = [l for l in b.splitlines() if l.startswith("Input")]
         assert inputs and all("text#" not in l for l in inputs), b
+
+
+def test_bloom_probe_runs_before_the_join(spark):
+    """The bloom membership check must sit in the fact scan's Filter —
+    i.e. fact rows are pruned BEFORE the semi-join exchange — and the
+    bitset must appear as one folded literal, not per-element lits."""
+    from data_lake_demo_spark.plans.relational import bloom_semi_join_orders
+
+    p = _plan(spark, bloom_semi_join_orders(spark, SF))
+    join_at = p.find("Join")
+    filt_at = p.find("xxhash64")
+    assert filt_at != -1, "bloom probe filter missing from the plan"
+    assert join_at != -1 and filt_at < join_at or "BroadcastHashJoin" in p
