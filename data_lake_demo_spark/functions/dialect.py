@@ -1,17 +1,29 @@
 """Presto/Athena → Spark SQL dialect translation.
 
-The reference's queries are Athena SQL (Presto semantics). Two
-constructs differ from Spark SQL (SURVEY §2.8 F1/F3):
+The reference's queries are Athena SQL (Presto semantics). Constructs
+that differ from Spark SQL (SURVEY §2.8 F1/F3):
 
 - ``date_format(ts, '%Y-%m-%d')`` — Presto uses MySQL-style strftime
   specifiers (README.md:97); Spark uses java.time patterns
   (``yyyy-MM-dd``).
-- ``cardinality(arr)`` — exists in Spark SQL ≥3.x, runs verbatim; kept
-  in the table for documentation.
+- ``date_add('unit', n, ts)`` / ``date_diff('unit', t1, t2)`` —
+  Presto's 3-arg temporal forms → ``timestampadd`` /
+  ``timestampdiff`` (same orientation: diff = t2 - t1).
+- Function renames where semantics already agree: ``approx_distinct``,
+  ``arbitrary``, ``contains`` (Presto's ARRAY membership — must become
+  ``array_contains``; Spark 3.5 reuses the name for strings),
+  ``strpos``, ``json_extract[_scalar]``, ``from_iso8601_timestamp``,
+  ``to_unixtime`` (returns BIGINT seconds vs Presto's DOUBLE).
+- ``cardinality(arr)`` / ``split_part`` / ``regexp_like`` /
+  ``try_cast`` / ``slice`` / ``element_at`` — exist in Spark SQL ≥3.x
+  with matching semantics, run verbatim.
 
 ``translate`` rewrites a Presto query string so the reference's doc
 queries run unchanged on this engine (tested against the reference's
-own smoke query, README.md:87-99).
+own smoke query, README.md:87-99). Every pass is string-literal
+aware: renames and identifier quoting skip single-quoted literals,
+and call-site rewrites (date_format/date_add/date_diff) track quote
+and paren state.
 """
 
 from __future__ import annotations
@@ -49,17 +61,18 @@ def translate_strftime(fmt: str) -> str:
     return "".join(out)
 
 
-def _translate_date_format_calls(sql: str) -> str:
-    """Rewrite every ``date_format(expr, '<strftime>')`` call site.
+def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
+    """Rewrite every ``fname(...)`` call site with ``rewrite(args) ->
+    str | None`` (None leaves the call untouched).
 
     A tiny scanner (paren depth + quote state) rather than a regex:
-    the first argument may itself contain commas and nested calls
+    any argument may itself contain commas and nested calls
     (``date_format(coalesce(a, b), '%Y-%m-%d')``), which a
-    ``([^,]+?)`` capture mis-splits, leaving the format untranslated.
-    Nested ``date_format`` in the first argument is handled
-    recursively; an unbalanced call is left untouched.
+    ``([^,]+?)`` capture mis-splits. Nested calls of the same function
+    inside arguments are handled by the recursive tail/argument passes;
+    an unbalanced call is left untouched.
     """
-    m = re.search(r"date_format\s*\(", sql, re.IGNORECASE)
+    m = re.search(rf"\b{fname}\s*\(", sql, re.IGNORECASE)
     if not m:
         return sql
     depth, in_str = 1, False
@@ -89,19 +102,95 @@ def _translate_date_format_calls(sql: str) -> str:
     if depth != 0:  # unbalanced — not a call we can safely rewrite
         return sql
     head, tail = sql[: m.start()], sql[i + 1 :]
-    if len(args) == 2:
-        first = _translate_date_format_calls(args[0].strip())
-        fm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
-        second = f"'{translate_strftime(fm.group(1))}'" if fm else args[1].strip()
-        call = f"date_format({first}, {second})"
-    else:
-        call = sql[m.start() : i + 1]
-    return head + call + _translate_date_format_calls(tail)
+    args = [_rewrite_calls(a, fname, rewrite).strip() for a in args]
+    call = rewrite(args)
+    if call is None:
+        call = f"{fname}({', '.join(args)})"
+    return head + call + _rewrite_calls(tail, fname, rewrite)
+
+
+def _date_format_rewrite(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    fm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+    second = f"'{translate_strftime(fm.group(1))}'" if fm else args[1]
+    return f"date_format({args[0]}, {second})"
+
+
+# Presto temporal units accepted by Spark's timestampadd/timestampdiff
+_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+
+
+def _unit_ident(arg: str) -> str | None:
+    m = re.fullmatch(r"\s*'(\w+)'\s*", arg)
+    if m and m.group(1).lower() in _UNITS:
+        return m.group(1).upper()
+    return None
+
+
+def _date_add_rewrite(args: list[str]) -> str | None:
+    # Presto date_add('unit', n, ts) → Spark timestampadd(UNIT, n, ts).
+    # Two-arg date_add(date, n) is already Spark's own — leave it.
+    if len(args) != 3:
+        return None
+    unit = _unit_ident(args[0])
+    return f"timestampadd({unit}, {args[1]}, {args[2]})" if unit else None
+
+
+def _date_diff_rewrite(args: list[str]) -> str | None:
+    # Presto date_diff('unit', t1, t2) = t2 - t1 in units →
+    # Spark timestampdiff(UNIT, t1, t2), same orientation.
+    if len(args) != 3:
+        return None
+    unit = _unit_ident(args[0])
+    return f"timestampdiff({unit}, {args[1]}, {args[2]})" if unit else None
+
+
+# Pure function renames (argument order and semantics already agree).
+# `contains` is Presto's ARRAY membership test — Spark 3.5 reuses the
+# name for strings, so Presto input must become array_contains.
+_RENAMES = {
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "contains": "array_contains",
+    "strpos": "instr",
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "from_iso8601_timestamp": "to_timestamp",
+    "to_unixtime": "unix_timestamp",
+}
+
+
+# A single-quoted SQL literal, with '' escapes
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` that are NOT inside
+    single-quoted string literals, so renames and identifier quoting
+    never mangle literal text (e.g. a JSON document or a date string
+    containing double quotes)."""
+    out, last = [], 0
+    for m in _LITERAL.finditer(sql):
+        out.append(fn(sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(fn(sql[last:]))
+    return "".join(out)
+
+
+def _rename_and_quote(segment: str) -> str:
+    for presto, spark in _RENAMES.items():
+        segment = re.sub(
+            rf"\b{presto}\s*\(", f"{spark}(", segment, flags=re.IGNORECASE
+        )
+    # Presto double-quoted identifiers ("db"."table") → backticks
+    return re.sub(r'"([A-Za-z_][\w$-]*)"', r"`\1`", segment)
 
 
 def translate(sql: str) -> str:
     """Rewrite Presto-isms to Spark SQL equivalents."""
-    sql = _translate_date_format_calls(sql)
-    # Presto double-quoted identifiers ("db"."table") → backticks
-    sql = re.sub(r'"([A-Za-z_][\w$-]*)"', r"`\1`", sql)
-    return sql
+    sql = _rewrite_calls(sql, "date_format", _date_format_rewrite)
+    sql = _rewrite_calls(sql, "date_add", _date_add_rewrite)
+    sql = _rewrite_calls(sql, "date_diff", _date_diff_rewrite)
+    return _outside_literals(sql, _rename_and_quote)

@@ -773,3 +773,57 @@ def test_hll_daily_users_merge_property(spark):
     assert set(rolled) == set(exact)
     for day, est in rolled.items():
         assert abs(est - exact[day]) / exact[day] < 0.05, (day, est, exact[day])
+
+
+def test_dialect_presto_function_surface(spark):
+    """The Presto/Athena function mappings: renames, 3-arg temporal
+    forms, and verbatim-compatible functions — each translated form
+    must actually EXECUTE on Spark with Presto's semantics."""
+    t = translate
+    assert (
+        t("SELECT approx_distinct(x), arbitrary(y) FROM t")
+        == "SELECT approx_count_distinct(x), any_value(y) FROM t"
+    )
+    assert t("SELECT strpos(s, 'ab') FROM t") == "SELECT instr(s, 'ab') FROM t"
+    assert (
+        t("SELECT json_extract_scalar(j, '$.a'), json_extract(j, '$.b') FROM t")
+        == "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b') FROM t"
+    )
+    assert (
+        t("SELECT date_diff('day', t1, coalesce(t2, t3)) FROM t")
+        == "SELECT timestampdiff(DAY, t1, coalesce(t2, t3)) FROM t"
+    )
+    assert (
+        t("SELECT date_add('hour', 3, ts) FROM t")
+        == "SELECT timestampadd(HOUR, 3, ts) FROM t"
+    )
+    # 2-arg date_add is Spark's own — untouched
+    assert t("SELECT date_add(d, 1) FROM t") == "SELECT date_add(d, 1) FROM t"
+    # executes with Presto semantics: diff oriented t2-t1, membership on arrays
+    row = spark.sql(
+        t(
+            "SELECT date_diff('day', timestamp'2024-01-01', timestamp'2024-01-11') AS dd, "
+            "contains(array(1, 2, 3), 2) AS c, "
+            "strpos('hello', 'll') AS p, "
+            "json_extract_scalar('{\"a\": 5}', '$.a') AS j, "
+            "to_unixtime(timestamp'1970-01-01 00:01:00 UTC') AS u"
+        )
+    ).collect()[0]
+    assert (row["dd"], row["c"], row["p"], row["j"], row["u"]) == (
+        10,
+        True,
+        3,
+        "5",
+        60,
+    )
+
+
+def test_dialect_leaves_string_literals_alone():
+    """Renames and "ident" quoting must not fire inside single-quoted
+    literals — a JSON document or a message containing double quotes
+    survives translation byte-for-byte."""
+    sql = "SELECT strpos(s, 'strpos(\"x\")'), '{\"a\": 1}' FROM \"db\".\"t\""
+    assert (
+        translate(sql)
+        == "SELECT instr(s, 'strpos(\"x\")'), '{\"a\": 1}' FROM `db`.`t`"
+    )
