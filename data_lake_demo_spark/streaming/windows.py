@@ -190,3 +190,21 @@ def stream_pack_sequences(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_approx_users(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming COUNT DISTINCT via mergeable HLL sketches — the
+    streaming twin of plans/events.events_hll_daily_users. Exact
+    distinct over an unbounded stream needs per-key user sets in
+    state; the sketch keeps state at ~2.5 KB per open day regardless
+    of user cardinality, and partial sketches merge across
+    micro-batches exactly like map-side combine in batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            F.col("w.start").alias("day"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )

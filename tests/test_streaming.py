@@ -473,3 +473,35 @@ def test_stream_pack_matches_batch(spark, tmp_path):
         for r in pack_sequences(docs, ctx_tokens=512, n_shards=4).collect()
     }
     assert got == want
+
+
+def test_hll_stream_matches_batch(spark, events_stream):
+    """Streaming HLL distinct (daily_approx_users) must produce the
+    SAME estimates as the batch sketch over the same data: sketch
+    merge across micro-batches ≡ one-shot aggregation."""
+    from data_lake_demo_spark.streaming.windows import daily_approx_users
+
+    stream, batch = events_stream
+    q = (
+        daily_approx_users(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hll_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["day"]: r["approx_users"]
+        for r in spark.sql("SELECT day, approx_users FROM hll_out").collect()
+    }
+    expected = {
+        r["day"]: r["n"]
+        for r in batch.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .select(F.col("w.start").alias("day"), "n")
+        .collect()
+    }
+    assert len(got) > 0
+    for day, est in got.items():  # append emits only closed windows
+        assert est == expected[day], (day, est, expected[day])
