@@ -11,12 +11,15 @@ from __future__ import annotations
 from data_lake_demo_spark.plans import events, llm, relational
 
 # Registration order is load-bearing: the driver's correctness gate
-# samples the FIRST 50 entries of queries(). llm (31) + events (10)
+# samples the FIRST 50 entries of queries(). llm (32) + events (10)
 # register first so the LLM-pipeline / event-time surface — the
 # north-star additions — always lands inside the checked window; the
-# first 9 relational entries fill the rest (driver-unproven queries
+# first 8 relational entries fill the rest (driver-unproven queries
 # lead, r01-green unchanged queries absorb the overflow — see
-# relational.QUERIES).
+# relational.QUERIES). anti_join_customers_without_orders sits first
+# outside the window: its round-2 change is predicate-only (no new
+# aggregate types), r1's driver row was green, and the sf0.01 parity
+# replica covers it — the lowest-risk eviction.
 ALL_MODULES = [llm, events, relational]
 
 

@@ -21,7 +21,9 @@ from data_lake_demo_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash_dedup,
+    spread_small_input,
     tokens,
+    winnow_fingerprints,
 )
 from data_lake_demo_spark.operators.similarity import (
     brute_force_topk,
@@ -373,6 +375,49 @@ def _lang_id_oracle() -> str:
     return f"""
 SELECT lang, {case} AS lang_guess, count(*) AS n
 FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess
+"""
+
+
+def doc_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints shared across documents — the
+    substring-level overlap report (operators/dedup.py
+    winnow_fingerprints). Fingerprinting is zero-shuffle map work;
+    only (doc_id, md5) pairs reach the groupBy. Oracle recomputes the
+    same k=5/w=8 winnowing with DuckDB list lambdas."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(spread_small_input(docs, "doc_id"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )
+
+
+WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 4 <= 0 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 3),
+                     i -> array_to_string(toks[i:i+4], ' ')) END AS grams
+  FROM t),
+h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS gh FROM g),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(gh) < 8 THEN [list_min(gh)]
+              ELSE list_transform(range(1, len(gh) - 6),
+                     j -> list_min(gh[j:j+7])) END AS fps
+  FROM h),
+e AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM e GROUP BY fp HAVING count(*) >= 2 ORDER BY fp
 """
 
 
@@ -1063,6 +1108,7 @@ QUERIES = {
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
+    "doc_winnowing_overlap": doc_winnowing_overlap,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_normalize_scrub": doc_normalize_scrub,
     "doc_split_assign": doc_split_assign,
@@ -1093,6 +1139,7 @@ ORACLE = {
     "doc_bpe_token_counts": BPE_COUNT_SQL,
     "doc_lang_id": _lang_id_oracle(),
     "doc_fingerprint_buckets": FINGERPRINT_SQL,
+    "doc_winnowing_overlap": WINNOW_SQL,
     "doc_tfidf_top_terms": TFIDF_SQL,
     "doc_normalize_scrub": NORMALIZE_SQL,
     "doc_split_assign": _split_assign_oracle(),

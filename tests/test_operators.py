@@ -827,3 +827,27 @@ def test_dialect_leaves_string_literals_alone():
         translate(sql)
         == "SELECT instr(s, 'strpos(\"x\")'), '{\"a\": 1}' FROM `db`.`t`"
     )
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing contract: documents sharing a token run of
+    >= w+k-1 (=12) tokens share at least one fingerprint; documents
+    with disjoint vocabulary share none; a short doc (< k tokens)
+    still yields exactly one fingerprint."""
+    from data_lake_demo_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, f"intro one two three {shared} outro red blue"),
+        (2, f"completely different lead-in {shared} and a different tail here"),
+        (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"),  # disjoint vocab
+        (4, "tiny doc"),  # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_fingerprints(df).collect()
+    fps: dict[int, set] = {i: set() for i, _ in rows}
+    for r in pairs:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "12-token shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1
