@@ -253,3 +253,20 @@ def test_bloom_probe_runs_before_the_join(spark):
     filt_at = p.find("xxhash64")
     assert filt_at != -1, "bloom probe filter missing from the plan"
     assert join_at != -1 and filt_at < join_at or "BroadcastHashJoin" in p
+
+
+def test_no_python_udf_across_entire_query_registry(spark):
+    """Blanket guarantee over every queries() entry: row-at-a-time
+    Python (BatchEvalPython) appears NOWHERE, and Arrow-batched Python
+    (ArrowEvalPython / MapInPandas) only in the explicitly-allowlisted
+    multimodal decode path — everything else is whole-JVM."""
+    import __spark_entry__ as entry
+
+    arrow_ok = {"media_feature_stats"}
+    for name, fn in entry.queries().items():
+        p = _plan(spark, fn(spark, SF))
+        assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
+        if name not in arrow_ok:
+            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+                f"{name}: unexpected Python stage"
+            )
