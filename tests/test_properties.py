@@ -117,3 +117,73 @@ def test_split_assign_is_a_partition_and_stable(spark, ids):
     second = {r["doc_id"]: r["split"] for r in split_assign(grown).collect()}
     for i in ids:
         assert second[i] == first[i]  # backfill never reassigns
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=2,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_int8_quantization_bounds_hold_for_arbitrary_vectors(spark, vecs):
+    """For ANY float vector: |q_i| <= 127, the max-magnitude element of
+    a nonzero vector hits exactly 127, and reconstruction error never
+    exceeds scale/2 — the dequantize contract downstream rescoring
+    relies on."""
+    from data_lake_demo_spark.operators.quantize import (
+        quantize_int8,
+        reconstruction_error,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qd = quantize_int8(df)
+    out = qd.select(
+        "vec_id", "q", "q_scale", reconstruction_error(qd).alias("err")
+    ).collect()
+    for r in out:
+        assert all(-127 <= e <= 127 for e in r["q"])
+        if r["q_scale"] > 0:
+            assert max(abs(e) for e in r["q"]) == 127
+            assert r["err"] <= r["q_scale"] / 2 + 1e-12
+        else:
+            assert set(r["q"]) == {0}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=200),
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=200),
+)
+def test_bloom_never_false_negatives(spark, dim_keys, probe_keys):
+    """For ANY key sets: every probe key that IS in the dim set passes
+    the bloom probe (zero false negatives — the exactness guarantee),
+    and bloom_semi_join equals the true intersection."""
+    from data_lake_demo_spark.operators.bloom import (
+        bloom_probe_filter,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    fact = spark.createDataFrame([(k,) for k in probe_keys], "fk long")
+    blocks = build_bloom(dim, "k", n_bits=1 << 10)  # tiny bitset: force FPs
+    passed = {r["fk"] for r in bloom_probe_filter(fact, "fk", blocks).collect()}
+    assert (dim_keys & probe_keys) <= passed
+    got = {
+        r["fk"]
+        for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=1 << 10).collect()
+    }
+    assert got == (dim_keys & probe_keys)
