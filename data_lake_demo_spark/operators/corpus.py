@@ -354,3 +354,78 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def boilerplate_line_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/RefinedWeb line-dedup
+    step): a trimmed line is boilerplate when it appears in at least
+    ``min_docs`` DISTINCT documents (nav bars, cookie banners, footers).
+
+    Returns ``(line_hash, n_docs)``. Only 16-byte md5 digests ever
+    shuffle: lines are hashed inside the scan stage, deduped per
+    (doc, hash), then counted — document text never leaves its
+    partition.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+        )
+        .select(id_col, F.trim(F.col("__l")).alias("__t"))
+        .filter(F.length("__t") >= min_chars)
+        .select(id_col, F.md5(F.col("__t")).alias("line_hash"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str = "text_scrubbed",
+    max_boilerplate: int = 100_000,
+) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document.
+
+    Two phases, mirroring the bloom pattern: (1) the frequency count
+    above (hash-only shuffle) yields the boilerplate hash set — small
+    by construction, because a line must recur across >= ``min_docs``
+    documents to qualify; (2) the set is collected (bounded by
+    ``max_boilerplate``, error beyond — switch to a line-level join
+    if a corpus legitimately exceeds it) and baked into ONE array
+    literal, so the rewrite is a pure map-side ``F.filter`` over each
+    document's lines — the documents themselves never shuffle, and
+    surviving lines keep their original (untrimmed) text and order.
+    """
+    hashes = sorted(
+        r["line_hash"]
+        for r in boilerplate_line_hashes(
+            df, text_col, id_col, min_docs
+        ).limit(max_boilerplate + 1).collect()
+    )
+    if len(hashes) > max_boilerplate:
+        raise ValueError(
+            f"boilerplate set exceeds max_boilerplate={max_boilerplate}; "
+            "use a line-level semi-join instead of the literal path"
+        )
+    if not hashes:
+        return df.withColumn(out_col, F.col(text_col))
+    # one SQL literal (md5 hex is quote-safe), not 100k F.lit round-trips
+    bad = F.expr("array(" + ",".join(f"'{h}'" for h in hashes) + ")")
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: ~F.array_contains(bad, F.md5(F.trim(l))),
+    )
+    return df.withColumn(out_col, F.concat_ws("\n", kept))

@@ -851,3 +851,37 @@ def test_winnowing_shared_run_guarantee(spark):
     assert fps[1] & fps[2], "12-token shared run must yield a shared fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert len(fps[4]) == 1
+
+
+def test_scrub_boilerplate_removes_shared_lines_only(spark):
+    """Lines recurring across >= min_docs documents are removed from
+    every document; unique lines keep their original text and order;
+    whitespace-variant copies of a boilerplate line match via the
+    trimmed hash."""
+    from data_lake_demo_spark.operators.corpus import (
+        boilerplate_line_hashes,
+        scrub_boilerplate,
+    )
+
+    header, footer = "SITE NAV | home | about", "(c) 2024 example.com"
+    rows = [
+        (1, f"{header}\nunique story one\nmore text one\n{footer}"),
+        (2, f"{header}\nunique story two\n  {footer}  "),  # padded footer
+        (3, "standalone document\nwith only unique lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = boilerplate_line_hashes(df, min_docs=2)
+    assert bp.count() == 2  # header + footer
+    got = {
+        r["doc_id"]: r["text_scrubbed"]
+        for r in scrub_boilerplate(df, min_docs=2).collect()
+    }
+    assert got[1] == "unique story one\nmore text one"
+    assert got[2] == "unique story two"
+    assert got[3] == "standalone document\nwith only unique lines"
+    # no boilerplate at a higher threshold -> text passes through verbatim
+    got3 = {
+        r["doc_id"]: r["text_scrubbed"]
+        for r in scrub_boilerplate(df, min_docs=3).collect()
+    }
+    assert got3[1] == rows[0][1]
