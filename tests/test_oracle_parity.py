@@ -97,3 +97,18 @@ def test_query_parity(name, spark, duck):
         if len(mismatches) > 5:
             break
     assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+def test_every_query_returns_scalar_columns_only(spark):
+    """Driver-canonicalizer safety: the round-1 approx_stats failure
+    was an ARRAY output column crashing the driver's pandas sort
+    ('unhashable type: list') — even rows-only checks canonicalize.
+    No queries() entry may return array/map/struct/binary columns."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        offenders = [
+            f"{c}:{t}"
+            for c, t in df.dtypes
+            if t.startswith(("array", "map", "struct", "binary"))
+        ]
+        assert not offenders, f"{name}: non-scalar output {offenders}"
