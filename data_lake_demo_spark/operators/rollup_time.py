@@ -72,3 +72,34 @@ def rollup_to(
             "value_max",
         )
     )
+
+
+def merge_rollup(
+    stored: DataFrame,
+    delta: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: fold a new batch's
+    rollup (same interval) into the stored rollup — union + one
+    re-aggregation of the decomposable partials. The maintenance path
+    never rescans history: at 100 TB the delta is one micro-batch's
+    rollup, the merge shuffles only rollup rows, and late data simply
+    re-merges into an already-present bucket (idempotent when the
+    result is written with dynamic partition overwrite keyed on
+    bucket_start). Exactness: counts/quantized sums compose by sum,
+    min/max by min/max — merged == direct rollup over the union of the
+    raw inputs (asserted by test_merge_rollup_equals_direct).
+    """
+    group_cols = group_cols or []
+    keys = ["bucket_start", *group_cols]
+    return (
+        stored.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_q").alias("value_q"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )

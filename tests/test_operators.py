@@ -885,3 +885,50 @@ def test_scrub_boilerplate_removes_shared_lines_only(spark):
         for r in scrub_boilerplate(df, min_docs=3).collect()
     }
     assert got3[1] == rows[0][1]
+
+
+def test_merge_rollup_equals_direct(spark):
+    """Incremental maintenance contract: rollup(old) ⊕ rollup(delta)
+    == rollup(old ∪ delta), bucket for bucket — including a late
+    event landing in a bucket the stored rollup already has."""
+    from data_lake_demo_spark.operators.rollup_time import merge_rollup, time_rollup
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # split on an arbitrary predicate so both halves hit shared buckets
+    old, delta = ev.filter(F.col("event_id") % 3 != 0), ev.filter(
+        F.col("event_id") % 3 == 0
+    )
+    merged = merge_rollup(
+        time_rollup(old, group_cols=["event_type"]),
+        time_rollup(delta, group_cols=["event_type"]),
+        group_cols=["event_type"],
+    )
+    direct = time_rollup(ev, group_cols=["event_type"])
+    key = ["bucket_start", "event_type"]
+    cols = key + ["n", "value_q", "value_min", "value_max"]
+    m = sorted(map(tuple, merged.select(*cols).collect()))
+    d = sorted(map(tuple, direct.select(*cols).collect()))
+    assert m == d
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, tmp_path):
+    """The continuous-aggregate claim for COUNT DISTINCT requires the
+    sketches to be STORABLE: hourly sketches written to parquet
+    (binary column), read back, and merged must estimate identically
+    to a never-persisted merge."""
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = str(tmp_path / "hourly_sketches")
+    hourly.write.parquet(path)
+    daily = lambda df: {
+        r["day"]: r["n"]
+        for r in df.groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()
+    }
+    assert daily(spark.read.parquet(path)) == daily(hourly)
