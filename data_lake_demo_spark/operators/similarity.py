@@ -341,3 +341,182 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 64,
+    rerank: int = 4,
+    seed: int = 42,
+    max_iter: int = 4,
+    train_limit: int = 20_000,
+) -> DataFrame:
+    """Product-quantization ANN: split each (L2-normalized) vector into
+    ``m`` subvectors, vector-quantize each against a ``ksub``-centroid
+    codebook, and score queries against the CODES by asymmetric
+    distance (ADC) — a per-query lookup table replaces all float math
+    on the corpus side. Top ``rerank*k`` ADC candidates are re-ranked
+    with exact cosine (candidate-then-verify, like the LSH paths).
+
+    Why it matters at 100 TB: codes are ``m`` bytes per vector (m=8 →
+    32x smaller than float32, 64x than double), so the scan side of
+    similarity search fits in a fraction of the memory/IO budget; the
+    float originals are touched only for the rerank candidates.
+
+    Scale shape: codebooks train on a BOUNDED driver sample with numpy
+    (the IVF recipe — never distributed k-means); encoding is one pass
+    of per-subspace argmin expressions over constant-folded codebook
+    literals; each query ships one m*ksub-double lookup table as a
+    literal, so ADC is a map-side expression over the codes — the only
+    shuffle is the top-k window, and only (qid, nid, score) rows enter
+    it. ``dim`` must be divisible by ``m``.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
+    )
+    dim = infer_dim(corpus, vec_col)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(a):
+        n = np.linalg.norm(a, axis=-1, keepdims=True)
+        n[n == 0] = 1.0
+        return a / n
+
+    sample = _unit(
+        np.asarray(
+            [r["nvec"] for r in c.select("nvec").limit(train_limit).collect()],
+            dtype=np.float64,
+        )
+    )
+    rng = np.random.default_rng(seed)
+    ksub_eff = min(ksub, len(sample))
+    books = []  # m codebooks of (ksub_eff, dsub)
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        ctrs = sub[rng.choice(len(sub), size=ksub_eff, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
+            owner = d2.argmin(1)
+            for j in range(ksub_eff):
+                pts = sub[owner == j]
+                if len(pts):
+                    ctrs[j] = pts.mean(0)
+        books.append(ctrs)
+
+    # normalize corpus vectors JVM-side, then encode: per subspace, an
+    # argmin over the constant-folded codebook literal (the IVF idiom)
+    norm_ = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("nvec"), F.col("nvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cn = c.withColumn(
+        "nunit",
+        F.when(
+            norm_ > 0,
+            F.transform(F.col("nvec"), lambda x: x / norm_),
+        ).otherwise(F.col("nvec")),
+    )
+    dist2 = lambda v, ctr: F.aggregate(  # noqa: E731
+        F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for s in range(m):
+        cn = cn.withColumn(f"__sub{s}", F.slice(F.col("nunit"), s * dsub + 1, dsub))
+
+    # closure factory, NOT `lambda st, s=s`: PySpark counts lambda
+    # parameters to pick the (element) vs (element, index) HOF form, so
+    # a defaulted second arg silently binds the index Column
+    def _encode(s: int):
+        book_lit = F.expr(
+            "array("
+            + ",".join(
+                f"struct({_sql_double_array(ctr)} as ctr, {j} as code)"
+                for j, ctr in enumerate(books[s])
+            )
+            + ")"
+        )
+        return F.array_min(
+            F.transform(
+                book_lit,
+                lambda st: F.struct(
+                    dist2(F.col(f"__sub{s}"), st["ctr"]).alias("d"),
+                    st["code"].alias("code"),
+                ),
+            )
+        )["code"].alias(f"__c{s}")
+
+    codes = cn.select("nid", F.array(*[_encode(s) for s in range(m)]).alias("codes"))
+
+    # per-query ADC lookup tables: dt[s*ksub + j] = IP(q_sub_s, book[s][j])
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    ).collect()
+    spark = corpus.sparkSession
+    q_structs = []
+    for r in qrows:
+        qv = _unit(np.asarray(r["qvec"], dtype=np.float64))
+        dt = [
+            float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j]))
+            for s in range(m)
+            for j in range(ksub_eff)
+        ]
+        q_structs.append(f"struct({r['qid']}L as qid, {_sql_double_array(dt)} as dt)")
+    qlit = spark.range(1).select(
+        F.explode(F.expr("array(" + ",".join(q_structs) + ")")).alias("q")
+    ).select("q.qid", "q.dt")
+
+    adc = (
+        codes.crossJoin(F.broadcast(qlit))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "adc_score",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("dt"),
+                    s * ksub_eff + F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ),
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("nid"))
+    cands = (
+        adc.withColumn("rk0", F.row_number().over(wq))
+        .filter(F.col("rk0") <= rerank * k)
+        .select("qid", "nid")
+    )
+    # exact cosine re-rank of the short candidate list
+    qv = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        cands.join(c, "nid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cos_sim", "rk")
+    )

