@@ -584,3 +584,47 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def winnow_containment(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Paragraph-level decontamination: for each TEST document, the
+    fraction of its winnowing fingerprints that also occur anywhere in
+    the TRAIN corpus. Complements the exact-shingle decontamination
+    (operators/corpus.contamination_report): a verbatim 12+-token run
+    copied from test into train is guaranteed to light up at least one
+    fingerprint even when the surrounding document is entirely
+    different (whole-doc Jaccard ~0), while near-zero containment
+    certifies the split clean at substring granularity.
+
+    Scale shape: both sides reduce to distinct (id, 16-byte md5) pairs
+    map-side (winnow_fingerprints); the train side collapses to a
+    DISTINCT fingerprint set (no ids), so the join key space is
+    bounded by corpus vocabulary, not corpus size, and only hashes
+    shuffle. Output: (id, n_fingerprints, n_contained, containment).
+    """
+    test_fp = winnow_fingerprints(test, text_col, id_col, k, w)
+    train_fp = winnow_fingerprints(train, text_col, id_col, k, w).select(
+        "fp"
+    ).distinct()
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    return (
+        test_fp.join(
+            train_fp.withColumn("__hit", F.lit(1)), "fp", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(hit).cast("long").alias("n_contained"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_contained") / F.col("n_fingerprints"),
+        )
+    )

@@ -948,3 +948,32 @@ def test_pq_ann_recall_vs_brute_force(spark):
     exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
     approx = {(r.qid, r.nid) for r in pq_ann_topk(emb, queries, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_winnow_containment_detects_planted_paragraph(spark):
+    """A 14-token paragraph pasted from a test doc into an otherwise
+    unrelated train doc must produce nonzero containment for that test
+    doc; a clean test doc must report zero."""
+    from data_lake_demo_spark.operators.dedup import winnow_containment
+
+    leaked = (
+        "november rain falls softly over the quiet harbor while ships "
+        "drift past the lighthouse tonight"
+    )
+    train = spark.createDataFrame(
+        [
+            (101, f"totally unrelated preamble text here {leaked} and some trailing words"),
+            (102, "another train document with its own unique content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, f"the benchmark question asks about {leaked} as context for the answer"),
+            (2, "pristine evaluation item sharing no phrases with training data at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in winnow_containment(train, test).collect()}
+    assert got[1]["n_contained"] >= 1 and got[1]["containment"] > 0
+    assert got[2]["n_contained"] == 0 and got[2]["containment"] == 0.0
