@@ -977,3 +977,36 @@ def test_winnow_containment_detects_planted_paragraph(spark):
     got = {r["doc_id"]: r for r in winnow_containment(train, test).collect()}
     assert got[1]["n_contained"] >= 1 and got[1]["containment"] > 0
     assert got[2]["n_contained"] == 0 and got[2]["containment"] == 0.0
+
+
+def test_count_min_sketch_bounds_and_merge(spark):
+    """CM guarantees on a skewed key distribution: estimates never
+    undercount, heavy hitters rank correctly, absent keys estimate 0
+    (sparse table + coalesce), and sketch(a) ⊕ sketch(b) equals
+    sketch(a ∪ b) counter-for-counter."""
+    from data_lake_demo_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    # skewed: quadratic residues mod 40 — a few keys dominate
+    df = spark.range(0, 4000).select(
+        (F.pow(F.col("id") % 63, 2) % 40).cast("long").alias("k")
+    )
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = count_min_build(df, "k")
+    keys = spark.createDataFrame([(k,) for k in exact] + [(999_999,)], "k long")
+    est = {r["k"]: r["est"] for r in count_min_estimate(sketch, keys, "k").collect()}
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)          # never undercounts
+        assert est[k] <= n + 0.01 * 4000 + 1        # loose eps*N bound
+    assert est[999_999] == 0                        # absent key
+    top_exact = max(exact, key=exact.get)
+    assert max(est, key=lambda k: est[k] if k != 999_999 else -1) == top_exact
+    # merge property: split the input arbitrarily, merge the sketches
+    a, b = df.filter(F.col("k") % 2 == 0), df.filter(F.col("k") % 2 == 1)
+    merged = count_min_merge(count_min_build(a, "k"), count_min_build(b, "k"))
+    m = sorted(map(tuple, merged.collect()))
+    s = sorted(map(tuple, sketch.collect()))
+    assert m == s
