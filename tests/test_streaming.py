@@ -505,3 +505,42 @@ def test_hll_stream_matches_batch(spark, events_stream):
     assert len(got) > 0
     for day, est in got.items():  # append emits only closed windows
         assert est == expected[day], (day, est, expected[day])
+
+
+def test_count_min_stream_merge_matches_batch(spark, tmp_path):
+    """Per-micro-batch count-min partials appended via foreachBatch,
+    merged at read time, must equal the one-shot batch sketch
+    counter-for-counter — the frequency analogue of the HLL
+    stream≡batch test. The input is split into 4 files read with
+    maxFilesPerTrigger=1 so the merge REALLY spans multiple
+    micro-batches; partials land in per-batch files (append, no
+    read-modify-overwrite of a path being read)."""
+    from data_lake_demo_spark.operators.countmin import count_min_build
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+    store = str(tmp_path / "cm_partials")
+
+    def append_partial(bdf, batch_id):
+        count_min_build(bdf, "user_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(append_partial)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    partials = spark.read.parquet(store)
+    assert partials.select("batch_id").distinct().count() >= 2
+    merged = partials.groupBy("depth", "pos").agg(F.sum("c").alias("c"))
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, count_min_build(ev, "user_id").collect()))
+    assert got == want
