@@ -79,7 +79,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast via TIMESTAMP first: numeric casts on TIMESTAMP_NTZ are
+    # illegal in Spark 4.x, and this stays a no-op for TimestampType
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     sessions = (
         ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(wrun))
@@ -89,9 +92,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-                "duration_s"
-            ),
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long"))
+                - F.min(F.col("ts").cast("timestamp").cast("long"))
+            ).alias("duration_s"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -77,6 +77,11 @@ def get_spark(
         # --- ns-precision parquet timestamps (events.ts) read as long;
         #     sources.testdata normalizes to TimestampType (µs) ---
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- Spark 4.x infers tz-less parquet timestamp[us] as
+        #     TIMESTAMP_NTZ, which withWatermark and numeric casts
+        #     reject; read as TIMESTAMP (UTC session tz => identical
+        #     instants, oracle parity preserved) ---
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- joins: let AQE pick; broadcast threshold explicit ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # --- quieter local runs ---

@@ -21,10 +21,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Columnar scan; filters/projections
     placed on top of this are pushed into the parquet reader.
 
-    ``events.ts`` is nanosecond-precision in the parquet footer, which
-    Spark's vectorized reader surfaces as LongType under
-    ``spark.sql.legacy.parquet.nanosAsLong`` — normalize it to a µs
-    TimestampType (identical truncation to DuckDB's TIMESTAMP cast).
+    ``events.ts`` has historically shipped as ns-precision (read as
+    LongType under ``spark.sql.legacy.parquet.nanosAsLong``) and now
+    ships as tz-less µs, which Spark 4.x infers as TIMESTAMP_NTZ —
+    a type ``withWatermark`` and numeric casts reject. Normalize both
+    shapes to µs TimestampType here so every downstream plan sees one
+    event-time type regardless of the session's read configs (the
+    driver hands us a plain session without ours).
     """
     if name == "events":
         # the driver may hand us a session without this conf; it is
@@ -35,6 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds the
         # double-exact range, so float division would be off by ±1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        # instant-preserving under a UTC session; wall-clock-preserving
+        # otherwise — either way it matches the DuckDB oracle, which
+        # reads the same naive values
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -11,6 +11,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to TimestampType. Spark 4.x may
+    infer tz-less parquet as TIMESTAMP_NTZ, which ``withWatermark``
+    rejects; under a UTC session timezone the cast is instant-
+    preserving (and a no-op for TimestampType)."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
@@ -18,7 +29,7 @@ def tumbling_counts(events: DataFrame, *, watermark: str = "10 minutes") -> Data
     beyond it are dropped, state is evicted — the 100 TB requirement
     for unbounded streams)."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
@@ -27,7 +38,7 @@ def tumbling_counts(events: DataFrame, *, watermark: str = "10 minutes") -> Data
 
 def sliding_counts(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
@@ -40,7 +51,7 @@ def session_counts(
     """Session windows with a 30-minute inactivity gap — the built-in
     streaming form of plans/events.events_sessionization."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -73,11 +84,13 @@ def stream_stream_purchase_attribution(
             F.col("ts").alias("view_ts"),
             F.col("event_id").alias("view_id"),
         )
+        .transform(lambda d: _event_time(d, "view_ts"))
         .withWatermark("view_ts", "2 hours")
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .transform(lambda d: _event_time(d, "purchase_ts"))
         .withWatermark("purchase_ts", "2 hours")
     )
     return purchases.join(
@@ -98,7 +111,7 @@ def stream_dedup(
     exactly-once repair stage for event streams (the streaming twin of
     the reference's idempotent-key guard, worker.py:214-221)."""
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return _event_time(events, "ts").withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -200,7 +213,7 @@ def daily_approx_users(events: DataFrame, *, watermark: str = "10 minutes") -> D
     of user cardinality, and partial sketches merge across
     micro-batches exactly like map-side combine in batch."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         .select(
