@@ -77,12 +77,23 @@ def shingles(toks: F.Column, n: int = 5) -> F.Column:
     )
 
 
+# Smallest prime > 2^32: the modulus that turns aᵢ·h+bᵢ into a
+# universal hash family. WITHOUT a modulus, a·h+b is MONOTONIC in h, so
+# every "family member" selects the same argmin shingle and the MinHash
+# estimate degenerates to a 1-sample estimator (est ∈ {0,1}; recall at
+# threshold J collapses to ≈J — found when the exact-Jaccard oracle
+# caught a missed 0.89-Jaccard pair).
+_MERSENNE_P = 4294967311
+
+
 def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    # 31-bit coefficients over a 31-bit reduced hash: a*h+b < 2^63, so
-    # the arithmetic never overflows (Spark 4 ANSI mode errors on wrap)
+    # 31-bit coefficients over a 31-bit reduced hash: a*h+b < 2^62+2^31
+    # never overflows a long even before the pmod (Spark 4 ANSI mode
+    # errors on wrap), and pmod(·, p) with p > 2^32 > max(h) keeps the
+    # map injective enough for a proper permutation family
     return [
         (rng.randrange(1, 2**31) | 1, rng.randrange(0, 2**31))
         for _ in range(num_hashes)
@@ -101,7 +112,9 @@ def minhash_signatures(
 
     Each shingle is hashed with xxhash64 exactly ONCE (explode → one
     string hash per row); the 64 hash-family members are affine
-    permutations ``aᵢ·h + bᵢ`` (Java long wraparound — deterministic),
+    permutations ``(aᵢ·h + bᵢ) mod p`` (p prime > 2^32 — see
+    ``_MERSENNE_P``; an un-modded affine map is monotonic and NOT a
+    hash family),
     reduced with 64 map-side-combinable ``min`` aggregates. This is
     ~64× cheaper than re-hashing every shingle per family member and
     shuffles only (id, 64×8 bytes) after partial aggregation.
@@ -129,7 +142,7 @@ def minhash_signatures(
     # construction costs a py4j round-trip per call — ~1 s of driver
     # time for 64 affine aggregates (see PERF.md)
     mins = [
-        F.expr(f"min(h * {a}L + {b}L)").alias(f"__m{i}")
+        F.expr(f"min(pmod(h * {a}L + {b}L, {_MERSENNE_P}L))").alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = F.expr(

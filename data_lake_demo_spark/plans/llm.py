@@ -83,15 +83,41 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-then-verify: MinHash candidates re-scored with exact
-    3-gram Jaccard (rows-only check)."""
+    """Candidate-then-verify: MinHash-LSH candidates re-scored with
+    exact 3-gram Jaccard, keeping pairs at >= 0.4.
+
+    Candidates are generated over the SAME 3-gram shingles the verify
+    tier scores (a 5-gram candidate pass under-recalls pairs whose
+    3-gram overlap clears the cut), with the estimated-Jaccard
+    pre-filter relaxed to 0.3 — the exact verify does the real
+    filtering, so the pre-filter is purely a cost knob. The oracle is
+    the exact all-pairs computation, so a green row certifies LSH
+    recall at this threshold, not just pair arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs)
+    cands = minhash_lsh_candidates(docs, shingle_n=3, min_jaccard=0.3)
     return (
         ngram_jaccard_pairs(docs, cands)
         .filter(F.col("jaccard") >= 0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+    END AS g
+  FROM toks),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g)) * 1.0
+           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4 ORDER BY id_a, id_b
+"""
 
 
 def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,11 +601,16 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
-    exact cosine verification (rows-only — the hyperplane family is
-    engine-specific; operators/similarity.py embedding_near_dup_pairs).
-    The fixture embeddings are synthetic with no true near-dups (max
-    pair cosine ≈ 0.45), so the cut is 0.3 here to keep the verify
-    tier non-vacuous; production near-dup cuts are ≥0.9."""
+    exact cosine verification (operators/similarity.py
+    embedding_near_dup_pairs). The fixture embeddings are synthetic
+    with no true near-dups (max pair cosine ≈ 0.45), so the cut is 0.3
+    here to keep the verify tier non-vacuous; production near-dup cuts
+    are ≥0.9.
+
+    Oracle-checked: the sign-LSH hyperplane family is deterministic
+    literal data (seed 42), so the oracle replicates the SAME buckets
+    and exact-cosine verify in SQL — a full value-hash check of the
+    query's actual semantics, not just row counts."""
     from data_lake_demo_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -589,9 +620,46 @@ def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_list(vals) -> str:
+    """DuckDB list<double> literal (repr round-trips exactly)."""
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB dot-product idiom shared by every vector oracle."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _near_dup_oracle() -> str:
+    """Replicates embedding_near_dup_pairs: the same 8 seed-42
+    hyperplanes as literal lists, the same bucket id (bit i = sign of
+    dot with plane i), bucket self-join, exact cosine >= 0.3."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+scored AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         floor(({_duck_dot('a.v', 'b2.v')}
+            / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('b2.v', 'b2.v')})))
+           * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
+"""
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each vector against its label centroid — a grouped
-    vector aggregate (array-wise avg), all JVM-side."""
+    vector aggregate (array-wise avg), all JVM-side. Oracle-checked:
+    pure arithmetic; the 1e-4 fixed-point quantization absorbs
+    sum-order FP noise between engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = to_double_array(F.col("embedding"))
     dim = 64
@@ -612,6 +680,24 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         quantize(cosine(v, F.col("centroid")), 10_000).alias("centroid_sim"),
     ).orderBy("vec_id")
+
+
+def _centroid_sim_oracle() -> str:
+    """Per-label centroid as sum/count over dimension indexes (the
+    same sum/n the Spark side computes), then quantized cosine."""
+    return f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent AS (
+  SELECT label, i, sum(v[i]) / count(*) AS c
+  FROM e, range(1, 65) AS r(i) GROUP BY label, i),
+cv AS (SELECT label, list(c ORDER BY i) AS cen FROM cent GROUP BY label)
+SELECT vec_id, e.label AS label,
+  floor(({_duck_dot('v', 'cen')}
+     / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('cen', 'cen')})))
+    * 10000 + 0.5) / 10000 AS centroid_sim
+FROM e JOIN cv ON e.label = cv.label ORDER BY vec_id
+"""
 
 
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,7 +1239,12 @@ ORACLE = {
     "emb_norms": EMB_NORMS_SQL,
     "knn_brute_force": KNN_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
-    # doc_minhash_near_dups / doc_simhash_buckets / doc_ngram_jaccard_dups /
-    # emb_lsh_ann / emb_label_centroid_sim: rows-only (hash-family /
-    # FP-accumulation specifics are engine-side).
+    "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "emb_near_dups": _near_dup_oracle(),
+    "emb_label_centroid_sim": _centroid_sim_oracle(),
+    # doc_minhash_near_dups / doc_simhash_buckets / emb_lsh_ann /
+    # emb_ivf_ann: rows-only (xxhash64 minhash families and k-means
+    # cell assignment are engine-side; their exact twins —
+    # doc_ngram_jaccard_dups, emb_near_dups, knn_brute_force — are
+    # value-hash checked).
 }
