@@ -11,15 +11,17 @@ from __future__ import annotations
 from data_lake_demo_spark.plans import events, llm, relational
 
 # Registration order is load-bearing: the driver's correctness gate
-# samples the FIRST 50 entries of queries(). llm (32) + events (10)
+# samples the FIRST 50 entries of queries(). llm (34) + events (11)
 # register first so the LLM-pipeline / event-time surface — the
 # north-star additions — always lands inside the checked window; the
-# first 8 relational entries fill the rest (driver-unproven queries
-# lead, r01-green unchanged queries absorb the overflow — see
-# relational.QUERIES). anti_join_customers_without_orders sits first
-# outside the window: its round-2 change is predicate-only (no new
-# aggregate types), r1's driver row was green, and the sf0.01 parity
-# replica covers it — the lowest-risk eviction.
+# first 5 relational entries fill the rest. Round-4 rotation:
+# anti_join_customers_without_orders leads relational (the only
+# relational query never driver-verified); the round-4 additions
+# (emb_pq_ann, doc_scrub_boilerplate, countmin_event_type_freq) and
+# the three newly-oracle-bearing queries (doc_ngram_jaccard_dups,
+# emb_near_dups, emb_label_centroid_sim) are all in-window via their
+# modules; evicted relational entries are r3-green and unchanged —
+# rationale in relational.QUERIES.
 ALL_MODULES = [llm, events, relational]
 
 

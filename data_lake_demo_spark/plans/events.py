@@ -359,7 +359,34 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def countmin_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every event type
+    (operators/countmin.py): build a 4x1024 counter table in one
+    hash-only shuffle, then estimate each key distributed (broadcast
+    join + min over depth counters). The oracle is the EXACT group
+    count — count-min never undercounts, and at this key cardinality
+    vs width the collision probability is ~0, so a green row certifies
+    the sketch's exactness envelope end-to-end (bounds and merge laws
+    are pytest-pinned in tests/test_operators.py)."""
+    from data_lake_demo_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_build(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    return count_min_estimate(sketch, keys, "event_type").orderBy("event_type")
+
+
+COUNTMIN_FREQ_SQL = """
+SELECT event_type, count(*) AS est FROM events GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "countmin_event_type_freq": countmin_event_type_freq,
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
     "events_rolling_7d_active": events_rolling_7d_active,
@@ -373,6 +400,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_rolling_7d_active": ROLLING_7D_SQL,
     "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,

@@ -599,6 +599,18 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (rows-only check — the k-means
+    codebooks are engine-specific; recall vs brute force is asserted
+    in tests/test_operators.py). ADC scan over m-byte codes + exact
+    cosine re-rank; operators/similarity.py pq_ann_topk."""
+    from data_lake_demo_spark.operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -790,6 +802,54 @@ SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
                                '\\s+', ' ', 'g'))) AS clean_digest
 FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def doc_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (the C4/RefinedWeb
+    line-dedup step; operators/corpus.py scrub_boilerplate). The
+    fixture documents are single-line, so the query builds a
+    multi-line corpus inline: a shared nav header and footer wrap
+    each document — exactly the shape the operator targets — and the
+    scrub must remove them (plus any full-text planted dup lines)
+    while preserving the order and untrimmed form of surviving
+    lines."""
+    from data_lake_demo_spark.operators.corpus import scrub_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    multi = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("NAVIGATION MENU HOME ABOUT"),
+            F.col("text"),
+            F.lit("(c) example.com cookies required"),
+        ),
+    )
+    return (
+        scrub_boilerplate(multi)
+        .select("doc_id", "text_scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+SCRUB_BOILERPLATE_SQL = """
+WITH d AS (SELECT doc_id,
+  'NAVIGATION MENU HOME ABOUT' || chr(10) || text || chr(10)
+    || '(c) example.com cookies required' AS t
+  FROM documents WHERE doc_id < 100),
+lh AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+docline AS (SELECT DISTINCT doc_id, md5(trim(l)) AS h
+            FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM d)
+            WHERE length(trim(l)) >= 1),
+boil AS (SELECT coalesce(list(h), []) AS bh
+         FROM (SELECT h FROM docline GROUP BY h HAVING count(*) >= 2)),
+scrubbed AS (
+  SELECT doc_id,
+         array_to_string(list_filter(ls, l -> NOT list_contains(bh, md5(trim(l)))),
+                         chr(10)) AS text_scrubbed
+  FROM lh CROSS JOIN boil)
+SELECT doc_id, text_scrubbed FROM scrubbed ORDER BY doc_id
 """
 
 
@@ -1197,6 +1257,7 @@ QUERIES = {
     "doc_winnowing_overlap": doc_winnowing_overlap,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_normalize_scrub": doc_normalize_scrub,
+    "doc_scrub_boilerplate": doc_scrub_boilerplate,
     "doc_split_assign": doc_split_assign,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_overlap": doc_chunk_overlap,
@@ -1209,6 +1270,7 @@ QUERIES = {
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
     "emb_ivf_ann": emb_ivf_ann,
+    "emb_pq_ann": emb_pq_ann,
     "emb_near_dups": emb_near_dups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "emb_quantize_int8": emb_quantize_int8,
@@ -1240,6 +1302,7 @@ ORACLE = {
     "knn_brute_force": KNN_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_lsh_ann /

@@ -1686,9 +1686,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # go FIRST so the fixes get a fresh CORRECTNESS row; the remainder keep
 # their round-1 green rows.
 QUERIES = {
-    # driver-UNPROVEN queries first (added round 2, never in the
-    # 50-entry correctness window), then round-1 fixes, then the
-    # r01-green padding that may safely fall out of the window
+    # Round-4 rotation: llm (34) + events (11) take the first 45 slots
+    # of the driver's 50-entry correctness window, so only the FIRST
+    # FIVE entries here are in-window. anti_join leads (the one
+    # relational query never driver-verified — changed round 2, missed
+    # the r2/r3 windows); the next four are r1-green entries whose
+    # last driver row is the oldest. Evicted to make room: the six
+    # r3-green rows (bloom_semi_join_orders, unpivot_stack_measures,
+    # orders_table_profile, case_when_conditional_agg,
+    # q12_priority_by_flag, q7_volume_shipping, q22_idle_rich_customers)
+    # and rows-only approx_stats — all unchanged since their green row.
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "q1_pricing_summary": q1_pricing_summary,
+    "group_count_ordinal": group_count_ordinal,
+    "global_count": global_count,
+    "distinct_counts": distinct_counts,
     "bloom_semi_join_orders": bloom_semi_join_orders,
     "unpivot_stack_measures": unpivot_stack_measures,
     "orders_table_profile": orders_table_profile,
@@ -1697,11 +1709,6 @@ QUERIES = {
     "approx_stats": approx_stats,
     "q7_volume_shipping": q7_volume_shipping,
     "q22_idle_rich_customers": q22_idle_rich_customers,
-    "anti_join_customers_without_orders": anti_join_customers_without_orders,
-    "q1_pricing_summary": q1_pricing_summary,
-    "group_count_ordinal": group_count_ordinal,
-    "global_count": global_count,
-    "distinct_counts": distinct_counts,
     "rollup_revenue": rollup_revenue,
     "cube_quantity": cube_quantity,
     "grouping_sets_revenue": grouping_sets_revenue,
