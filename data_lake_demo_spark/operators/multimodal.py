@@ -39,7 +39,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, media_type string, byte_len long, feature array<float>"
+    "media_id long, media_type string, byte_len long, feature array<float>, "
+    "entropy double, n_distinct_bytes long, mean_byte double, magic string"
 )
 
 
@@ -73,20 +74,31 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
 def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     """The decode → feature-extract stage as `mapInPandas`.
 
-    STUB: a real implementation would decode `payload` with an image/
-    audio library and run a feature extractor per Arrow batch. Here the
-    "feature" is a deterministic fold of the payload bytes so the
-    pipeline (batching, schema, downstream joins) is fully testable.
-    Raise `NotImplementedError` for media types a codec would be
-    required for if `strict` decoding were requested.
+    The byte-level features are REAL (computable on any binary column,
+    codec or not): Shannon entropy of the byte histogram (log2),
+    distinct-byte count, mean byte value, and the leading 4 bytes as a
+    latin-1 "magic number" string — the standard corrupt-file /
+    format-mismatch screens a media ingest runs before decode. Only
+    the `feature` embedding remains a stub (a deterministic fold of
+    payload bytes): a real extractor needs the image/audio codec this
+    container lacks, and slots into the same per-batch kernel without
+    touching the plan.
     """
+    import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, ents, nds, means, magics = [], [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                # deterministic fake "embedding" of the bytes
+                arr = np.frombuffer(b, np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / max(len(arr), 1)
+                ents.append(float(-(p * np.log2(p)).sum()) if len(arr) else 0.0)
+                nds.append(int((counts > 0).sum()))
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                magics.append(b[:4].decode("latin1"))
+                # deterministic fake "embedding" of the bytes (STUB)
                 feats.append(
                     [float(sum(b[i::feature_dim]) % 1000) / 1000.0 for i in range(feature_dim)]
                 )
@@ -96,6 +108,10 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
                     "feature": feats,
+                    "entropy": ents,
+                    "n_distinct_bytes": nds,
+                    "mean_byte": means,
+                    "magic": magics,
                 }
             )
 

@@ -1216,9 +1216,13 @@ FROM cum GROUP BY shard ORDER BY shard
 
 
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → mapInPandas decode/featurize stage →
-    per-type feature stats (operators/multimodal.py; the decode kernel
-    is a deterministic stub, the Spark plumbing is real)."""
+    """Binary media columns → mapInPandas featurize stage → per-media
+    byte-level features (operators/multimodal.py): Shannon entropy,
+    distinct-byte count, mean byte, magic-number prefix. These are
+    REAL computations over the binary payload (the codec decode is the
+    only remaining stub), and the oracle recomputes every one of them
+    from the same synthetic payload in SQL — a full value-hash check
+    of the Arrow kernel, batching, and schema plumbing."""
     from data_lake_demo_spark.operators.multimodal import (
         decode_and_featurize,
         synthetic_media,
@@ -1226,17 +1230,45 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media(spark, n=96)
     feats = decode_and_featurize(media)
-    return (
-        feats.select("media_id", "media_type", "byte_len", F.explode("feature").alias("f"))
-        .groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_feature_values"),
-            F.countDistinct("media_id").alias("n_media"),
-            F.min("f").alias("min_f"),
-            F.max("f").alias("max_f"),
-        )
-        .orderBy("media_type")
-    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        quantize(F.col("entropy"), COS_Q).alias("entropy"),
+        "n_distinct_bytes",
+        quantize(F.col("mean_byte"), COS_Q).alias("mean_byte"),
+        "magic",
+    ).orderBy("media_id")
+
+
+# the synthetic payload is the UTF-8 bytes of sha256(id) hex — exactly
+# reproducible in SQL, so the oracle rebuilds payloads and recomputes
+# every byte feature independently of the Arrow kernel
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT range AS media_id,
+         ['image','audio','video'][(range % 3) + 1] AS media_type,
+         sha256(CAST(range AS VARCHAR)) AS hexs
+  FROM range(96)),
+chars AS (
+  SELECT media_id, media_type, hexs, len(hexs) AS byte_len,
+         [ord(substr(hexs, i, 1)) FOR i IN range(1, len(hexs) + 1)] AS bs
+  FROM m),
+hist AS (
+  SELECT media_id, b, count(*) AS c
+  FROM (SELECT media_id, unnest(bs) AS b FROM chars) GROUP BY media_id, b),
+ent AS (
+  SELECT media_id,
+         floor((-sum((c * 1.0 / 64) * log2(c * 1.0 / 64))) * {COS_Q} + 0.5)
+           / {COS_Q} AS entropy,
+         count(*) AS n_distinct_bytes
+  FROM hist GROUP BY media_id)
+SELECT c.media_id, media_type, CAST(byte_len AS BIGINT) AS byte_len, entropy,
+       CAST(n_distinct_bytes AS BIGINT) AS n_distinct_bytes,
+       floor(list_avg(bs) * {COS_Q} + 0.5) / {COS_Q} AS mean_byte,
+       substr(hexs, 1, 4) AS magic
+FROM chars c JOIN ent USING (media_id) ORDER BY media_id
+"""
 
 
 QUERIES = {
@@ -1303,6 +1335,7 @@ ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
+    "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_lsh_ann /
