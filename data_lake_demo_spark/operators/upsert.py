@@ -1,10 +1,13 @@
-"""MERGE-style upsert and SCD2 history without a table format.
+"""MERGE-style upsert and SCD2 history as pure dataframe rewrites.
 
-The v1 image has no Delta/Iceberg jars, so MERGE INTO is emulated
-with the classic anti-join + union rewrite (the same logical plan a
-format's MERGE produces), committed via idempotent dynamic partition
-overwrite. The reference's idempotent-write guard (worker.py:214-221)
-is the degenerate case (insert-if-absent on the natural key).
+No Delta/Iceberg jars in this image, so MERGE INTO is emulated with
+the classic anti-join + union rewrite (the same logical plan a
+format's MERGE produces). The transactional half lives in
+``data_lake_demo_spark.tableformat.AcidTable.merge``, which runs this
+rewrite under a commit log: snapshot-isolated read, copy-on-write
+staging, atomic remove+add commit, optimistic retry on conflict. The
+reference's idempotent-write guard (worker.py:214-221) is the
+degenerate case (insert-if-absent on the natural key).
 
 At 100 TB: both operations shuffle once on the merge key; with the
 target bucketed on the key the join side of the shuffle disappears.
