@@ -8,14 +8,62 @@ descriptor 1, bypassing ``sys.stdout`` — which corrupted the driver's
 parse of round 1's output. We therefore dup the real stdout away at
 startup, point fd 1 at stderr for the whole run, and emit exactly one
 compact JSON line on the saved descriptor at the end.
+
+Regression lock: BENCH_LOCK.json (committed) keeps the last few warm
+timings per (sf, query) and their median. A query slower than 1.5x
+its locked median (and above a 0.5 s noise floor) is flagged in the
+output line — a run-conditions episode once cost a full round of
+perf signal because nothing compared against history.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+LOCK_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCK.json")
+LOCK_KEEP = 5  # rolling window of runs per query
+REGRESS_FACTOR = 1.5
+NOISE_FLOOR_S = 0.5
+
+
+def _load_lock() -> dict:
+    try:
+        with open(LOCK_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _check_and_update_lock(sf_key: str, timings: dict[str, float]) -> dict[str, list]:
+    """Compare against locked medians, then fold this run in.
+    Returns {query: [current, locked_median]} for flagged queries."""
+    lock = _load_lock()
+    per_sf = lock.setdefault(sf_key, {})
+    regressions: dict[str, list] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue  # failed queries are reported via n_failed
+        ent = per_sf.get(name)
+        if ent and ent.get("median"):
+            med = ent["median"]
+            if t > REGRESS_FACTOR * med and t > NOISE_FLOOR_S:
+                regressions[name] = [round(t, 2), med]
+        runs = (ent.get("runs", []) if ent else []) + [round(t, 3)]
+        runs = runs[-LOCK_KEEP:]
+        per_sf[name] = {
+            "runs": runs,
+            "median": round(statistics.median(runs), 3),
+        }
+    try:
+        with open(LOCK_PATH, "w") as f:
+            json.dump(lock, f, indent=1, sort_keys=True)
+    except OSError as e:  # lock is advisory — never fail the bench
+        print(f"# lock write failed: {e}", file=sys.stderr)
+    return regressions
 
 
 def main() -> None:
@@ -73,6 +121,10 @@ def main() -> None:
     # to parse. Emit the 20 slowest queries individually (the ones that
     # matter for perf grading) plus an aggregate for the rest; every
     # per-query timing is still on stderr.
+    regressions = _check_and_update_lock(f"sf{sf}", timings)
+    for name, (cur, med) in regressions.items():
+        print(f"# REGRESSION {name}: {cur}s vs locked median {med}s", file=sys.stderr)
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     rest = round(sum(v for k, v in timings.items() if k not in slowest and v > 0), 2)
     line = json.dumps(
@@ -84,6 +136,8 @@ def main() -> None:
             "other_queries_sec": rest,
             "n_queries": len(timings),
             "n_failed": sum(1 for v in timings.values() if v < 0),
+            "n_regressed": len(regressions),
+            "regressions": dict(list(regressions.items())[:5]),
             "sf": sf,
         },
         separators=(",", ":"),

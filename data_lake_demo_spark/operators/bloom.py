@@ -27,6 +27,8 @@ seed is an INT literal on both sides.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,23 +84,62 @@ def bloom_probe_filter(
     key_col: str,
     blocks: list[int],
     n_hashes: int = N_HASHES_DEFAULT,
+    *,
+    max_literal_bits: int = 1 << 20,
 ) -> DataFrame:
     """Keep rows whose key MIGHT be in the bloom (no false negatives).
-    The bitset is one constant-folded array literal; each of the k
-    checks indexes it with element_at — all JVM-side, no UDF, runs in
-    the scan stage."""
+
+    Two physical strategies behind one contract:
+
+    - **Literal path** (bitsets up to ``max_literal_bits``, default
+      2^20 bits = 128 KiB): the bitset is one constant-folded array
+      literal; each of the k checks indexes it with element_at — all
+      JVM-side, no UDF, runs in the scan stage. Beyond ~1 MB the
+      serialized literal bloats every task's plan and parse time —
+      do NOT raise the cap past that.
+    - **Broadcast path** (larger bitsets): positions are still
+      computed JVM-side (the xxhash64 hash contract must match the
+      build side exactly), but the bitset ships as a Spark BROADCAST
+      (one copy per executor, not per-plan-copy) and an
+      Arrow-vectorized pandas UDF tests all k bits per batch with
+      numpy — still map-side inside the scan stage, no shuffle.
+    """
     n_bits = len(blocks) * 64
-    checks = " AND ".join(
-        f"(element_at(__bloom, "
-        f"CAST(pmod(xxhash64({key_col}, {i}), {n_bits}) DIV 64 AS INT) + 1) "
-        f"& shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(pmod(xxhash64({key_col}, {i}), {n_bits}) % 64 AS INT))) != 0"
-        for i in range(n_hashes)
+    if n_bits <= max_literal_bits:
+        checks = " AND ".join(
+            f"(element_at(__bloom, "
+            f"CAST(pmod(xxhash64({key_col}, {i}), {n_bits}) DIV 64 AS INT) + 1) "
+            f"& shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({key_col}, {i}), {n_bits}) % 64 AS INT))) != 0"
+            for i in range(n_hashes)
+        )
+        return (
+            df.withColumn("__bloom", F.expr(_sql_long_array(blocks)))
+            .filter(F.expr(checks))
+            .drop("__bloom")
+        )
+
+    bits = np.array(blocks, dtype=np.int64).view(np.uint64)
+    bcast = df.sparkSession.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def __bloom_hit(positions: pd.Series) -> pd.Series:
+        b = bcast.value
+        arr = np.asarray(positions.tolist(), dtype=np.int64)
+        if arr.size == 0:
+            return pd.Series([], dtype=bool)
+        word = b[arr >> 6]
+        mask = np.uint64(1) << (arr & np.int64(63)).astype(np.uint64)
+        return pd.Series(((word & mask) != 0).all(axis=1))
+
+    pos = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(F.xxhash64(F.col(key_col), i), F.lit(n_bits)),
     )
     return (
-        df.withColumn("__bloom", F.expr(_sql_long_array(blocks)))
-        .filter(F.expr(checks))
-        .drop("__bloom")
+        df.withColumn("__pos", pos)
+        .filter(__bloom_hit(F.col("__pos")))
+        .drop("__pos")
     )
 
 

@@ -743,6 +743,39 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     assert fp_rate < 0.10, fp_rate  # 4096 bits / 100 keys, k=5 → ~0.2% expected
 
 
+def test_bloom_broadcast_fallback_beyond_literal_cap(spark):
+    """Bitsets past the in-plan-literal cap (2^20 bits) must switch to
+    the broadcast + Arrow-vectorized probe and return the IDENTICAL
+    result: no false negatives, same exact semi-join after verify."""
+    from data_lake_demo_spark.operators.bloom import (
+        bloom_probe_filter,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    fact = spark.range(0, 20_000).select(F.col("id").alias("fk"))
+    n_bits = 1 << 21  # 2 Mbit = 256 KiB bitset: over the literal cap
+
+    blocks = build_bloom(dim, "k", n_bits=n_bits)
+    probed_df = bloom_probe_filter(fact, "fk", blocks)
+    # the fallback actually engaged: an ArrowEvalPython node, no
+    # giant literal in the plan
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    probed = set(r["fk"] for r in probed_df.collect())
+    assert set(range(100)) <= probed  # zero false negatives
+    # 2^21 bits / 100 keys: false positives ~0
+    assert len(probed) - 100 < 50
+
+    # identical end-to-end result through the exact verify join
+    got = set(
+        r["fk"]
+        for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=n_bits).collect()
+    )
+    assert got == set(range(100))
+
+
 def test_hll_daily_users_merge_property(spark):
     """The HLL rollup's two contracts: (1) union-of-hourly sketches
     estimates the same as one direct daily sketch (mergeability — the
