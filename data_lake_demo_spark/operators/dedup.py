@@ -251,7 +251,16 @@ def minhash_lsh_candidates(
     # is genuinely small, which is the correct direction of adaptivity.
     a = banded.alias("a").hint("merge")
     b = banded.alias("b")
-    pairs = (
+    # estimate BEFORE the pair dedup: a pair matching in k bands would
+    # otherwise carry both 64-long signature arrays (~1 KB/row) through
+    # the dropDuplicates shuffle k times; est is identical for every
+    # duplicate, so deduping (id_a, id_b, est) shuffles 24 bytes/row
+    est = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / float(num_hashes)
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -261,19 +270,11 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
+        .filter(F.col("est_jaccard") >= min_jaccard)
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / float(num_hashes)
-    return pairs.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= min_jaccard)
 
 
 def simhash_fingerprints(
