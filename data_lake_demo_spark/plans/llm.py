@@ -583,11 +583,41 @@ FROM e GROUP BY label ORDER BY label
 
 
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only check — the hash
-    family is engine-specific)."""
+    """LSH-bucketed approximate top-5. Oracle-checked like
+    emb_near_dups: the sign-LSH hyperplane family is literal data, so
+    the oracle replicates the same buckets, candidate join, quantized
+    cosine, and top-k window in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+def _lsh_ann_oracle() -> str:
+    """Replicates lsh_ann_topk(k=5, n_planes=8, seed=42) end-to-end."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT qid, c.vec_id AS nid,
+         floor(({_duck_dot('qv', 'c.v')}
+            / (sqrt({_duck_dot('qv', 'qv')}) * sqrt({_duck_dot('c.v', 'c.v')})))
+           * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> qid)
+SELECT qid, nid, cos_sim, rk FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM scored) t
+WHERE rk <= 5 ORDER BY qid, rk
+"""
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,9 +1368,11 @@ ORACLE = {
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
-    # doc_minhash_near_dups / doc_simhash_buckets / emb_lsh_ann /
-    # emb_ivf_ann: rows-only (xxhash64 minhash families and k-means
-    # cell assignment are engine-side; their exact twins —
+    "emb_lsh_ann": _lsh_ann_oracle(),
+    # doc_minhash_near_dups / doc_simhash_buckets / emb_ivf_ann /
+    # emb_pq_ann: rows-only (xxhash64 minhash/simhash families and
+    # k-means codebooks are engine-side; their exact twins —
     # doc_ngram_jaccard_dups, emb_near_dups, knn_brute_force — are
-    # value-hash checked).
+    # value-hash checked, and emb_lsh_ann's hyperplane family is
+    # literal data so it IS value-hash checked).
 }
