@@ -48,6 +48,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _COMMITS = "_commits"
@@ -63,7 +64,7 @@ class Commit:
     version: int
     op: str
     ts: float
-    add: list[str]
+    add: list[dict]  # {"path": str, "stats": {col: [min, max]}}
     remove: list[str]
     schema_json: str
 
@@ -102,27 +103,44 @@ class AcidTable:
                     version=d["version"],
                     op=d["op"],
                     ts=d["ts"],
-                    add=d["add"],
+                    # tolerate the pre-stats action shape (bare paths)
+                    add=[
+                        a if isinstance(a, dict) else {"path": a, "stats": {}}
+                        for a in d["add"]
+                    ],
                     remove=d["remove"],
                     schema_json=d["schema"],
                 )
             )
         return out
 
-    def _resolve(self, as_of: int | None = None) -> tuple[list[str], str | None]:
-        """Replay the action log → (live files, latest schema json)."""
-        live: set[str] = set()
+    def _resolve_actions(
+        self, as_of: int | None = None
+    ) -> tuple[dict[str, dict], str | None]:
+        """Replay the action log → ({live file: stats}, latest schema)."""
+        live: dict[str, dict] = {}
         schema = None
         for c in self.history():
             if as_of is not None and c.version > as_of:
                 break
-            live -= set(c.remove)
-            live |= set(c.add)
+            for p in c.remove:
+                live.pop(p, None)
+            for a in c.add:
+                live[a["path"]] = a.get("stats", {})
             schema = c.schema_json
+        return live, schema
+
+    def _resolve(self, as_of: int | None = None) -> tuple[list[str], str | None]:
+        live, schema = self._resolve_actions(as_of)
         return sorted(live), schema
 
     def _try_commit(
-        self, version: int, op: str, add: list[str], remove: list[str], schema_json: str
+        self,
+        version: int,
+        op: str,
+        add: list[dict],
+        remove: list[str],
+        schema_json: str,
     ) -> int:
         """Put-if-absent commit: hard-link a staged temp file into the
         version slot. POSIX ``link`` fails with EEXIST if a concurrent
@@ -166,13 +184,61 @@ class AcidTable:
         ]
         return sorted(files), df.schema.json()
 
+    def _file_meta(self, rel_path: str) -> tuple[int | None, dict[str, list]]:
+        """(row count, per-column [min, max]) from the parquet footer
+        (the Iceberg manifest idiom): driver-side metadata read, no
+        data scan. Only scalar-typed columns with stats in every row
+        group qualify — anything else is simply absent (treated as
+        'may contain any value' by pruning)."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(os.path.join(self.path, rel_path))
+        except Exception:  # stats are an optimization, never a failure
+            return None, {}
+        out: dict[str, list] = {}
+        schema = md.schema
+        for ci in range(md.num_columns if md.num_row_groups else 0):
+            name = schema.column(ci).name
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    ok = False  # binary stats aren't JSON-comparable
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok and lo is not None:
+                out[name] = [lo, hi]
+        return md.num_rows, out
+
     # ---- public operations ----------------------------------------------
+
+    def _stage_actions(self, df: DataFrame) -> tuple[list[dict], str]:
+        """Stage + footer-stats manifest entries (the Iceberg idiom:
+        stats ride in the log so planning never opens data files).
+        Provably-empty part files (a common byproduct of writing from
+        more partitions than data) are dropped from the manifest — they
+        carry no rows and, having no row groups, no stats either."""
+        files, schema = self._stage(df)
+        actions = []
+        for f in files:
+            rows, stats = self._file_meta(f)
+            if rows == 0:
+                continue
+            actions.append({"path": f, "stats": stats})
+        return actions, schema
 
     def append(self, df: DataFrame, *, max_retries: int = 10) -> int:
         """Transactional append. Data files are written ONCE; only the
         (cheap) commit is retried on conflict — appends commute, so a
         lost race needs no re-read."""
-        add, schema = self._stage(df)
+        add, schema = self._stage_actions(df)
         for _ in range(max_retries):
             try:
                 return self._try_commit(
@@ -185,7 +251,7 @@ class AcidTable:
     def overwrite(self, df: DataFrame, *, max_retries: int = 10) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
-        add, schema = self._stage(df)
+        add, schema = self._stage_actions(df)
         for _ in range(max_retries):
             base = self.latest_version()
             live, _ = self._resolve(base if base >= 0 else None)
@@ -209,6 +275,37 @@ class AcidTable:
             *[os.path.join(self.path, f) for f in files]
         )
 
+    def _touched_files(
+        self,
+        live: dict[str, dict],
+        updates: DataFrame,
+        keys: Sequence[str],
+    ) -> list[str]:
+        """Manifest-level pruning: a live file can be SKIPPED by the
+        merge when its footer [min, max] range on ANY merge-key column
+        is disjoint from the update batch's range for that column — it
+        provably contains no matchable row. Files without stats for a
+        key column are conservatively touched. One tiny driver agg on
+        the update side; no data file is opened."""
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        row = updates.agg(*aggs).first()
+        touched = []
+        for path, stats in live.items():
+            skip = False
+            for k in keys:
+                rng = stats.get(k)
+                ulo, uhi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+                if rng is not None and ulo is not None and (
+                    rng[1] < ulo or rng[0] > uhi
+                ):
+                    skip = True  # disjoint on this key column
+                    break
+            if not skip:
+                touched.append(path)
+        return sorted(touched)
+
     def merge(
         self,
         updates: DataFrame,
@@ -217,24 +314,43 @@ class AcidTable:
         dedupe_order: str | None = None,
         max_retries: int = 5,
     ) -> int:
-        """MERGE INTO (upsert) with snapshot-isolated copy-on-write:
-        read a pinned snapshot, apply operators/upsert.merge_upsert,
-        stage the result, and commit remove(old)+add(new) atomically.
-        A commit conflict re-reads the NEW snapshot and re-runs the
-        merge — classic optimistic concurrency, so concurrent merges
-        serialize instead of silently dropping one writer's rows."""
+        """MERGE INTO (upsert) with snapshot-isolated copy-on-write and
+        manifest-level file skipping: only live files whose footer
+        min/max ranges can contain a merge key are read and rewritten
+        (operators/upsert.merge_upsert); provably-unmatchable files
+        stay untouched in the new snapshot. The commit removes the
+        touched set + adds the rewrite atomically. A commit conflict
+        re-reads the NEW snapshot and re-runs the merge — classic
+        optimistic concurrency, so concurrent merges serialize instead
+        of silently dropping one writer's rows.
+
+        At 100 TB this pruning is what makes point-ish MERGE usable:
+        an update batch touching one day's key range rewrites that
+        day's files, not the table."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
         for _ in range(max_retries):
             base = self.latest_version()
-            old_files, _ = self._resolve(base if base >= 0 else None)
-            target = self.snapshot(base if base >= 0 else None)
+            live, schema_json = self._resolve_actions(
+                base if base >= 0 else None
+            )
+            touched = self._touched_files(live, updates, keys)
+            if touched:
+                target = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                )
+            elif schema_json is not None:
+                target = self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
+            else:
+                raise ValueError(f"table {self.path} has no commits")
             merged = merge_upsert(
                 target, updates, keys, dedupe_order=dedupe_order
             )
-            add, schema = self._stage(merged)
+            add, schema = self._stage_actions(merged)
             try:
-                return self._try_commit(base + 1, "merge", add, old_files, schema)
+                return self._try_commit(base + 1, "merge", add, touched, schema)
             except CommitConflict:
                 continue
         raise CommitConflict(f"merge lost {max_retries} commit races")

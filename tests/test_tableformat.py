@@ -116,6 +116,41 @@ def test_concurrent_merges_serialize(spark, tmp_path):
     assert t.latest_version() == 2  # base + two serialized merges
 
 
+def test_merge_skips_files_outside_key_range(spark, tmp_path):
+    """Manifest-level pruning: a merge whose keys fall entirely in one
+    append's range must rewrite ONLY that append's files — the other
+    append's files survive by path in the new snapshot (Iceberg-style
+    footer-stats skipping, no data file opened for the decision)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, f"lo{i}") for i in range(10)], "k long, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"hi{i}") for i in range(1000, 1010)], "k long, v string"
+        )
+    )
+    live_before, _ = t._resolve_actions()
+    lo_files = set(t.history()[0].add[i]["path"] for i in range(len(t.history()[0].add)))
+    assert all(s.get("k") for s in live_before.values()), "footer stats missing"
+
+    t.merge(
+        spark.createDataFrame([(1005, "HI"), (1099, "new")], "k long, v string"),
+        ["k"],
+    )
+    live_after, _ = t._resolve_actions()
+    # the low-range files are untouched (same paths still live)
+    assert lo_files <= set(live_after)
+    # the high-range files were rewritten (removed from the live set)
+    assert t.history()[-1].remove
+    assert not any(p in live_after for p in t.history()[-1].remove)
+    # and the data is exactly a full-table merge's result
+    expect = [(i, f"lo{i}") for i in range(10)] + [
+        (i, f"hi{i}") for i in range(1000, 1010) if i != 1005
+    ] + [(1005, "HI"), (1099, "new")]
+    assert _rows(t.snapshot()) == sorted(expect)
+
+
 def test_commit_conflict_is_put_if_absent(spark, tmp_path):
     """The primitive itself: two writers, one version slot, exactly one
     winner."""
