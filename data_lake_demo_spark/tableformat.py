@@ -354,3 +354,70 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"merge lost {max_retries} commit races")
+
+    def scd2(
+        self,
+        changes: DataFrame,
+        key: str,
+        *,
+        effective_col: str = "effective_ts",
+        current_col: str = "is_current",
+        end_col: str = "end_ts",
+        dedupe_order: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Transactional SCD2 history application: the
+        operators/upsert.scd2_apply rewrite (close out changed current
+        rows, append new versions) committed as one atomic
+        remove-all+add-all snapshot — readers never see a dimension
+        with a key both closed AND still current. Full-table
+        copy-on-write (SCD2 touches the is_current flag across the
+        dimension; dimensions are small relative to facts)."""
+        from data_lake_demo_spark.operators.upsert import scd2_apply
+
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, _ = self._resolve(base)
+            new_dim = scd2_apply(
+                self.snapshot(base),
+                changes,
+                key,
+                effective_col=effective_col,
+                current_col=current_col,
+                end_col=end_col,
+                dedupe_order=dedupe_order,
+            )
+            add, schema = self._stage_actions(new_dim)
+            try:
+                return self._try_commit(base + 1, "scd2", add, live, schema)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"scd2 lost {max_retries} commit races")
+
+    def vacuum(self, *, retain_versions: int = 10) -> list[str]:
+        """Garbage-collect data files unreferenced by every retained
+        snapshot: files removed by commits older than the retention
+        horizon, plus staging files no commit ever referenced (crashed
+        writers). Time travel keeps working for the retained window —
+        the same contract as Delta's VACUUM. Returns deleted paths."""
+        latest = self.latest_version()
+        horizon = max(latest - retain_versions + 1, 0)
+        # files referenced by ANY retained snapshot version
+        referenced: set[str] = set()
+        for v in range(horizon, latest + 1):
+            live, _ = self._resolve(v)
+            referenced |= set(live)
+        deleted = []
+        data_root = os.path.join(self.path, _DATA)
+        for stage in sorted(os.listdir(data_root)):
+            sdir = os.path.join(data_root, stage)
+            for n in sorted(os.listdir(sdir)):
+                rel = os.path.join(_DATA, stage, n)
+                if n.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(self.path, rel))
+                    deleted.append(rel)
+            if not os.listdir(sdir):
+                os.rmdir(sdir)
+        return deleted

@@ -160,6 +160,54 @@ def test_commit_conflict_is_put_if_absent(spark, tmp_path):
         t._try_commit(0, "append", [], [], '{"type":"struct","fields":[]}')
 
 
+def test_scd2_transactional(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "v1", 100, True, None), (2, "w1", 100, True, None)],
+            "k long, attr string, effective_ts long, is_current boolean, end_ts long",
+        )
+    )
+    t.scd2(
+        spark.createDataFrame(
+            [(1, "v2", 200)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+    )
+    rows = _rows(t.snapshot().select("k", "attr", "is_current", "end_ts"))
+    assert rows == [
+        (1, "v1", False, 200),  # closed out
+        (1, "v2", True, None),  # new current
+        (2, "w1", True, None),  # untouched
+    ]
+    # pre-change dimension is still time-travelable
+    assert len(_rows(t.snapshot(as_of=0))) == 2
+    assert t.history()[-1].op == "scd2"
+
+
+def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    old_files, _ = t._resolve()
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t._stage(spark.createDataFrame([(3, "orphan")], "k long, v string"))
+
+    # retention covering every version: nothing referenced is deleted,
+    # but the never-committed orphan stage IS garbage
+    deleted = t.vacuum(retain_versions=10)
+    assert all("orphan" not in d for d in old_files)
+    assert all(os.path.exists(os.path.join(t.path, f)) for f in old_files)
+    assert deleted  # the orphaned staging files
+
+    # retention of 1: the overwritten v0 files become garbage
+    deleted2 = t.vacuum(retain_versions=1)
+    assert set(old_files) <= set(deleted2)
+    assert not any(os.path.exists(os.path.join(t.path, f)) for f in old_files)
+    assert _rows(t.snapshot()) == [(2, "b")]  # latest unaffected
+
+
 def test_empty_table_after_remove_all_keeps_schema(spark, tmp_path):
     t = AcidTable(spark, str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
