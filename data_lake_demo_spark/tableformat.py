@@ -67,6 +67,7 @@ class Commit:
     add: list[dict]  # {"path": str, "stats": {col: [min, max]}}
     remove: list[str]
     schema_json: str
+    txn: dict | None = None  # {"app": str, "batch_id": int}
 
 
 def _commit_path(table: str, version: int) -> str:
@@ -110,9 +111,20 @@ class AcidTable:
                     ],
                     remove=d["remove"],
                     schema_json=d["schema"],
+                    txn=d.get("txn"),
                 )
             )
         return out
+
+    def last_txn_batch(self, app: str) -> int | None:
+        """Highest batch id this writer app has committed (None if it
+        never has) — the idempotent-replay watermark."""
+        best = None
+        for c in self.history():
+            if c.txn and c.txn.get("app") == app:
+                b = c.txn["batch_id"]
+                best = b if best is None else max(best, b)
+        return best
 
     def _resolve_actions(
         self, as_of: int | None = None
@@ -141,6 +153,7 @@ class AcidTable:
         add: list[dict],
         remove: list[str],
         schema_json: str,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Put-if-absent commit: hard-link a staged temp file into the
         version slot. POSIX ``link`` fails with EEXIST if a concurrent
@@ -154,6 +167,8 @@ class AcidTable:
             "remove": remove,
             "schema": schema_json,
         }
+        if txn is not None:
+            body["txn"] = {"app": txn[0], "batch_id": txn[1]}
         tmp = os.path.join(
             self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json"
         )
@@ -234,19 +249,54 @@ class AcidTable:
             actions.append({"path": f, "stats": stats})
         return actions, schema
 
-    def append(self, df: DataFrame, *, max_retries: int = 10) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 10,
+    ) -> int:
         """Transactional append. Data files are written ONCE; only the
         (cheap) commit is retried on conflict — appends commute, so a
-        lost race needs no re-read."""
+        lost race needs no re-read.
+
+        ``txn=(app, batch_id)`` makes the append IDEMPOTENT per
+        (app, batch_id) — the Delta txnAppId/txnVersion contract that
+        turns foreachBatch's at-least-once redelivery into
+        exactly-once: a replayed batch sees its id already committed
+        and becomes a no-op. The check re-runs after every lost race
+        so two concurrent replays of the same batch can't both land."""
+        if txn is not None:
+            last = self.last_txn_batch(txn[0])
+            if last is not None and txn[1] <= last:
+                return self.latest_version()
         add, schema = self._stage_actions(df)
         for _ in range(max_retries):
+            if txn is not None:
+                last = self.last_txn_batch(txn[0])
+                if last is not None and txn[1] <= last:
+                    return self.latest_version()
             try:
                 return self._try_commit(
-                    self.latest_version() + 1, "append", add, [], schema
+                    self.latest_version() + 1, "append", add, [], schema, txn
                 )
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} commit races")
+
+    def foreach_batch_sink(self, app: str):
+        """``writeStream.foreachBatch`` adapter: exactly-once streaming
+        ingestion into the ACID table. Structured Streaming guarantees
+        monotonically increasing batch ids per checkpoint and replays a
+        batch after failure with the SAME id; the txn watermark above
+        deduplicates the replay, so end-to-end delivery is
+        exactly-once (the streaming twin of the reference's
+        idempotent-write guard, worker.py:214-221)."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, txn=(app, int(batch_id)))
+
+        return sink
 
     def overwrite(self, df: DataFrame, *, max_retries: int = 10) -> int:
         """Atomic full-table replace (remove every live file + add the

@@ -208,6 +208,45 @@ def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
     assert _rows(t.snapshot()) == [(2, "b")]  # latest unaffected
 
 
+def test_streaming_exactly_once_sink(spark, tmp_path):
+    """foreachBatch → AcidTable with txn batch ids: a replayed batch
+    (at-least-once redelivery after failure) must be a no-op, a new
+    batch id must append — end-to-end exactly-once."""
+    src = str(tmp_path / "src")
+    ev = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g long")
+    ev.write.parquet(src)
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(t.foreach_batch_sink("ingest"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 30
+    committed = t.history()[-1]
+    assert committed.txn == {"app": "ingest", "batch_id": 0}
+
+    # simulated failure redelivery of the SAME batch: no duplicates
+    sink = t.foreach_batch_sink("ingest")
+    sink(ev, 0)
+    assert t.snapshot().count() == 30
+
+    # a fresh batch id appends normally
+    sink(spark.createDataFrame([(100, 0)], "id long, g long"), 1)
+    assert t.snapshot().count() == 31
+
+    # a different app is an independent watermark
+    AcidTable(spark, str(tmp_path / "t")).append(
+        spark.createDataFrame([(200, 0)], "id long, g long"),
+        txn=("backfill", 0),
+    )
+    assert t.snapshot().count() == 32
+
+
 def test_empty_table_after_remove_all_keeps_schema(spark, tmp_path):
     t = AcidTable(spark, str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
