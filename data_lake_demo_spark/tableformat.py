@@ -446,6 +446,44 @@ class AcidTable:
                 continue
         raise CommitConflict(f"scd2 lost {max_retries} commit races")
 
+    def optimize_zorder(
+        self,
+        cols: Sequence[str],
+        *,
+        n_files: int = 16,
+        max_retries: int = 5,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the table Z-ordered on ``cols``
+        (operators/zorder.zvalue — interleaved quantile-bucket bits,
+        range-partitioned so each file covers a compact hyper-rectangle
+        of the key space). Pure layout change committed as one atomic
+        snapshot swap: same rows, but every file's footer [min, max]
+        is narrow on EVERY participating column, so the manifest-level
+        pruning in ``merge`` (and any engine's row-group skipping)
+        becomes selective on all of them at once — the reason table
+        formats pair OPTIMIZE with MERGE-heavy workloads."""
+        from data_lake_demo_spark.operators.zorder import zvalue
+
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, _ = self._resolve(base)
+            laid_out = (
+                zvalue(self.snapshot(base), list(cols))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            add, schema = self._stage_actions(laid_out)
+            try:
+                return self._try_commit(
+                    base + 1, "optimize_zorder", add, live, schema
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"optimize lost {max_retries} commit races")
+
     def vacuum(self, *, retain_versions: int = 10) -> list[str]:
         """Garbage-collect data files unreferenced by every retained
         snapshot: files removed by commits older than the retention

@@ -208,6 +208,44 @@ def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
     assert _rows(t.snapshot()) == [(2, "b")]  # latest unaffected
 
 
+def test_optimize_zorder_improves_merge_pruning(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (a, b), a merge keyed on a narrow `a`
+    range must skip most files — the layout makes footer stats
+    selective on every z column, where the scattered pre-optimize
+    layout forces a near-full rewrite. Row content is unchanged."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(10_000), rnd.randrange(10_000), i) for i in range(4000)]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    # scattered layout: every file spans nearly the full key range
+    t.append(spark.createDataFrame(rows, "a long, b long, payload long").repartition(16))
+    live_scattered, _ = t._resolve_actions()
+    touched_before = t._touched_files(
+        live_scattered,
+        spark.createDataFrame([(5000, 5000, 0)], "a long, b long, payload long"),
+        ["a"],
+    )
+    # a mid-range key: every scattered file's a-range contains it
+    assert len(touched_before) == len(live_scattered)  # no pruning possible
+
+    v = t.optimize_zorder(["a", "b"], n_files=16)
+    assert t.history()[v].op == "optimize_zorder"
+    assert sorted(r[2] for r in t.snapshot().collect()) == sorted(
+        r[2] for r in rows
+    )  # same rows, new layout
+
+    live_z, _ = t._resolve_actions()
+    touched_after = t._touched_files(
+        live_z,
+        spark.createDataFrame([(5000, 5000, 0)], "a long, b long, payload long"),
+        ["a"],
+    )
+    assert len(touched_after) < len(live_z) / 2, (
+        f"z-order should prune most files: {len(touched_after)}/{len(live_z)}"
+    )
+
+
 def test_streaming_exactly_once_sink(spark, tmp_path):
     """foreachBatch → AcidTable with txn batch ids: a replayed batch
     (at-least-once redelivery after failure) must be a no-op, a new
