@@ -520,3 +520,222 @@ def pq_ann_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "cos_sim", "rk")
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 64,
+    rerank: int = 4,
+    seed: int = 42,
+    max_iter: int = 4,
+    train_limit: int = 20_000,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ index, ``by_residual=False``
+    variant): the coarse quantizer prunes which rows are scored at all
+    (each query touches ~nprobe/nlist of the corpus), and PQ codes make
+    the surviving scan m bytes/vector via per-query ADC lookup tables.
+    Top ``rerank*k`` ADC candidates are re-ranked with exact cosine.
+
+    Why the composition is the 100 TB shape: IVF alone still reads
+    full float vectors inside probed cells (8·dim bytes each); PQ
+    alone scans every code in the corpus. Together the scan is
+    (nprobe/nlist) × m bytes per vector — a ~4000× IO cut at dim=64,
+    nlist=16, nprobe=4, m=8 — which is why every billion-vector
+    system (FAISS IVFPQ, ScaNN, DiskANN hybrids) pairs a coarse
+    pruner with a compressed in-cell code.
+
+    Scale shape mirrors the component operators: both quantizers fit
+    on ONE bounded driver sample (numpy); cell assignment and code
+    encoding are a single JVM pass over constant-folded literals; each
+    query ships one m·ksub lookup table + probe list via broadcast; the
+    only shuffle is the final top-k window over (qid, nid, score) rows.
+
+    Bench-number caveat: cell assignment + encoding is INDEX BUILD —
+    in production it runs once and the (cell, codes) table persists;
+    re-running it per query batch (as the bench does, no index store)
+    charges the build to every batch. Amortized per-query cost is the
+    ADC scan + rerank only.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
+    )
+    dim = infer_dim(corpus, vec_col)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(a):
+        n = np.linalg.norm(a, axis=-1, keepdims=True)
+        n[n == 0] = 1.0
+        return a / n
+
+    sample = _unit(
+        np.asarray(
+            [r["nvec"] for r in c.select("nvec").limit(train_limit).collect()],
+            dtype=np.float64,
+        )
+    )
+    rng = np.random.default_rng(seed)
+
+    def _kmeans(pts, n_clusters):
+        ctrs = pts[rng.choice(len(pts), size=n_clusters, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((pts[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
+            owner = d2.argmin(1)
+            for j in range(n_clusters):
+                sel = pts[owner == j]
+                if len(sel):
+                    ctrs[j] = sel.mean(0)
+        return ctrs
+
+    nlist_eff = min(nlist, len(sample))
+    ksub_eff = min(ksub, len(sample))
+    coarse = _kmeans(sample, nlist_eff)
+    books = [
+        _kmeans(sample[:, s * dsub : (s + 1) * dsub], ksub_eff) for s in range(m)
+    ]
+
+    # --- one JVM pass: unit-normalize, assign coarse cell, PQ-encode ---
+    norm_ = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("nvec"), F.col("nvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cn = c.withColumn(
+        "nunit",
+        F.when(norm_ > 0, F.transform(F.col("nvec"), lambda x: x / norm_)).otherwise(
+            F.col("nvec")
+        ),
+    )
+    dist2 = lambda v, ctr: F.aggregate(  # noqa: E731
+        F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            f"struct({_sql_double_array(ctr)} as ctr, {i} as cell)"
+            for i, ctr in enumerate(coarse)
+        )
+        + ")"
+    )
+    cn = cn.withColumn(
+        "cell",
+        F.array_min(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    dist2(F.col("nunit"), s["ctr"]).alias("d"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"],
+    )
+    for s in range(m):
+        cn = cn.withColumn(f"__sub{s}", F.slice(F.col("nunit"), s * dsub + 1, dsub))
+
+    def _encode(s: int):
+        book_lit = F.expr(
+            "array("
+            + ",".join(
+                f"struct({_sql_double_array(ctr)} as ctr, {j} as code)"
+                for j, ctr in enumerate(books[s])
+            )
+            + ")"
+        )
+        return F.array_min(
+            F.transform(
+                book_lit,
+                lambda st: F.struct(
+                    dist2(F.col(f"__sub{s}"), st["ctr"]).alias("d"),
+                    st["code"].alias("code"),
+                ),
+            )
+        )["code"].alias(f"__c{s}")
+
+    codes = cn.select(
+        "nid", "cell", F.array(*[_encode(s) for s in range(m)]).alias("codes")
+    )
+
+    # --- per-query: probe cells (driver numpy — |queries| × nlist) and
+    #     ADC lookup table, shipped together as one broadcast literal ---
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    ).collect()
+    spark = corpus.sparkSession
+    q_structs = []
+    for r in qrows:
+        qv = _unit(np.asarray(r["qvec"], dtype=np.float64))
+        cells = np.argsort(-(coarse @ qv))[:nprobe]  # highest IP cells
+        dt = [
+            float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j]))
+            for s in range(m)
+            for j in range(ksub_eff)
+        ]
+        probe_arr = "array(" + ",".join(str(int(x)) for x in cells) + ")"
+        q_structs.append(
+            f"struct({r['qid']}L as qid, {_sql_double_array(dt)} as dt, "
+            f"{probe_arr} as probes)"
+        )
+    # explode probes to (qid, dt, cell) rows: the probe join becomes a
+    # broadcast HASH join on cell (|queries|·nprobe tiny rows), not a
+    # nested-loop array_contains over every corpus row
+    qlit = (
+        spark.range(1)
+        .select(F.explode(F.expr("array(" + ",".join(q_structs) + ")")).alias("q"))
+        .select("q.qid", "q.dt", F.explode("q.probes").alias("cell"))
+    )
+
+    adc = (
+        codes.join(F.broadcast(qlit), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "adc_score",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("dt"),
+                    s * ksub_eff + F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ),
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("nid"))
+    cands = (
+        adc.withColumn("rk0", F.row_number().over(wq))
+        .filter(F.col("rk0") <= rerank * k)
+        .select("qid", "nid")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        cands.join(c, "nid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cos_sim", "rk")
+    )

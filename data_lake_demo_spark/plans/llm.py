@@ -629,6 +629,18 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN top-5 (rows-only — both quantizers are
+    k-means; recall vs brute force pinned in tests). The billion-vector
+    shape: coarse cells prune the scan, PQ codes compress it
+    (operators/similarity.py ivfpq_ann_topk)."""
+    from data_lake_demo_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_ann_topk(emb, queries, k=5, nprobe=8).orderBy("qid", "rk")
+
+
 def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (rows-only check — the k-means
     codebooks are engine-specific; recall vs brute force is asserted
@@ -1333,6 +1345,7 @@ QUERIES = {
     "emb_lsh_ann": emb_lsh_ann,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
+    "emb_ivfpq_ann": emb_ivfpq_ann,
     "emb_near_dups": emb_near_dups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "emb_quantize_int8": emb_quantize_int8,

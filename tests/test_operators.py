@@ -983,6 +983,25 @@ def test_pq_ann_recall_vs_brute_force(spark):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_ivfpq_ann_recall_vs_brute_force(spark):
+    """IVF pruning + PQ codes + exact re-rank: recall@5 against brute
+    force on the structureless synthetic embeddings. Two approximation
+    stages stack (cell pruning AND code quantization), so the floor is
+    below the single-stage operators' — but the composition must stay
+    way above the ~nprobe/nlist random-candidate baseline."""
+    from data_lake_demo_spark.operators.similarity import ivfpq_ann_topk
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.qid, r.nid)
+        for r in ivfpq_ann_topk(emb, queries, k=5, nprobe=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
 def test_winnow_containment_detects_planted_paragraph(spark):
     """A 14-token paragraph pasted from a test doc into an otherwise
     unrelated train doc must produce nonzero containment for that test
