@@ -321,7 +321,11 @@ class AcidTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(schema))
             )
-        return self.spark.read.parquet(
+        # mergeSchema: additive schema evolution across commits — an
+        # append with new columns widens the table; older files read
+        # the missing columns as null (the Delta/Iceberg add-column
+        # semantics, resolved at read time from parquet footers)
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
 
@@ -445,6 +449,28 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"scd2 lost {max_retries} commit races")
+
+    def compact(self, *, n_files: int = 16, max_retries: int = 5) -> int:
+        """OPTIMIZE (bin-packing): rewrite the table into ``n_files``
+        right-sized files as one atomic snapshot swap. The antidote to
+        small-file buildup from streaming appends — a micro-batch sink
+        commits a few small files per trigger, and parquet scan setup
+        is per-file; periodic compaction restores scan efficiency
+        without pausing ingestion (readers keep resolving consistent
+        snapshots throughout)."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, _ = self._resolve(base)
+            add, schema = self._stage_actions(
+                self.snapshot(base).repartition(n_files)
+            )
+            try:
+                return self._try_commit(base + 1, "compact", add, live, schema)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"compact lost {max_retries} commit races")
 
     def optimize_zorder(
         self,

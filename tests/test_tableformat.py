@@ -208,6 +208,38 @@ def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
     assert _rows(t.snapshot()) == [(2, "b")]  # latest unaffected
 
 
+def test_compact_coalesces_small_files(spark, tmp_path):
+    """Many small streaming-style appends → one compact commit: far
+    fewer live files, identical rows, old snapshots still readable."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for i in range(8):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string").repartition(2)
+        )
+    live_small, _ = t._resolve_actions()
+    v = t.compact(n_files=2)
+    live_compact, _ = t._resolve_actions()
+    assert len(live_compact) < len(live_small)
+    assert len(live_compact) <= 2
+    assert t.history()[v].op == "compact"
+    assert _rows(t.snapshot()) == [(i, f"v{i}") for i in range(8)]
+    assert len(_rows(t.snapshot(as_of=3))) == 4  # time travel intact
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: an append with a new column widens
+    the table; rows from older files read the column as null."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    snap = t.snapshot()
+    assert sorted(snap.columns) == ["k", "score", "v"]
+    got = {r.k: r.score for r in snap.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
 def test_optimize_zorder_improves_merge_pruning(spark, tmp_path):
     """After OPTIMIZE ZORDER BY (a, b), a merge keyed on a narrow `a`
     range must skip most files — the layout makes footer stats
