@@ -29,13 +29,20 @@ protocol those formats use, reduced to its essentials:
   entry — readers see the old or the new table, never a mix.
 
 At 100 TB: the log holds per-commit ``add``/``remove`` ACTIONS (not
-full listings), so commit cost is O(files touched); snapshot
+full listings) with per-file footer [min, max] stats (the Iceberg
+manifest idiom), so commit cost is O(files touched) and MERGE prunes
+provably-unmatchable files without opening any data file. Snapshot
 resolution replays the log, which real formats bound with periodic
 checkpoints — the replay here is a driver-side fold over a few KB of
-JSON per commit. Full-table copy-on-write MERGE is the v1
-simplification; the format-grade refinement (partition-pruned
-rewrite, merge-on-read deletes) changes which files the same commit
-protocol adds/removes, not the protocol itself.
+JSON per commit.
+
+The full verb set: ``append`` (idempotent per (app, batch_id) —
+exactly-once streaming via ``foreach_batch_sink``), ``overwrite``,
+``merge`` (file-skipping copy-on-write), ``scd2``, ``compact``
+(bin-packing OPTIMIZE), ``optimize_zorder`` (multi-column layout for
+stats selectivity), ``vacuum`` (snapshot-aware GC), ``snapshot``
+(latest or time-travel, with additive schema evolution via parquet
+schema merge).
 """
 
 from __future__ import annotations
