@@ -230,8 +230,24 @@ class AcidTable:
                     ok = False
                     break
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes) or isinstance(mx, bytes):
-                    ok = False  # binary stats aren't JSON-comparable
+                # only JSON-primitive stats survive: binary isn't
+                # serializable, and datetime/date (timestamp columns)
+                # would crash the commit's json.dump AND compare
+                # unequally against Spark-side values in pruning.
+                # Dropping a column's stats just means merges keyed on
+                # it don't prune — never a correctness issue.
+                if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                    mx, (int, float, str, bool)
+                ):
+                    ok = False
+                    break
+                # long string stats may be TRUNCATED in the footer; a
+                # truncated max understates the range and would prune a
+                # file that does contain a match — drop them instead
+                if (isinstance(mn, str) and len(mn) >= 48) or (
+                    isinstance(mx, str) and len(mx) >= 48
+                ):
+                    ok = False
                     break
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)

@@ -208,6 +208,31 @@ def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
     assert _rows(t.snapshot()) == [(2, "b")]  # latest unaffected
 
 
+def test_timestamp_columns_commit_and_merge(spark, tmp_path):
+    """Timestamp/date parquet stats arrive as datetime objects — they
+    must not crash the JSON commit, and merges keyed on such columns
+    simply skip pruning (conservative full rewrite), never corrupt."""
+    import datetime
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    rows = [
+        (1, datetime.datetime(2026, 1, 1, 12), "a"),
+        (2, datetime.datetime(2026, 6, 1, 12), "b"),
+    ]
+    t.append(spark.createDataFrame(rows, "k long, ts timestamp, v string"))
+    live, _ = t._resolve_actions()
+    assert all("ts" not in s for s in live.values())  # stats dropped
+    assert any("k" in s for s in live.values())  # numeric stats kept
+    t.merge(
+        spark.createDataFrame(
+            [(2, datetime.datetime(2026, 6, 2, 12), "B")],
+            "k long, ts timestamp, v string",
+        ),
+        ["k"],
+    )
+    assert sorted(r.v for r in t.snapshot().collect()) == ["B", "a"]
+
+
 def test_compact_coalesces_small_files(spark, tmp_path):
     """Many small streaming-style appends → one compact commit: far
     fewer live files, identical rows, old snapshots still readable."""
