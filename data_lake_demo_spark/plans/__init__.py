@@ -11,12 +11,12 @@ from __future__ import annotations
 from data_lake_demo_spark.plans import events, llm, relational
 
 # Registration order is load-bearing: the driver's correctness gate
-# samples the FIRST 50 entries of queries(). llm (35) + events (11)
+# samples the FIRST 50 entries of queries(). llm (36) + events (11)
 # register first so the LLM-pipeline / event-time surface — the
 # north-star additions — always lands inside the checked window; the
-# first 4 relational entries fill the rest (distinct_counts fell out
-# when emb_ivfpq_ann registered — r1-green and unchanged since).
-# Round-4 rotation:
+# first 3 relational entries fill the rest (global_count and
+# distinct_counts fell out when emb_ivfpq_ann and doc_pii_scrub
+# registered — both r1-green and unchanged since). Round-4 rotation:
 # anti_join_customers_without_orders leads relational (the only
 # relational query never driver-verified); the round-4 additions
 # (emb_pq_ann, doc_scrub_boilerplate, countmin_event_type_freq) and

@@ -847,6 +847,67 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the C4/RefinedWeb pre-release scrub): detect and
+    mask emails, phone numbers, and IPv4 addresses with JVM regexp —
+    patterns kept to the RE2-compatible subset so the DuckDB oracle
+    runs them verbatim. The fixture docs carry no PII, so the query
+    wires deterministic synthetic PII into each document first (same
+    pattern as doc_scrub_boilerplate's inline corpus); counts + the
+    digest of the scrubbed text are value-hash checked."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    wired = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7"),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<email>"),
+            _PII_PHONE,
+            "<phone>",
+        ),
+        _PII_IP,
+        "<ip>",
+    )
+    return wired.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IP)).alias("n_ips"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_digest"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+WITH wired AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+              || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS text
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<email>', 'g'), '{_PII_PHONE}', '<phone>', 'g'),
+             '{_PII_IP}', '<ip>', 'g')) AS scrub_digest
+FROM wired ORDER BY doc_id
+"""
+
+
 def doc_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate-line removal (the C4/RefinedWeb
     line-dedup step; operators/corpus.py scrub_boilerplate). The
@@ -1332,6 +1393,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_normalize_scrub": doc_normalize_scrub,
     "doc_scrub_boilerplate": doc_scrub_boilerplate,
+    "doc_pii_scrub": doc_pii_scrub,
     "doc_split_assign": doc_split_assign,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_overlap": doc_chunk_overlap,
@@ -1378,6 +1440,7 @@ ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
+    "doc_pii_scrub": PII_SCRUB_SQL,
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
