@@ -389,6 +389,7 @@ class AcidTable:
         keys: Sequence[str],
         *,
         dedupe_order: str | None = None,
+        txn: tuple[str, int] | None = None,
         max_retries: int = 5,
     ) -> int:
         """MERGE INTO (upsert) with snapshot-isolated copy-on-write and
@@ -403,10 +404,20 @@ class AcidTable:
 
         At 100 TB this pruning is what makes point-ish MERGE usable:
         an update batch touching one day's key range rewrites that
-        day's files, not the table."""
+        day's files, not the table.
+
+        ``txn=(app, batch_id)`` makes the merge idempotent per batch id
+        (same watermark contract as ``append``) — the streaming CDC
+        shape: ``foreach_batch_merge_sink`` upserts each micro-batch
+        and a post-failure replay is a no-op instead of a second
+        rewrite."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
         for _ in range(max_retries):
+            if txn is not None:
+                last = self.last_txn_batch(txn[0])
+                if last is not None and txn[1] <= last:
+                    return self.latest_version()
             base = self.latest_version()
             live, schema_json = self._resolve_actions(
                 base if base >= 0 else None
@@ -427,10 +438,34 @@ class AcidTable:
             )
             add, schema = self._stage_actions(merged)
             try:
-                return self._try_commit(base + 1, "merge", add, touched, schema)
+                return self._try_commit(
+                    base + 1, "merge", add, touched, schema, txn
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"merge lost {max_retries} commit races")
+
+    def foreach_batch_merge_sink(
+        self,
+        app: str,
+        keys: Sequence[str],
+        *,
+        dedupe_order: str | None = None,
+    ):
+        """``writeStream.foreachBatch`` adapter for streaming UPSERT —
+        the CDC-apply shape: each micro-batch of change rows merges
+        into the table (latest-per-key within the batch when
+        ``dedupe_order`` is set), exactly once per batch id."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge(
+                batch_df,
+                keys,
+                dedupe_order=dedupe_order,
+                txn=(app, int(batch_id)),
+            )
+
+        return sink
 
     def scd2(
         self,

@@ -342,6 +342,39 @@ def test_streaming_exactly_once_sink(spark, tmp_path):
     assert t.snapshot().count() == 32
 
 
+def test_streaming_cdc_merge_sink(spark, tmp_path):
+    """Streaming UPSERT (CDC apply): micro-batches of change rows merge
+    into the table exactly once — a replayed batch id must not trigger
+    a second rewrite (version unchanged), and within-batch duplicates
+    resolve latest-per-key via dedupe_order."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, v string, ver long")
+    )
+    sink = t.foreach_batch_merge_sink("cdc", ["k"], dedupe_order="ver")
+
+    # batch 0: update k=2 twice (ver 1 then 2) + insert k=3
+    sink(
+        spark.createDataFrame(
+            [(2, "B1", 1), (2, "B2", 2), (3, "c", 1)], "k long, v string, ver long"
+        ),
+        0,
+    )
+    assert _rows(t.snapshot().select("k", "v")) == [(1, "a"), (2, "B2"), (3, "c")]
+    v_after = t.latest_version()
+
+    # replay of batch 0 (failure redelivery): no-op, version unchanged
+    sink(
+        spark.createDataFrame([(2, "GHOST", 9)], "k long, v string, ver long"), 0
+    )
+    assert t.latest_version() == v_after
+    assert _rows(t.snapshot().select("k", "v")) == [(1, "a"), (2, "B2"), (3, "c")]
+
+    # next batch id applies
+    sink(spark.createDataFrame([(1, "A", 3)], "k long, v string, ver long"), 1)
+    assert _rows(t.snapshot().select("k", "v")) == [(1, "A"), (2, "B2"), (3, "c")]
+
+
 def test_empty_table_after_remove_all_keeps_schema(spark, tmp_path):
     t = AcidTable(spark, str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
