@@ -32,9 +32,17 @@ At 100 TB: the log holds per-commit ``add``/``remove`` ACTIONS (not
 full listings) with per-file footer [min, max] stats (the Iceberg
 manifest idiom), so commit cost is O(files touched) and MERGE prunes
 provably-unmatchable files without opening any data file. Snapshot
-resolution replays the log, which real formats bound with periodic
-checkpoints — the replay here is a driver-side fold over a few KB of
-JSON per commit.
+resolution starts from the newest CHECKPOINT at-or-before the target
+version (a materialized {live files, schema, txn watermarks} written
+every ``checkpoint_interval`` commits — Delta's `_last_checkpoint`
+idiom) and replays only the commits after it, so resolution cost is
+O(interval), not O(table age).
+
+Storage is abstracted behind ``storage.LogStore`` (put-if-absent /
+list / read): ``LocalFSLogStore`` for POSIX (os.link atomicity),
+``InMemoryLogStore`` as the conformance fake; an object-store backend
+maps put-if-absent to S3 conditional PUT. Data files stay on Spark's
+own Hadoop-FS layer — immutable once staged, they need no CAS.
 
 The full verb set: ``append`` (idempotent per (app, batch_id) —
 exactly-once streaming via ``foreach_batch_sink``), ``overwrite``,
@@ -58,8 +66,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_lake_demo_spark.storage import LocalFSLogStore, LogStore
+
 _COMMITS = "_commits"
 _DATA = "data"
+_CKPT_SUFFIX = ".checkpoint.json"
 
 
 class CommitConflict(Exception):
@@ -77,81 +88,157 @@ class Commit:
     txn: dict | None = None  # {"app": str, "batch_id": int}
 
 
-def _commit_path(table: str, version: int) -> str:
-    return os.path.join(table, _COMMITS, f"{version:020d}.json")
+def _commit_name(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+def _ckpt_name(version: int) -> str:
+    return f"{version:020d}{_CKPT_SUFFIX}"
 
 
 class AcidTable:
-    """Handle to one commit-log table rooted at ``path``."""
+    """Handle to one commit-log table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``log_store`` defaults to a POSIX-backed ``LocalFSLogStore`` under
+    ``<path>/_commits``; any ``storage.LogStore`` (e.g. the in-memory
+    conformance fake, or an object-store adapter) can be substituted —
+    the format depends only on put-if-absent / list / read.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        log_store: LogStore | None = None,
+        checkpoint_interval: int = 20,
+    ):
         self.spark = spark
         self.path = path
-        os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
+        self.checkpoint_interval = checkpoint_interval
+        self.log = log_store or LocalFSLogStore(os.path.join(path, _COMMITS))
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
     # ---- log primitives -------------------------------------------------
 
+    @staticmethod
+    def _is_commit(name: str) -> bool:
+        # strict stem check: junk (leaked temp files, checkpoints,
+        # foreign objects) is ignored, never a ValueError
+        return name.endswith(".json") and name[:-5].isdigit()
+
+    @staticmethod
+    def _is_checkpoint(name: str) -> bool:
+        return name.endswith(_CKPT_SUFFIX) and name[: -len(_CKPT_SUFFIX)].isdigit()
+
     def latest_version(self) -> int:
         """-1 when the table has no commits yet."""
-        names = [
-            n
-            for n in os.listdir(os.path.join(self.path, _COMMITS))
-            if n.endswith(".json")
-        ]
-        return max((int(n[:-5]) for n in names), default=-1)
+        return max(
+            (int(n[:-5]) for n in self.log.list_names() if self._is_commit(n)),
+            default=-1,
+        )
+
+    def _read_commit(self, version: int) -> Commit:
+        d = json.loads(self.log.read(_commit_name(version)))
+        return Commit(
+            version=d["version"],
+            op=d["op"],
+            ts=d["ts"],
+            # tolerate the pre-stats action shape (bare paths)
+            add=[
+                a if isinstance(a, dict) else {"path": a, "stats": {}}
+                for a in d["add"]
+            ],
+            remove=d["remove"],
+            schema_json=d["schema"],
+            txn=d.get("txn"),
+        )
 
     def history(self) -> list[Commit]:
-        out = []
-        for v in range(self.latest_version() + 1):
-            with open(_commit_path(self.path, v)) as f:
-                d = json.load(f)
-            out.append(
-                Commit(
-                    version=d["version"],
-                    op=d["op"],
-                    ts=d["ts"],
-                    # tolerate the pre-stats action shape (bare paths)
-                    add=[
-                        a if isinstance(a, dict) else {"path": a, "stats": {}}
-                        for a in d["add"]
-                    ],
-                    remove=d["remove"],
-                    schema_json=d["schema"],
-                    txn=d.get("txn"),
-                )
-            )
-        return out
+        """Full commit list, oldest first (audit/display surface —
+        resolution hot paths use the checkpointed ``_resolve_state``)."""
+        return [self._read_commit(v) for v in range(self.latest_version() + 1)]
 
-    def last_txn_batch(self, app: str) -> int | None:
-        """Highest batch id this writer app has committed (None if it
-        never has) — the idempotent-replay watermark."""
+    def _latest_checkpoint_version(self, le: int) -> int | None:
+        """Newest checkpoint at-or-before version ``le`` (None if no
+        checkpoint qualifies)."""
         best = None
-        for c in self.history():
-            if c.txn and c.txn.get("app") == app:
-                b = c.txn["batch_id"]
-                best = b if best is None else max(best, b)
+        for n in self.log.list_names():
+            if self._is_checkpoint(n):
+                v = int(n[: -len(_CKPT_SUFFIX)])
+                if v <= le and (best is None or v > best):
+                    best = v
         return best
 
-    def _resolve_actions(
+    def _resolve_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, dict], str | None]:
-        """Replay the action log → ({live file: stats}, latest schema)."""
+    ) -> tuple[dict[str, dict], str | None, dict[str, int]]:
+        """({live file: stats}, schema, {app: txn watermark}) as of a
+        version. Starts from the newest checkpoint ≤ target and replays
+        only the commits after it — O(checkpoint_interval) log reads
+        regardless of table age (the Delta checkpoint contract)."""
+        target = self.latest_version() if as_of is None else as_of
         live: dict[str, dict] = {}
-        schema = None
-        for c in self.history():
-            if as_of is not None and c.version > as_of:
-                break
+        schema: str | None = None
+        txns: dict[str, int] = {}
+        start = 0
+        if target >= 0:
+            ckpt_v = self._latest_checkpoint_version(target)
+            if ckpt_v is not None:
+                d = json.loads(self.log.read(_ckpt_name(ckpt_v)))
+                live = {a["path"]: a.get("stats", {}) for a in d["live"]}
+                schema = d["schema"]
+                txns = dict(d["txns"])
+                start = ckpt_v + 1
+        for v in range(start, target + 1):
+            c = self._read_commit(v)
             for p in c.remove:
                 live.pop(p, None)
             for a in c.add:
                 live[a["path"]] = a.get("stats", {})
             schema = c.schema_json
+            if c.txn:
+                app, b = c.txn["app"], c.txn["batch_id"]
+                txns[app] = max(txns.get(app, b), b)
+        return live, schema, txns
+
+    def last_txn_batch(self, app: str, *, as_of: int | None = None) -> int | None:
+        """Highest batch id this writer app has committed at-or-before
+        ``as_of`` (None if it never has) — the idempotent-replay
+        watermark. Callers on the commit path MUST evaluate this as-of
+        the same base version they commit against (see ``append``)."""
+        return self._resolve_state(as_of)[2].get(app)
+
+    def _resolve_actions(
+        self, as_of: int | None = None
+    ) -> tuple[dict[str, dict], str | None]:
+        live, schema, _ = self._resolve_state(as_of)
         return live, schema
 
     def _resolve(self, as_of: int | None = None) -> tuple[list[str], str | None]:
         live, schema = self._resolve_actions(as_of)
         return sorted(live), schema
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Materialize the resolved state every ``checkpoint_interval``
+        commits. Best-effort and racy-by-design: checkpoints are pure
+        derived state, put-if-absent dedups concurrent writers, and a
+        missing checkpoint only means a longer replay."""
+        if version < 0 or (version + 1) % self.checkpoint_interval != 0:
+            return
+        live, schema, txns = self._resolve_state(version)
+        body = {
+            "version": version,
+            "live": [{"path": p, "stats": s} for p, s in sorted(live.items())],
+            "schema": schema,
+            "txns": txns,
+        }
+        try:
+            self.log.put_if_absent(
+                _ckpt_name(version), json.dumps(body).encode()
+            )
+        except FileExistsError:
+            pass  # a racing committer of this version already wrote it
 
     def _try_commit(
         self,
@@ -162,10 +249,10 @@ class AcidTable:
         schema_json: str,
         txn: tuple[str, int] | None = None,
     ) -> int:
-        """Put-if-absent commit: hard-link a staged temp file into the
-        version slot. POSIX ``link`` fails with EEXIST if a concurrent
-        writer already owns the version — the whole ACID story rests
-        on this one atomic primitive."""
+        """Put-if-absent commit of the version slot. Exactly one writer
+        wins a version; the whole ACID story rests on this one atomic
+        primitive (os.link on POSIX, conditional PUT on object stores
+        — see storage.LogStore)."""
         body = {
             "version": version,
             "op": op,
@@ -176,19 +263,13 @@ class AcidTable:
         }
         if txn is not None:
             body["txn"] = {"app": txn[0], "batch_id": txn[1]}
-        tmp = os.path.join(
-            self.path, _COMMITS, f".tmp-{uuid.uuid4().hex}.json"
-        )
-        with open(tmp, "w") as f:
-            json.dump(body, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, _commit_path(self.path, version))
+            self.log.put_if_absent(
+                _commit_name(version), json.dumps(body).encode()
+            )
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
-        finally:
-            os.remove(tmp)
+        self._maybe_checkpoint(version)
         return version
 
     # ---- data-file staging ----------------------------------------------
@@ -286,23 +367,24 @@ class AcidTable:
         ``txn=(app, batch_id)`` makes the append IDEMPOTENT per
         (app, batch_id) — the Delta txnAppId/txnVersion contract that
         turns foreachBatch's at-least-once redelivery into
-        exactly-once: a replayed batch sees its id already committed
-        and becomes a no-op. The check re-runs after every lost race
-        so two concurrent replays of the same batch can't both land."""
-        if txn is not None:
+        exactly-once. The watermark is evaluated AS-OF the same base
+        version the commit targets (one log read per attempt), so a
+        concurrent replay that slips in between surfaces as a
+        CommitConflict at base+1 and forces a re-check — two
+        concurrent replays of the same batch can never both land."""
+        if txn is not None:  # cheap pre-stage short-circuit
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
         add, schema = self._stage_actions(df)
         for _ in range(max_retries):
+            base = self.latest_version()
             if txn is not None:
-                last = self.last_txn_batch(txn[0])
+                last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
-                    return self.latest_version()
+                    return base
             try:
-                return self._try_commit(
-                    self.latest_version() + 1, "append", add, [], schema, txn
-                )
+                return self._try_commit(base + 1, "append", add, [], schema, txn)
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} commit races")
@@ -414,14 +496,15 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
         for _ in range(max_retries):
-            if txn is not None:
-                last = self.last_txn_batch(txn[0])
-                if last is not None and txn[1] <= last:
-                    return self.latest_version()
             base = self.latest_version()
-            live, schema_json = self._resolve_actions(
-                base if base >= 0 else None
-            )
+            if txn is not None:
+                # watermark as-of the commit base: a replay landing
+                # after this read makes our base+1 commit conflict,
+                # which re-enters the check (no TOCTOU window)
+                last = self.last_txn_batch(txn[0], as_of=base)
+                if last is not None and txn[1] <= last:
+                    return base
+            live, schema_json = self._resolve_actions(base)
             touched = self._touched_files(live, updates, keys)
             if touched:
                 target = self.spark.read.parquet(
@@ -568,12 +651,30 @@ class AcidTable:
                 continue
         raise CommitConflict(f"optimize lost {max_retries} commit races")
 
-    def vacuum(self, *, retain_versions: int = 10) -> list[str]:
+    def vacuum(
+        self,
+        *,
+        retain_versions: int = 10,
+        grace_seconds: float = 3600.0,
+    ) -> list[str]:
         """Garbage-collect data files unreferenced by every retained
-        snapshot: files removed by commits older than the retention
-        horizon, plus staging files no commit ever referenced (crashed
-        writers). Time travel keeps working for the retained window —
-        the same contract as Delta's VACUUM. Returns deleted paths."""
+        snapshot. Two classes of garbage:
+
+        - files some commit ADDED but every retained snapshot has since
+          removed (superseded data past the time-travel horizon) —
+          deleted unconditionally, the log proves no retained reader
+          can need them;
+        - staging files NO commit ever referenced — a crashed writer's
+          leftovers *or an in-flight writer that staged but has not yet
+          committed*. These are deleted only when older than
+          ``grace_seconds`` (file-mtime), mirroring Delta's VACUUM
+          retention check: without the age gate, vacuuming during a
+          concurrent write would delete the writer's staged files and
+          its subsequent commit would reference dead paths, bricking
+          the snapshot.
+
+        Time travel keeps working for the retained window. Returns
+        deleted paths."""
         latest = self.latest_version()
         horizon = max(latest - retain_versions + 1, 0)
         # files referenced by ANY retained snapshot version
@@ -581,15 +682,29 @@ class AcidTable:
         for v in range(horizon, latest + 1):
             live, _ = self._resolve(v)
             referenced |= set(live)
+        # every path the log has EVER committed (added then removed ⇒
+        # provably superseded; absence ⇒ possibly in-flight)
+        ever_committed: set[str] = set()
+        for c in self.history():
+            ever_committed |= {a["path"] for a in c.add}
+        now = time.time()
         deleted = []
         data_root = os.path.join(self.path, _DATA)
         for stage in sorted(os.listdir(data_root)):
             sdir = os.path.join(data_root, stage)
             for n in sorted(os.listdir(sdir)):
                 rel = os.path.join(_DATA, stage, n)
-                if n.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(self.path, rel))
-                    deleted.append(rel)
+                if not n.endswith(".parquet") or rel in referenced:
+                    continue
+                if rel not in ever_committed:
+                    try:
+                        age = now - os.path.getmtime(os.path.join(self.path, rel))
+                    except OSError:
+                        continue  # raced with the writer finishing its own cleanup
+                    if age < grace_seconds:
+                        continue  # possibly an in-flight writer's staging
+                os.remove(os.path.join(self.path, rel))
+                deleted.append(rel)
             if not os.listdir(sdir):
                 os.rmdir(sdir)
         return deleted

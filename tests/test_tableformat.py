@@ -194,14 +194,18 @@ def test_vacuum_deletes_unreferenced_and_orphans(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
     t._stage(spark.createDataFrame([(3, "orphan")], "k long, v string"))
 
-    # retention covering every version: nothing referenced is deleted,
-    # but the never-committed orphan stage IS garbage
-    deleted = t.vacuum(retain_versions=10)
+    # with the default grace window the never-committed stage is
+    # indistinguishable from an IN-FLIGHT writer's staging — kept
+    assert t.vacuum(retain_versions=10) == []
+
+    # past the grace window (grace 0) it is crashed-writer garbage
+    deleted = t.vacuum(retain_versions=10, grace_seconds=0.0)
     assert all("orphan" not in d for d in old_files)
     assert all(os.path.exists(os.path.join(t.path, f)) for f in old_files)
     assert deleted  # the orphaned staging files
 
-    # retention of 1: the overwritten v0 files become garbage
+    # retention of 1: the overwritten v0 files become garbage — and
+    # being log-committed (then removed), they need NO age gate
     deleted2 = t.vacuum(retain_versions=1)
     assert set(old_files) <= set(deleted2)
     assert not any(os.path.exists(os.path.join(t.path, f)) for f in old_files)
@@ -382,3 +386,153 @@ def test_empty_table_after_remove_all_keeps_schema(spark, tmp_path):
     snap = t.snapshot()
     assert snap.count() == 0
     assert [f.name for f in snap.schema.fields] == ["k", "v"]
+
+
+# ---- storage abstraction + checkpointing (round 5) ----------------------
+
+
+def test_in_memory_log_store_backend(spark, tmp_path):
+    """The table format depends only on the LogStore contract: the full
+    append / overwrite / snapshot / time-travel / txn surface works
+    unchanged against the in-memory conformance fake (data files stay
+    on the local FS; only the LOG is swapped)."""
+    from data_lake_demo_spark.storage import InMemoryLogStore
+
+    store = InMemoryLogStore()
+    t = AcidTable(spark, str(tmp_path / "t"), log_store=store)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(t.snapshot()) == [(9, "z")]
+    assert _rows(t.snapshot(as_of=1)) == [(1, "a"), (2, "b")]
+    assert [c.op for c in t.history()] == ["append", "append", "overwrite"]
+    # put-if-absent conflict on the fake
+    with pytest.raises(CommitConflict):
+        t._try_commit(0, "append", [], [], '{"type":"struct","fields":[]}')
+    # txn watermark round-trips through the fake too
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"), txn=("app", 5))
+    assert t.last_txn_batch("app") == 5
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    """With checkpoint_interval=10, resolving the latest snapshot after
+    35 commits must replay only the commits past the newest checkpoint
+    (O(interval) log reads), not the whole log — and resolution results
+    must be identical to a full replay."""
+    from data_lake_demo_spark.storage import InMemoryLogStore
+
+    store = InMemoryLogStore()
+    t = AcidTable(
+        spark, str(tmp_path / "t"), log_store=store, checkpoint_interval=10
+    )
+    # cheap synthetic commits (no Spark writes): append-style actions
+    schema = '{"type":"struct","fields":[]}'
+    for v in range(35):
+        t._try_commit(
+            v, "append", [{"path": f"data/x/{v}.parquet", "stats": {}}],
+            [f"data/x/{v - 1}.parquet"] if v % 5 == 0 and v else [],
+            schema, txn=("w", v),
+        )
+    assert {n for n in store.list_names() if n.endswith(".checkpoint.json")} == {
+        f"{v:020d}.checkpoint.json" for v in (9, 19, 29)
+    }
+
+    store.reads = 0
+    live, sch, txns = t._resolve_state()
+    # newest checkpoint is v29 → 1 checkpoint read + commits 30..34
+    assert store.reads <= 1 + (34 - 29) + 1
+    assert txns == {"w": 34}
+    # identical to a brute-force fold over the full history
+    expect: dict[str, dict] = {}
+    for c in t.history():
+        for p in c.remove:
+            expect.pop(p, None)
+        for a in c.add:
+            expect[a["path"]] = a.get("stats", {})
+    assert live == expect
+    # time travel BEFORE the first checkpoint still resolves
+    live5, _, txns5 = t._resolve_state(as_of=5)
+    assert set(live5) == {f"data/x/{v}.parquet" for v in range(6)} - {
+        "data/x/4.parquet"
+    }
+    assert txns5 == {"w": 5}
+
+
+def test_checkpointed_table_end_to_end(spark, tmp_path):
+    """Real Spark writes across a checkpoint boundary: snapshots, time
+    travel and the exactly-once txn watermark all stay correct."""
+    t = AcidTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(7):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            txn=("app", i),
+        )
+    assert _rows(t.snapshot()) == [(i, f"v{i}") for i in range(7)]
+    assert _rows(t.snapshot(as_of=3)) == [(i, f"v{i}") for i in range(4)]
+    # replayed batch id is still a no-op across the checkpoint
+    v = t.latest_version()
+    t.append(spark.createDataFrame([(99, "ghost")], "k long, v string"), txn=("app", 2))
+    assert t.latest_version() == v
+    assert t.snapshot().count() == 7
+
+
+def test_leaked_tmp_file_does_not_brick_the_log(spark, tmp_path):
+    """A writer killed between staging its commit temp file and cleanup
+    leaves junk in _commits/ — every log operation must ignore it (the
+    round-4 layout stored temps as .tmp-<hex>.json, which crashed
+    latest_version with ValueError)."""
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    commits = os.path.join(t.path, "_commits")
+    for junk in (".tmp-deadbeef", ".tmp-deadbeef.json", "not-a-commit.json"):
+        with open(os.path.join(commits, junk), "w") as f:
+            f.write("{}")
+    assert t.latest_version() == 0
+    assert _rows(t.snapshot()) == [(1, "a")]
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t.latest_version() == 1
+
+
+def test_txn_watermark_is_evaluated_as_of_commit_base(spark, tmp_path):
+    """TOCTOU regression: if a concurrent replay of the same (app,
+    batch) commits between a writer's watermark check and its commit,
+    the writer's put-if-absent at base+1 must CONFLICT and the re-check
+    must turn it into a no-op — the batch can never land twice."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(0, "base")], "k long, v string"))
+
+    df = spark.createDataFrame([(1, "batch7")], "k long, v string")
+    add, schema = t._stage_actions(df)
+    base = t.latest_version()
+    assert t.last_txn_batch("app", as_of=base) is None  # check passes...
+
+    # ...then a concurrent replay of batch 7 wins the slot first
+    t.append(spark.createDataFrame([(1, "batch7")], "k long, v string"), txn=("app", 7))
+
+    # our staged commit at the stale base now conflicts (not lands)
+    with pytest.raises(CommitConflict):
+        t._try_commit(base + 1, "append", add, [], schema, txn=("app", 7))
+    # and the public path resolves the race to a no-op
+    v = t.latest_version()
+    t.append(df, txn=("app", 7))
+    assert t.latest_version() == v
+    assert t.snapshot().where("v = 'batch7'").count() == 1
+
+
+def test_vacuum_spares_in_flight_staging(spark, tmp_path):
+    """Staged-but-not-yet-committed files within the grace window must
+    survive vacuum; committing them afterwards yields a readable
+    snapshot (the corruption the age gate exists to prevent)."""
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # simulate an in-flight writer: staged, not yet committed
+    df = spark.createDataFrame([(2, "inflight")], "k long, v string")
+    add, schema = t._stage_actions(df)
+    t.vacuum(retain_versions=10)  # default grace: must NOT delete
+    assert all(os.path.exists(os.path.join(t.path, a["path"])) for a in add)
+    t._try_commit(t.latest_version() + 1, "append", add, [], schema)
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "inflight")]
