@@ -628,7 +628,11 @@ def ivfpq_ann_topk(
     q_structs = []
     for r in qrows:
         qv = _unit(np.asarray(r["qvec"], dtype=np.float64))
-        cells = np.argsort(-(coarse @ qv))[:nprobe]  # highest IP cells
+        # probe ranking MUST use the assignment metric (L2 to the
+        # coarse centroids, as in _pq_encode_arrow): ranking by raw
+        # inner product disagrees with argmin-L2 when centroid norms
+        # vary, silently probing cells the true neighbors aren't in
+        cells = np.argsort(((coarse - qv) ** 2).sum(-1))[:nprobe]
         dt = [
             float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j]))
             for s in range(m)

@@ -867,8 +867,8 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-01"),
-            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@example.com or 415-555-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
             F.lit(" at 10."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".0.7"),
@@ -886,6 +886,10 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wired.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        # n_phones > 0 is load-bearing: it proves the phone pattern
+        # actually fires on the wired corpus (a dead pattern would
+        # leave the digest green while silently scrubbing nothing)
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
         F.regexp_count(F.col("text"), F.lit(_PII_IP)).alias("n_ips"),
         F.md5(scrubbed.cast("binary")).alias("scrub_digest"),
     ).orderBy("doc_id")
@@ -895,11 +899,12 @@ PII_SCRUB_SQL = f"""
 WITH wired AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+              || '@example.com or 415-555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
               || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS text
   FROM documents WHERE doc_id < 100)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
        CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
              '{_PII_EMAIL}', '<email>', 'g'), '{_PII_PHONE}', '<phone>', 'g'),
