@@ -343,59 +343,6 @@ def embedding_near_dup_pairs(
     )
 
 
-def _pq_encode_arrow(c: DataFrame, books, coarse=None) -> DataFrame:
-    """Unit-normalize + (optionally) coarse-assign + PQ-encode in ONE
-    Arrow-batched kernel (mapInPandas + numpy einsum-style batching).
-
-    Why Arrow here and not the constant-folded-literal idiom used for
-    cell ASSIGNMENT alone: encoding evaluates m×ksub (512 at the
-    defaults) distance lambdas per row, and Spark's higher-order
-    functions are interpreted, not codegen'd — measured 26 s for 5k
-    vectors at sf0.1 vs <1 s for this kernel (the per-row flops are
-    identical; the 30× is pure interpretation overhead). This is the
-    sanctioned Python tier: numeric batch kernels over Arrow, never
-    row-at-a-time — the same tier the multimodal decode uses, and
-    the Spark analogue of the SIMD encode loops inside FAISS.
-    Ties break to the lowest code index on both paths (np.argmin and
-    struct-min agree), so results are unchanged.
-    """
-    import numpy as np
-    import pandas as pd
-
-    m = len(books)
-    books_arr = np.stack(books)  # (m, ksub_eff, dsub)
-    coarse_arr = None if coarse is None else np.asarray(coarse)
-    schema = (
-        "nid long, cell int, codes array<int>"
-        if coarse is not None
-        else "nid long, codes array<int>"
-    )
-
-    def op(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.asarray(pdf["nvec"].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(V, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            U = V / nrm
-            out = {"nid": pdf["nid"]}
-            if coarse_arr is not None:
-                d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
-                out["cell"] = d2c.argmin(1).astype("int32")
-            n_rows, dim = U.shape
-            dsub = dim // m
-            S = U.reshape(n_rows, m, dsub)
-            codes = np.empty((n_rows, m), dtype=np.int32)
-            for s in range(m):
-                d2 = ((S[:, s, None, :] - books_arr[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            out["codes"] = [list(row) for row in codes]
-            yield pd.DataFrame(out)
-
-    return c.mapInPandas(op, schema=schema)
-
-
 def pq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -417,118 +364,40 @@ def pq_ann_topk(
     on the corpus side. Top ``rerank*k`` ADC candidates are re-ranked
     with exact cosine (candidate-then-verify, like the LSH paths).
 
-    Why it matters at 100 TB: codes are ``m`` bytes per vector (m=8 →
-    32x smaller than float32, 64x than double), so the scan side of
-    similarity search fits in a fraction of the memory/IO budget; the
-    float originals are touched only for the rerank candidates.
+    Why it matters at 100 TB: codes are literally ``m`` BYTES per
+    vector (binary column; m=8 → 32x smaller than float32), so the
+    scan side of similarity search fits in a fraction of the memory/IO
+    budget; the float originals are touched only for rerank candidates.
 
-    Scale shape: codebooks train on a BOUNDED driver sample with numpy
-    (the IVF recipe — never distributed k-means); encoding is one pass
-    of per-subspace argmin expressions over constant-folded codebook
-    literals; each query ships one m*ksub-double lookup table as a
-    literal, so ADC is a map-side expression over the codes — the only
-    shuffle is the top-k window, and only (qid, nid, score) rows enter
-    it. ``dim`` must be divisible by ``m``.
+    This is the ephemeral (train+add+search in one call) wrapper over
+    the staged machinery in operators/ann_index.py — use
+    :class:`~data_lake_demo_spark.operators.ann_index.AnnIndex` to
+    build once and query many times (the FAISS lifecycle).
     """
-    import numpy as np
+    from data_lake_demo_spark.operators import ann_index as ai
 
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
     )
-    dim = infer_dim(corpus, vec_col)
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
-
-    def _unit(a):
-        n = np.linalg.norm(a, axis=-1, keepdims=True)
-        n[n == 0] = 1.0
-        return a / n
-
-    sample = _unit(
-        np.asarray(
-            [r["nvec"] for r in c.select("nvec").limit(train_limit).collect()],
-            dtype=np.float64,
-        )
+    model = ai.train_pq_model(
+        ai.sample_vectors(c, "nvec", train_limit),
+        dim=infer_dim(corpus, vec_col),
+        m=m,
+        ksub=ksub,
+        nlist=None,
+        seed=seed,
+        max_iter=max_iter,
     )
-    rng = np.random.default_rng(seed)
-    ksub_eff = min(ksub, len(sample))
-    books = []  # m codebooks of (ksub_eff, dsub)
-    for s in range(m):
-        sub = sample[:, s * dsub : (s + 1) * dsub]
-        ctrs = sub[rng.choice(len(sub), size=ksub_eff, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
-            owner = d2.argmin(1)
-            for j in range(ksub_eff):
-                pts = sub[owner == j]
-                if len(pts):
-                    ctrs[j] = pts.mean(0)
-        books.append(ctrs)
-
-    # encode (index build): one Arrow kernel — see _pq_encode_arrow for
-    # why the constant-folded-literal HOF idiom is wrong for m×ksub
-    # distance evaluations per row
-    codes = _pq_encode_arrow(c, books)
-
-    # per-query ADC lookup tables: dt[s*ksub + j] = IP(q_sub_s, book[s][j])
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
-    ).collect()
-    spark = corpus.sparkSession
-    q_structs = []
-    for r in qrows:
-        qv = _unit(np.asarray(r["qvec"], dtype=np.float64))
-        dt = [
-            float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j]))
-            for s in range(m)
-            for j in range(ksub_eff)
-        ]
-        q_structs.append(f"struct({r['qid']}L as qid, {_sql_double_array(dt)} as dt)")
-    qlit = spark.range(1).select(
-        F.explode(F.expr("array(" + ",".join(q_structs) + ")")).alias("q")
-    ).select("q.qid", "q.dt")
-
-    adc = (
-        codes.crossJoin(F.broadcast(qlit))
-        .filter(F.col("nid") != F.col("qid"))
-        .withColumn(
-            "adc_score",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    F.col("dt"),
-                    s * ksub_eff + F.element_at(F.col("codes"), s + 1) + 1,
-                ),
-            ),
-        )
-    )
-    wq = W.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("nid"))
-    cands = (
-        adc.withColumn("rk0", F.row_number().over(wq))
-        .filter(F.col("rk0") <= rerank * k)
-        .select("qid", "nid")
-    )
-    # exact cosine re-rank of the short candidate list
-    qv = queries.select(
+    codes = ai.encode_pq(c, model)
+    q = queries.select(
         F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
     )
-    scored = (
-        cands.join(c, "nid")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid",
-            "nid",
-            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
-        )
+    cands = ai.adc_candidates(
+        codes, ai.prep_queries(q, model), model, k=k, rerank=rerank
     )
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("qid", "nid", "cos_sim", "rk")
+    return ai.exact_rerank(
+        cands.select("qid", "nid"), corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k,
     )
 
 
@@ -553,6 +422,9 @@ def ivfpq_ann_topk(
     (each query touches ~nprobe/nlist of the corpus), and PQ codes make
     the surviving scan m bytes/vector via per-query ADC lookup tables.
     Top ``rerank*k`` ADC candidates are re-ranked with exact cosine.
+    Probe cells are ranked by L2 to the coarse centroids — the SAME
+    metric cell assignment uses (ranking by raw inner product probes
+    the wrong cells when centroid norms vary).
 
     Why the composition is the 100 TB shape: IVF alone still reads
     full float vectors inside probed cells (8·dim bytes each); PQ
@@ -562,133 +434,33 @@ def ivfpq_ann_topk(
     system (FAISS IVFPQ, ScaNN, DiskANN hybrids) pairs a coarse
     pruner with a compressed in-cell code.
 
-    Scale shape mirrors the component operators: both quantizers fit
-    on ONE bounded driver sample (numpy); cell assignment and code
-    encoding are a single JVM pass over constant-folded literals; each
-    query ships one m·ksub lookup table + probe list via broadcast; the
-    only shuffle is the final top-k window over (qid, nid, score) rows.
-
-    Bench-number caveat: cell assignment + encoding is INDEX BUILD —
-    in production it runs once and the (cell, codes) table persists;
-    re-running it per query batch (as the bench does, no index store)
-    charges the build to every batch. Amortized per-query cost is the
-    ADC scan + rerank only.
+    Ephemeral wrapper over operators/ann_index.py (train + encode +
+    search in one call, nothing persisted) — build an
+    :class:`~data_lake_demo_spark.operators.ann_index.AnnIndex` once
+    instead to amortize training + encoding across query batches.
     """
-    import numpy as np
+    from data_lake_demo_spark.operators import ann_index as ai
 
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nvec")
     )
-    dim = infer_dim(corpus, vec_col)
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
-
-    def _unit(a):
-        n = np.linalg.norm(a, axis=-1, keepdims=True)
-        n[n == 0] = 1.0
-        return a / n
-
-    sample = _unit(
-        np.asarray(
-            [r["nvec"] for r in c.select("nvec").limit(train_limit).collect()],
-            dtype=np.float64,
-        )
+    model = ai.train_pq_model(
+        ai.sample_vectors(c, "nvec", train_limit),
+        dim=infer_dim(corpus, vec_col),
+        m=m,
+        ksub=ksub,
+        nlist=nlist,
+        seed=seed,
+        max_iter=max_iter,
     )
-    rng = np.random.default_rng(seed)
-
-    def _kmeans(pts, n_clusters):
-        ctrs = pts[rng.choice(len(pts), size=n_clusters, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((pts[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
-            owner = d2.argmin(1)
-            for j in range(n_clusters):
-                sel = pts[owner == j]
-                if len(sel):
-                    ctrs[j] = sel.mean(0)
-        return ctrs
-
-    nlist_eff = min(nlist, len(sample))
-    ksub_eff = min(ksub, len(sample))
-    coarse = _kmeans(sample, nlist_eff)
-    books = [
-        _kmeans(sample[:, s * dsub : (s + 1) * dsub], ksub_eff) for s in range(m)
-    ]
-
-    # --- index build: unit-normalize, assign coarse cell, PQ-encode —
-    # one Arrow kernel (see _pq_encode_arrow) ---
-    codes = _pq_encode_arrow(c, books, coarse=coarse)
-
-    # --- per-query: probe cells (driver numpy — |queries| × nlist) and
-    #     ADC lookup table, shipped together as one broadcast literal ---
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
-    ).collect()
-    spark = corpus.sparkSession
-    q_structs = []
-    for r in qrows:
-        qv = _unit(np.asarray(r["qvec"], dtype=np.float64))
-        # probe ranking MUST use the assignment metric (L2 to the
-        # coarse centroids, as in _pq_encode_arrow): ranking by raw
-        # inner product disagrees with argmin-L2 when centroid norms
-        # vary, silently probing cells the true neighbors aren't in
-        cells = np.argsort(((coarse - qv) ** 2).sum(-1))[:nprobe]
-        dt = [
-            float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j]))
-            for s in range(m)
-            for j in range(ksub_eff)
-        ]
-        probe_arr = "array(" + ",".join(str(int(x)) for x in cells) + ")"
-        q_structs.append(
-            f"struct({r['qid']}L as qid, {_sql_double_array(dt)} as dt, "
-            f"{probe_arr} as probes)"
-        )
-    # explode probes to (qid, dt, cell) rows: the probe join becomes a
-    # broadcast HASH join on cell (|queries|·nprobe tiny rows), not a
-    # nested-loop array_contains over every corpus row
-    qlit = (
-        spark.range(1)
-        .select(F.explode(F.expr("array(" + ",".join(q_structs) + ")")).alias("q"))
-        .select("q.qid", "q.dt", F.explode("q.probes").alias("cell"))
-    )
-
-    adc = (
-        codes.join(F.broadcast(qlit), "cell")
-        .filter(F.col("nid") != F.col("qid"))
-        .withColumn(
-            "adc_score",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    F.col("dt"),
-                    s * ksub_eff + F.element_at(F.col("codes"), s + 1) + 1,
-                ),
-            ),
-        )
-    )
-    wq = W.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("nid"))
-    cands = (
-        adc.withColumn("rk0", F.row_number().over(wq))
-        .filter(F.col("rk0") <= rerank * k)
-        .select("qid", "nid")
-    )
-    qv = queries.select(
+    codes = ai.encode_pq(c, model)
+    q = queries.select(
         F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
     )
-    scored = (
-        cands.join(c, "nid")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid",
-            "nid",
-            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
-        )
+    cands = ai.adc_candidates(
+        codes, ai.prep_queries(q, model, nprobe=nprobe), model, k=k, rerank=rerank
     )
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("qid", "nid", "cos_sim", "rk")
+    return ai.exact_rerank(
+        cands.select("qid", "nid"), corpus, queries,
+        id_col=id_col, vec_col=vec_col, k=k,
     )

@@ -629,28 +629,64 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def _ann_index_for(spark: SparkSession, sf_dir: str, *, nlist: int | None):
+    """Build-once / load-many AnnIndex over the embeddings table (the
+    FAISS train/add/search lifecycle — operators/ann_index.py). The
+    index persists under $SPARK_GRAFT_ANN_CACHE (default: a tmpdir
+    keyed by corpus path + params), so repeated query batches — and
+    repeated bench runs — pay only the ADC scan + rerank, not
+    quantizer training + corpus encoding. A stale cache (row count no
+    longer matching the corpus — a metadata-only parquet count) is
+    rebuilt; rebuilds are atomic AcidTable snapshot swaps."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from data_lake_demo_spark.operators.ann_index import AnnIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = {"nlist": nlist, "m": 8, "ksub": 64, "seed": 42}
+    key = hashlib.sha1(
+        _json.dumps({"sf": os.path.abspath(sf_dir), **params}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_ANN_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark-graft-ann"),
+    )
+    path = os.path.join(root, key)
+    try:
+        idx = AnnIndex.load(spark, path)
+        if idx.meta.get("n_rows") == emb.count():
+            return idx, emb
+    except FileNotFoundError:
+        pass
+    return AnnIndex.build(emb, path, nlist=nlist, m=8, ksub=64, seed=42), emb
+
+
 def emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composed ANN top-5 (rows-only — both quantizers are
     k-means; recall vs brute force pinned in tests). The billion-vector
-    shape: coarse cells prune the scan, PQ codes compress it
-    (operators/similarity.py ivfpq_ann_topk)."""
-    from data_lake_demo_spark.operators.similarity import ivfpq_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    shape: coarse cells prune the scan, m-BYTE binary PQ codes compress
+    it, probes rank by the assignment metric. Served from the PERSISTED
+    AnnIndex (warm runs skip train+encode entirely)."""
+    idx, emb = _ann_index_for(spark, sf_dir, nlist=16)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_ann_topk(emb, queries, k=5, nprobe=8).orderBy("qid", "rk")
+    return idx.query(
+        queries, k=5, nprobe=8, rerank_corpus=emb
+    ).orderBy("qid", "rk")
 
 
 def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (rows-only check — the k-means
     codebooks are engine-specific; recall vs brute force is asserted
-    in tests/test_operators.py). ADC scan over m-byte codes + exact
-    cosine re-rank; operators/similarity.py pq_ann_topk."""
-    from data_lake_demo_spark.operators.similarity import pq_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    in tests/test_operators.py). ADC scan over m-byte binary codes +
+    exact cosine re-rank, served from the PERSISTED AnnIndex."""
+    idx, emb = _ann_index_for(spark, sf_dir, nlist=None)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+    return idx.query(
+        queries, k=5, nprobe=None, rerank_corpus=emb
+    ).orderBy("qid", "rk")
 
 
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
