@@ -146,6 +146,65 @@ def start_foreach_batch_upsert(
     )
 
 
+def start_curated_merge_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_table_path: str,
+    checkpoint_root: str,
+    *,
+    app: str = "curated_ingest",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming ingestion straight into an ACID curated table: each
+    micro-batch of landed records is typed (the promote_curated cast)
+    and MERGED into an AcidTable keyed by the reference's idempotency
+    key (endpoint, date, page) — worker.py:27-28's deterministic S3
+    key, upgraded from \"skip if object exists\" to a transactional
+    upsert. A re-fetched page UPDATES its row instead of duplicating
+    it (latest fetched_at wins within a batch), and the (app,
+    batch_id) txn watermark makes post-crash batch replays no-ops —
+    end-to-end exactly-once into a table readers can query mid-stream
+    with snapshot isolation.
+
+    This supersedes the plain-parquet streaming promote for the
+    curated zone: the batch path (lake.promote_curated) rebuilds the
+    zone wholesale; this path keeps it continuously current. At scale
+    each merge rewrites only the files whose footer key ranges overlap
+    the batch (manifest-level skipping in AcidTable.merge).
+
+    Returns ``(query, table)``.
+    """
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    parsed = _landing_stream(spark, landing_dir, max_files_per_trigger)
+    curated = parsed.filter(F.col("rec").isNotNull()).select(
+        F.col("rec.endpoint").alias("endpoint"),
+        F.to_date("rec.date").alias("date"),
+        F.col("rec.page").cast("long").alias("page"),
+        F.to_timestamp("rec.fetched_at").alias("fetched_at"),
+        F.col("rec.items").alias("items"),
+        F.size("rec.items").cast("long").alias("item_count"),
+        F.col("rec.endpoint").alias("source"),
+        "ingestion_date",
+    )
+    table = AcidTable(spark, curated_table_path)
+    if table.latest_version() < 0:
+        # MERGE needs a target snapshot; seed an empty one with the
+        # curated schema (an atomic, contention-free first commit)
+        table.append(spark.createDataFrame([], curated.schema))
+    q = (
+        curated.writeStream.foreachBatch(
+            table.foreach_batch_merge_sink(
+                app, ["endpoint", "date", "page"], dedupe_order="fetched_at"
+            )
+        )
+        .option("checkpointLocation", os.path.join(checkpoint_root, "curated"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, table
+
+
 def read_raw_stream_output(spark: SparkSession, raw_dir: str):
     """Read the streamed raw zone (the sink's _spark_metadata log makes
     this an exactly-once view of committed files)."""

@@ -544,3 +544,73 @@ def test_count_min_stream_merge_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, count_min_build(ev, "user_id").collect()))
     assert got == want
+
+
+def test_streaming_curated_merge_into_acid_table(spark, tmp_path):
+    """Streaming ingest → ACID curated table via the CDC merge sink:
+    typed rows land keyed by (endpoint, date, page); a RE-FETCHED page
+    updates its row (no duplicate), a RESTARTED stream with the same
+    checkpoint replays nothing, and a crash-replayed batch id is a
+    no-op (txn watermark) — end-to-end exactly-once upsert."""
+    import datetime
+
+    from data_lake_demo_spark.streaming.ingest_stream import (
+        start_curated_merge_stream,
+    )
+
+    landing = tmp_path / "landing_cur"
+    landing.mkdir()
+    table_path = str(tmp_path / "curated_acid")
+    ckpt = str(tmp_path / "ckpt_cur")
+
+    _landing_file(landing / "b1.json", "api-a", "2024-06-01", [1, 2])
+    q, table = start_curated_merge_stream(spark, str(landing), table_path, ckpt)
+    q.awaitTermination(120)
+    snap = table.snapshot()
+    assert snap.count() == 2
+    row = snap.filter("page = 1").first()
+    assert row.endpoint == "api-a" and row.item_count == 5
+    assert isinstance(row.date, datetime.date)  # typed, not string
+
+    # re-fetch of page 2 (same key, fresher fetched_at): UPDATE not dup
+    with open(landing / "b2.json", "w") as f:
+        payload = json.dumps(
+            {
+                "endpoint": "api-a",
+                "date": "2024-06-01",
+                "page": 2,
+                "fetched_at": "2024-06-01T09:00:00Z",
+                "items": [{"id": "refetched", "value": 1}],
+            }
+        )
+        f.write(
+            json.dumps(
+                {
+                    "endpoint": "api-a",
+                    "ingestion_date": "2024-06-01",
+                    "page": 2,
+                    "payload": payload,
+                }
+            )
+            + "\n"
+        )
+    q, table = start_curated_merge_stream(spark, str(landing), table_path, ckpt)
+    q.awaitTermination(120)
+    snap = table.snapshot()
+    assert snap.count() == 2  # still 2 rows — page 2 was updated
+    assert snap.filter("page = 2").first().item_count == 1
+
+    # restart with NOTHING new: no commit, no row change
+    v = table.latest_version()
+    q, table = start_curated_merge_stream(spark, str(landing), table_path, ckpt)
+    q.awaitTermination(120)
+    assert table.latest_version() == v
+
+    # simulated crash-replay of an already-committed batch id: no-op
+    sink = table.foreach_batch_merge_sink(
+        "curated_ingest", ["endpoint", "date", "page"], dedupe_order="fetched_at"
+    )
+    ghost = table.snapshot().limit(1).withColumn("item_count", F.lit(999))
+    sink(ghost, 0)
+    assert table.latest_version() == v
+    assert table.snapshot().filter("item_count = 999").count() == 0
