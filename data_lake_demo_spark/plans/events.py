@@ -359,6 +359,28 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_daily_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users — the oracle-checked twin of
+    ``events_hll_daily_users`` (same pattern as count-min's exact
+    oracle, countmin.py): the sketch variant stays rows-only (its
+    DataSketches binary has no SQL equivalent) while this row proves
+    the day bucketing + distinct semantics end-to-end, and the pytest
+    bound pins |sketch − exact| ≤ 2% per day between the two."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+HLL_EXACT_SQL = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 def countmin_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for every event type
     (operators/countmin.py): build a 4x1024 counter table in one
@@ -389,6 +411,7 @@ QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
+    "events_hll_daily_users_exact": events_hll_daily_users_exact,
     "events_rolling_7d_active": events_rolling_7d_active,
     "events_daily_from_hourly_rollup": events_daily_from_hourly_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -402,6 +425,7 @@ QUERIES = {
 ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
     "events_daily_retention": RETENTION_SQL,
+    "events_hll_daily_users_exact": HLL_EXACT_SQL,
     "events_rolling_7d_active": ROLLING_7D_SQL,
     "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,

@@ -1062,3 +1062,20 @@ def test_count_min_sketch_bounds_and_merge(spark):
     m = sorted(map(tuple, merged.collect()))
     s = sorted(map(tuple, sketch.collect()))
     assert m == s
+
+
+def test_hll_estimate_within_bound_of_exact_twin(spark):
+    """The sketch query and its oracle-checked exact twin
+    (events_hll_daily_users_exact) must agree within the lgK=12 HLL
+    error envelope (±1.6% rel. std error; we allow 2%) on every day."""
+    from data_lake_demo_spark.plans.events import (
+        events_hll_daily_users,
+        events_hll_daily_users_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.day: r.approx_users for r in events_hll_daily_users(spark, sf).collect()}
+    exact = {r.day: r.n_users for r in events_hll_daily_users_exact(spark, sf).collect()}
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.02 * n), (day, approx[day], n)

@@ -187,3 +187,77 @@ def test_bloom_never_false_negatives(spark, dim_keys, probe_keys):
         for r in bloom_semi_join(fact, dim, "fk", "k", n_bits=1 << 10).collect()
     }
     assert got == (dim_keys & probe_keys)
+
+
+# ---- probabilistic-dedup estimator bounds (round 5) ---------------------
+
+_word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_word, min_size=12, max_size=40, unique=True),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_minhash_estimate_tracks_exact_jaccard(spark, words, keep_frac):
+    """est_jaccard from 64 affine minhashes must track the EXACT
+    shingle-set Jaccard within the family's statistical envelope
+    (σ = √(J(1−J)/64) ≤ 0.0625; we allow 4σ = 0.25). The round-3
+    degenerate-family bug (monotonic un-modded affine map → a
+    1-sample estimator) violated exactly this property."""
+    from data_lake_demo_spark.operators.dedup import minhash_signatures
+
+    def py_shingles(text, n):
+        toks = text.strip().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    # doc_b keeps a prefix of doc_a's words and appends fresh ones —
+    # a controlled-overlap pair
+    n_keep = int(len(words) * keep_frac)
+    a_words = words
+    b_words = words[:n_keep] + [w + "zz" for w in words[n_keep:]]
+    text_a, text_b = " ".join(a_words), " ".join(b_words)
+
+    sh_a, sh_b = set(py_shingles(text_a, 5)), set(py_shingles(text_b, 5))
+    if not sh_a or not sh_b:
+        return
+    exact = len(sh_a & sh_b) / len(sh_a | sh_b)
+
+    sigs = {
+        r.id: r.sig
+        for r in minhash_signatures(
+            spark.createDataFrame(
+                [(0, text_a), (1, text_b)], "doc_id long, text string"
+            ),
+            num_hashes=64,
+        ).collect()
+    }
+    est = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 64.0
+    assert abs(est - exact) <= 0.25
+    if text_a == text_b:
+        assert est == 1.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_word, min_size=20, max_size=40, unique=True))
+def test_simhash_near_dup_beats_unrelated(spark, words):
+    """SimHash contract: identical texts collide exactly; a one-token
+    edit stays within a small Hamming radius; an unrelated text of the
+    same length lands strictly farther than the near-dup."""
+    from data_lake_demo_spark.operators.dedup import simhash_fingerprints
+
+    base = " ".join(words)
+    near = " ".join(words[:-1] + [words[-1] + "x"])  # one token edited
+    unrelated = " ".join(w[::-1] + "qq" for w in words)
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    fp = {r.id: r.fp for r in simhash_fingerprints(df).collect()}
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert fp[0] == fp[1]  # determinism: same text, same fingerprint
+    d_near, d_far = ham(fp[0], fp[2]), ham(fp[0], fp[3])
+    assert d_near <= 16  # one token of ~30 flips few majority votes
+    assert d_near < d_far  # ranking property the bucketing rests on
