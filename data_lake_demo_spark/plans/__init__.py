@@ -10,28 +10,86 @@ from __future__ import annotations
 
 from data_lake_demo_spark.plans import events, llm, relational
 
-# Registration order is load-bearing: the driver's correctness gate
-# samples the FIRST 50 entries of queries(). llm (36) + events (11)
-# register first so the LLM-pipeline / event-time surface — the
-# north-star additions — always lands inside the checked window; the
-# first 3 relational entries fill the rest (global_count and
-# distinct_counts fell out when emb_ivfpq_ann and doc_pii_scrub
-# registered — both r1-green and unchanged since). Round-4 rotation:
-# anti_join_customers_without_orders leads relational (the only
-# relational query never driver-verified); the round-4 additions
-# (emb_pq_ann, doc_scrub_boilerplate, countmin_event_type_freq) and
-# the three newly-oracle-bearing queries (doc_ngram_jaccard_dups,
-# emb_near_dups, emb_label_centroid_sim) are all in-window via their
-# modules; evicted relational entries are r3-green and unchanged —
-# rationale in relational.QUERIES.
 ALL_MODULES = [llm, events, relational]
+
+# The driver's correctness gate samples the FIRST 50 entries of
+# queries(), so registration order is load-bearing. ``WINDOW`` is the
+# explicit round-5 rotation (replacing round-4's implicit
+# module-order scheme): queries whose code changed this round lead,
+# then the stalest entries — everything here except the first block
+# was last driver-verified in ROUND 1 (rounds 2-4 windows were filled
+# by the LLM/events modules; tests/test_oracle_parity.py re-proves
+# the evicted set every pytest run, but driver rows are the hard
+# signal). Evicted to make room: the r4-green llm/events blocks,
+# unchanged since their green rows.
+WINDOW = [
+    # -- changed or new in round 5 ------------------------------------
+    "doc_pii_scrub",  # phone pattern fixed + n_phones column
+    "emb_pq_ann",  # now served from the persisted AnnIndex
+    "emb_ivfpq_ann",  # persisted index + L2 probe ranking
+    "events_hll_daily_users_exact",  # NEW exact twin of the HLL rollup
+    # -- stalest r1-green: named in the r4 verdict --------------------
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    # -- stalest r1-green: the window-function block ------------------
+    "top3_orders_per_customer",
+    "running_revenue_by_supplier",
+    "order_gaps_lag_lead",
+    "rank_dense_rank_parts",
+    "topk_expensive_orders",
+    "window_distribution_functions",
+    # -- remaining r1-green relational surface ------------------------
+    "semi_join_customers_with_orders",
+    "full_outer_nation_activity",
+    "non_equi_nation_pairs",
+    "set_ops_customer_cohorts",
+    "scalar_subquery_above_avg",
+    "in_subquery_asia_suppliers",
+    "scalar_functions_showcase",
+    "pivot_qty_by_status",
+    "unpivot_customer_measures",
+    "unpivot_stack_measures",
+    "range_join_price_bands",
+    "not_in_subquery_priorities",
+    "grouping_id_rollup",
+    "fuzzy_name_pairs",
+    "array_agg_per_group",
+    "exact_percentiles",
+    "case_when_conditional_agg",
+    "q4_order_priority_checking",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q12_priority_by_flag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "rollup_revenue",
+    "cube_quantity",
+    "grouping_sets_revenue",
+    "having_filter",
+    "global_count",
+    "distinct_counts",
+]
+assert len(WINDOW) == 50, len(WINDOW)
 
 
 def all_queries():
     out = {}
     for m in ALL_MODULES:
         out.update(m.QUERIES)
-    return out
+    missing = [n for n in WINDOW if n not in out]
+    assert not missing, f"WINDOW names not registered: {missing}"
+    ordered = {n: out[n] for n in WINDOW}
+    ordered.update({n: f for n, f in out.items() if n not in ordered})
+    return ordered
 
 
 def all_oracle_sql():
