@@ -404,6 +404,30 @@ class AnnIndex:
         )
         return idx
 
+    def add(
+        self,
+        rows: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Incremental *add*: encode new vectors with the STORED
+        quantizers and append their codes transactionally — no
+        retraining, no re-encode of the existing corpus (FAISS's
+        ``index.add`` after ``train``). Queries see the new rows on
+        their next snapshot. ``txn=(app, batch_id)`` makes the append
+        exactly-once, so a streaming embedding pipeline can feed the
+        index via ``foreachBatch(lambda df, bid: idx.add(df,
+        txn=("emb", bid)))``. Quantizer drift is the caller's concern:
+        after heavy distribution shift, ``build()`` a fresh index (an
+        atomic swap). Returns the new codes-table version."""
+        c = rows.select(
+            F.col(id_col).alias("nid"),
+            to_double_array(F.col(vec_col)).alias("nvec"),
+        )
+        return self.codes_table.append(encode_pq(c, self.model), txn=txn)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> AnnIndex:
         store = cls._meta_store(path)

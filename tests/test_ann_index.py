@@ -178,3 +178,31 @@ def test_jvm_byte_decode_matches_kernel_codes(spark):
             dt[s * model.ksub_eff + int(byte_codes[s])] for s in range(model.m)
         )
         assert r.adc_score == pytest.approx(ref, abs=1e-9)
+
+
+def test_incremental_add_without_rebuild(spark, tmp_path):
+    """FAISS add semantics: build on half the corpus, add() the rest —
+    the stored quantizers encode the new rows, queries see them, and a
+    replayed txn batch id is a no-op."""
+    emb = _emb(spark)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = AnnIndex.build(half_a, str(tmp_path / "idx"), nlist=8)
+    n_a = idx.codes_table.snapshot().count()
+    assert n_a == half_a.count()
+
+    idx.add(half_b, txn=("emb", 0))
+    assert idx.codes_table.snapshot().count() == emb.count()
+    # replay of the same batch id: exactly-once
+    idx.add(half_b, txn=("emb", 0))
+    assert idx.codes_table.snapshot().count() == emb.count()
+
+    # queries now retrieve odd-id (added) neighbors too
+    out = idx.query(
+        emb.filter(F.col("vec_id") < 3), k=5, nprobe=8, rerank_corpus=emb
+    ).collect()
+    assert any(r.nid % 2 == 1 for r in out)
+    # recall against brute force holds on the incrementally-built index
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert len(exact & {(r.qid, r.nid) for r in out}) / len(exact) >= 0.4
