@@ -383,7 +383,15 @@ class AnnIndex:
             max_iter=max_iter,
         )
         idx = cls(spark, path, model)
-        version = idx.codes_table.overwrite(encode_pq(c, model))
+        # IVF codes cluster by cell (Iceberg range distribution): each
+        # file covers one-or-few cells, so a probe read prunes to
+        # ~nprobe/nlist of the index at the MANIFEST level — the
+        # distributed twin of FAISS seeking only the probed inverted
+        # lists instead of scanning the whole codes array.
+        version = idx.codes_table.overwrite(
+            encode_pq(c, model),
+            partition_by=["cell"] if model.coarse is not None else None,
+        )
         meta = {
             "model": model.to_json(),
             "params": {
@@ -426,7 +434,11 @@ class AnnIndex:
             F.col(id_col).alias("nid"),
             to_double_array(F.col(vec_col)).alias("nvec"),
         )
-        return self.codes_table.append(encode_pq(c, self.model), txn=txn)
+        return self.codes_table.append(
+            encode_pq(c, self.model),
+            txn=txn,
+            partition_by=["cell"] if self.model.coarse is not None else None,
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> AnnIndex:
@@ -465,7 +477,18 @@ class AnnIndex:
         prepped = prep_queries(
             q, model, nprobe=nprobe if model.coarse is not None else None
         )
-        codes = self.codes_table.snapshot()
+        if model.coarse is not None and nprobe is not None:
+            # manifest-level inverted-list seek: the codes table is
+            # cell-clustered at write time, so reading only the files
+            # whose [min, max] cell range meets the batch's probe set
+            # scans ~nprobe/nlist of the index. prepped is cached
+            # because the probe-set collect and the ADC join both
+            # consume it (it's query-batch-sized — broadcast-small).
+            prepped = prepped.cache()
+            cells = sorted(r[0] for r in prepped.select("cell").distinct().collect())
+            codes = self.codes_table.scan([("cell", "in", cells)])
+        else:
+            codes = self.codes_table.snapshot()
         cands = adc_candidates(codes, prepped, model, k=k, rerank=rerank)
         if rerank_corpus is not None:
             return exact_rerank(

@@ -46,11 +46,18 @@ own Hadoop-FS layer — immutable once staged, they need no CAS.
 
 The full verb set: ``append`` (idempotent per (app, batch_id) —
 exactly-once streaming via ``foreach_batch_sink``), ``overwrite``,
-``merge`` (file-skipping copy-on-write), ``scd2``, ``compact``
-(bin-packing OPTIMIZE), ``optimize_zorder`` (multi-column layout for
-stats selectivity), ``vacuum`` (snapshot-aware GC), ``snapshot``
-(latest or time-travel, with additive schema evolution via parquet
-schema merge).
+``merge`` (file-skipping copy-on-write), ``delete`` (predicate
+copy-on-write that rewrites only files whose stats can match),
+``scd2``, ``compact`` (bin-packing OPTIMIZE), ``optimize_zorder``
+(multi-column layout for stats selectivity), ``restore`` (roll the
+live set back to an earlier version as a NEW commit), ``vacuum``
+(snapshot-aware GC), ``snapshot`` (latest or time-travel, with
+additive schema evolution via parquet schema merge), and ``scan``
+(manifest-pruned read: simple predicates skip files by footer
+[min, max] before Spark ever plans the scan — Iceberg's planning
+step). ``append``/``overwrite`` take ``partition_by`` to cluster
+rows so each file covers one (or few) partition values, which is
+what makes scan/merge/delete pruning selective.
 """
 
 from __future__ import annotations
@@ -94,6 +101,82 @@ def _commit_name(version: int) -> str:
 
 def _ckpt_name(version: int) -> str:
     return f"{version:020d}{_CKPT_SUFFIX}"
+
+
+# ---- manifest-level predicate pruning -----------------------------------
+#
+# Filters are pyarrow/Iceberg-style triples ``(col, op, value)`` with
+# op in {=, <, <=, >, >=, in, between} — the null-rejecting subset, so
+# pruning on non-null footer [min, max] ranges is sound (a row where
+# the column is NULL matches none of these ops, and parquet stats
+# describe exactly the non-null values).
+
+_FILTER_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
+
+
+def _file_may_match(stats: dict[str, list], filters) -> bool:
+    """False only when the footer stats PROVE no row in the file can
+    satisfy every filter. Missing stats for a column mean 'may contain
+    anything'; cross-type comparisons (schema drift across commits)
+    conservatively keep the file."""
+    for col, op, val in filters:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        try:
+            if op == "=":
+                if val < lo or val > hi:
+                    return False
+            elif op == "<":
+                if lo >= val:
+                    return False
+            elif op == "<=":
+                if lo > val:
+                    return False
+            elif op == ">":
+                if hi <= val:
+                    return False
+            elif op == ">=":
+                if hi < val:
+                    return False
+            elif op == "in":
+                if all(v < lo or v > hi for v in val):
+                    return False
+            elif op == "between":
+                a, b = val
+                if hi < a or lo > b:
+                    return False
+        except TypeError:
+            continue  # incomparable stat/value types: keep the file
+    return True
+
+
+def _filters_to_predicate(filters):
+    """The same filters as one Spark Column — applied as a residual on
+    the pruned scan so results are EXACT even when a surviving file
+    only partially matches (pruning is a performance tier, never the
+    correctness tier)."""
+    pred = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            pred = pred & (c == F.lit(val))
+        elif op == "<":
+            pred = pred & (c < F.lit(val))
+        elif op == "<=":
+            pred = pred & (c <= F.lit(val))
+        elif op == ">":
+            pred = pred & (c > F.lit(val))
+        elif op == ">=":
+            pred = pred & (c >= F.lit(val))
+        elif op == "in":
+            pred = pred & c.isin(list(val))
+        elif op == "between":
+            pred = pred & c.between(F.lit(val[0]), F.lit(val[1]))
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+    return pred
 
 
 class AcidTable:
@@ -338,12 +421,30 @@ class AcidTable:
 
     # ---- public operations ----------------------------------------------
 
-    def _stage_actions(self, df: DataFrame) -> tuple[list[dict], str]:
+    def _stage_actions(
+        self, df: DataFrame, *, partition_by: Sequence[str] | None = None
+    ) -> tuple[list[dict], str]:
         """Stage + footer-stats manifest entries (the Iceberg idiom:
         stats ride in the log so planning never opens data files).
         Provably-empty part files (a common byproduct of writing from
         more partitions than data) are dropped from the manifest — they
-        carry no rows and, having no row groups, no stats either."""
+        carry no rows and, having no row groups, no stats either.
+
+        ``partition_by`` clusters rows so each staged file covers one
+        (or a few ADJACENT) partition value(s) — Iceberg's
+        ``write.distribution-mode=range`` layout, where partition
+        columns STAY in the data files and the manifest carries their
+        per-file range. Range distribution (not hash) keeps values
+        contiguous across files, and the explicit partition count opts
+        out of AQE coalescing, so a file typically holds a single
+        value (min == max) and scan/merge/delete pruning on that
+        column becomes partition pruning with zero extra metadata
+        machinery."""
+        if partition_by:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+            df = df.repartitionByRange(n, *partition_by).sortWithinPartitions(
+                *partition_by
+            )
         files, schema = self._stage(df)
         actions = []
         for f in files:
@@ -358,6 +459,7 @@ class AcidTable:
         df: DataFrame,
         *,
         txn: tuple[str, int] | None = None,
+        partition_by: Sequence[str] | None = None,
         max_retries: int = 10,
     ) -> int:
         """Transactional append. Data files are written ONCE; only the
@@ -376,7 +478,7 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
-        add, schema = self._stage_actions(df)
+        add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -403,10 +505,16 @@ class AcidTable:
 
         return sink
 
-    def overwrite(self, df: DataFrame, *, max_retries: int = 10) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        *,
+        partition_by: Sequence[str] | None = None,
+        max_retries: int = 10,
+    ) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
-        add, schema = self._stage_actions(df)
+        add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
             base = self.latest_version()
             live, _ = self._resolve(base if base >= 0 else None)
@@ -433,6 +541,99 @@ class AcidTable:
         return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+
+    def _pruned_live(
+        self, filters, as_of: int | None = None
+    ) -> tuple[list[str], int, str | None]:
+        """(surviving file paths, total live count, schema) — the
+        planning half of ``scan``, separated so tests (and callers that
+        only want the file count) can observe pruning directly."""
+        live, schema = self._resolve_actions(as_of)
+        kept = sorted(p for p, st in live.items() if _file_may_match(st, filters))
+        return kept, len(live), schema
+
+    def scan(self, filters=(), as_of: int | None = None) -> DataFrame:
+        """Manifest-pruned snapshot read — Iceberg's planning step.
+        ``filters`` are ``(col, op, value)`` triples (op in ``= < <=
+        > >= in between``); files whose footer [min, max] ranges prove
+        they contain no matching row are never handed to Spark, so the
+        job's task count scales with the MATCHING partition of the
+        table, not the table. The same filters are re-applied as a
+        Spark predicate on the surviving files (and pushed into their
+        row-group stats by the parquet reader), so the result is
+        exactly ``snapshot().filter(pred)`` — pruning is purely a
+        performance tier.
+
+        On a partition-clustered table (``partition_by`` at write
+        time) an equality filter on the cluster column prunes to that
+        partition's files — at 100 TB the difference between a
+        one-file point read and a full-manifest scan."""
+        pred = _filters_to_predicate(filters)  # validates ops up front
+        kept, _, schema = self._pruned_live(filters, as_of)
+        if not kept:
+            if schema is None:
+                raise ValueError(f"table {self.path} has no commits")
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema))
+            )
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in kept]
+        )
+        return df.filter(pred) if filters else df
+
+    def delete(self, filters, *, max_retries: int = 5) -> int:
+        """DELETE WHERE as predicate copy-on-write: only live files
+        whose stats CAN contain a matching row are rewritten (with the
+        matching rows dropped); provably-unmatched files carry over to
+        the new snapshot untouched — the Delta/Iceberg delete shape,
+        and the reason a point delete on a partition-clustered 100 TB
+        table rewrites one partition, not the table. Empty filters are
+        rejected (use ``overwrite`` with an empty frame to truncate —
+        an explicit full-table delete should look explicit)."""
+        if not filters:
+            raise ValueError("delete() requires at least one filter")
+        pred = _filters_to_predicate(filters)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            touched, _, schema_json = self._pruned_live(filters, base)
+            if not touched:
+                return base  # provably nothing to delete: no commit
+            remaining = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).filter(~pred)
+            add, schema = self._stage_actions(remaining)
+            try:
+                return self._try_commit(base + 1, "delete", add, touched, schema)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"delete lost {max_retries} commit races")
+
+    def restore(self, version: int, *, max_retries: int = 5) -> int:
+        """RESTORE TABLE TO VERSION AS OF — roll the live set back to
+        an earlier snapshot as a NEW commit (history is append-only;
+        the rollback itself is time-travelable and revertible). Pure
+        log surgery: no data file is read, written, or moved — the old
+        files are simply re-referenced, which is why restore must stay
+        within the vacuum retention window (vacuum only deletes files
+        unreferenced by every RETAINED snapshot, so a restorable
+        version's files are exactly the retained ones)."""
+        target_live, target_schema, _ = self._resolve_state(version)
+        if target_schema is None:
+            raise ValueError(f"version {version} has no schema to restore")
+        add = [{"path": p, "stats": s} for p, s in sorted(target_live.items())]
+        for _ in range(max_retries):
+            base = self.latest_version()
+            live, _ = self._resolve(base)
+            remove = [p for p in live if p not in target_live]
+            try:
+                return self._try_commit(
+                    base + 1, "restore", add, remove, target_schema
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore lost {max_retries} commit races")
 
     def _touched_files(
         self,

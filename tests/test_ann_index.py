@@ -206,3 +206,32 @@ def test_incremental_add_without_rebuild(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3)
     exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
     assert len(exact & {(r.qid, r.nid) for r in out}) / len(exact) >= 0.4
+
+
+def test_ivf_codes_cluster_and_probe_scan_prunes(spark, tmp_path):
+    """The codes table is cell-clustered at write time (range
+    distribution), so a probe batch's scan must skip files at the
+    MANIFEST level — the distributed twin of FAISS reading only the
+    probed inverted lists. Results must be identical to an unpruned
+    snapshot + join (pruning is performance, not semantics)."""
+    emb = _emb(spark)
+    idx = AnnIndex.build(emb, str(tmp_path / "idx"), nlist=16)
+
+    live, _ = idx.codes_table._resolve_actions()
+    spans = [s["cell"] for s in live.values() if "cell" in s]
+    assert spans, "cell column missing footer stats"
+    # range distribution: files cover narrow CONTIGUOUS cell ranges
+    # (one-ish per file at scale; a few adjacent cells at fixture size)
+    assert all(hi - lo <= 3 for lo, hi in spans), f"wide cell files: {spans}"
+
+    kept, total, _ = idx.codes_table._pruned_live([("cell", "in", [0, 1])])
+    assert 0 < len(kept) < total, f"no pruning: {len(kept)}/{total}"
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    pruned = {(r.qid, r.nid) for r in
+              idx.query(queries, k=5, nprobe=4, rerank_corpus=emb).collect()}
+    full = {(r.qid, r.nid) for r in
+            idx.query(queries, k=5, nprobe=None, rerank_corpus=emb).collect()}
+    # nprobe=None scans every cell; the pruned probe run is a subset
+    # of the same pipeline — both must return k rows per query
+    assert len(pruned) == len(full) == 15

@@ -536,3 +536,126 @@ def test_vacuum_spares_in_flight_staging(spark, tmp_path):
     assert all(os.path.exists(os.path.join(t.path, a["path"])) for a in add)
     t._try_commit(t.latest_version() + 1, "append", add, [], schema)
     assert _rows(t.snapshot()) == [(1, "a"), (2, "inflight")]
+
+
+def test_scan_prunes_files_and_matches_snapshot_filter(spark, tmp_path):
+    """A partition-clustered table + an equality filter: scan() must
+    hand Spark only the matching partition's files, and its result must
+    equal the unpruned snapshot().filter() — pruning is a performance
+    tier, never a correctness tier."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    rows = [(d, i, f"v{d}-{i}") for d in ("d1", "d2", "d3") for i in range(20)]
+    t.overwrite(
+        spark.createDataFrame(rows, "date string, k long, v string"),
+        partition_by=["date"],
+    )
+    filters = [("date", "=", "d2")]
+    kept, total, _ = t._pruned_live(filters)
+    assert 0 < len(kept) < total, f"no pruning: {len(kept)}/{total}"
+    got = _rows(t.scan(filters))
+    want = _rows(t.snapshot().filter("date = 'd2'"))
+    assert got == want and len(got) == 20
+
+
+def test_scan_range_and_in_filters(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(10)], "k long, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(1000, 1010)], "k long, v string"
+        )
+    )
+    # range filter disjoint from the second append: its files pruned
+    kept, total, _ = t._pruned_live([("k", "<=", 50)])
+    assert len(kept) < total
+    assert _rows(t.scan([("k", "between", (3, 5))])) == [
+        (i, f"a{i}") for i in range(3, 6)
+    ]
+    assert _rows(t.scan([("k", "in", (2, 1001))])) == [(2, "a2"), (1001, "b1001")]
+    # missing-stats / unknown columns are conservative, not fatal
+    assert _rows(t.scan([("v", "=", "a2")])) == [(2, "a2")]
+
+
+def test_scan_filters_never_match_null_rows(spark, tmp_path):
+    """Filter ops are the null-rejecting subset; a file whose stats
+    describe only non-null values must still answer correctly when it
+    also holds nulls."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (None, "n"), (5, "e")], "k long, v string"
+        )
+    )
+    assert _rows(t.scan([("k", ">=", 0)])) == [(1, "a"), (5, "e")]
+
+
+def test_delete_rewrites_only_matchable_files(spark, tmp_path):
+    """DELETE WHERE on a two-append table whose key ranges are
+    disjoint: the untouched append's files must survive BY PATH in the
+    new snapshot (copy-on-write skipped them entirely)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, f"lo{i}") for i in range(10)], "k long, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"hi{i}") for i in range(1000, 1010)], "k long, v string"
+        )
+    )
+    live_before, _ = t._resolve_actions()
+    hi_files = {a["path"] for a in t.history()[1].add}
+    v = t.delete([("k", "<", 5)])
+    assert v == 2 and t.history()[-1].op == "delete"
+    live_after, _ = t._resolve_actions()
+    assert hi_files <= set(live_after), "unmatched files were rewritten"
+    assert _rows(t.snapshot()) == [(i, f"lo{i}") for i in range(5, 10)] + [
+        (i, f"hi{i}") for i in range(1000, 1010)
+    ]
+    # pre-delete snapshot intact (copy-on-write, time travel)
+    assert len(_rows(t.snapshot(as_of=1))) == 20
+
+
+def test_delete_no_matchable_files_is_a_noop(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v = t.delete([("k", ">", 10_000)])
+    assert v == 0 and t.latest_version() == 0  # no commit written
+    with pytest.raises(ValueError, match="at least one filter"):
+        t.delete([])
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE is log surgery: the live set reverts, history is
+    append-only, and no data file is touched — so the restore itself
+    is revertible by another restore."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"), ["k"])
+    t.delete([("k", "=", 1)])
+    assert _rows(t.snapshot()) == [(2, "B2"), (3, "c")]
+
+    v = t.restore(0)
+    assert v == 3 and t.history()[-1].op == "restore"
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b")]
+    # the rolled-back state is still reachable — and re-restorable
+    assert _rows(t.snapshot(as_of=2)) == [(2, "B2"), (3, "c")]
+    t.restore(2)
+    assert _rows(t.snapshot()) == [(2, "B2"), (3, "c")]
+
+
+def test_partitioned_append_clusters_files(spark, tmp_path):
+    """partition_by clustering: every staged file's [min, max] on the
+    cluster column collapses to a single value (hash-clustered, sorted
+    within), which is what makes equality pruning exact."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    rows = [(d, i) for d in ("a", "b", "c", "d") for i in range(25)]
+    t.append(
+        spark.createDataFrame(rows, "part string, k long"),
+        partition_by=["part"],
+    )
+    live, _ = t._resolve_actions()
+    spans = [s["part"] for s in live.values() if "part" in s]
+    assert spans, "cluster column missing footer stats"
+    assert all(lo == hi for lo, hi in spans), f"multi-value files: {spans}"
