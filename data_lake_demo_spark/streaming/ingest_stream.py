@@ -195,7 +195,15 @@ def start_curated_merge_stream(
     q = (
         curated.writeStream.foreachBatch(
             table.foreach_batch_merge_sink(
-                app, ["endpoint", "date", "page"], dedupe_order="fetched_at"
+                app,
+                ["endpoint", "date", "page"],
+                dedupe_order="fetched_at",
+                # keep rewrites clustered on the reference's partition
+                # scheme (worker.py:27-28's endpoint/date prefixes) so
+                # the curated zone stays prunable — a reader's
+                # scan([("endpoint", "=", ...), ("date", "=", ...)])
+                # and the NEXT merge both touch one partition's files
+                partition_by=["endpoint", "date"],
             )
         )
         .option("checkpointLocation", os.path.join(checkpoint_root, "curated"))

@@ -114,6 +114,22 @@ def _ckpt_name(version: int) -> str:
 _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
 
 
+def _norm_stat_value(v):
+    """Normalize a value for manifest-stats comparison. DATE values
+    ride in the log as ISO strings (lexicographic order == date
+    order — the Delta stats encoding); TIMESTAMPs are deliberately
+    NOT normalized (timezone semantics differ between the parquet
+    footer and Spark's session) — they compare as incomparable and
+    pruning stays conservative."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v  # incomparable to string stats ⇒ conservative keep
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def _file_may_match(stats: dict[str, list], filters) -> bool:
     """False only when the footer stats PROVE no row in the file can
     satisfy every filter. Missing stats for a column mean 'may contain
@@ -124,6 +140,12 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
         if rng is None:
             continue
         lo, hi = rng
+        if op in ("in", "between"):
+            val = [_norm_stat_value(v) for v in val]
+            if op == "between":
+                val = tuple(val)
+        else:
+            val = _norm_stat_value(val)
         try:
             if op == "=":
                 if val < lo or val > hi:
@@ -393,13 +415,16 @@ class AcidTable:
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                mn, mx = st.min, st.max
+                mn, mx = _norm_stat_value(st.min), _norm_stat_value(st.max)
                 # only JSON-primitive stats survive: binary isn't
-                # serializable, and datetime/date (timestamp columns)
+                # serializable, and datetime (timestamp columns)
                 # would crash the commit's json.dump AND compare
                 # unequally against Spark-side values in pruning.
-                # Dropping a column's stats just means merges keyed on
-                # it don't prune — never a correctness issue.
+                # DATE stats are normalized to ISO strings above
+                # (order-preserving), so date-partitioned tables
+                # prune; dropping any other column's stats just means
+                # merges keyed on it don't prune — never a
+                # correctness issue.
                 if not isinstance(mn, (int, float, str, bool)) or not isinstance(
                     mx, (int, float, str, bool)
                 ):
@@ -656,12 +681,16 @@ class AcidTable:
             skip = False
             for k in keys:
                 rng = stats.get(k)
-                ulo, uhi = row[f"__lo_{k}"], row[f"__hi_{k}"]
-                if rng is not None and ulo is not None and (
-                    rng[1] < ulo or rng[0] > uhi
-                ):
-                    skip = True  # disjoint on this key column
-                    break
+                ulo = _norm_stat_value(row[f"__lo_{k}"])
+                uhi = _norm_stat_value(row[f"__hi_{k}"])
+                try:
+                    if rng is not None and ulo is not None and (
+                        rng[1] < ulo or rng[0] > uhi
+                    ):
+                        skip = True  # disjoint on this key column
+                        break
+                except TypeError:
+                    continue  # incomparable types: keep the file
             if not skip:
                 touched.append(path)
         return sorted(touched)
@@ -673,6 +702,7 @@ class AcidTable:
         *,
         dedupe_order: str | None = None,
         txn: tuple[str, int] | None = None,
+        partition_by: Sequence[str] | None = None,
         max_retries: int = 5,
     ) -> int:
         """MERGE INTO (upsert) with snapshot-isolated copy-on-write and
@@ -720,7 +750,7 @@ class AcidTable:
             merged = merge_upsert(
                 target, updates, keys, dedupe_order=dedupe_order
             )
-            add, schema = self._stage_actions(merged)
+            add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
                 return self._try_commit(
                     base + 1, "merge", add, touched, schema, txn
@@ -735,11 +765,15 @@ class AcidTable:
         keys: Sequence[str],
         *,
         dedupe_order: str | None = None,
+        partition_by: Sequence[str] | None = None,
     ):
         """``writeStream.foreachBatch`` adapter for streaming UPSERT —
         the CDC-apply shape: each micro-batch of change rows merges
         into the table (latest-per-key within the batch when
-        ``dedupe_order`` is set), exactly once per batch id."""
+        ``dedupe_order`` is set), exactly once per batch id.
+        ``partition_by`` keeps every rewrite partition-clustered, so
+        the table the stream maintains stays prunable for readers AND
+        for its own next merge."""
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             self.merge(
@@ -747,6 +781,7 @@ class AcidTable:
                 keys,
                 dedupe_order=dedupe_order,
                 txn=(app, int(batch_id)),
+                partition_by=partition_by,
             )
 
         return sink

@@ -659,3 +659,53 @@ def test_partitioned_append_clusters_files(spark, tmp_path):
     spans = [s["part"] for s in live.values() if "part" in s]
     assert spans, "cluster column missing footer stats"
     assert all(lo == hi for lo, hi in spans), f"multi-value files: {spans}"
+
+
+def test_date_partitioned_merge_and_scan_prune(spark, tmp_path):
+    """DATE-typed partition columns must prune: date stats ride in the
+    manifest as ISO strings (order-preserving), Spark-side date values
+    normalize to the same encoding, and a merge whose batch targets
+    one date leaves the other dates' files untouched by path."""
+    import datetime
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    rows = [
+        (e, datetime.date(2024, 1, d), p, f"v-{e}-{d}-{p}")
+        for e in ("users", "orders")
+        for d in (1, 2, 3)
+        for p in range(4)
+    ]
+    t.overwrite(
+        spark.createDataFrame(rows, "endpoint string, date date, page long, v string"),
+        partition_by=["endpoint", "date"],
+    )
+    live, _ = t._resolve_actions()
+    assert any("date" in s for s in live.values()), "date stats missing"
+
+    # read-side: equality on the date prunes to that date's files
+    filters = [("endpoint", "=", "users"), ("date", "=", datetime.date(2024, 1, 2))]
+    kept, total, _ = t._pruned_live(filters)
+    assert 0 < len(kept) < total
+    assert {r.v for r in t.scan(filters).collect()} == {
+        f"v-users-2-{p}" for p in range(4)
+    }
+
+    # write-side: a one-date merge batch skips other dates' files
+    untouched = {
+        p for p, s in live.items()
+        if "date" in s and s["date"][0] > "2024-01-01"
+    }
+    assert untouched
+    t.merge(
+        spark.createDataFrame(
+            [("users", datetime.date(2024, 1, 1), 0, "UPDATED")],
+            "endpoint string, date date, page long, v string",
+        ),
+        ["endpoint", "date", "page"],
+        partition_by=["endpoint", "date"],
+    )
+    live_after, _ = t._resolve_actions()
+    assert untouched <= set(live_after), "merge rewrote provably-unmatchable files"
+    assert ("users", datetime.date(2024, 1, 1), 0, "UPDATED") in {
+        tuple(r) for r in t.snapshot().collect()
+    }
