@@ -709,3 +709,51 @@ def test_date_partitioned_merge_and_scan_prune(spark, tmp_path):
     assert ("users", datetime.date(2024, 1, 1), 0, "UPDATED") in {
         tuple(r) for r in t.snapshot().collect()
     }
+
+
+def test_changes_feed_net_row_diffs(spark, tmp_path):
+    """changes(since, until) is the net row diff: appends surface as
+    inserts, a merge update as its delete+insert pair, rows a rewrite
+    merely copied cancel out, and a pure-layout commit (compact)
+    yields an EMPTY feed — churn-proportional CDC, not a table scan."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))  # v0
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))  # v1
+
+    def feed(since, until=None):
+        return sorted(
+            (r.k, r.v, r._change_type) for r in t.changes(since, until).collect()
+        )
+
+    assert feed(0, 1) == [(3, "c", "insert")]
+
+    t.merge(spark.createDataFrame([(2, "B2")], "k long, v string"), ["k"])  # v2
+    # the merge rewrote a file containing (1,a) unchanged — it cancels
+    assert feed(1, 2) == [(2, "B2", "insert"), (2, "b", "delete")]
+
+    t.delete([("k", "=", 3)])  # v3
+    assert feed(2, 3) == [(3, "c", "delete")]
+
+    t.compact(n_files=1)  # v4: pure layout, zero logical change
+    assert feed(3, 4) == []
+
+    # multi-version net diff: (2,b)->(2,B2) update; (3,c) was added
+    # AND deleted inside the range, so the NET feed omits it entirely
+    assert feed(0, 4) == [(2, "B2", "insert"), (2, "b", "delete")]
+
+    t.restore(0)  # v5: net effect = undo everything since v0
+    assert feed(0, 5) == []
+
+
+def test_changes_feed_aligns_evolved_schema(spark, tmp_path):
+    """A column added after `since` reads as null on the delete side —
+    the feed stays consumable across additive schema evolution."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))  # v0
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )  # v1
+    rows = sorted(
+        (r.k, r.v, r.score, r._change_type) for r in t.changes(0, 1).collect()
+    )
+    assert rows == [(2, "b", 9.5, "insert")]
