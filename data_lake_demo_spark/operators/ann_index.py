@@ -440,6 +440,48 @@ class AnnIndex:
             partition_by=["cell"] if self.model.coarse is not None else None,
         )
 
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        txn_app: str | None = None,
+        batch_id: int | None = None,
+    ) -> None:
+        """Incremental index maintenance from an AcidTable change feed
+        (``tableformat.AcidTable.changes``): tombstone the deleted
+        ids' codes (merge_delete — an anti-join rewrite of only the
+        code files whose nid ranges overlap), then encode+append the
+        inserted vectors with the stored quantizers. An UPDATE (same
+        id, new embedding) arrives as its delete+insert pair and lands
+        as re-encode-in-place. Cost scales with the feed, not the
+        corpus — the index stays fresh without ever rebuilding.
+
+        With ``txn_app``+``batch_id`` both sub-commits are idempotent
+        per batch (distinct txn apps for the delete and add halves —
+        one shared app would let the first half's watermark swallow
+        the second), so a replayed feed batch is a no-op."""
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            F.col(id_col).alias("nid")
+        )
+        ins = feed.filter(F.col("_change_type") == "insert")
+        txn = txn_app is not None and batch_id is not None
+        if not dels.isEmpty():
+            self.codes_table.merge_delete(
+                dels,
+                ["nid"],
+                txn=(f"{txn_app}:del", batch_id) if txn else None,
+                partition_by=["cell"] if self.model.coarse is not None else None,
+            )
+        if not ins.isEmpty():
+            self.add(
+                ins,
+                id_col=id_col,
+                vec_col=vec_col,
+                txn=(f"{txn_app}:add", batch_id) if txn else None,
+            )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> AnnIndex:
         store = cls._meta_store(path)

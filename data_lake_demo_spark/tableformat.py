@@ -814,6 +814,59 @@ class AcidTable:
                 continue
         raise CommitConflict(f"merge lost {max_retries} commit races")
 
+    def merge_delete(
+        self,
+        keys_df: DataFrame,
+        keys: Sequence[str],
+        *,
+        txn: tuple[str, int] | None = None,
+        partition_by: Sequence[str] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """MERGE INTO ... WHEN MATCHED THEN DELETE: remove every row
+        whose key appears in ``keys_df``, as snapshot-isolated
+        copy-on-write with the same manifest-level file skipping as
+        ``merge`` — only files whose footer key ranges overlap the
+        batch are rewritten (left-anti join against the key set);
+        provably-unmatchable files carry over by path. This is the
+        set-valued complement of ``delete`` (which takes literal
+        predicates): the CDC-apply shape for tombstone batches, and
+        the GDPR-erasure shape (delete these N million user ids)
+        where a literal IN-list can't scale but an anti-join does.
+
+        ``txn=(app, batch_id)`` gives the same exactly-once replay
+        contract as ``append``/``merge``."""
+        keys = list(keys)
+        key_set = keys_df.select(*keys).dropDuplicates(keys)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if txn is not None:
+                last = self.last_txn_batch(txn[0], as_of=base)
+                if last is not None and txn[1] <= last:
+                    return base
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, _ = self._resolve_actions(base)
+            touched = self._touched_files(live, key_set, keys)
+            if not touched:
+                return base  # no file can contain a matching key
+            remaining = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).join(key_set, on=keys, how="left_anti")
+            # join strategy stays Catalyst's call: AQE broadcasts a
+            # small tombstone batch and shuffle-joins a huge one —
+            # pinning broadcast here would OOM the GDPR-scale case
+            add, schema = self._stage_actions(
+                remaining, partition_by=partition_by
+            )
+            try:
+                return self._try_commit(
+                    base + 1, "merge_delete", add, touched, schema, txn
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"merge_delete lost {max_retries} commit races")
+
     def foreach_batch_merge_sink(
         self,
         app: str,

@@ -235,3 +235,43 @@ def test_ivf_codes_cluster_and_probe_scan_prunes(spark, tmp_path):
     # nprobe=None scans every cell; the pruned probe run is a subset
     # of the same pipeline — both must return k rows per query
     assert len(pruned) == len(full) == 15
+
+
+def test_apply_changes_keeps_index_in_sync(spark, tmp_path):
+    """The incremental story end-to-end: embeddings live in an
+    AcidTable, the index is built once, and every table mutation
+    reaches the index through the change feed — no rebuild. Deleted
+    ids must stop appearing as neighbors; inserted ids must be
+    findable; results must match a fresh build of the final state."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    emb = _emb(spark).filter(F.col("vec_id") < 80)
+    table = AcidTable(spark, str(tmp_path / "emb"))
+    v0 = table.overwrite(emb)
+    idx = AnnIndex.build(table.snapshot(), str(tmp_path / "idx"), nlist=8)
+
+    # mutate: drop 40-49, add 900-909 (reusing other rows' vectors)
+    table.merge_delete(
+        spark.range(40, 50).select(F.col("id").alias("vec_id")), ["vec_id"]
+    )
+    fresh = (
+        _emb(spark).filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+        .withColumn("vec_id", F.col("vec_id") + 820)
+    )
+    table.append(fresh)
+
+    idx.apply_changes(table.changes(v0), txn_app="sync", batch_id=1)
+    live = idx.codes_table.snapshot()
+    got_ids = {r.nid for r in live.select("nid").collect()}
+    assert got_ids == {i for i in range(80) if not 40 <= i < 50} | set(
+        range(900, 910)
+    )
+    # replay is a no-op (both halves watermarked)
+    before = idx.codes_table.latest_version()
+    idx.apply_changes(table.changes(v0), txn_app="sync", batch_id=1)
+    assert idx.codes_table.latest_version() == before
+
+    # queries see the new state: a deleted id never surfaces
+    q = _emb(spark).filter(F.col("vec_id") < 3)
+    res = idx.query(q, k=5, nprobe=8, rerank_corpus=table.snapshot())
+    assert all(not 40 <= r.nid < 50 for r in res.collect())

@@ -261,3 +261,94 @@ def test_simhash_near_dup_beats_unrelated(spark, words):
     d_near, d_far = ham(fp[0], fp[2]), ham(fp[0], fp[3])
     assert d_near <= 16  # one token of ~30 flips few majority votes
     assert d_near < d_far  # ranking property the bucketing rests on
+
+
+# ---- manifest pruning soundness (pure python, no JVM) -----------------
+
+_scalar = st.one_of(
+    st.integers(min_value=-50, max_value=50),
+    st.text(alphabet="abcde", min_size=0, max_size=3),
+)
+
+
+@st.composite
+def _typed_files_and_filter(draw):
+    """Random single-column 'files' (value lists of ONE type) plus a
+    same-typed random filter — mixed-type cases are exercised
+    separately (they must prune nothing)."""
+    is_int = draw(st.booleans())
+    elem = (
+        st.integers(min_value=-50, max_value=50)
+        if is_int
+        else st.text(alphabet="abcde", min_size=0, max_size=3)
+    )
+    files = draw(
+        st.lists(st.lists(elem, min_size=1, max_size=6), min_size=1, max_size=5)
+    )
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in", "between"]))
+    if op == "in":
+        val = tuple(draw(st.lists(elem, min_size=0, max_size=3)))
+    elif op == "between":
+        a, b = draw(elem), draw(elem)
+        val = (min(a, b), max(a, b))
+    else:
+        val = draw(elem)
+    return files, ("c", op, val)
+
+
+def _matches(v, op, val):
+    if op == "=":
+        return v == val
+    if op == "<":
+        return v < val
+    if op == "<=":
+        return v <= val
+    if op == ">":
+        return v > val
+    if op == ">=":
+        return v >= val
+    if op == "in":
+        return v in val
+    a, b = val
+    return a <= v <= b
+
+
+@settings(max_examples=300, deadline=None)
+@given(_typed_files_and_filter())
+def test_file_pruning_never_drops_a_matching_file(case):
+    """Soundness of manifest pruning (tableformat._file_may_match):
+    whenever ANY value in a file satisfies the filter, the file must
+    survive pruning with stats = [min, max] of its values. (The
+    reverse — pruning everything prunable — is selectivity, not
+    correctness, and is deliberately NOT asserted.)"""
+    from data_lake_demo_spark.tableformat import _file_may_match
+
+    files, (col, op, val) = case
+    for values in files:
+        stats = {col: [min(values), max(values)]}
+        if any(_matches(v, op, val) for v in values):
+            assert _file_may_match(stats, [(col, op, val)]), (
+                f"pruned a matching file: values={values} filter={(op, val)}"
+            )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.booleans(),
+    st.integers(min_value=-50, max_value=50),
+    st.text(alphabet="abcde", min_size=0, max_size=3),
+    st.integers(min_value=-50, max_value=50),
+    st.text(alphabet="abcde", min_size=0, max_size=3),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+)
+def test_file_pruning_cross_type_is_conservative(int_file, i1, s1, i2, s2, op):
+    """A file's stats are one type; a filter value of ANOTHER type
+    (schema drift across commits) must KEEP the file, never raise —
+    conservative by construction."""
+    from data_lake_demo_spark.tableformat import _file_may_match
+
+    if int_file:
+        stats, val = {"c": [min(i1, i2), max(i1, i2)]}, s1
+    else:
+        stats, val = {"c": [min(s1, s2), max(s1, s2)]}, i1
+    assert _file_may_match(stats, [("c", op, val)])

@@ -757,3 +757,47 @@ def test_changes_feed_aligns_evolved_schema(spark, tmp_path):
         (r.k, r.v, r.score, r._change_type) for r in t.changes(0, 1).collect()
     )
     assert rows == [(2, "b", 9.5, "insert")]
+
+
+def test_merge_delete_anti_join_with_file_skipping(spark, tmp_path):
+    """WHEN MATCHED DELETE: keyed tombstones remove their rows via an
+    anti-join rewrite of only the files whose key ranges overlap the
+    batch; disjoint files survive by path. Replays are no-ops under a
+    txn watermark."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, f"lo{i}") for i in range(10)], "k long, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"hi{i}") for i in range(1000, 1010)], "k long, v string"
+        )
+    )
+    hi_files = {a["path"] for a in t.history()[1].add}
+    tombs = spark.createDataFrame([(2,), (7,), (2,)], "k long")  # dup tombstone ok
+    v = t.merge_delete(tombs, ["k"], txn=("cdc", 1))
+    assert v == 2 and t.history()[-1].op == "merge_delete"
+    live_after, _ = t._resolve_actions()
+    assert hi_files <= set(live_after), "disjoint files were rewritten"
+    assert _rows(t.snapshot()) == [
+        (i, f"lo{i}") for i in range(10) if i not in (2, 7)
+    ] + [(i, f"hi{i}") for i in range(1000, 1010)]
+    # replay of the same batch id: watermark makes it a no-op
+    assert t.merge_delete(tombs, ["k"], txn=("cdc", 1)) == 2
+    assert t.latest_version() == 2
+
+
+def test_scan_residual_filter_is_pushed_to_parquet(spark, tmp_path):
+    """The residual predicate on a pruned scan must reach the parquet
+    reader (PushedFilters), so surviving files also row-group-skip —
+    pruning tiers compose: manifest → row group → row."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    )
+    df = t.scan([("k", ">=", 90)])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(k,90)" in plan
