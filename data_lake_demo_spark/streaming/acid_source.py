@@ -1,0 +1,189 @@
+"""AcidTable as a first-class Spark data source ("acidtable" format).
+
+The round-4/5 ACID layer (tableformat.py) can be written by streams
+(foreach_batch_sink / foreach_batch_merge_sink); this module closes
+the loop and makes it READABLE as a stream — the Delta-streaming-
+source shape, expressed through Spark 4's Python Data Source API
+(pyspark.sql.datasource):
+
+- **Offsets are commit versions.** The reader's offset {"version": N}
+  means "commits < N consumed". latestOffset() is one log listing;
+  each micro-batch covers the commit range [start, end) and its
+  partitions are exactly the parquet files those commits ADDED —
+  incremental tailing reads O(new data), never the table.
+- **Partition-parallel.** One InputPartition per added file; executors
+  read their file with pyarrow. The driver only plans (versions →
+  file lists from the commit log), matching the scale contract of the
+  rest of the engine: a 1000-commit backlog fans out as 1000× files,
+  not a driver loop over rows.
+- **Exactly-once.** Spark checkpoints the offset; a replayed batch
+  re-plans the SAME version range over the immutable log, so the
+  rows delivered are identical. Combined with the sink-side txn
+  watermark, an AcidTable→AcidTable pipeline is exactly-once
+  end-to-end.
+- **Change commits.** Appends stream naturally. A commit that also
+  REMOVES files (merge / delete / overwrite / restore) is not
+  expressible as an append-only stream; by default the reader raises
+  (the Delta default), and ``skipChangeCommits=true`` streams only
+  append commits, ignoring rewrites (Delta's skipChangeCommits).
+  Consumers that need row-level deletes use AcidTable.changes() — the
+  CDF — in a foreachBatch loop instead.
+
+Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
+the live snapshot through the same planner (one partition per live
+file), so both engines resolve the table from the one commit log.
+
+Reference parity: the reference's queue-driven workers tail new work
+units and write idempotently (worker.py:201-256); this is that loop
+expressed as a Spark source over the transactional lake zone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
+               "compact", "optimize_zorder", "restore"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_parquet_rows(path: str, fields: list[str]):
+    """Executor-side file read: yield tuples in schema field order,
+    padding columns the file predates (additive evolution) with None."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = []
+    n = tbl.num_rows
+    for f in fields:
+        if f in tbl.column_names:
+            cols.append(tbl.column(f).to_pylist())
+        else:
+            cols.append([None] * n)
+    yield from zip(*cols) if n else iter(())
+
+
+def _table(options):
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("acidtable source requires .option('path', ...) or load(path)")
+    # planner-only handle: no SparkSession needed for log resolution
+    return AcidTable(None, path)
+
+
+class _AcidBatchReader(DataSourceReader):
+    def __init__(self, options, schema_fields: list[str]):
+        self._options = options
+        self._fields = schema_fields
+
+    def partitions(self):
+        t = _table(self._options)
+        files, _ = t._resolve()
+        return [_FilePartition(os.path.join(t.path, f)) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_parquet_rows(partition.path, self._fields)
+
+
+class _AcidStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema_fields: list[str]):
+        self._options = options
+        self._fields = schema_fields
+        self._skip_changes = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+
+    def initialOffset(self) -> dict:
+        start = self._options.get("startingversion")
+        if start is not None:
+            return {"version": int(start)}
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": _table(self._options).latest_version() + 1}
+
+    def partitions(self, start: dict, end: dict):
+        t = _table(self._options)
+        parts = []
+        for v in range(start["version"], end["version"]):
+            c = t._read_commit(v)
+            if c.remove or c.op in _CHANGE_OPS:
+                if not self._skip_changes:
+                    raise ValueError(
+                        f"commit {v} is a change commit ({c.op}); an "
+                        "append-only stream cannot represent removed "
+                        "rows. Set .option('skipChangeCommits', 'true') "
+                        "to ignore rewrites, or consume "
+                        "AcidTable.changes() for row-level CDC."
+                    )
+                continue
+            parts.extend(
+                _FilePartition(os.path.join(t.path, a["path"])) for a in c.add
+            )
+        # Spark requires ≥1 partition per planned batch; an empty range
+        # (or all-skipped commits) still needs a no-op partition
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_parquet_rows(partition.path, self._fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the log is immutable
+
+
+class AcidTableDataSource(DataSource):
+    """``spark.dataSource.register(AcidTableDataSource)`` then
+    ``spark.readStream.format("acidtable").option("path", p).load()``
+    (incremental commit tailing) or
+    ``spark.read.format("acidtable").load(p)`` (live snapshot)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acidtable"
+
+    def schema(self):
+        t = _table(self.options)
+        _, schema_json = t._resolve()
+        if schema_json is None:
+            raise ValueError(f"table {t.path} has no commits")
+        return T.StructType.fromJson(json.loads(schema_json))
+
+    def _fields(self) -> list[str]:
+        return [f.name for f in self.schema().fields]
+
+    def reader(self, schema) -> DataSourceReader:
+        return _AcidBatchReader(self.options, [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _AcidStreamReader(self.options, [f.name for f in schema.fields])
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(AcidTableDataSource)
+
+
+def read_table_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Convenience: register + open an incremental stream over a table."""
+    register(spark)
+    reader = spark.readStream.format("acidtable").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -614,3 +614,93 @@ def test_streaming_curated_merge_into_acid_table(spark, tmp_path):
     sink(ghost, 0)
     assert table.latest_version() == v
     assert table.snapshot().filter("item_count = 999").count() == 0
+
+
+def test_acid_table_stream_source_incremental_tailing(spark, tmp_path):
+    """AcidTable as a Spark streaming SOURCE (Python Data Source API):
+    offsets are commit versions, each micro-batch reads only the files
+    new commits added, and a restart from the checkpoint resumes after
+    the consumed offset — exactly-once tailing of the lake zone."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_table_stream(spark, str(tmp_path / "t"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert drain() == [(1, "a"), (2, "b"), (3, "c")]
+
+    # new commits after the checkpoint: ONLY the delta is delivered
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    assert drain() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # no new commits: idempotent no-op drain
+    assert drain() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_acid_table_stream_source_change_commits(spark, tmp_path):
+    """A rewrite commit can't stream as appends: default is a hard
+    error (Delta's contract); skipChangeCommits=true ignores rewrites
+    and keeps streaming subsequent appends."""
+    import pyspark.errors
+
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B2")], "k long, v string"), ["k"])
+    t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+
+    def drain(out, ckpt, **opts):
+        q = (
+            read_table_stream(spark, str(tmp_path / "t"), **opts)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        drain(str(tmp_path / "o1"), str(tmp_path / "c1"))
+
+    got = drain(
+        str(tmp_path / "o2"), str(tmp_path / "c2"), skipChangeCommits="true"
+    )
+    # appends v0 + v2 stream; the merge rewrite (v1) is skipped, so the
+    # pre-merge (2, b) appears and (2, B2) does not — documented lossy
+    assert got == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_acid_table_batch_datasource_matches_snapshot(spark, tmp_path):
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"), ["k"])
+    register(spark)
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("acidtable")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .collect()
+    )
+    assert via_ds == sorted(tuple(r) for r in t.snapshot().collect())
