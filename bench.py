@@ -11,9 +11,13 @@ compact JSON line on the saved descriptor at the end.
 
 Regression lock: BENCH_LOCK.json (committed) keeps the last few warm
 timings per (sf, query) and their median. A query slower than 1.5x
-its locked median (and above a 0.5 s noise floor) is flagged in the
-output line — a run-conditions episode once cost a full round of
-perf signal because nothing compared against history.
+its locked median AND by more than a 0.5 s absolute delta is flagged
+in the output line — a run-conditions episode once cost a full round
+of perf signal because nothing compared against history. The delta
+floor (not an absolute-time floor) is deliberate: on a shared
+local[32] JVM a 0.3 s-median query routinely doubles on scheduler
+jitter, which is noise, while a genuine regression in a query that
+matters moves the needle by half a second or more.
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ def _check_and_update_lock(sf_key: str, timings: dict[str, float]) -> dict[str, 
         ent = per_sf.get(name)
         if ent and ent.get("median"):
             med = ent["median"]
-            if t > REGRESS_FACTOR * med and t > NOISE_FLOOR_S:
+            if t > REGRESS_FACTOR * med and t - med > NOISE_FLOOR_S:
                 regressions[name] = [round(t, 2), med]
         runs = (ent.get("runs", []) if ent else []) + [round(t, 3)]
         runs = runs[-LOCK_KEEP:]

@@ -642,3 +642,66 @@ def winnow_containment(
             F.col("n_contained") / F.col("n_fingerprints"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup — the Dolma recipe:
+    split each document on the paragraph separator, keep only the
+    FIRST occurrence of every distinct paragraph corpus-wide (first =
+    lowest (doc_id, position)), and rebuild documents from their
+    surviving paragraphs in original order. Catches boilerplate,
+    quoted reposts, and licence blocks that document-level dedup
+    misses because the surrounding text differs.
+
+    Scale shape: the global winner election shuffles ONLY
+    (16-byte md5, id, position) rows — paragraph text never enters
+    that exchange. Text moves once, keyed by (id, position), to meet
+    the winner set — the same partitioning the per-document rebuild
+    groupBy consumes, so AQE plans one text shuffle total. Documents
+    that lose every paragraph surface with empty text (n_kept = 0),
+    not silently dropped.
+
+    Output: (id, n_paras, n_kept, n_dropped, text_dedup).
+    """
+    from pyspark.sql import Window as W
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para"),
+    )
+    keyed = paras.select(
+        id_col, "__idx", F.md5(F.col("__para")).alias("__h")
+    )
+    wn = W.partitionBy("__h").orderBy(id_col, "__idx")
+    winners = (
+        keyed.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__idx")
+    )
+    kept = paras.join(winners, [id_col, "__idx"])
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

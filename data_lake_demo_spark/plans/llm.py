@@ -997,6 +997,79 @@ SELECT doc_id, text_scrubbed FROM scrubbed ORDER BY doc_id
 """
 
 
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (the Dolma recipe;
+    operators/dedup.paragraph_dedup). The fixture documents are
+    single-paragraph, so the query builds a multi-paragraph corpus
+    inline: a shared subscribe-header and copyright-footer wrap every
+    document (planted corpus-wide dups — only doc 0's copies survive)
+    around the document's words re-chunked into 15-word paragraphs
+    (short tail chunks collide naturally across the word-soup corpus).
+    Output is per-document keep/drop counts plus the md5 of the
+    rebuilt text, so the oracle hash pins both the election and the
+    order-preserving rebuild."""
+    from data_lake_demo_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    cnt = F.greatest(
+        ((F.size(words) + F.lit(14)) / F.lit(15)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.array_join(F.slice(words, i * 15 + 1, 15), " "),
+    )
+    paras = F.concat(
+        F.array(F.lit("SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES")),
+        chunks,
+        F.array(F.lit("COPYRIGHT EXAMPLE CORP ALL RIGHTS RESERVED")),
+    )
+    multi = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return (
+        paragraph_dedup(multi)
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            "n_dropped",
+            F.md5("text_dedup").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+built AS (
+  SELECT doc_id,
+    list_concat(list_concat(
+      ['SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES'],
+      list_transform(
+        generate_series(0, greatest(CAST(floor((len(w) + 14) / 15) AS INT), 1) - 1),
+        i -> array_to_string(w[i*15+1 : i*15+15], ' '))),
+      ['COPYRIGHT EXAMPLE CORP ALL RIGHTS RESERVED']) AS paras
+  FROM base),
+ex AS (SELECT doc_id, unnest(paras) AS para,
+              generate_subscripts(paras, 1) AS idx FROM built),
+win AS (SELECT doc_id, idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM ex),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup
+        FROM win WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM ex GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       md5(coalesce(r.text_dedup, '')) AS clean_md5
+FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: payloads are synthetic, no codecs)
 # --------------------------------------------------------------------------
@@ -1434,6 +1507,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_normalize_scrub": doc_normalize_scrub,
     "doc_scrub_boilerplate": doc_scrub_boilerplate,
+    "doc_paragraph_dedup": doc_paragraph_dedup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_split_assign": doc_split_assign,
     "doc_pack_sequences": doc_pack_sequences,
@@ -1481,6 +1555,7 @@ ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
+    "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),

@@ -1079,3 +1079,27 @@ def test_hll_estimate_within_bound_of_exact_twin(spark):
     assert approx.keys() == exact.keys()
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.02 * n), (day, approx[day], n)
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    """Dolma-style paragraph dedup: global first-occurrence election by
+    (doc_id, position), order-preserving rebuild, and a document that
+    loses everything surfaces empty rather than disappearing."""
+    from data_lake_demo_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\n\nshared one\n\nbeta"),
+            (1, "shared one\n\ngamma\n\nshared two"),
+            (2, "shared one\n\nshared two"),  # loses every paragraph
+            (3, "delta\n\ndelta"),  # within-doc dup: keep first only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[0].text_dedup == "alpha\n\nshared one\n\nbeta"
+    assert (out[0].n_paras, out[0].n_kept, out[0].n_dropped) == (3, 3, 0)
+    assert out[1].text_dedup == "gamma\n\nshared two"
+    assert out[1].n_dropped == 1
+    assert out[2].text_dedup == "" and out[2].n_kept == 0
+    assert out[3].text_dedup == "delta" and out[3].n_dropped == 1
