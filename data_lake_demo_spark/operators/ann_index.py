@@ -201,6 +201,67 @@ def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
     return c.mapInPandas(op, schema=schema)
 
 
+def encode_flat(c: DataFrame, model: PQModel) -> DataFrame:
+    """*Add* stage for IVF-FLAT: (nid, nvec) → (nid, cell, nvec) —
+    coarse cell assignment only, exact unit-normalized vectors stored
+    (no compression). The persisted form of the inverted-file layout:
+    4·dim bytes/vector at rest, exact re-rank built in. Assignment is
+    argmin-L2 over unit vectors, the SAME metric ``prep_flat_queries``
+    ranks probe cells with (the IVFPQ probe-metric-mismatch lesson,
+    round 4)."""
+    import numpy as np
+    import pandas as pd
+
+    coarse_arr = model.coarse
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _unit(np.asarray(pdf["nvec"].tolist(), dtype=np.float64))
+            d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"],
+                    "cell": d2c.argmin(1).astype("int32"),
+                    "nvec": [row.tolist() for row in U],
+                }
+            )
+
+    return c.mapInPandas(op, schema="nid long, cell int, nvec array<double>")
+
+
+def prep_flat_queries(
+    queries: DataFrame, model: PQModel, *, nprobe: int
+) -> DataFrame:
+    """*Search* front half for IVF-FLAT: (qid, qvec) → exploded
+    (qid, qvec, cell) probe rows, cells ranked by L2 to the coarse
+    centroids over the unit-normalized query — the assignment metric."""
+    import numpy as np
+    import pandas as pd
+
+    coarse_arr = model.coarse
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
+            d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d2c, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "qvec": [row.tolist() for row in Q],
+                    "probes": [row.astype("int32").tolist() for row in order],
+                }
+            )
+
+    return queries.mapInPandas(
+        op, schema="qid long, qvec array<double>, probes array<int>"
+    ).select("qid", "qvec", F.explode("probes").alias("cell"))
+
+
 def prep_queries(
     queries: DataFrame, model: PQModel, *, nprobe: int | None = None
 ) -> DataFrame:
@@ -331,12 +392,15 @@ class AnnIndex:
     >>> idx.query(batch, k=5, nprobe=4, rerank_corpus=emb)      # many
     """
 
-    def __init__(self, spark: SparkSession, path: str, model: PQModel):
+    def __init__(
+        self, spark: SparkSession, path: str, model: PQModel, *, flat: bool = False
+    ):
         from data_lake_demo_spark.tableformat import AcidTable
 
         self.spark = spark
         self.path = path
         self.model = model
+        self.flat = flat  # IVF-FLAT: exact vectors stored, no PQ codes
         self.codes_table = AcidTable(spark, os.path.join(path, "codes"))
 
     # ---- persistence ----------------------------------------------------
@@ -361,10 +425,16 @@ class AnnIndex:
         seed: int = 42,
         max_iter: int = 4,
         train_limit: int = 20_000,
+        flat: bool = False,
     ) -> AnnIndex:
         """Train + encode + persist. Re-building over an existing index
         is an atomic snapshot swap: readers mid-``query`` keep their
-        pinned snapshot; ``load`` after the build sees the new index."""
+        pinned snapshot; ``load`` after the build sees the new index.
+
+        ``flat=True`` builds IVF-FLAT (FAISS ``IndexIVFFlat``): coarse
+        cells + exact unit vectors, no PQ compression — the shape for
+        corpora where 4·dim bytes/vector fits the budget and recall
+        must not pay the quantization tax. Requires ``nlist``."""
         from data_lake_demo_spark.operators.similarity import infer_dim
 
         spark = corpus.sparkSession
@@ -373,27 +443,39 @@ class AnnIndex:
             to_double_array(F.col(vec_col)).alias("nvec"),
         )
         dim = infer_dim(corpus, vec_col)
-        model = train_pq_model(
-            sample_vectors(c, "nvec", train_limit),
-            dim=dim,
-            m=m,
-            ksub=ksub,
-            nlist=nlist,
-            seed=seed,
-            max_iter=max_iter,
-        )
+        if flat:
+            if nlist is None:
+                raise ValueError("flat=True requires nlist (IVF cells)")
+            import numpy as np
+
+            sample = sample_vectors(c, "nvec", train_limit)
+            rng = np.random.default_rng(seed)
+            coarse = _kmeans(sample, min(nlist, len(sample)), rng, max_iter)
+            model = PQModel(dim=dim, m=0, ksub_eff=0, books=[], coarse=coarse)
+        else:
+            model = train_pq_model(
+                sample_vectors(c, "nvec", train_limit),
+                dim=dim,
+                m=m,
+                ksub=ksub,
+                nlist=nlist,
+                seed=seed,
+                max_iter=max_iter,
+            )
         idx = cls(spark, path, model)
+        idx.flat = flat
         # IVF codes cluster by cell (Iceberg range distribution): each
         # file covers one-or-few cells, so a probe read prunes to
         # ~nprobe/nlist of the index at the MANIFEST level — the
         # distributed twin of FAISS seeking only the probed inverted
         # lists instead of scanning the whole codes array.
         version = idx.codes_table.overwrite(
-            encode_pq(c, model),
+            encode_flat(c, model) if flat else encode_pq(c, model),
             partition_by=["cell"] if model.coarse is not None else None,
         )
         meta = {
             "model": model.to_json(),
+            "flat": flat,
             "params": {
                 "id_col": id_col,
                 "vec_col": vec_col,
@@ -434,8 +516,9 @@ class AnnIndex:
             F.col(id_col).alias("nid"),
             to_double_array(F.col(vec_col)).alias("nvec"),
         )
+        enc = encode_flat if self.flat else encode_pq
         return self.codes_table.append(
-            encode_pq(c, self.model),
+            enc(c, self.model),
             txn=txn,
             partition_by=["cell"] if self.model.coarse is not None else None,
         )
@@ -489,7 +572,12 @@ class AnnIndex:
         if not names:
             raise FileNotFoundError(f"no ANN index at {path}")
         meta = json.loads(store.read(max(names)))
-        idx = cls(spark, path, PQModel.from_json(meta["model"]))
+        idx = cls(
+            spark,
+            path,
+            PQModel.from_json(meta["model"]),
+            flat=bool(meta.get("flat", False)),
+        )
         idx.meta = meta
         return idx
 
@@ -516,6 +604,8 @@ class AnnIndex:
             F.col(id_col).alias("qid"),
             to_double_array(F.col(vec_col)).alias("qvec"),
         )
+        if self.flat:
+            return self._query_flat(q, k=k, nprobe=nprobe or 4)
         prepped = prep_queries(
             q, model, nprobe=nprobe if model.coarse is not None else None
         )
@@ -545,4 +635,29 @@ class AnnIndex:
         return (
             cands.filter(F.col("rk0") <= k)
             .select("qid", "nid", "adc_score", F.col("rk0").alias("rk"))
+        )
+
+    def _query_flat(self, q: DataFrame, *, k: int, nprobe: int) -> DataFrame:
+        """IVF-FLAT search: probe-cell ranking in the Arrow tier (same
+        L2-over-unit metric as assignment), manifest-pruned scan of the
+        probed cells' files, exact cosine against the STORED unit
+        vectors inside codegen, windowed top-k. No rerank stage — the
+        stored vectors ARE exact."""
+        prepped = prep_flat_queries(q, self.model, nprobe=nprobe).cache()
+        cells = sorted(r[0] for r in prepped.select("cell").distinct().collect())
+        inv = self.codes_table.scan([("cell", "in", cells)])
+        scored = (
+            inv.join(F.broadcast(prepped), "cell")
+            .filter(F.col("nid") != F.col("qid"))
+            .select(
+                "qid",
+                "nid",
+                quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_sim"),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("qid", "nid", "cos_sim", "rk")
         )

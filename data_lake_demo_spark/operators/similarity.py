@@ -273,13 +273,17 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
     )
+    # probe cells ranked by the ASSIGNMENT metric (L2 to centroid) —
+    # ranking by cosine here would probe cells the true neighbors were
+    # never assigned to when centroid norms vary (the round-4 IVFPQ
+    # probe-metric lesson, applied to the flat variant too)
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("d", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn("d", dist2(F.col("qvec"), F.col("centroid")))
         .withColumn(
             "pr",
             F.row_number().over(
-                W.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cell"))
+                W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cell"))
             ),
         )
         .filter(F.col("pr") <= nprobe)

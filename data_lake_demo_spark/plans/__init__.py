@@ -31,6 +31,8 @@ WINDOW = [
     "doc_paragraph_dedup",  # NEW Dolma-style paragraph dedup (evicts
     # distinct_counts from slot 50: r1-green, unchanged, re-proven by
     # the in-suite parity replica every pytest run)
+    "emb_ivf_ann",  # CHANGED: persisted IVF-FLAT index + L2 probe
+    # ranking (rows-only; evicts global_count — same r1-green rationale)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -78,7 +80,6 @@ WINDOW = [
     "cube_quantity",
     "grouping_sets_revenue",
     "having_filter",
-    "global_count",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

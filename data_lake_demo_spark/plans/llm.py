@@ -621,15 +621,18 @@ WHERE rk <= 5 ORDER BY qid, rk
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cells + nprobe) approximate top-5 (rows-only)."""
-    from data_lake_demo_spark.operators.similarity import ivf_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    """IVF-FLAT (k-means cells + nprobe, exact stored vectors)
+    approximate top-5 (rows-only). Served from the PERSISTED AnnIndex
+    in flat mode: warm runs skip train+assign and the probe read is a
+    manifest-pruned scan of the probed cells' files."""
+    idx, emb = _ann_index_for(spark, sf_dir, nlist=16, flat=True)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
+    return idx.query(queries, k=5, nprobe=4).orderBy("qid", "rk")
 
 
-def _ann_index_for(spark: SparkSession, sf_dir: str, *, nlist: int | None):
+def _ann_index_for(
+    spark: SparkSession, sf_dir: str, *, nlist: int | None, flat: bool = False
+):
     """Build-once / load-many AnnIndex over the embeddings table (the
     FAISS train/add/search lifecycle — operators/ann_index.py). The
     index persists under $SPARK_GRAFT_ANN_CACHE (default: a tmpdir
@@ -646,7 +649,7 @@ def _ann_index_for(spark: SparkSession, sf_dir: str, *, nlist: int | None):
     from data_lake_demo_spark.operators.ann_index import AnnIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    params = {"nlist": nlist, "m": 8, "ksub": 64, "seed": 42}
+    params = {"nlist": nlist, "m": 8, "ksub": 64, "seed": 42, "flat": flat}
     key = hashlib.sha1(
         _json.dumps({"sf": os.path.abspath(sf_dir), **params}, sort_keys=True).encode()
     ).hexdigest()[:16]
@@ -657,11 +660,14 @@ def _ann_index_for(spark: SparkSession, sf_dir: str, *, nlist: int | None):
     path = os.path.join(root, key)
     try:
         idx = AnnIndex.load(spark, path)
-        if idx.meta.get("n_rows") == emb.count():
+        if idx.meta.get("n_rows") == emb.count() and idx.flat == flat:
             return idx, emb
     except FileNotFoundError:
         pass
-    return AnnIndex.build(emb, path, nlist=nlist, m=8, ksub=64, seed=42), emb
+    return (
+        AnnIndex.build(emb, path, nlist=nlist, m=8, ksub=64, seed=42, flat=flat),
+        emb,
+    )
 
 
 def emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

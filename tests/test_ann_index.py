@@ -275,3 +275,37 @@ def test_apply_changes_keeps_index_in_sync(spark, tmp_path):
     q = _emb(spark).filter(F.col("vec_id") < 3)
     res = idx.query(q, k=5, nprobe=8, rerank_corpus=table.snapshot())
     assert all(not 40 <= r.nid < 50 for r in res.collect())
+
+
+def test_ivf_flat_index_lifecycle_and_recall(spark, tmp_path):
+    """IVF-FLAT mode: coarse cells + exact stored unit vectors, no PQ.
+    Recall must beat the PQ path's floor (stored vectors are exact —
+    only the probe restriction costs recall), a fresh load() answers
+    without retraining, probe reads prune at the manifest, and add()
+    encodes through the flat kernel."""
+    from data_lake_demo_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    AnnIndex.build(emb, str(tmp_path / "idx"), nlist=8, flat=True)
+    idx = AnnIndex.load(spark, str(tmp_path / "idx"))
+    assert idx.flat and idx.model.books == []
+
+    snap = idx.codes_table.snapshot()
+    assert set(snap.columns) == {"nid", "cell", "nvec"}
+    assert snap.count() == emb.count()
+    kept, total, _ = idx.codes_table._pruned_live([("cell", "in", [0])])
+    assert len(kept) < total
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = idx.query(queries, k=5, nprobe=6)
+    assert set(got.columns) == {"qid", "nid", "cos_sim", "rk"}
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.qid, r.nid) for r in got.collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    # incremental add goes through the flat kernel (nvec, not codes)
+    extra = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    idx.add(extra, txn=("t", 0))
+    assert idx.codes_table.snapshot().count() == emb.count() + 3
