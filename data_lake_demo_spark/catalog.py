@@ -101,3 +101,31 @@ def infer_and_register(
         spark, db, table, path, T.StructType(data_fields), partition_cols
     )
     return inferred
+
+
+def register_acid_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    *,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Expose an AcidTable snapshot through the SQL catalog as a
+    session view, so SHOW TABLES / plain SELECT / the RBAC layer's
+    deny-by-default table extraction all see the transactional zone
+    like any other relation. A VIEW over ``snapshot()`` (not an
+    external table over the data dir) is deliberate: the commit log —
+    not the directory listing — defines table membership, and a
+    catalog pointed at the directory would read both
+    staged-but-uncommitted and logically-removed files. ``as_of``
+    pins a time-travel version. Re-register after new commits to
+    advance (in-flight readers of the old view keep their pinned file
+    set — snapshot isolation). Session-scoped because Spark's
+    built-in catalog can't persist a view over a runtime-resolved
+    file list; a durable mapping needs a catalog plugin, which is how
+    Delta/Iceberg solve the same problem."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    snap = AcidTable(spark, path).snapshot(as_of)
+    snap.createOrReplaceTempView(table)
+    return snap

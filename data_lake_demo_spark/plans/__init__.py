@@ -33,6 +33,10 @@ WINDOW = [
     # the in-suite parity replica every pytest run)
     "emb_ivf_ann",  # CHANGED: persisted IVF-FLAT index + L2 probe
     # ranking (rows-only; evicts global_count — same r1-green rationale)
+    "emb_semantic_dedup",  # NEW SemDeDup composition, full oracle
+    # (evicts having_filter — r1-green, parity-reproved)
+    "events_histogram_quantiles",  # NEW mergeable-histogram quantiles
+    # (evicts grouping_sets_revenue — r1-green, parity-reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -78,8 +82,6 @@ WINDOW = [
     "q22_idle_rich_customers",
     "rollup_revenue",
     "cube_quantity",
-    "grouping_sets_revenue",
-    "having_filter",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

@@ -381,6 +381,76 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation — the third leg of the
+    sketch triad (HLL = distincts, count-min = frequencies, fixed-bin
+    histogram = quantiles). Per-HOUR (day, bin) counts are the
+    mergeable partial; daily histograms are the SUM of their hours
+    (the continuous-aggregate rollup shape), and p50/p95/p99 read off
+    the cumulative histogram as the upper edge of the first bin whose
+    cumulative count crosses q·total. Every step is deterministic
+    relational algebra, so unlike t-digest sketches the estimate
+    itself is FULLY oracle-checked — a green row proves the partials
+    merge identically to a direct build (the oracle computes daily
+    directly, never via hours).
+
+    At 100 TB: the partial is O(days × bins) rows regardless of event
+    count, pre-aggregated map-side; the quantile read is a window over
+    that tiny table. Bin width trades accuracy for state like any
+    fixed-size sketch (width 1.0 here ⇒ estimate ≤ 1.0 above truth)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value")).cast("long").alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = hourly.groupBy("day", "bin").agg(F.sum("c").alias("c"))
+    wcum = W.partitionBy("day").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = daily.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "total", F.sum("c").over(W.partitionBy("day"))
+    )
+
+    def est(q: float):
+        return F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin") + 1)
+        ).cast("double")
+
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max("total").alias("n_events"),
+            est(0.5).alias("p50_est"),
+            est(0.95).alias("p95_est"),
+            est(0.99).alias("p99_est"),
+        )
+        .orderBy("day")
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT day, bin, c,
+         sum(c) OVER (PARTITION BY day ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY day) AS total
+  FROM daily)
+SELECT day,
+       CAST(max(total) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN cum >= 0.5 * total THEN bin + 1 END) AS DOUBLE) AS p50_est,
+       CAST(min(CASE WHEN cum >= 0.95 * total THEN bin + 1 END) AS DOUBLE) AS p95_est,
+       CAST(min(CASE WHEN cum >= 0.99 * total THEN bin + 1 END) AS DOUBLE) AS p99_est
+FROM cum GROUP BY day ORDER BY day
+"""
+
+
 def countmin_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for every event type
     (operators/countmin.py): build a 4x1024 counter table in one
@@ -412,6 +482,7 @@ QUERIES = {
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
     "events_hll_daily_users_exact": events_hll_daily_users_exact,
+    "events_histogram_quantiles": events_histogram_quantiles,
     "events_rolling_7d_active": events_rolling_7d_active,
     "events_daily_from_hourly_rollup": events_daily_from_hourly_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -426,6 +497,7 @@ ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_hll_daily_users_exact": HLL_EXACT_SQL,
+    "events_histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "events_rolling_7d_active": ROLLING_7D_SQL,
     "events_daily_from_hourly_rollup": ROLLUP_COMPOSE_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,

@@ -751,6 +751,70 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
 """
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic near-duplicate CLUSTERS,
+    one exemplar kept per cluster. Composed entirely from
+    oracle-proven stages — LSH-bucketed + exact-cosine near-dup pairs
+    (embedding_near_dup_pairs, the emb_near_dups semantics) feed
+    connected components (the doc_dedup_components closure), and the
+    keep-representative is the minimum id of each component. Output
+    labels EVERY vector (rep_id = itself for singletons) with a
+    survivor flag, so the downstream filter is a map-side
+    ``is_survivor`` test.
+
+    Fully oracle-checked: the hyperplane family is literal data and
+    the closure replays as a recursive CTE, so the whole
+    pair→component→exemplar pipeline value-hashes against DuckDB."""
+    from data_lake_demo_spark.operators.dedup import connected_components
+    from data_lake_demo_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("is_survivor", F.col("vec_id") == F.col("rep_id"))
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """The near-dup pair oracle's bucket+verify stages feeding the
+    components oracle's recursive closure, then min-id exemplars."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+edges AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE floor(({_duck_dot('a.v', 'b2.v')}
+          / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('b2.v', 'b2.v')})))
+        * {COS_Q} + 0.5) / {COS_Q} >= 0.3),
+sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(u, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.u)
+SELECT u AS vec_id, min(lbl) AS rep_id, u = min(lbl) AS is_survivor
+FROM reach GROUP BY u ORDER BY vec_id
+"""
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of each vector against its label centroid — a grouped
     vector aggregate (array-wise avg), all JVM-side. Oracle-checked:
@@ -1530,6 +1594,7 @@ QUERIES = {
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,
     "emb_near_dups": emb_near_dups,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "emb_quantize_int8": emb_quantize_int8,
 }
@@ -1565,6 +1630,7 @@ ORACLE = {
     "doc_pii_scrub": PII_SCRUB_SQL,
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),
+    "emb_semantic_dedup": _semantic_dedup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
     "emb_lsh_ann": _lsh_ann_oracle(),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_ivf_ann /

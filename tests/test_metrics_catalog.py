@@ -127,3 +127,35 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # 3/8 of the corpus probed, neighbors cluster
+
+
+def test_register_acid_table_in_catalog(spark, tmp_path):
+    """An AcidTable registers as a SQL-addressable view over its
+    SNAPSHOT (log-defined membership): staged-but-uncommitted files
+    stay invisible, SQL sees the merge result, and re-registering
+    advances to the new version while as_of pins an old one."""
+    from data_lake_demo_spark.catalog import register_acid_table
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t._stage(spark.createDataFrame([(666, "ghost")], "k long, v string"))
+
+    register_acid_table(spark, "acid_curated", str(tmp_path / "t"))
+    assert spark.sql("SELECT count(*) c FROM acid_curated").first().c == 2
+    assert "acid_curated" in {
+        r.tableName for r in spark.sql("SHOW TABLES").collect()
+    }
+
+    t.merge(spark.createDataFrame([(2, "B2")], "k long, v string"), ["k"])
+    # the registered view still serves its pinned snapshot...
+    assert spark.sql(
+        "SELECT v FROM acid_curated WHERE k = 2"
+    ).first().v == "b"
+    # ...until re-registered; as_of re-pins history
+    register_acid_table(spark, "acid_curated", str(tmp_path / "t"))
+    assert spark.sql("SELECT v FROM acid_curated WHERE k = 2").first().v == "B2"
+    register_acid_table(spark, "acid_v0", str(tmp_path / "t"), as_of=0)
+    assert spark.sql("SELECT v FROM acid_v0 WHERE k = 2").first().v == "b"
+    spark.catalog.dropTempView("acid_curated")
+    spark.catalog.dropTempView("acid_v0")

@@ -263,10 +263,13 @@ def test_no_python_udf_across_entire_query_registry(spark):
     import __spark_entry__ as entry
 
     # allowlisted Arrow (never row-at-a-time) stages: the multimodal
-    # decode kernel, and the PQ index-build encode (m×ksub interpreted
-    # HOF evals per row were 30× slower than the numpy batch kernel —
-    # similarity._pq_encode_arrow)
-    arrow_ok = {"media_feature_stats", "emb_pq_ann", "emb_ivfpq_ann"}
+    # decode kernel, and the ANN index kernels — encode (m×ksub
+    # interpreted HOF evals per row were 30× slower than the numpy
+    # batch kernel, similarity._pq_encode_arrow) plus query prep;
+    # emb_ivf_ann joined when it moved to the persisted flat index,
+    # whose probe-cell ranking runs in the same Arrow tier
+    arrow_ok = {"media_feature_stats", "emb_pq_ann", "emb_ivfpq_ann",
+                "emb_ivf_ann"}
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
