@@ -429,3 +429,33 @@ def scrub_boilerplate(
         lambda l: ~F.array_contains(bad, F.md5(F.trim(l))),
     )
     return df.withColumn(out_col, F.concat_ws("\n", kept))
+
+
+def sample_k_per_group(
+    df,
+    group_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+):
+    """Deterministic EXACT-k per-group sample: order each group by
+    md5(id) (a uniform, data-independent permutation) and keep the
+    first ``k``. Complements ``stratified_sample``'s rate-based
+    filter when the contract is "exactly k eval documents per
+    domain" rather than a fraction. Unlike rate sampling this is NOT
+    backfill-stable — a new row whose hash sorts early displaces the
+    current k-th member; pin the snapshot (AcidTable ``as_of``) when
+    reproducibility across corpus growth matters.
+
+    One shuffle on ``group_col``; the md5 ranking needs no global
+    sort and no driver state — at 100 TB the per-group top-k is a
+    single windowed pass."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(id_col))), id_col
+    )
+    return (
+        df.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= k)
+    )

@@ -37,6 +37,8 @@ WINDOW = [
     # (evicts having_filter — r1-green, parity-reproved)
     "events_histogram_quantiles",  # NEW mergeable-histogram quantiles
     # (evicts grouping_sets_revenue — r1-green, parity-reproved)
+    "doc_sample_k_per_source",  # NEW exact-k per-group sample, full
+    # oracle (evicts cube_quantity — r1-green, parity-reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -81,7 +83,6 @@ WINDOW = [
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "rollup_revenue",
-    "cube_quantity",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

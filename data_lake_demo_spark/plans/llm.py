@@ -1322,6 +1322,33 @@ GROUP BY doc_id ORDER BY doc_id
 DOC_MIX_RATES = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.125, "zh": 0.75}
 
 
+def doc_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-group deterministic sampling (operators/corpus.py
+    sample_k_per_group): exactly 20 documents per source, chosen by
+    the md5(doc_id) permutation — the "fixed-size eval slice per
+    domain" contract, reproducible across engines because the
+    permutation is pure hash arithmetic."""
+    from data_lake_demo_spark.operators.corpus import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_k_per_group(docs, "source", 20)
+        .select("doc_id", "source", "samp_rank")
+        .orderBy("source", "samp_rank")
+    )
+
+
+SAMPLE_K_SQL = """
+SELECT doc_id, source, samp_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS samp_rank
+  FROM documents) t
+WHERE samp_rank <= 20 ORDER BY source, samp_rank
+"""
+
+
 def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing report: per-language corpus size before/after the
     deterministic stratified sample (operators/corpus.py
@@ -1585,6 +1612,7 @@ QUERIES = {
     "doc_quality_funnel": doc_quality_funnel,
     "doc_decontaminate": doc_decontaminate,
     "doc_domain_mix": doc_domain_mix,
+    "doc_sample_k_per_source": doc_sample_k_per_source,
     "doc_token_budget_mix": doc_token_budget_mix,
     "doc_training_pipeline": doc_training_pipeline,
     "emb_norms": emb_norms,
@@ -1619,6 +1647,7 @@ ORACLE = {
     "doc_quality_funnel": QUALITY_FUNNEL_SQL,
     "doc_decontaminate": _decontaminate_oracle(),
     "doc_domain_mix": _domain_mix_oracle(),
+    "doc_sample_k_per_source": SAMPLE_K_SQL,
     "doc_token_budget_mix": _token_budget_mix_oracle(),
     "doc_training_pipeline": _training_pipeline_oracle(),
     "emb_norms": EMB_NORMS_SQL,

@@ -159,3 +159,46 @@ def test_register_acid_table_in_catalog(spark, tmp_path):
     assert spark.sql("SELECT v FROM acid_v0 WHERE k = 2").first().v == "b"
     spark.catalog.dropTempView("acid_curated")
     spark.catalog.dropTempView("acid_v0")
+
+
+def test_rbac_governs_registered_acid_table(spark, tmp_path):
+    """Governance composes with the transactional zone: an AcidTable
+    registered in the catalog is just a table to the RBAC layer — row
+    filters and masking apply on top of the SNAPSHOT view, and a
+    merge + re-register changes what the governed view serves without
+    touching the grants."""
+    from data_lake_demo_spark.catalog import register_acid_table
+    from data_lake_demo_spark.rbac import Rbac
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "us", "alice@x.com"), (2, "eu", "bob@y.org"),
+             (3, "us", "carol@z.io")],
+            "id long, region string, email string",
+        )
+    )
+    register_acid_table(spark, "users_acid", str(tmp_path / "t"))
+
+    rbac = Rbac(spark)
+    rbac.grant(
+        "analyst_us",
+        "users_acid",
+        row_filter="region = 'us'",
+        masked={"email": "md5"},
+    )
+    gov = rbac.table_for("analyst_us", "users_acid")
+    rows = gov.orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 3]  # row security
+    assert all("@" not in r.email for r in rows)  # masked
+
+    # zone evolves; re-register; SAME grant governs the new snapshot
+    t.merge(
+        spark.createDataFrame([(4, "us", "dave@w.net")],
+                              "id long, region string, email string"),
+        ["id"],
+    )
+    register_acid_table(spark, "users_acid", str(tmp_path / "t"))
+    assert rbac.table_for("analyst_us", "users_acid").count() == 3
+    spark.catalog.dropTempView("users_acid")
