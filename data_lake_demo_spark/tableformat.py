@@ -652,7 +652,13 @@ class AcidTable:
         deltas, derived-table maintenance) viable at 100 TB.
 
         Columns are aligned across schema evolution (a column added
-        after ``since_version`` reads as null on the delete side)."""
+        after ``since_version`` reads as null on the delete side).
+
+        Retention interplay: the delete side reads files the LOG has
+        removed, which ``vacuum`` physically deletes once
+        ``since_version`` falls outside ``retain_versions`` — consume
+        the feed within the vacuum retention window (the same
+        contract Delta's CDF has with its VACUUM)."""
         until = self.latest_version() if until_version is None else until_version
         live_new, schema_new = self._resolve_actions(until)
         live_old, schema_old = self._resolve_actions(since_version)

@@ -352,3 +352,56 @@ def test_file_pruning_cross_type_is_conservative(int_file, i1, s1, i2, s2, op):
     else:
         stats, val = {"c": [min(s1, s2), max(s1, s2)]}, i1
     assert _file_may_match(stats, [("c", op, val)])
+
+
+@st.composite
+def _paragraph_corpus(draw):
+    """Small corpora of docs over a tiny paragraph vocabulary, so
+    cross-document duplicates are common."""
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    n_docs = draw(st.integers(min_value=1, max_value=5))
+    return [
+        (i, "\n\n".join(draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=5)
+        )))
+        for i in range(n_docs)
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_paragraph_corpus())
+def test_paragraph_dedup_invariants(spark, corpus):
+    """Properties that must hold for ANY corpus: (1) each distinct
+    paragraph survives exactly once corpus-wide, at its first
+    occurrence; (2) kept + dropped = total per doc; (3) the operator
+    is idempotent — re-deduping its own output changes nothing."""
+    from data_lake_demo_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = paragraph_dedup(docs).collect()
+
+    all_kept = []
+    for r in sorted(out, key=lambda r: r.doc_id):
+        assert r.n_kept + r.n_dropped == r.n_paras
+        if r.text_dedup:
+            all_kept.extend(r.text_dedup.split("\n\n"))
+    # (1) global uniqueness + first-occurrence
+    assert len(all_kept) == len(set(all_kept))
+    firsts = {}
+    for doc_id, text in corpus:
+        for idx, p in enumerate(text.split("\n\n")):
+            firsts.setdefault(p, (doc_id, idx))
+    by_doc = {r.doc_id: r for r in out}
+    for p, (doc_id, _) in firsts.items():
+        assert p in (by_doc[doc_id].text_dedup or "").split("\n\n"), (
+            f"paragraph {p!r} not kept at its first occurrence (doc {doc_id})"
+        )
+    # (3) idempotence
+    again = paragraph_dedup(
+        spark.createDataFrame(
+            [(r.doc_id, r.text_dedup) for r in out], "doc_id long, text string"
+        )
+    ).collect()
+    assert {(r.doc_id, r.text_dedup) for r in again} == {
+        (r.doc_id, r.text_dedup) for r in out
+    }
