@@ -704,3 +704,59 @@ def test_acid_table_batch_datasource_matches_snapshot(spark, tmp_path):
         .collect()
     )
     assert via_ds == sorted(tuple(r) for r in t.snapshot().collect())
+
+
+def test_acid_to_acid_streaming_pipeline_exactly_once(spark, tmp_path):
+    """The full table-to-table loop the round-5 surface enables: tail
+    one AcidTable as a stream, transform the micro-batches, and MERGE
+    them into a second AcidTable with the txn watermark. Replaying the
+    whole pipeline (same checkpoint) after new upstream commits must
+    deliver the delta exactly once — source offsets AND sink
+    watermarks both hold."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    src = AcidTable(spark, str(tmp_path / "src"))
+    dst = AcidTable(spark, str(tmp_path / "dst"))
+    src.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, x double"
+        )
+    )
+    dst.append(spark.createDataFrame([], "k long, v string, x2 double"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pipeline():
+        stream = read_table_stream(spark, str(tmp_path / "src"))
+        enriched = stream.withColumn("x2", F.col("x") * 2).drop("x")
+        q = (
+            enriched.writeStream.foreachBatch(
+                dst.foreach_batch_merge_sink("pipe", ["k"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pipeline()
+    assert sorted(tuple(r) for r in dst.snapshot().collect()) == [
+        (1, "a", 20.0),
+        (2, "b", 40.0),
+    ]
+    v_after_first = dst.latest_version()
+
+    # upstream grows; re-run from the same checkpoint: delta only,
+    # merged exactly once
+    src.append(spark.createDataFrame([(3, "c", 30.0)], "k long, v string, x double"))
+    run_pipeline()
+    assert sorted(tuple(r) for r in dst.snapshot().collect()) == [
+        (1, "a", 20.0),
+        (2, "b", 40.0),
+        (3, "c", 60.0),
+    ]
+    # idempotent drain: no new upstream commits -> no dst commits
+    v_now = dst.latest_version()
+    run_pipeline()
+    assert dst.latest_version() == v_now
+    assert v_now == v_after_first + 1  # the delta landed as ONE merge
