@@ -32,6 +32,10 @@ source shape, expressed through Spark 4's Python Data Source API
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
 the live snapshot through the same planner (one partition per live
 file), so both engines resolve the table from the one commit log.
+Batch reads additionally implement the DSv2 ``pushFilters`` hook:
+Catalyst-pushed predicates become manifest [min, max] pruning, so a
+filtered read plans only the files that may match (every filter is
+returned as residual — pruning never substitutes for evaluation).
 
 Reference parity: the reference's queue-driven workers tail new work
 units and write idempotently (worker.py:201-256); this is that loop
@@ -87,18 +91,63 @@ def _table(options):
     return AcidTable(None, path)
 
 
+#: DSv2 filter class name → the (col, op, value) op tableformat's
+#: manifest pruner understands. All five are null-rejecting, so
+#: pruning on footer [min, max] stats is sound for each.
+_PUSHABLE_OPS = {
+    "EqualTo": "=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "In": "in",
+}
+
+
 class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._fields = schema_fields
+        self._pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Catalyst-pushed predicates → manifest-level file pruning.
+
+        Each supported filter becomes a ``(col, op, value)`` triple for
+        ``AcidTable._pruned_live`` so ``partitions()`` plans only files
+        whose footer [min, max] stats may contain a matching row — the
+        task count of a filtered read scales with the MATCHING slice of
+        the table, not the table (Iceberg's scan planning, surfaced
+        through the Python Data Source API's pushdown hook).
+
+        Every filter is also returned as residual: stats pruning is a
+        performance tier, never the correctness tier (a surviving file
+        may only partially match), so Spark re-evaluates the full
+        predicate on the rows we emit.
+        """
+        for f in filters:
+            op = _PUSHABLE_OPS.get(type(f).__name__)
+            attr = getattr(f, "attribute", ())
+            if op is not None and len(attr) == 1:
+                val = list(f.value) if op == "in" else f.value
+                self._pushed.append((attr[0], op, val))
+            yield f  # always residual — pruning is best-effort
 
     def partitions(self):
         t = _table(self._options)
-        files, _ = t._resolve()
-        return [_FilePartition(os.path.join(t.path, f)) for f in files]
+        if self._pushed:
+            files, _, _ = t._pruned_live(self._pushed)
+        else:
+            files, _ = t._resolve()
+        parts = [_FilePartition(os.path.join(t.path, f)) for f in files]
+        # same ≥1-partition contract as the stream reader: a fully
+        # pruned (or empty) table still needs a no-op sentinel
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
-        yield from _read_parquet_rows(partition.path, self._fields)
+        if not partition.path:
+            return iter(())
+        return _read_parquet_rows(partition.path, self._fields)
 
 
 class _AcidStreamReader(DataSourceStreamReader):
@@ -178,6 +227,13 @@ class AcidTableDataSource(DataSource):
 
 def register(spark: SparkSession) -> None:
     spark.dataSource.register(AcidTableDataSource)
+    # opt in to the DSv2 pushdown hook (off by default in Spark 4.1);
+    # runtime-settable, and set HERE because driver-owned sessions
+    # don't carry session.py's builder configs
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # non-settable on some deployments: reads stay unpruned but exact
 
 
 def read_table_stream(spark: SparkSession, path: str, **options) -> DataFrame:

@@ -760,3 +760,56 @@ def test_acid_to_acid_streaming_pipeline_exactly_once(spark, tmp_path):
     run_pipeline()
     assert dst.latest_version() == v_now
     assert v_now == v_after_first + 1  # the delta landed as ONE merge
+
+
+def test_acid_batch_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """Catalyst-pushed predicates reach the manifest: the batch reader's
+    pushFilters hook translates DSv2 filters into (col, op, value)
+    triples, so partitions() plans ONLY the files whose footer
+    [min, max] stats may match — and because every filter is returned
+    as residual, the rows Spark produces are exactly snapshot+filter."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNotNull
+
+    from data_lake_demo_spark.streaming.acid_source import (
+        _AcidBatchReader,
+        register,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    # three commits with disjoint key ranges -> three one-file manifests
+    for lo in (0, 10, 20):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)], "k long, v string"
+            ).coalesce(1)
+        )
+    files, _ = t._resolve()
+    assert len(files) == 3
+
+    # unit tier: the hook itself
+    rdr = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
+    residual = list(
+        rdr.pushFilters([EqualTo(("k",), 15), IsNotNull(("v",))])
+    )
+    assert len(residual) == 2  # everything residual (pruning is best-effort)
+    assert rdr._pushed == [("k", "=", 15)]  # IsNotNull not stats-prunable
+    assert len(rdr.partitions()) == 1  # only the 10..19 file survives
+
+    rdr2 = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
+    list(rdr2.pushFilters([In(("k",), (3, 25))]))
+    assert len(rdr2.partitions()) == 2  # files 0..9 and 20..29
+
+    rdr3 = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
+    list(rdr3.pushFilters([GreaterThanOrEqual(("k",), 100)]))
+    parts = rdr3.partitions()  # fully pruned -> no-op sentinel
+    assert len(parts) == 1 and parts[0].path == ""
+    assert list(rdr3.read(parts[0])) == []
+
+    # end-to-end: results identical to snapshot().filter on every shape
+    register(spark)
+    ds = spark.read.format("acidtable").option("path", str(tmp_path / "t")).load()
+    for cond in ("k = 15", "k >= 25", "k in (3, 25)", "k >= 100"):
+        got = sorted(tuple(r) for r in ds.filter(cond).collect())
+        want = sorted(tuple(r) for r in t.snapshot().filter(cond).collect())
+        assert got == want, cond
