@@ -39,6 +39,10 @@ WINDOW = [
     # (evicts grouping_sets_revenue — r1-green, parity-reproved)
     "doc_sample_k_per_source",  # NEW exact-k per-group sample, full
     # oracle (evicts cube_quantity — r1-green, parity-reproved)
+    "doc_lm_perplexity",  # NEW CCNet bigram-LM quality score, full
+    # oracle (evicts q22_idle_rich_customers — r1-green, parity-reproved)
+    "doc_dsir_weights",  # NEW DSIR importance weights, full oracle
+    # (evicts rollup_revenue — r1-green, parity-reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -81,8 +85,6 @@ WINDOW = [
     "q18_large_volume_orders",
     "q19_disjunctive_predicates",
     "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "rollup_revenue",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

@@ -40,6 +40,12 @@ from data_lake_demo_spark.operators.corpus import (
     stratified_sample,
     token_budget_mix,
 )
+from data_lake_demo_spark.operators.lmquality import (
+    bigram_lm_oracle_sql,
+    bigram_lm_scores,
+    dsir_oracle_sql,
+    dsir_weights,
+)
 from data_lake_demo_spark.operators.textops import (
     LANG_MARKERS,
     fingerprint,
@@ -1141,6 +1147,30 @@ FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Statistical quality scoring: LM perplexity + DSIR (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: bits-per-token of every document
+    under an add-one smoothed bigram LM estimated from the corpus
+    (Wenzek et al. 2019). The full pipeline — bigram explode, count
+    tables, smoothing, fixed-point fold — value-hashes against the
+    DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights toward the English slice (Xie et
+    al. 2023, arXiv:2302.03169): hashed unigram+bigram features,
+    per-bucket smoothed log-probability ratio target-vs-raw, per-doc
+    sum. Fully relational, so the whole estimator value-hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: payloads are synthetic, no codecs)
 # --------------------------------------------------------------------------
 
@@ -1606,6 +1636,8 @@ QUERIES = {
     "doc_scrub_boilerplate": doc_scrub_boilerplate,
     "doc_paragraph_dedup": doc_paragraph_dedup,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_split_assign": doc_split_assign,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk_overlap": doc_chunk_overlap,
@@ -1657,6 +1689,8 @@ ORACLE = {
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
+    "doc_lm_perplexity": bigram_lm_oracle_sql(),
+    "doc_dsir_weights": dsir_oracle_sql("lang = 'en'"),
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

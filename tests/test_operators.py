@@ -1103,3 +1103,49 @@ def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
     assert out[1].n_dropped == 1
     assert out[2].text_dedup == "" and out[2].n_kept == 0
     assert out[3].text_dedup == "delta" and out[3].n_dropped == 1
+
+
+def test_bigram_lm_scores_rank_gibberish_above_fluent(spark):
+    """The CCNet quality signal must rank improbable token sequences
+    above corpus-typical ones: documents made of the corpus's dominant
+    bigrams get LOW bits-per-token; a document of singleton transitions
+    gets HIGH bits-per-token. Also pins the bigram count convention
+    (n_tokens - 1) and the <2-token dropout."""
+    from data_lake_demo_spark.operators.lmquality import bigram_lm_scores
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)]
+        + [(8, "zq xv jk wp zq lm"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert 9 not in out  # single token: no bigrams, drops out
+    assert out[0].n_bigrams == 5
+    fluent_bits = out[0].bits_per_token
+    assert out[8].bits_per_token > fluent_bits  # gibberish costs more
+    # all fluent copies share one deterministic score
+    assert len({out[i].bits_per_token for i in range(8)}) == 1
+
+
+def test_dsir_weights_tilt_toward_target_domain(spark):
+    """DSIR's contract: documents sharing the target slice's n-grams
+    get higher log-weight than documents from a disjoint vocabulary,
+    and weights are identical for identical feature multisets."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.lmquality import dsir_weights
+
+    target_like = "neural networks learn representations"
+    other = "recette de cuisine traditionnelle lyonnaise"
+    rows = [(i, target_like, "en") for i in range(4)]
+    rows += [(10 + i, other, "fr") for i in range(4)]
+    rows += [(20, target_like, "fr")]  # fr label, en-like content
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert len(out) == 9  # every raw doc is scored
+    assert out[20].log_weight == out[0].log_weight  # same features
+    assert out[0].log_weight > out[10].log_weight  # tilt toward target
