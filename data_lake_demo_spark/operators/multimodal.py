@@ -183,3 +183,69 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_idx long, frame_ts_ms long, "
+    "mean_byte double, n_distinct_bytes long"
+)
+
+
+def sample_frames_and_featurize(
+    df: DataFrame, *, every_ms: int = 1000, frame_bytes: int = 8
+) -> DataFrame:
+    """Frame-sample → decode → per-frame features, end to end.
+
+    The frame PLAN is pure JVM metadata algebra (one ``sequence`` +
+    ``explode`` per video — no payload touched while planning); the
+    per-frame decode runs in the same ``mapInPandas`` Arrow tier as
+    ``decode_and_featurize``. STUB decode: a real ffmpeg kernel would
+    seek to ``frame_ts_ms`` and decode one frame; here the "frame" is
+    a deterministic ``frame_bytes`` slice of the payload at offset
+    ``(frame_idx * frame_bytes) mod byte_len`` — so the byte features
+    (mean, distinct count) are REAL computations on REAL bytes and the
+    whole pipeline (plan fan-out, Arrow batching, per-frame stats)
+    value-hashes against an oracle that rebuilds the same slices.
+
+    At 100 TB: the explode duplicates only (media_id, payload-ref,
+    frame_ts) within a partition — frames of one video stay in its
+    input split, so no shuffle precedes the decode; a downstream
+    per-video aggregate shuffles feature rows, never payloads.
+    """
+    frames = (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("meta.duration_ms"),
+                    F.lit(every_ms).cast("long"),
+                )
+            ).alias("frame_idx", "frame_ts_ms"),
+        )
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            means, nds = [], []
+            for payload, idx in zip(pdf["payload"], pdf["frame_idx"]):
+                b = bytes(payload)
+                off = (int(idx) * frame_bytes) % max(len(b), 1)
+                chunk = np.frombuffer(b[off : off + frame_bytes], np.uint8)
+                means.append(float(chunk.mean()) if len(chunk) else 0.0)
+                nds.append(int(len(np.unique(chunk))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "mean_byte": means,
+                    "n_distinct_bytes": nds,
+                }
+            )
+
+    return frames.mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)

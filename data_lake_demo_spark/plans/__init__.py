@@ -43,6 +43,8 @@ WINDOW = [
     # oracle (evicts q22_idle_rich_customers — r1-green, parity-reproved)
     "doc_dsir_weights",  # NEW DSIR importance weights, full oracle
     # (evicts rollup_revenue — r1-green, parity-reproved)
+    "media_frame_features",  # NEW frame-sample → Arrow decode tier,
+    # full oracle (evicts q21_waiting_suppliers — r1-green, reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -84,7 +86,6 @@ WINDOW = [
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

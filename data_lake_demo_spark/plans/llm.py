@@ -1171,8 +1171,59 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing (rows-only: payloads are synthetic, no codecs)
+# Multimodal plumbing (synthetic payloads rebuilt in SQL ⇒ full oracles)
 # --------------------------------------------------------------------------
+
+
+def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling end to end: JVM-side frame plan (sequence
+    + posexplode over duration metadata — no payload touched while
+    planning) fanning into the mapInPandas Arrow decode tier, which
+    slices a deterministic frame window from the payload and computes
+    REAL byte stats per frame. The oracle rebuilds the same synthetic
+    payloads, frame fan-out, and slices in SQL — a full value-hash
+    check of the plan algebra, Arrow batching, and per-frame kernel."""
+    from data_lake_demo_spark.operators.multimodal import (
+        sample_frames_and_featurize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96)
+    return (
+        sample_frames_and_featurize(media)
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            quantize(F.col("mean_byte"), COS_Q).alias("mean_byte"),
+            "n_distinct_bytes",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MEDIA_FRAMES_SQL = f"""
+WITH m AS (
+  SELECT range AS media_id, sha256(CAST(range AS VARCHAR)) AS hexs,
+         (range * 1000) % 60000 AS duration_ms
+  FROM range(96) WHERE range % 3 = 2),
+fr AS (
+  SELECT media_id, hexs,
+         unnest(range(0, duration_ms // 1000 + 1)) AS frame_idx
+  FROM m),
+ch AS (
+  SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,
+         substr(hexs, CAST((frame_idx * 8) % 64 AS INTEGER) + 1, 8) AS chunk
+  FROM fr)
+SELECT media_id, frame_idx, frame_ts_ms,
+       floor(list_avg([ord(substr(chunk, i, 1))
+                       FOR i IN range(1, len(chunk) + 1)]) * {COS_Q} + 0.5)
+         / {COS_Q} AS mean_byte,
+       CAST(len(list_distinct([substr(chunk, i, 1)
+                               FOR i IN range(1, len(chunk) + 1)]))
+            AS BIGINT) AS n_distinct_bytes
+FROM ch ORDER BY media_id, frame_idx
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1617,6 +1668,7 @@ FROM chars c JOIN ent USING (media_id) ORDER BY media_id
 
 QUERIES = {
     "media_feature_stats": media_feature_stats,
+    "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
     "doc_dedup_components_bigstar": doc_dedup_components_bigstar,
@@ -1692,6 +1744,7 @@ ORACLE = {
     "doc_lm_perplexity": bigram_lm_oracle_sql(),
     "doc_dsir_weights": dsir_oracle_sql("lang = 'en'"),
     "media_feature_stats": MEDIA_FEATURES_SQL,
+    "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),

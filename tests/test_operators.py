@@ -1149,3 +1149,26 @@ def test_dsir_weights_tilt_toward_target_domain(spark):
     assert len(out) == 9  # every raw doc is scored
     assert out[20].log_weight == out[0].log_weight  # same features
     assert out[0].log_weight > out[10].log_weight  # tilt toward target
+
+
+def test_frame_sampling_fanout_and_features(spark):
+    """Frame plan comes from metadata only (duration // every_ms + 1
+    frames per video, images/audio excluded); the Arrow kernel's
+    per-frame stats are real byte computations on the sliced window."""
+    from data_lake_demo_spark.operators.multimodal import (
+        sample_frames_and_featurize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=9)  # videos: ids 2, 5, 8
+    out = sample_frames_and_featurize(media, every_ms=1000).collect()
+    per_video = {}
+    for r in out:
+        per_video.setdefault(r.media_id, []).append(r)
+    assert set(per_video) == {2, 5, 8}
+    for vid, rows in per_video.items():
+        assert len(rows) == (vid * 1000 % 60000) // 1000 + 1
+        for r in rows:
+            assert r.frame_ts_ms == r.frame_idx * 1000
+            assert 0.0 <= r.mean_byte <= 255.0
+            assert 1 <= r.n_distinct_bytes <= 8
