@@ -93,8 +93,12 @@ def alerts(spark: SparkSession, runlog_path: str) -> DataFrame:
 
 
 class ProgressListener:
-    """StreamingQueryListener capturing per-batch input rows — attach
-    with ``spark.streams.addListener(ProgressListener())``."""
+    """StreamingQueryListener capturing per-batch input rows AND named
+    observed metrics (``df.observe`` aggregates computed in-plan per
+    micro-batch) — attach with
+    ``spark.streams.addListener(ProgressListener())``. ``observed``
+    accumulates ``(metric_name, {col: value})`` pairs, e.g. the
+    ingest stream's ``ingest_good``/``ingest_quarantine`` counters."""
 
     def __new__(cls):
         from pyspark.sql.streaming import StreamingQueryListener
@@ -102,6 +106,7 @@ class ProgressListener:
         class _L(StreamingQueryListener):
             def __init__(self):
                 self.batches: list[tuple[str, int]] = []
+                self.observed: list[tuple[str, dict]] = []
 
             def onQueryStarted(self, event):
                 pass
@@ -109,6 +114,11 @@ class ProgressListener:
             def onQueryProgress(self, event):
                 p = event.progress
                 self.batches.append((p.name or p.id, p.numInputRows))
+                try:
+                    for name, row in (p.observedMetrics or {}).items():
+                        self.observed.append((name, row.asDict()))
+                except Exception:
+                    pass  # best-effort: malformed progress never kills ingest
 
             def onQueryIdle(self, event):
                 pass

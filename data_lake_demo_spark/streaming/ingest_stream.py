@@ -78,6 +78,17 @@ def start_ingest_stream(
     bad = parsed.filter(~ok_pred).select(
         "endpoint", "ingestion_date", "page", "payload"
     )
+    # named observed metrics ride each micro-batch's progress event
+    # (StreamingQueryProgress.observedMetrics) — the CloudWatch
+    # pages_ingested / item-volume / quarantine counters computed
+    # in-plan, no second pass over the data (metrics.ProgressListener
+    # captures them)
+    good = good.observe(
+        "ingest_good",
+        F.count(F.lit(1)).alias("pages"),
+        F.sum(F.size("items")).alias("items"),
+    )
+    bad = bad.observe("ingest_quarantine", F.count(F.lit(1)).alias("pages"))
 
     def _writer(df, sub: str):
         w = (

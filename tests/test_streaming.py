@@ -813,3 +813,52 @@ def test_acid_batch_datasource_filter_pushdown_prunes_files(spark, tmp_path):
         got = sorted(tuple(r) for r in ds.filter(cond).collect())
         want = sorted(tuple(r) for r in t.snapshot().filter(cond).collect())
         assert got == want, cond
+
+
+def test_ingest_stream_observed_metrics(spark, tmp_path):
+    """The ingest stream's in-plan observed metrics (df.observe) ride
+    the progress events: good-path page/item counts and quarantine
+    counts arrive through the listener without a second pass over the
+    data — the reference's pages_ingested / failures CloudWatch
+    counters (stack.py:322-351) computed inside the micro-batch."""
+    import time
+
+    from data_lake_demo_spark import metrics
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _landing_file(landing / "b1.json", "api-a", "2024-06-01", [1, 2, 3])
+    _landing_file(
+        landing / "b2.json", "api-b", "2024-06-01", [1, 2], corrupt_page=2
+    )
+
+    listener = metrics.ProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        _drain(
+            *start_ingest_stream(
+                spark,
+                str(landing),
+                str(tmp_path / "raw"),
+                str(tmp_path / "quarantine"),
+                str(tmp_path / "ckpt"),
+            )
+        )
+        got = {}
+        for _ in range(40):  # listener delivery is async
+            got = {}
+            for name, vals in listener.observed:
+                for k, v in vals.items():
+                    if v is not None:
+                        got[(name, k)] = got.get((name, k), 0) + v
+            if (
+                got.get(("ingest_good", "pages"), 0) >= 4
+                and got.get(("ingest_quarantine", "pages"), 0) >= 1
+            ):
+                break
+            time.sleep(0.5)
+        assert got[("ingest_good", "pages")] == 4
+        assert got[("ingest_good", "items")] == 20  # 4 pages x 5 items
+        assert got[("ingest_quarantine", "pages")] == 1
+    finally:
+        spark.streams.removeListener(listener)
