@@ -84,17 +84,31 @@ class PQModel:
     """Trained quantizers: ``coarse`` is (nlist, dim) or None (plain
     PQ); ``books`` is a list of m (ksub_eff, dsub) codebooks. All
     distances are L2 over unit-normalized vectors, so ADC inner
-    products rank identically to cosine."""
+    products rank identically to cosine. ``rot`` is an optional
+    learned (dim, dim) orthogonal OPQ rotation (Ge et al. 2013,
+    "Optimized Product Quantization") applied to unit vectors BEFORE
+    the subspace split — every stage (coarse assignment, codebooks,
+    query LUTs) operates in the rotated space, and because rotations
+    preserve inner products the ADC scores still rank by cosine."""
 
     dim: int
     m: int
     ksub_eff: int
     books: list  # list[np.ndarray (ksub_eff, dsub)]
     coarse: object = None  # np.ndarray (nlist_eff, dim) | None
+    rot: object = None  # np.ndarray (dim, dim) orthogonal | None
 
     @property
     def dsub(self) -> int:
         return self.dim // self.m
+
+    def apply_rot(self, u):
+        """Rotate already-unit-normalized row vectors (no-op without
+        a trained rotation). EVERY kernel touching vectors must call
+        this right after ``_unit`` — a path that skips it computes
+        distances in the wrong basis (the probe-metric-mismatch class
+        of bug, round 4)."""
+        return u if self.rot is None else u @ self.rot
 
     def to_json(self) -> dict:
         return {
@@ -103,6 +117,7 @@ class PQModel:
             "ksub_eff": self.ksub_eff,
             "books": [b.tolist() for b in self.books],
             "coarse": None if self.coarse is None else self.coarse.tolist(),
+            "rot": None if self.rot is None else self.rot.tolist(),
         }
 
     @classmethod
@@ -117,6 +132,9 @@ class PQModel:
             coarse=None
             if d["coarse"] is None
             else np.asarray(d["coarse"], dtype=np.float64),
+            rot=None
+            if d.get("rot") is None
+            else np.asarray(d["rot"], dtype=np.float64),
         )
 
 
@@ -132,6 +150,26 @@ def sample_vectors(c: DataFrame, vec_col: str, train_limit: int):
     )
 
 
+def _train_books(sample, m: int, dsub: int, ksub_eff: int, rng, max_iter: int):
+    return [
+        _kmeans(sample[:, s * dsub : (s + 1) * dsub], ksub_eff, rng, max_iter)
+        for s in range(m)
+    ]
+
+
+def _pq_reconstruct(sample, books, m: int, dsub: int):
+    """Nearest-codeword reconstruction of each subvector — the OPQ
+    objective's quantizer half."""
+    import numpy as np
+
+    out = np.empty_like(sample)
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        out[:, s * dsub : (s + 1) * dsub] = books[s][d2.argmin(1)]
+    return out
+
+
 def train_pq_model(
     sample,
     *,
@@ -141,7 +179,16 @@ def train_pq_model(
     nlist: int | None = None,
     seed: int = 42,
     max_iter: int = 4,
+    opq_iters: int = 0,
 ) -> PQModel:
+    """``opq_iters > 0`` trains an OPQ rotation (Ge et al. 2013,
+    non-parametric variant) by alternating minimization on the driver
+    sample: (1) fit codebooks in the current rotated basis, (2) solve
+    the orthogonal Procrustes problem R = UVᵀ from svd(XᵀX̂) aligning
+    the data to its reconstruction. The rotation redistributes
+    correlated variance across the m independent subspaces — plain PQ
+    pays full quantization error for energy concentrated in one
+    subspace; OPQ spreads it."""
     import numpy as np
 
     if dim % m:
@@ -151,14 +198,24 @@ def train_pq_model(
     dsub = dim // m
     rng = np.random.default_rng(seed)
     ksub_eff = min(ksub, len(sample))
+    rot = None
+    if opq_iters > 0:
+        rot = np.eye(dim)
+        rotated = sample
+        for _ in range(opq_iters):
+            books = _train_books(rotated, m, dsub, ksub_eff, rng, max_iter)
+            recon = _pq_reconstruct(rotated, books, m, dsub)
+            u, _, vt = np.linalg.svd(sample.T @ recon)
+            rot = u @ vt
+            rotated = sample @ rot
+        sample = rotated
     coarse = None
     if nlist is not None:
         coarse = _kmeans(sample, min(nlist, len(sample)), rng, max_iter)
-    books = [
-        _kmeans(sample[:, s * dsub : (s + 1) * dsub], ksub_eff, rng, max_iter)
-        for s in range(m)
-    ]
-    return PQModel(dim=dim, m=m, ksub_eff=ksub_eff, books=books, coarse=coarse)
+    books = _train_books(sample, m, dsub, ksub_eff, rng, max_iter)
+    return PQModel(
+        dim=dim, m=m, ksub_eff=ksub_eff, books=books, coarse=coarse, rot=rot
+    )
 
 
 def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
@@ -184,7 +241,7 @@ def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
             if not len(pdf):
                 continue
             V = np.asarray(pdf["nvec"].tolist(), dtype=np.float64)
-            U = _unit(V)
+            U = model.apply_rot(_unit(V))
             out = {"nid": pdf["nid"]}
             if coarse_arr is not None:
                 d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
@@ -218,7 +275,9 @@ def encode_flat(c: DataFrame, model: PQModel) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            U = _unit(np.asarray(pdf["nvec"].tolist(), dtype=np.float64))
+            U = model.apply_rot(
+                _unit(np.asarray(pdf["nvec"].tolist(), dtype=np.float64))
+            )
             d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
             yield pd.DataFrame(
                 {
@@ -246,7 +305,9 @@ def prep_flat_queries(
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
+            Q = model.apply_rot(
+                _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
+            )
             d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
             order = np.argsort(d2c, axis=1)[:, :nprobe]
             yield pd.DataFrame(
@@ -289,7 +350,9 @@ def prep_queries(
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
+            Q = model.apply_rot(
+                _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
+            )
             n = len(Q)
             # (n, m, ksub_eff): all LUTs of the batch in one einsum
             dt = np.einsum("nsd,skd->nsk", Q.reshape(n, m, dsub), books_arr)
@@ -426,6 +489,7 @@ class AnnIndex:
         max_iter: int = 4,
         train_limit: int = 20_000,
         flat: bool = False,
+        opq: bool = False,
     ) -> AnnIndex:
         """Train + encode + persist. Re-building over an existing index
         is an atomic snapshot swap: readers mid-``query`` keep their
@@ -461,6 +525,7 @@ class AnnIndex:
                 nlist=nlist,
                 seed=seed,
                 max_iter=max_iter,
+                opq_iters=8 if opq else 0,
             )
         idx = cls(spark, path, model)
         idx.flat = flat
@@ -485,6 +550,7 @@ class AnnIndex:
                 "seed": seed,
                 "max_iter": max_iter,
                 "train_limit": train_limit,
+                "opq": opq,
             },
             "codes_version": version,
             "n_rows": idx.codes_table.snapshot(version).count(),
