@@ -13,6 +13,7 @@ policy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -129,3 +130,76 @@ def register_acid_table(
     snap = AcidTable(spark, path).snapshot(as_of)
     snap.createOrReplaceTempView(table)
     return snap
+
+
+class AcidCatalog:
+    """Durable name → path mapping for the transactional zone, stored
+    AS an AcidTable (``<root>/_catalog``) — the engine's answer to the
+    "session views can't persist" limitation of
+    :func:`register_acid_table`.
+
+    Dogfooding the table format gives the catalog every ACID property
+    for free: registrations are atomic MERGEs (concurrent writers
+    race on the commit log, not on a file), drops are transactional
+    ``merge_delete`` tombstones, and because the catalog is itself
+    time-travelable you can attach the SQL surface *as it existed at
+    any catalog version* — the lakehouse-catalog shape (Delta/Iceberg
+    put this mapping in a metastore service; storing it in the table
+    format keeps the whole engine self-contained and equally
+    crash-consistent).
+
+    A fresh session restores its entire SQL surface with one call::
+
+        AcidCatalog(spark, lake_root).attach_all()
+    """
+
+    SCHEMA = "table_name string, path string, comment string"
+
+    def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        from data_lake_demo_spark.tableformat import AcidTable
+
+        self.spark = spark
+        self.store = AcidTable(spark, os.path.join(root, "_catalog"))
+
+    def register(self, name: str, path: str, comment: str = "") -> None:
+        """Upsert one mapping (last registration wins, atomically)."""
+        row = self.spark.createDataFrame([(name, path, comment)], self.SCHEMA)
+        if self.store.latest_version() < 0:
+            # bootstrap an EMPTY version 0 so MERGE has a target; racing
+            # creators at worst land extra empty commits (rows only ever
+            # enter through the merge, so no duplicate mappings)
+            self.store.append(self.spark.createDataFrame([], self.SCHEMA))
+        self.store.merge(row, ["table_name"])
+
+    def drop(self, name: str) -> None:
+        """Transactional unregister (the data itself is untouched)."""
+        self.store.merge_delete(
+            self.spark.createDataFrame([(name,)], "table_name string"),
+            ["table_name"],
+        )
+
+    def entries(self, *, as_of: int | None = None) -> DataFrame:
+        """The mapping itself — time-travelable like any AcidTable."""
+        return self.store.snapshot(as_of)
+
+    def attach(self, name: str, *, as_of: int | None = None) -> DataFrame:
+        """Register one cataloged table as a session view. ``as_of``
+        pins the CATALOG version (which path/mapping), not the data
+        version — pin data versions via register_acid_table directly."""
+        rows = self.entries(as_of=as_of).filter(
+            F.col("table_name") == name
+        ).collect()
+        if not rows:
+            raise ValueError(f"table {name!r} not in catalog")
+        return register_acid_table(self.spark, name, rows[0].path)
+
+    def attach_all(self, *, as_of: int | None = None) -> list[str]:
+        """Attach every cataloged table; returns the attached names —
+        one call restores a new session's SQL-addressable surface."""
+        names = []
+        for r in self.entries(as_of=as_of).collect():
+            register_acid_table(self.spark, r.table_name, r.path)
+            names.append(r.table_name)
+        return sorted(names)

@@ -202,3 +202,43 @@ def test_rbac_governs_registered_acid_table(spark, tmp_path):
     register_acid_table(spark, "users_acid", str(tmp_path / "t"))
     assert rbac.table_for("analyst_us", "users_acid").count() == 3
     spark.catalog.dropTempView("users_acid")
+
+
+def test_acid_catalog_durable_mapping_and_time_travel(spark, tmp_path):
+    """The catalog IS an AcidTable: registrations are atomic merges, a
+    'new session' (fresh handle) restores the whole SQL surface with
+    one attach_all(), drops are transactional, and the catalog itself
+    time-travels — attach the surface as it existed at any version."""
+    from data_lake_demo_spark.catalog import AcidCatalog
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    root = str(tmp_path)
+    a = AcidTable(spark, f"{root}/ta")
+    a.append(spark.createDataFrame([(1, "x")], "k long, v string"))
+    b = AcidTable(spark, f"{root}/tb")
+    b.append(spark.createDataFrame([(2, "y")], "k long, v string"))
+
+    cat = AcidCatalog(spark, root)
+    cat.register("zone_a", f"{root}/ta", "first")
+    v_one_table = cat.store.latest_version()
+    cat.register("zone_b", f"{root}/tb")
+
+    # fresh handle = new session restoring its surface from storage
+    cat2 = AcidCatalog(spark, root)
+    assert cat2.attach_all() == ["zone_a", "zone_b"]
+    assert spark.sql("SELECT v FROM zone_a").collect()[0].v == "x"
+    assert spark.sql("SELECT v FROM zone_b").collect()[0].v == "y"
+
+    # re-registration is an upsert, not a duplicate
+    cat2.register("zone_a", f"{root}/ta", "relabeled")
+    assert cat2.entries().count() == 2
+
+    # transactional drop; data untouched
+    cat2.drop("zone_b")
+    assert cat2.attach_all() == ["zone_a"]
+    assert AcidTable(spark, f"{root}/tb").snapshot().count() == 1
+
+    # catalog time travel: the surface as of the single-table version
+    assert cat2.attach_all(as_of=v_one_table) == ["zone_a"]
+    with pytest.raises(ValueError):
+        cat2.attach("zone_b")
