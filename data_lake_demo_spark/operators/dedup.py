@@ -100,6 +100,19 @@ def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _md5fold_expr(col: str) -> str:
+    """SQL for a 31-bit base hash both engines can compute: a base-31
+    fold of the first 8 hex chars of md5, mod 2³¹. ~8× costlier than
+    xxhash64 (hex string materialized per shingle) — the price of a
+    value-hash-checkable family; the default family stays xxhash64."""
+    h = f"md5(cast({col} as binary))"
+    # bigint from the first term: the int32 fold overflows ANSI mode
+    fold = f"cast(ascii(substring({h}, 1, 1)) as bigint)"
+    for i in range(2, 9):
+        fold = f"({fold} * 31 + ascii(substring({h}, {i}, 1)))"
+    return f"pmod({fold}, {2**31})"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -107,6 +120,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 64,
     shingle_n: int = 5,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document → (id, sig array<bigint>).
 
@@ -118,6 +132,10 @@ def minhash_signatures(
     reduced with 64 map-side-combinable ``min`` aggregates. This is
     ~64× cheaper than re-hashing every shingle per family member and
     shuffles only (id, 64×8 bytes) after partial aggregation.
+
+    ``base_hash="md5fold"`` swaps the per-shingle hash for a DuckDB-
+    replicable md5 fold (see ``_md5fold_expr``) so the WHOLE pipeline
+    becomes oracle-checkable; xxhash64 stays the production default.
     """
     params = _affine_params(num_hashes)
     # spread docs across the cluster BEFORE the expensive shingle
@@ -136,7 +154,12 @@ def minhash_signatures(
                 F.array_distinct(shingles(F.col("__toks"), shingle_n))
             ).alias("sh"),
         )
-        .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(2**31)))
+        .withColumn(
+            "h",
+            F.pmod(F.xxhash64("sh"), F.lit(2**31))
+            if base_hash == "xxhash64"
+            else F.expr(_md5fold_expr("sh")),
+        )
     )
     # one F.expr per aggregate (not per literal): element-wise Column
     # construction costs a py4j round-trip per call — ~1 s of driver
@@ -152,12 +175,24 @@ def minhash_signatures(
 
 
 def band_signatures(
-    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16
+    sig: DataFrame,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """Explode a (id, sig) MinHash frame into LSH band rows
     ``(id, sig, band_id, band_hash)`` — the join-ready form shared by
-    the batch self-join and the incremental streaming store."""
+    the batch self-join and the incremental streaming store.
+    ``band_hash="md5"`` keeps the bucket key DuckDB-replicable (a hex
+    string instead of a bigint) for the oracle-checked variant."""
     rows_per_band = num_hashes // bands
+
+    def _bh(slice_str):
+        return (
+            F.xxhash64(slice_str) if band_hash == "xxhash64" else F.md5(slice_str)
+        )
+
     return sig.select(
         "id",
         "sig",
@@ -166,7 +201,7 @@ def band_signatures(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    _bh(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -194,6 +229,7 @@ def minhash_lsh_candidates(
     min_jaccard: float = 0.5,
     signature_store: str | None = None,
     max_bucket: int | None = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -217,11 +253,27 @@ def minhash_lsh_candidates(
     dropping their O(k²) pair enumeration loses nothing. The count is
     a window over the same key the join shuffles on (co-partitioned,
     no extra exchange). None disables the cap.
+
+    ``portable=True`` swaps both hash tiers (per-shingle base hash,
+    band bucket key) for md5-derived DuckDB-replicable functions, so
+    the ENTIRE LSH pipeline — family, banding, bucketing, estimator —
+    value-hashes against an oracle (driver query
+    ``doc_minhash_dups_portable``); identical plan shape, ~1.5× cost.
     """
     sig = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        base_hash="md5fold" if portable else "xxhash64",
     )
-    banded = band_signatures(sig, num_hashes=num_hashes, bands=bands)
+    banded = band_signatures(
+        sig,
+        num_hashes=num_hashes,
+        bands=bands,
+        band_hash="md5" if portable else "xxhash64",
+    )
     # the self-join would otherwise recompute the whole signature
     # pipeline for BOTH aliases: either materialize to a parquet store
     # (production path) or cache in executor memory (small inputs).

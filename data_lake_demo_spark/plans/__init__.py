@@ -45,6 +45,9 @@ WINDOW = [
     # (evicts rollup_revenue — r1-green, parity-reproved)
     "media_frame_features",  # NEW frame-sample → Arrow decode tier,
     # full oracle (evicts q21_waiting_suppliers — r1-green, reproved)
+    "doc_minhash_dups_portable",  # NEW portable-family MinHash-LSH,
+    # full oracle (evicts q19_disjunctive_predicates — r1-green,
+    # reproved); first value-hash row for the LSH pipeline itself
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -85,7 +88,6 @@ WINDOW = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

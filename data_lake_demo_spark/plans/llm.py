@@ -88,6 +88,75 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_minhash_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME banded MinHash-LSH pipeline as doc_minhash_near_dups,
+    run with the portable (md5-derived) hash family so the whole
+    thing — 64-permutation family, 16-band bucketing, candidate join,
+    Jaccard estimator — value-hashes against a DuckDB twin. The
+    xxhash64 production variant stays rows-only beside it; a green
+    row here certifies the pipeline's ALGEBRA (the round-4
+    degenerate-family postmortem is exactly the bug class this
+    catches: an un-modded affine family passed rows-only checks while
+    silently estimating from one sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, shingle_n=3, min_jaccard=0.5, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_portable_oracle(
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 256,
+) -> str:
+    from data_lake_demo_spark.operators.dedup import _MERSENNE_P, _affine_params
+
+    values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine_params(num_hashes))
+    )
+    rpb = num_hashes // bands
+    fold = "CAST(ord(substr(md5(s), 1, 1)) AS BIGINT)"
+    for i in range(2, 9):
+        fold = f"({fold} * 31 + ord(substr(md5(s), {i}, 1)))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                             FOR i IN range(1, len(t) - 1)])
+    END) AS s
+  FROM toks),
+h AS (SELECT doc_id, ({fold}) % {2**31} AS h FROM sh),
+mins AS (
+  SELECT doc_id, p.i AS i, min((h * p.a + p.b) % {_MERSENNE_P}) AS m
+  FROM h CROSS JOIN (VALUES {values}) p(i, a, b)
+  GROUP BY doc_id, p.i),
+sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band_id,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+  FROM mins GROUP BY doc_id, i // {rpb}
+  QUALIFY count(*) OVER (PARTITION BY band_id, bh) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+           / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= {min_jaccard} ORDER BY id_a, id_b
+"""
+
+
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-then-verify: MinHash-LSH candidates re-scored with
     exact 3-gram Jaccard, keeping pairs at >= 0.4.
@@ -1673,6 +1742,7 @@ QUERIES = {
     "doc_dedup_components": doc_dedup_components,
     "doc_dedup_components_bigstar": doc_dedup_components_bigstar,
     "doc_minhash_near_dups": doc_minhash_near_dups,
+    "doc_minhash_dups_portable": doc_minhash_dups_portable,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
     "doc_token_stats": doc_token_stats,
@@ -1738,6 +1808,7 @@ ORACLE = {
     "knn_brute_force": KNN_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "doc_minhash_dups_portable": _minhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
