@@ -330,12 +330,21 @@ def minhash_lsh_candidates(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    *,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit over token
     hashes. Explode → xxhash64 per token → ONE groupBy(id) carrying 64
     static conditional sums. The shuffle payload is (id, hash) — 16
     bytes/token — never the text itself.
+
+    ``base_hash="md5fold"`` (pair with ``bits=31`` — the fold yields a
+    31-bit hash) makes the fingerprint DuckDB-replicable for the
+    oracle-checked twin query; xxhash64/64-bit stays the default.
     """
     toks = (
         spread_small_input(
@@ -343,7 +352,12 @@ def simhash_fingerprints(
             "id",
         )  # parallelize single-file inputs; no-op on many-split scans
         .select("id", F.explode(F.split(F.trim(F.col("__t")), r"\s+")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn(
+            "h",
+            F.xxhash64("tok")
+            if base_hash == "xxhash64"
+            else F.expr(_md5fold_expr("tok")),
+        )
     )
     # SQL-string expressions: one py4j call per aggregate instead of
     # one per operator/literal (~900 round-trips ≈ 1.4 s driver time)
@@ -371,6 +385,8 @@ def simhash_dedup(
     id_col: str = "doc_id",
     *,
     include_members: bool = False,
+    bits: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Group documents by exact SimHash fingerprint (near-dups collide).
     Output one row per fingerprint bucket.
@@ -387,7 +403,9 @@ def simhash_dedup(
     if include_members:
         aggs.append(F.sort_array(F.collect_list("id")).alias("member_ids"))
     return (
-        simhash_fingerprints(df, text_col, id_col).groupBy("fp").agg(*aggs)
+        simhash_fingerprints(df, text_col, id_col, bits, base_hash=base_hash)
+        .groupBy("fp")
+        .agg(*aggs)
     )
 
 

@@ -48,6 +48,9 @@ WINDOW = [
     "doc_minhash_dups_portable",  # NEW portable-family MinHash-LSH,
     # full oracle (evicts q19_disjunctive_predicates — r1-green,
     # reproved); first value-hash row for the LSH pipeline itself
+    "doc_simhash_buckets_portable",  # NEW portable-family SimHash,
+    # full oracle (evicts q17_small_quantity_revenue — r1-green,
+    # reproved); value-hash row for the bit-vote fingerprint algebra
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -86,7 +89,6 @@ WINDOW = [
     "q13_order_count_distribution",
     "q14_promo_revenue_pct",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "q18_large_volume_orders",
 ]
 assert len(WINDOW) == 50, len(WINDOW)

@@ -88,6 +88,44 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_simhash_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint buckets with the portable (md5-fold, 31-bit)
+    hash family: every stage — per-token hash, per-bit majority vote,
+    weighted fingerprint assembly, bucket aggregation — value-hashes
+    against the DuckDB twin. The 64-bit xxhash64 production variant
+    stays rows-only beside it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_dedup(docs, bits=31, base_hash="md5fold")
+        .select("fp", "n_docs", "keep_id")
+        .orderBy("fp")
+    )
+
+
+def _simhash_portable_oracle(bits: int = 31) -> str:
+    fold = "CAST(ord(substr(md5(tok), 1, 1)) AS BIGINT)"
+    for i in range(2, 9):
+        fold = f"({fold} * 31 + ord(substr(md5(tok), {i}, 1)))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, ({fold}) % {2**31} AS h FROM toks),
+bs AS (
+  SELECT doc_id, b.b AS b, sum((h >> b.b) & 1) AS s1, count(*) AS n
+  FROM h CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  GROUP BY doc_id, b.b),
+fps AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s1 * 2 > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM bs GROUP BY doc_id)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fps GROUP BY fp ORDER BY fp
+"""
+
+
 def doc_minhash_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME banded MinHash-LSH pipeline as doc_minhash_near_dups,
     run with the portable (md5-derived) hash family so the whole
@@ -1744,6 +1782,7 @@ QUERIES = {
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_minhash_dups_portable": doc_minhash_dups_portable,
     "doc_simhash_buckets": doc_simhash_buckets,
+    "doc_simhash_buckets_portable": doc_simhash_buckets_portable,
     "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
     "doc_token_stats": doc_token_stats,
     "doc_quality_scores": doc_quality_scores,
@@ -1809,6 +1848,7 @@ ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_minhash_dups_portable": _minhash_portable_oracle(),
+    "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
