@@ -97,6 +97,7 @@ class PQModel:
     books: list  # list[np.ndarray (ksub_eff, dsub)]
     coarse: object = None  # np.ndarray (nlist_eff, dim) | None
     rot: object = None  # np.ndarray (dim, dim) orthogonal | None
+    by_residual: bool = False  # PQ codes encode x − centroid(cell)
 
     @property
     def dsub(self) -> int:
@@ -118,6 +119,7 @@ class PQModel:
             "books": [b.tolist() for b in self.books],
             "coarse": None if self.coarse is None else self.coarse.tolist(),
             "rot": None if self.rot is None else self.rot.tolist(),
+            "by_residual": self.by_residual,
         }
 
     @classmethod
@@ -135,6 +137,7 @@ class PQModel:
             rot=None
             if d.get("rot") is None
             else np.asarray(d["rot"], dtype=np.float64),
+            by_residual=bool(d.get("by_residual", False)),
         )
 
 
@@ -180,6 +183,7 @@ def train_pq_model(
     seed: int = 42,
     max_iter: int = 4,
     opq_iters: int = 0,
+    by_residual: bool = False,
 ) -> PQModel:
     """``opq_iters > 0`` trains an OPQ rotation (Ge et al. 2013,
     non-parametric variant) by alternating minimization on the driver
@@ -212,9 +216,26 @@ def train_pq_model(
     coarse = None
     if nlist is not None:
         coarse = _kmeans(sample, min(nlist, len(sample)), rng, max_iter)
+    if by_residual:
+        # FAISS's IVFPQ default: codebooks quantize x − centroid(cell).
+        # Residuals are much smaller than raw vectors near cluster
+        # centers, so the same ksub budget spends its resolution where
+        # the data actually varies. For IP scoring the score splits as
+        # ⟨q, c⟩ + ⟨q, r̂⟩ — the first term is a per-(query, probe)
+        # bias computed in prep, the second the usual ADC fold.
+        if coarse is None:
+            raise ValueError("by_residual requires nlist (an IVF structure)")
+        d2 = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+        sample = sample - coarse[d2.argmin(1)]
     books = _train_books(sample, m, dsub, ksub_eff, rng, max_iter)
     return PQModel(
-        dim=dim, m=m, ksub_eff=ksub_eff, books=books, coarse=coarse, rot=rot
+        dim=dim,
+        m=m,
+        ksub_eff=ksub_eff,
+        books=books,
+        coarse=coarse,
+        rot=rot,
+        by_residual=by_residual,
     )
 
 
@@ -245,7 +266,10 @@ def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
             out = {"nid": pdf["nid"]}
             if coarse_arr is not None:
                 d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
-                out["cell"] = d2c.argmin(1).astype("int32")
+                cells = d2c.argmin(1)
+                out["cell"] = cells.astype("int32")
+                if model.by_residual:
+                    U = U - coarse_arr[cells]
             n_rows = len(U)
             S = U.reshape(n_rows, m, model.dsub)
             codes = np.empty((n_rows, m), dtype=np.uint8)
@@ -340,11 +364,12 @@ def prep_queries(
     books_arr = np.stack(model.books)  # (m, ksub_eff, dsub)
     coarse_arr = model.coarse
     with_probes = coarse_arr is not None and nprobe is not None
-    schema = (
-        "qid long, dt array<double>, probes array<int>"
-        if with_probes
-        else "qid long, dt array<double>"
-    )
+    with_bias = with_probes and model.by_residual
+    schema = "qid long, dt array<double>"
+    if with_probes:
+        schema += ", probes array<int>"
+    if with_bias:
+        schema += ", biases array<double>"
 
     def op(batches):
         for pdf in batches:
@@ -361,10 +386,25 @@ def prep_queries(
                 d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
                 order = np.argsort(d2c, axis=1)[:, :nprobe]
                 out["probes"] = [row.astype("int32").tolist() for row in order]
+                if with_bias:
+                    # by-residual IP score = ⟨q, c_probe⟩ + ADC(residual):
+                    # the centroid half rides as one double per probe
+                    ip = Q @ coarse_arr.T  # (n, nlist)
+                    out["biases"] = [
+                        ip[i, order[i]].tolist() for i in range(n)
+                    ]
             yield pd.DataFrame(out)
 
     prepped = queries.mapInPandas(op, schema=schema)
-    if with_probes:
+    if with_bias:
+        pb = F.explode(F.arrays_zip("probes", "biases")).alias("pb")
+        prepped = prepped.select("qid", "dt", pb).select(
+            "qid",
+            "dt",
+            F.col("pb.probes").alias("cell"),
+            F.col("pb.biases").alias("bias"),
+        )
+    elif with_probes:
         prepped = prepped.select(
             "qid", "dt", F.explode("probes").alias("cell")
         )
@@ -391,13 +431,14 @@ def adc_candidates(
         joined = codes.join(F.broadcast(prepped), "cell")
     else:
         joined = codes.crossJoin(F.broadcast(prepped))
+    base = "bias" if model.by_residual else "0D"  # ⟨q, c_probe⟩ + ADC(r̂)
     adc = (
         joined.filter(F.col("nid") != F.col("qid"))
         .withColumn("hx", F.hex("codes"))
         .withColumn(
             "adc_score",
             F.expr(
-                f"aggregate(sequence(0, {m - 1}), 0D, (acc, s) -> acc + "
+                f"aggregate(sequence(0, {m - 1}), {base}, (acc, s) -> acc + "
                 f"element_at(dt, s * {ksub_eff} + "
                 f"int(conv(substring(hx, s * 2 + 1, 2), 16, 10)) + 1))"
             ),
@@ -490,6 +531,7 @@ class AnnIndex:
         train_limit: int = 20_000,
         flat: bool = False,
         opq: bool = False,
+        by_residual: bool = False,
     ) -> AnnIndex:
         """Train + encode + persist. Re-building over an existing index
         is an atomic snapshot swap: readers mid-``query`` keep their
@@ -526,6 +568,7 @@ class AnnIndex:
                 seed=seed,
                 max_iter=max_iter,
                 opq_iters=8 if opq else 0,
+                by_residual=by_residual,
             )
         idx = cls(spark, path, model)
         idx.flat = flat
@@ -551,6 +594,7 @@ class AnnIndex:
                 "max_iter": max_iter,
                 "train_limit": train_limit,
                 "opq": opq,
+                "by_residual": by_residual,
             },
             "codes_version": version,
             "n_rows": idx.codes_table.snapshot(version).count(),

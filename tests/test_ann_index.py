@@ -367,3 +367,34 @@ def test_opq_index_lifecycle_recall(spark, tmp_path):
     idx = AnnIndex.load(spark, str(tmp_path / "opq"))
     assert idx.model.rot is not None
     assert np.allclose(idx.model.rot @ idx.model.rot.T, np.eye(idx.model.dim))
+
+
+def test_by_residual_ivfpq_lifecycle_and_recall(spark, tmp_path):
+    """FAISS's IVFPQ default: codes quantize x − centroid(cell); for
+    IP scoring the centroid half rides as a per-(query, probe) bias
+    (⟨q, c⟩ + ADC(r̂)). The persisted model must carry the flag, a
+    fresh load must apply it on both encode and query sides, and
+    recall vs brute force must hold at-or-above the raw-vector PQ
+    build on identical parameters."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(path, **kw):
+        AnnIndex.build(emb, path, nlist=16, **kw)
+        idx = AnnIndex.load(spark, path)
+        got = {
+            (r.qid, r.nid)
+            for r in idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_raw = recall(str(tmp_path / "raw"))
+    r_res = recall(str(tmp_path / "res"), by_residual=True)
+    assert r_res >= r_raw - 0.12
+    assert r_res >= 0.4
+    idx = AnnIndex.load(spark, str(tmp_path / "res"))
+    assert idx.model.by_residual is True
+    # residual codes are still m bytes
+    row = idx.codes_table.snapshot().limit(1).collect()[0]
+    assert len(bytes(row.codes)) == idx.model.m
