@@ -1172,3 +1172,42 @@ def test_frame_sampling_fanout_and_features(spark):
             assert r.frame_ts_ms == r.frame_idx * 1000
             assert 0.0 <= r.mean_byte <= 255.0
             assert 1 <= r.n_distinct_bytes <= 8
+
+
+def test_bpe_train_apply_roundtrip_and_compression(spark):
+    """Real BPE (not the regex estimate): deterministic merge table,
+    segmentation that exactly reconstructs each word, and actual
+    compression — a corpus-frequent word ends as ONE symbol while a
+    never-seen word stays near character-level."""
+    from data_lake_demo_spark.operators.bpe import (
+        BpeModel,
+        _EOW,
+        _segment_word,
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat with the other cat") for i in range(20)]
+        + [(100, "zqxv")],
+        "doc_id long, text string",
+    )
+    m1 = train_bpe(docs, num_merges=64)
+    m2 = train_bpe(docs, num_merges=64)
+    assert m1.merges == m2.merges  # deterministic tie-breaks
+    assert m1.merges  # learned something
+
+    ranks = {tuple(p): i for i, p in enumerate(m1.merges)}
+    for w in ("the", "cat", "unseen"):
+        segs = _segment_word(w, ranks)
+        assert "".join(segs) == w + _EOW  # lossless reconstruction
+    assert _segment_word("the", ranks) == ["the" + _EOW]  # frequent -> 1
+    assert len(_segment_word("qqqq", ranks)) >= 4  # unseen stays chars
+
+    # JSON roundtrip preserves the table
+    assert BpeModel.from_json(m1.to_json()).merges == m1.merges
+
+    out = {r.id: r for r in bpe_token_counts(docs, m1).collect()}
+    assert out[0].n_words == 10
+    assert out[0].n_bpe_tokens < sum(len(w) + 1 for w in "the cat sat on the mat with the other cat".split())
+    assert out[100].n_bpe_tokens >= 4

@@ -267,9 +267,11 @@ def test_no_python_udf_across_entire_query_registry(spark):
     # interpreted HOF evals per row were 30× slower than the numpy
     # batch kernel, similarity._pq_encode_arrow) plus query prep;
     # emb_ivf_ann joined when it moved to the persisted flat index,
-    # whose probe-cell ranking runs in the same Arrow tier
-    arrow_ok = {"media_feature_stats", "emb_pq_ann", "emb_ivfpq_ann",
-                "emb_ivf_ann"}
+    # whose probe-cell ranking runs in the same Arrow tier;
+    # media_frame_features is the frame-sample decode kernel (same
+    # multimodal tier as media_feature_stats)
+    arrow_ok = {"media_feature_stats", "media_frame_features",
+                "emb_pq_ann", "emb_ivfpq_ann", "emb_ivf_ann"}
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
