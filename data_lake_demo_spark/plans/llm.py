@@ -744,7 +744,12 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_for(
-    spark: SparkSession, sf_dir: str, *, nlist: int | None, flat: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nlist: int | None,
+    flat: bool = False,
+    by_residual: bool = False,
 ):
     """Build-once / load-many AnnIndex over the embeddings table (the
     FAISS train/add/search lifecycle — operators/ann_index.py). The
@@ -762,7 +767,14 @@ def _ann_index_for(
     from data_lake_demo_spark.operators.ann_index import AnnIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    params = {"nlist": nlist, "m": 8, "ksub": 64, "seed": 42, "flat": flat}
+    params = {
+        "nlist": nlist,
+        "m": 8,
+        "ksub": 64,
+        "seed": 42,
+        "flat": flat,
+        "by_residual": by_residual,
+    }
     key = hashlib.sha1(
         _json.dumps({"sf": os.path.abspath(sf_dir), **params}, sort_keys=True).encode()
     ).hexdigest()[:16]
@@ -778,7 +790,16 @@ def _ann_index_for(
     except FileNotFoundError:
         pass
     return (
-        AnnIndex.build(emb, path, nlist=nlist, m=8, ksub=64, seed=42, flat=flat),
+        AnnIndex.build(
+            emb,
+            path,
+            nlist=nlist,
+            m=8,
+            ksub=64,
+            seed=42,
+            flat=flat,
+            by_residual=by_residual,
+        ),
         emb,
     )
 
@@ -788,8 +809,10 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means; recall vs brute force pinned in tests). The billion-vector
     shape: coarse cells prune the scan, m-BYTE binary PQ codes compress
     it, probes rank by the assignment metric. Served from the PERSISTED
-    AnnIndex (warm runs skip train+encode entirely)."""
-    idx, emb = _ann_index_for(spark, sf_dir, nlist=16)
+    AnnIndex (warm runs skip train+encode entirely), with the FAISS
+    default by-residual encoding: codes quantize x − centroid(cell),
+    the centroid half of the score rides as a per-probe bias."""
+    idx, emb = _ann_index_for(spark, sf_dir, nlist=16, by_residual=True)
     queries = emb.filter(F.col("vec_id") < 10)
     return idx.query(
         queries, k=5, nprobe=8, rerank_corpus=emb
