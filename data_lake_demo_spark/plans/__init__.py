@@ -51,6 +51,8 @@ WINDOW = [
     "doc_simhash_buckets_portable",  # NEW portable-family SimHash,
     # full oracle (evicts q17_small_quantity_revenue — r1-green,
     # reproved); value-hash row for the bit-vote fingerprint algebra
+    "events_hourly_anomalies",  # NEW z-score anomaly alarms, full
+    # oracle (evicts q18_large_volume_orders — r1-green, reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -89,7 +91,6 @@ WINDOW = [
     "q13_order_count_distribution",
     "q14_promo_revenue_pct",
     "q15_top_supplier",
-    "q18_large_volume_orders",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

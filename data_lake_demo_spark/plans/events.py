@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_lake_demo_spark.functions.vector import quantize
 from data_lake_demo_spark.operators.asof import asof_join
 from data_lake_demo_spark.plans.relational import _sql_qsum, qsum
 from data_lake_demo_spark.sources.testdata import load_table
@@ -477,8 +478,70 @@ ORDER BY event_type
 """
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly scoring: z-score of each (event_type, hour)
+    count against that type's all-hours baseline. The variance is
+    computed from INTEGER sums (n·Σx² − (Σx)² over n·(n−1)) so the
+    aggregate is order-independent and the z-scores value-hash across
+    engines; the alarm flag is |z| ≥ 2 (the reference's CloudWatch
+    anomaly alarms re-expressed as a relational query,
+    stack.py:322-351)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sx2"),
+    )
+    nh, sx, sx2 = F.col("nh"), F.col("sx"), F.col("sx2")
+    var = (nh.cast("double") * sx2 - (sx * sx).cast("double")) / (
+        nh.cast("double") * (nh - 1).cast("double")
+    )
+    z = (F.col("n") - sx.cast("double") / nh.cast("double")) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((nh > 1) & (nh.cast("double") * sx2 > (sx * sx).cast("double")))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            quantize(z, 1_000_000).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*) AS nh,
+         CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sx2
+  FROM hourly GROUP BY 1)
+SELECT event_type, hour, n,
+       floor(((n - CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))
+              / sqrt((CAST(nh AS DOUBLE) * sx2 - CAST(sx * sx AS DOUBLE))
+                     / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000 AS z,
+       abs((n - CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))
+           / sqrt((CAST(nh AS DOUBLE) * sx2 - CAST(sx * sx AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)))) >= 2.0
+         AS is_anomaly
+FROM hourly JOIN stats USING (event_type)
+WHERE nh > 1 AND CAST(nh AS DOUBLE) * sx2 > CAST(sx * sx AS DOUBLE)
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
+    "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
     "events_hll_daily_users_exact": events_hll_daily_users_exact,
@@ -495,6 +558,7 @@ QUERIES = {
 
 ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
+    "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_hll_daily_users_exact": HLL_EXACT_SQL,
     "events_histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
