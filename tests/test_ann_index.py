@@ -398,3 +398,36 @@ def test_by_residual_ivfpq_lifecycle_and_recall(spark, tmp_path):
     # residual codes are still m bytes
     row = idx.codes_table.snapshot().limit(1).collect()[0]
     assert len(bytes(row.codes)) == idx.model.m
+
+
+def test_sq8_index_lifecycle_recall_and_code_width(spark, tmp_path):
+    """SQ8 (FAISS IndexIVFScalarQuantizer): one byte per DIMENSION,
+    per-dim [min, max] codebook. The middle rung of the ladder —
+    recall should beat the m-byte PQ build and approach flat, codes
+    must be dim bytes, and a fresh load must apply the stored
+    quantizer on both sides."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(path, **kw):
+        AnnIndex.build(emb, path, nlist=16, **kw)
+        idx = AnnIndex.load(spark, path)
+        got = {
+            (r.qid, r.nid)
+            for r in idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_pq = recall(str(tmp_path / "pq"))
+    r_sq = recall(str(tmp_path / "sq"), sq=True)
+    assert r_sq >= r_pq - 0.08  # at worst on par with PQ, usually above
+    assert r_sq >= 0.5
+
+    idx = AnnIndex.load(spark, str(tmp_path / "sq"))
+    assert idx.sq and idx.model.sq is not None
+    row = idx.codes_table.snapshot().limit(1).collect()[0]
+    assert len(bytes(row.codes)) == idx.model.dim  # one byte per dim
+    # ADC-only path (no rerank corpus) also works for SQ
+    got = idx.query(queries, k=3, nprobe=8).collect()
+    assert len(got) == len({r.qid for r in got}) * 3
