@@ -750,6 +750,7 @@ def _ann_index_for(
     nlist: int | None,
     flat: bool = False,
     by_residual: bool = False,
+    sq: bool = False,
 ):
     """Build-once / load-many AnnIndex over the embeddings table (the
     FAISS train/add/search lifecycle — operators/ann_index.py). The
@@ -774,6 +775,7 @@ def _ann_index_for(
         "seed": 42,
         "flat": flat,
         "by_residual": by_residual,
+        "sq": sq,
     }
     key = hashlib.sha1(
         _json.dumps({"sf": os.path.abspath(sf_dir), **params}, sort_keys=True).encode()
@@ -799,6 +801,7 @@ def _ann_index_for(
             seed=42,
             flat=flat,
             by_residual=by_residual,
+            sq=sq,
         ),
         emb,
     )
@@ -817,6 +820,37 @@ def emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.query(
         queries, k=5, nprobe=8, rerank_corpus=emb
     ).orderBy("qid", "rk")
+
+
+def emb_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN top-5 (rows-only — the per-dim [min, max] codebook is
+    sample-trained; recall vs brute force and the byte-per-dim code
+    width are pinned in tests/test_ann_index.py). One byte per
+    DIMENSION — the middle rung of the compression ladder (flat 4·dim
+    B, SQ8 dim B, PQ m B) — served from the persisted AnnIndex."""
+    idx, emb = _ann_index_for(spark, sf_dir, nlist=16, sq=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return idx.query(
+        queries, k=5, nprobe=8, rerank_corpus=emb
+    ).orderBy("qid", "rk")
+
+
+def doc_bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counts (rows-only — the greedy merge training
+    loop is not SQL-expressible; determinism, lossless segmentation,
+    and compression are pinned in tests): train the merge table on a
+    bounded sample (operators/bpe.py), count subword tokens per doc
+    in a map-only Arrow kernel. Complements the oracle-checked regex
+    estimate (doc_bpe_token_counts) with the true algorithm."""
+    from data_lake_demo_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, num_merges=256, sample_limit=2000)
+    return (
+        bpe_token_counts(docs, model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,6 +1846,7 @@ QUERIES = {
     "doc_repetition_signals": doc_repetition_signals,
     "doc_length_histogram": doc_length_histogram,
     "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_bpe_vocab_tokens": doc_bpe_vocab_tokens,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint_buckets": doc_fingerprint_buckets,
     "doc_winnowing_overlap": doc_winnowing_overlap,
@@ -1834,6 +1869,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
+    "emb_sq_ann": emb_sq_ann,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,
