@@ -157,8 +157,47 @@ _RENAMES = {
     "json_extract_scalar": "get_json_object",
     "json_extract": "get_json_object",
     "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
     "to_unixtime": "unix_timestamp",
+    # Joda patterns for y/M/d/H/m/s coincide with Spark's — the cases
+    # Athena queries actually use; exotic Joda tokens would need a
+    # pattern translator like translate_strftime
+    "format_datetime": "date_format",
+    "last_day_of_month": "last_day",
+    "random": "rand",
+    "reduce": "aggregate",  # same (arr, init, merge[, finish]) shape
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week_of_year": "weekofyear",
+    "week": "weekofyear",
 }
+
+# Presto URL accessors → Spark's parse_url part extraction; the
+# web-corpus pipeline staple (domain mixing keys on url host)
+_URL_PARTS = {
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_query": "QUERY",
+}
+
+
+def _url_rewrite(part: str):
+    def rw(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"parse_url({args[0]}, '{part}')"
+
+    return rw
+
+
+def _dow_rewrite(args: list[str]) -> str | None:
+    # Presto day_of_week is ISO (1=Monday..7=Sunday); Spark's
+    # dayofweek is 1=Sunday..7=Saturday — a bare rename would be
+    # silently off by one day, so emit the shifted expression.
+    if len(args) != 1:
+        return None
+    return f"((dayofweek({args[0]}) + 5) % 7) + 1"
 
 
 # A single-quoted SQL literal, with '' escapes
@@ -193,4 +232,8 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "date_format", _date_format_rewrite)
     sql = _rewrite_calls(sql, "date_add", _date_add_rewrite)
     sql = _rewrite_calls(sql, "date_diff", _date_diff_rewrite)
+    sql = _rewrite_calls(sql, "day_of_week", _dow_rewrite)
+    sql = _rewrite_calls(sql, "dow", _dow_rewrite)
+    for presto, part in _URL_PARTS.items():
+        sql = _rewrite_calls(sql, presto, _url_rewrite(part))
     return _outside_literals(sql, _rename_and_quote)

@@ -1211,3 +1211,45 @@ def test_bpe_train_apply_roundtrip_and_compression(spark):
     assert out[0].n_words == 10
     assert out[0].n_bpe_tokens < sum(len(w) + 1 for w in "the cat sat on the mat with the other cat".split())
     assert out[100].n_bpe_tokens >= 4
+
+
+def test_dialect_widened_presto_surface(spark):
+    """Round-5 dialect widening, executed (not just string-compared)
+    where the semantics are subtle: ISO day_of_week numbering, URL
+    part extraction, reduce→aggregate, format_datetime."""
+    from data_lake_demo_spark.functions.dialect import translate
+
+    # ISO numbering: 2024-06-03 is a Monday -> 1 (Spark dayofweek = 2)
+    got = spark.sql(
+        translate("SELECT day_of_week(DATE'2024-06-03') AS d, "
+                  "day_of_week(DATE'2024-06-09') AS s")
+    ).collect()[0]
+    assert (got.d, got.s) == (1, 7)  # Monday=1, Sunday=7 (Presto ISO)
+
+    got = spark.sql(
+        translate(
+            "SELECT url_extract_host('https://ex.org/a/b?q=1') AS h, "
+            "url_extract_path('https://ex.org/a/b?q=1') AS p, "
+            "url_extract_query('https://ex.org/a/b?q=1') AS q"
+        )
+    ).collect()[0]
+    assert (got.h, got.p, got.q) == ("ex.org", "/a/b", "q=1")
+
+    got = spark.sql(
+        translate("SELECT reduce(array(1, 2, 3), 0, (s, x) -> s + x) AS r")
+    ).collect()[0]
+    assert got.r == 6
+
+    got = spark.sql(
+        translate(
+            "SELECT format_datetime(TIMESTAMP'2024-06-03 10:30:00', "
+            "'yyyy-MM-dd HH:mm') AS f, "
+            "last_day_of_month(DATE'2024-06-03') AS l, "
+            "from_iso8601_date('2024-06-03') AS d, "
+            "week_of_year(DATE'2024-01-04') AS w"
+        )
+    ).collect()[0]
+    assert got.f == "2024-06-03 10:30"
+    assert str(got.l) == "2024-06-30"
+    assert str(got.d) == "2024-06-03"
+    assert got.w == 1
