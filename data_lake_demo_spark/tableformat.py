@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -446,6 +447,48 @@ class AcidTable:
 
     # ---- public operations ----------------------------------------------
 
+    _TRANSFORM_RE = re.compile(
+        r"^\s*(years|months|days|hours|bucket|truncate)\s*\((.*)\)\s*$", re.I
+    )
+
+    @classmethod
+    def _partition_keys(cls, df: DataFrame, partition_by: Sequence[str]):
+        """Iceberg-style hidden partitioning: each ``partition_by``
+        entry is a plain column OR a transform — ``years/months/days/
+        hours(ts_col)``, ``bucket(n, col)``, ``truncate(w, int_col)``.
+        Transforms become hidden cluster keys (computed, range-
+        clustered on, then dropped before staging — they never widen
+        the schema, Iceberg's "hidden" property). Time transforms
+        keep PRUNING intact: the raw column's per-file [min, max]
+        stays narrow because rows are day/month-contiguous. ``bucket``
+        trades stats pruning for write parallelism and co-located
+        MERGE (each bucket's keys always land in the same file run) —
+        the same trade Iceberg's bucket transform makes without
+        transform-aware scan planning."""
+        keys, hidden, out_df = [], [], df
+        for i, spec in enumerate(partition_by):
+            m = cls._TRANSFORM_RE.match(spec)
+            if not m:
+                keys.append(spec)
+                continue
+            fn, arg = m.group(1).lower(), m.group(2).strip()
+            name = f"__part_{i}"
+            if fn == "bucket":
+                nstr, col = (a.strip() for a in arg.split(",", 1))
+                expr = F.pmod(F.xxhash64(F.col(col)), int(nstr))
+            elif fn == "truncate":
+                wstr, col = (a.strip() for a in arg.split(",", 1))
+                w = int(wstr)
+                expr = F.floor(F.col(col) / w) * w
+            else:
+                unit = {"years": "year", "months": "month",
+                        "days": "day", "hours": "hour"}[fn]
+                expr = F.date_trunc(unit, F.col(arg))
+            out_df = out_df.withColumn(name, expr)
+            keys.append(name)
+            hidden.append(name)
+        return out_df, keys, hidden
+
     def _stage_actions(
         self, df: DataFrame, *, partition_by: Sequence[str] | None = None
     ) -> tuple[list[dict], str]:
@@ -467,9 +510,10 @@ class AcidTable:
         machinery."""
         if partition_by:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-            df = df.repartitionByRange(n, *partition_by).sortWithinPartitions(
-                *partition_by
-            )
+            df, keys, hidden = self._partition_keys(df, partition_by)
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+            if hidden:
+                df = df.drop(*hidden)  # projection preserves the order
         files, schema = self._stage(df)
         actions = []
         for f in files:

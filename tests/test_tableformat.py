@@ -801,3 +801,54 @@ def test_scan_residual_filter_is_pushed_to_parquet(spark, tmp_path):
     )
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(k,90)" in plan
+
+
+def test_hidden_partition_transforms_cluster_and_prune(spark, tmp_path):
+    """Iceberg hidden partitioning: partition_by accepts transforms —
+    months(date_col) clusters rows month-contiguously WITHOUT adding a
+    column (the key is computed, range-clustered on, dropped), so a
+    date-range scan prunes at the manifest level via the raw column's
+    now-narrow [min, max]; bucket(n, col) spreads writes by hash."""
+    import datetime
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    rows = [
+        (i, datetime.date(2024, 1 + (i % 6), 1 + (i % 27)), f"v{i}")
+        for i in range(600)
+    ]
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(rows, "k long, d date, v string"),
+        partition_by=["months(d)"],
+    )
+    snap = t.snapshot()
+    assert snap.columns == ["k", "d", "v"]  # hidden key never lands
+    assert snap.count() == 600
+
+    kept, total, _ = t._pruned_live(
+        [("d", ">=", datetime.date(2024, 5, 1))]
+    )
+    assert total >= 6
+    assert len(kept) < total  # months 1-4 provably pruned
+    got = t.scan([("d", ">=", datetime.date(2024, 5, 1))]).count()
+    assert got == sum(1 for _, d, _v in rows if d >= datetime.date(2024, 5, 1))
+
+    # bucket transform: valid write, exact roundtrip, schema unchanged
+    b = AcidTable(spark, str(tmp_path / "b"))
+    b.append(
+        spark.createDataFrame(rows, "k long, d date, v string"),
+        partition_by=["bucket(8, k)"],
+    )
+    assert b.snapshot().columns == ["k", "d", "v"]
+    assert b.snapshot().count() == 600
+
+    # truncate transform on ints: width-100 ranges cluster and prune
+    c = AcidTable(spark, str(tmp_path / "c"))
+    c.append(
+        spark.createDataFrame(rows, "k long, d date, v string"),
+        partition_by=["truncate(100, k)"],
+    )
+    kept_c, total_c, _ = c._pruned_live([("k", ">=", 500)])
+    assert len(kept_c) < total_c
+    assert c.scan([("k", ">=", 500)]).count() == 100
