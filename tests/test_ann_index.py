@@ -431,3 +431,24 @@ def test_sq8_index_lifecycle_recall_and_code_width(spark, tmp_path):
     # ADC-only path (no rerank corpus) also works for SQ
     got = idx.query(queries, k=3, nprobe=8).collect()
     assert len(got) == len({r.qid for r in got}) * 3
+
+
+def test_opq_composes_with_by_residual(spark, tmp_path):
+    """The two upgrades share one basis: the rotation applies BEFORE
+    coarse assignment, so residuals live in the rotated space on both
+    the encode and query sides. The composed index must persist both
+    pieces and keep lifecycle recall."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    AnnIndex.build(
+        emb, str(tmp_path / "c"), nlist=16, opq=True, by_residual=True
+    )
+    idx = AnnIndex.load(spark, str(tmp_path / "c"))
+    assert idx.model.rot is not None and idx.model.by_residual
+    got = {
+        (r.qid, r.nid)
+        for r in idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.4
