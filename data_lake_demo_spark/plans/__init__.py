@@ -53,6 +53,9 @@ WINDOW = [
     # reproved); value-hash row for the bit-vote fingerprint algebra
     "events_hourly_anomalies",  # NEW z-score anomaly alarms, full
     # oracle (evicts q18_large_volume_orders — r1-green, reproved)
+    "doc_retrieval_join",  # NEW RAG retrieval composition (ANN top-k
+    # ∘ metadata hydration join), full oracle (evicts q15_top_supplier
+    # — r1-green, reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -90,7 +93,6 @@ WINDOW = [
     "q12_priority_by_flag",
     "q13_order_count_distribution",
     "q14_promo_revenue_pct",
-    "q15_top_supplier",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

@@ -705,8 +705,10 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
-def _lsh_ann_oracle() -> str:
-    """Replicates lsh_ann_topk(k=5, n_planes=8, seed=42) end-to-end."""
+def _lsh_ann_ctes(k: int) -> str:
+    """Shared CTE block replicating lsh_ann_topk(n_planes=8, seed=42)
+    down to the top-``k`` window — reused by the plain ANN oracle and
+    the retrieval-join composition."""
     from data_lake_demo_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(64, 8, 42)
@@ -724,13 +726,58 @@ scored AS (
          floor(({_duck_dot('qv', 'c.v')}
             / (sqrt({_duck_dot('qv', 'qv')}) * sqrt({_duck_dot('c.v', 'c.v')})))
            * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
-  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> qid)
-SELECT qid, nid, cos_sim, rk FROM (
-  SELECT qid, nid, cos_sim,
-         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
-  FROM scored) t
-WHERE rk <= 5 ORDER BY qid, rk
+  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> qid),
+topk AS (
+  SELECT qid, nid, cos_sim, rk FROM (
+    SELECT qid, nid, cos_sim,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+    FROM scored) t
+  WHERE rk <= {k})"""
+
+
+def _lsh_ann_oracle() -> str:
+    return _lsh_ann_ctes(5) + "\nSELECT * FROM topk ORDER BY qid, rk"
+
+
+def doc_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval shape end to end: ANN top-3 per query vector
+    (LSH-bucketed — the literal hyperplane family, so fully
+    oracle-able) joined back to the documents table for neighbor
+    metadata. At scale the metadata join is the standard post-
+    retrieval hydration: candidates are tiny (k·|queries| rows), so
+    AQE broadcasts THEM against the big documents table rather than
+    shuffling it."""
+    from data_lake_demo_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    hits = lsh_ann_topk(emb, queries, k=3)
+    return (
+        hits.join(docs, hits.nid == docs.doc_id)
+        .select(
+            "qid",
+            "rk",
+            "nid",
+            "cos_sim",
+            F.col("lang").alias("n_lang"),
+            F.col("source").alias("n_source"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def _retrieval_join_oracle() -> str:
+    return (
+        _lsh_ann_ctes(3)
+        + """
+SELECT qid, rk, nid, cos_sim, d.lang AS n_lang, d.source AS n_source
+FROM topk JOIN documents d ON topk.nid = d.doc_id
+ORDER BY qid, rk
 """
+    )
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1870,6 +1917,7 @@ QUERIES = {
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
     "emb_sq_ann": emb_sq_ann,
+    "doc_retrieval_join": doc_retrieval_join,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,
@@ -1919,6 +1967,7 @@ ORACLE = {
     "emb_semantic_dedup": _semantic_dedup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
     "emb_lsh_ann": _lsh_ann_oracle(),
+    "doc_retrieval_join": _retrieval_join_oracle(),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_ivf_ann /
     # emb_pq_ann: rows-only (xxhash64 minhash/simhash families and
     # k-means codebooks are engine-side; their exact twins —
