@@ -1253,3 +1253,38 @@ def test_dialect_widened_presto_surface(spark):
     assert str(got.l) == "2024-06-30"
     assert str(got.d) == "2024-06-03"
     assert got.w == 1
+
+
+def test_quality_model_separates_target_class(spark):
+    """The fastText-style quality filter (train driver-side on a
+    bounded sample, score relationally): on a separable corpus the
+    positive class must score decisively higher; the fit is
+    deterministic; and the scoring plan contains NO Python stage."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.quality_model import (
+        score_quality,
+        train_linear_quality,
+    )
+
+    clean = "the quick study of language models requires careful data"
+    spam = "click here buy now free offer winner casino jackpot bonus"
+    rows = [(i, clean + f" extra{i % 3}", "good") for i in range(30)]
+    rows += [(100 + i, spam + f" promo{i % 3}", "bad") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w1, b1 = train_linear_quality(docs, F.col("lang") == "good")
+    w2, b2 = train_linear_quality(docs, F.col("lang") == "good")
+    assert np.array_equal(w1, w2) and b1 == b2  # deterministic fit
+
+    out = {r.doc_id: r.quality_score for r in score_quality(docs, w1, b1).collect()}
+    good = [out[i] for i in range(30)]
+    bad = [out[100 + i] for i in range(30)]
+    assert min(good) > max(bad)  # fully separable corpus: no overlap
+    assert sum(good) / 30 > 0.8 and sum(bad) / 30 < 0.2
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        score_quality(docs, w1, b1)._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan  # scoring is pure JVM
