@@ -739,6 +739,21 @@ def _lsh_ann_oracle() -> str:
     return _lsh_ann_ctes(5) + "\nSELECT * FROM topk ORDER BY qid, rk"
 
 
+def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scores (rows-only — the trained weights are
+    data-dependent; separation, determinism, and the no-Python scoring
+    plan are pytest-pinned): LR trained against the English slice on a
+    bounded sample, every document scored relationally."""
+    from data_lake_demo_spark.operators.quality_model import (
+        score_quality,
+        train_linear_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = train_linear_quality(docs, F.col("lang") == "en", sample_limit=2000)
+    return score_quality(docs, w, b)
+
+
 def doc_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG retrieval shape end to end: ANN top-3 per query vector
     (LSH-bucketed — the literal hyperplane family, so fully
@@ -1918,6 +1933,7 @@ QUERIES = {
     "emb_lsh_ann": emb_lsh_ann,
     "emb_sq_ann": emb_sq_ann,
     "doc_retrieval_join": doc_retrieval_join,
+    "doc_quality_model_scores": doc_quality_model_scores,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,
