@@ -221,7 +221,7 @@ def dsir_weights(
         tgt.agg(F.sum("ct").alias("tt"))
     )
     ratio = (
-        raw.join(tgt, ["b"], "left")
+        raw.join(F.broadcast(tgt), ["b"], "left")  # both ≤ n_buckets rows
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
