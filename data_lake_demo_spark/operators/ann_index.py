@@ -1,5 +1,11 @@
 """Persistent ANN index with FAISS's train / add / search lifecycle.
 
+Modes (one stored model, dispatch on its fields): IVF-FLAT (exact
+unit vectors), SQ8 (byte per dimension), PQ / IVFPQ (m-byte codes) —
+the latter composable with an OPQ rotation and FAISS's by-residual
+encoding. All share the cell-clustered AcidTable codes layout and
+the manifest-pruned probe scan.
+
 Round-4's PQ and IVFPQ operators (operators/similarity.py) rebuilt
 their quantizers and re-encoded the whole corpus on EVERY invocation —
 correct, but a real user runs many query batches against one index.

@@ -97,3 +97,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_bucket": F.substring(F.md5(t.cast("binary")), 1, 4),
         }
     )
+
+
+def compression_signals(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document zlib compression ratio — the Gopher/Dolma quality
+    signal orthogonal to token statistics: templated or repetitive
+    text compresses far below natural prose, and near-random noise
+    barely compresses at all. zlib level 6 with a fixed strategy is
+    bit-deterministic for a given input, so the ratio is a stable
+    pipeline feature (rows-only vs the oracle — DuckDB has no zlib).
+    Runs as a map-only Arrow kernel (no shuffle; the same tier as the
+    multimodal byte features)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8", "surrogatepass")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                    "ratio": [
+                        (c / r) if r else 1.0 for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(
+            op,
+            schema="id long, raw_bytes long, compressed_bytes long, ratio double",
+        )
+    )

@@ -739,6 +739,21 @@ def _lsh_ann_oracle() -> str:
     return _lsh_ann_ctes(5) + "\nSELECT * FROM topk ORDER BY qid, rk"
 
 
+def doc_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document (rows-only — DuckDB has no
+    zlib; determinism and the class ordering repetitive < prose <
+    noise are pytest-pinned). The Gopher/Dolma quality feature
+    orthogonal to token statistics; map-only Arrow kernel."""
+    from data_lake_demo_spark.operators.textops import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        compression_signals(docs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scores (rows-only — the trained weights are
     data-dependent; separation, determinism, and the no-Python scoring
@@ -1934,6 +1949,7 @@ QUERIES = {
     "emb_sq_ann": emb_sq_ann,
     "doc_retrieval_join": doc_retrieval_join,
     "doc_quality_model_scores": doc_quality_model_scores,
+    "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,

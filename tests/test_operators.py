@@ -1288,3 +1288,31 @@ def test_quality_model_separates_target_class(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan  # scoring is pure JVM
+
+
+def test_compression_signals_rank_text_classes(spark):
+    """zlib ratio as a quality feature: repetitive text compresses
+    hardest, natural prose sits in the middle, high-entropy noise
+    barely compresses — and the kernel is deterministic."""
+    from data_lake_demo_spark.operators.textops import compression_signals
+
+    import hashlib
+
+    noise = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 400),
+            (1, ("the quick brown fox jumps over the lazy dog and then "
+                 "considers the consequences of repeated exertion ") * 10),
+            (2, noise),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in compression_signals(docs).collect()}
+    assert out[0].ratio < out[1].ratio < out[2].ratio
+    assert out[0].ratio < 0.05  # pure repetition collapses
+    assert out[2].ratio > 0.5  # hex noise stays near-incompressible
+    again = {r.id: r for r in compression_signals(docs).collect()}
+    assert all(out[k].compressed_bytes == again[k].compressed_bytes for k in out)

@@ -273,7 +273,8 @@ def test_no_python_udf_across_entire_query_registry(spark):
     arrow_ok = {"media_feature_stats", "media_frame_features",
                 "emb_pq_ann", "emb_ivfpq_ann", "emb_ivf_ann",
                 "emb_sq_ann",  # SQ8 prep runs in the same Arrow tier
-                "doc_bpe_vocab_tokens"}  # real-BPE apply kernel
+                "doc_bpe_vocab_tokens",  # real-BPE apply kernel
+                "doc_compression_signals"}  # zlib Arrow kernel
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
