@@ -101,6 +101,9 @@ _PUSHABLE_OPS = {
     "LessThan": "<",
     "LessThanOrEqual": "<=",
     "In": "in",
+    # null-count stats ("#null:" manifest entries) make these sound
+    "IsNull": "is_null",
+    "IsNotNull": "is_not_null",
 }
 
 
@@ -129,7 +132,9 @@ class _AcidBatchReader(DataSourceReader):
             op = _PUSHABLE_OPS.get(type(f).__name__)
             attr = getattr(f, "attribute", ())
             if op is not None and len(attr) == 1:
-                val = list(f.value) if op == "in" else f.value
+                val = getattr(f, "value", None)
+                if op == "in":
+                    val = list(val)
                 self._pushed.append((attr[0], op, val))
             yield f  # always residual — pruning is best-effort
 

@@ -137,6 +137,17 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
     anything'; cross-type comparisons (schema drift across commits)
     conservatively keep the file."""
     for col, op, val in filters:
+        if op in ("is_null", "is_not_null"):
+            # null-count stats (Iceberg value_counts/null_value_counts):
+            # [n_nulls, n_rows] under a reserved "#null:" key — absent
+            # on pre-upgrade commits, which conservatively keeps files
+            nc = stats.get(f"#null:{col}")
+            if nc is not None:
+                if op == "is_null" and nc[0] == 0:
+                    return False
+                if op == "is_not_null" and nc[0] == nc[1]:
+                    return False
+            continue
         rng = stats.get(col)
         if rng is None:
             continue
@@ -183,7 +194,11 @@ def _filters_to_predicate(filters):
     pred = F.lit(True)
     for col, op, val in filters:
         c = F.col(col)
-        if op == "=":
+        if op == "is_null":
+            pred = pred & c.isNull()
+        elif op == "is_not_null":
+            pred = pred & c.isNotNull()
+        elif op == "=":
             pred = pred & (c == F.lit(val))
         elif op == "<":
             pred = pred & (c < F.lit(val))
@@ -443,6 +458,18 @@ class AcidTable:
                 hi = mx if hi is None else max(hi, mx)
             if ok and lo is not None:
                 out[name] = [lo, hi]
+            # null counts ride separately (Iceberg null_value_counts):
+            # usable even when min/max aren't (e.g. truncation-prone
+            # strings), powering is_null / is_not_null pruning
+            nulls, nulls_ok = 0, md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.null_count is None:
+                    nulls_ok = False
+                    break
+                nulls += st.null_count
+            if nulls_ok:
+                out[f"#null:{name}"] = [nulls, md.num_rows]
         return md.num_rows, out
 
     # ---- public operations ----------------------------------------------

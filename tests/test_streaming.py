@@ -793,7 +793,9 @@ def test_acid_batch_datasource_filter_pushdown_prunes_files(spark, tmp_path):
         rdr.pushFilters([EqualTo(("k",), 15), IsNotNull(("v",))])
     )
     assert len(residual) == 2  # everything residual (pruning is best-effort)
-    assert rdr._pushed == [("k", "=", 15)]  # IsNotNull not stats-prunable
+    # IsNotNull pushes too (null-count stats); v has no nulls anywhere,
+    # so it prunes nothing here — the equality filter does the work
+    assert rdr._pushed == [("k", "=", 15), ("v", "is_not_null", None)]
     assert len(rdr.partitions()) == 1  # only the 10..19 file survives
 
     rdr2 = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])

@@ -852,3 +852,53 @@ def test_hidden_partition_transforms_cluster_and_prune(spark, tmp_path):
     kept_c, total_c, _ = c._pruned_live([("k", ">=", 500)])
     assert len(kept_c) < total_c
     assert c.scan([("k", ">=", 500)]).count() == 100
+
+
+def test_null_count_stats_prune_is_null_filters(spark, tmp_path):
+    """Manifest null counts (Iceberg null_value_counts): a file whose
+    column has zero nulls is provably irrelevant to IS NULL, and a
+    file that is all-null is irrelevant to IS NOT NULL — both prune
+    before Spark plans a task, and results stay exactly
+    snapshot+filter."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, None) for i in range(10)], "k long, v string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(200, "x"), (201, None)], "k long, v string"
+        ).coalesce(1)
+    )
+
+    kept_null, total, _ = t._pruned_live([("v", "is_null", None)])
+    assert total == 3
+    assert len(kept_null) == 2  # the no-null file is out
+    kept_nn, _, _ = t._pruned_live([("v", "is_not_null", None)])
+    assert len(kept_nn) == 2  # the all-null file is out
+
+    assert t.scan([("v", "is_null", None)]).count() == 11
+    assert t.scan([("v", "is_not_null", None)]).count() == 11
+
+    # DSv2 path: IsNull prunes through the pushFilters hook too
+    from pyspark.sql.datasource import IsNull
+
+    from data_lake_demo_spark.streaming.acid_source import (
+        _AcidBatchReader,
+        register,
+    )
+
+    rdr = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
+    list(rdr.pushFilters([IsNull(("v",))]))
+    assert len(rdr.partitions()) == 2
+    register(spark)
+    ds = spark.read.format("acidtable").option("path", str(tmp_path / "t")).load()
+    assert ds.filter("v IS NULL").count() == 11
