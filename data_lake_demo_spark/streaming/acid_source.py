@@ -104,6 +104,8 @@ _PUSHABLE_OPS = {
     # null-count stats ("#null:" manifest entries) make these sound
     "IsNull": "is_null",
     "IsNotNull": "is_not_null",
+    # prefix predicates prune on string [min, max] ranges
+    "StringStartsWith": "starts_with",
 }
 
 

@@ -159,7 +159,17 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
         else:
             val = _norm_stat_value(val)
         try:
-            if op == "=":
+            if op == "starts_with":
+                # s startswith p ⇒ s ≥ p, and s's first len(p) chars
+                # equal p; a file can't match if its whole range sits
+                # below p (hi < p) or above every p-prefixed string
+                # (lo's prefix already > p). Sound with truncated-max
+                # ranges excluded upstream (the 48-char stat guard).
+                if hi < val or (
+                    isinstance(lo, str) and lo[: len(val)] > val
+                ):
+                    return False
+            elif op == "=":
                 if val < lo or val > hi:
                     return False
             elif op == "<":
@@ -198,6 +208,8 @@ def _filters_to_predicate(filters):
             pred = pred & c.isNull()
         elif op == "is_not_null":
             pred = pred & c.isNotNull()
+        elif op == "starts_with":
+            pred = pred & c.startswith(val)
         elif op == "=":
             pred = pred & (c == F.lit(val))
         elif op == "<":

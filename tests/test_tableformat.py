@@ -902,3 +902,37 @@ def test_null_count_stats_prune_is_null_filters(spark, tmp_path):
     register(spark)
     ds = spark.read.format("acidtable").option("path", str(tmp_path / "t")).load()
     assert ds.filter("v IS NULL").count() == 11
+
+
+def test_prefix_predicate_prunes_string_ranges(spark, tmp_path):
+    """starts_with pruning on string [min, max] ranges: a range-
+    clustered string column lets prefix filters skip files whose whole
+    range sits outside the prefix window; results stay exact."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from data_lake_demo_spark.streaming.acid_source import _AcidBatchReader
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    words = (
+        [f"apple{i}" for i in range(10)]
+        + [f"mango{i}" for i in range(10)]
+        + [f"zebra{i}" for i in range(10)]
+    )
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for start in (0, 10, 20):  # one file per prefix family
+        t.append(
+            spark.createDataFrame(
+                [(i, words[i]) for i in range(start, start + 10)],
+                "k long, v string",
+            ).coalesce(1)
+        )
+    kept, total, _ = t._pruned_live([("v", "starts_with", "man")])
+    assert total == 3 and len(kept) == 1
+    assert t.scan([("v", "starts_with", "man")]).count() == 10
+    # boundary: a prefix below every range prunes everything
+    kept0, _, _ = t._pruned_live([("v", "starts_with", "aaa")])
+    assert kept0 == []
+
+    rdr = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
+    list(rdr.pushFilters([StringStartsWith(("v",), "zeb")]))
+    assert len(rdr.partitions()) == 1
