@@ -1316,3 +1316,38 @@ def test_compression_signals_rank_text_classes(spark):
     assert out[2].ratio > 0.5  # hex noise stays near-incompressible
     again = {r.id: r for r in compression_signals(docs).collect()}
     assert all(out[k].compressed_bytes == again[k].compressed_bytes for k in out)
+
+
+def test_udtf_surface_arrow_optimized(spark):
+    """§2.10 completeness: the engine's UDF story is 'Arrow or JVM,
+    never row-at-a-time Python' — and that includes table functions.
+    An arrow-optimized UDTF (Spark 4) expands documents into labeled
+    halves; asserted here as surface coverage, NOT used in hot paths
+    (chunk_documents does this job as pure JVM sequence+explode)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="part string, text string", useArrow=True)
+    class SplitHalves:
+        def eval(self, text: str):
+            if not text:
+                return
+            mid = len(text) // 2
+            yield "head", text[:mid]
+            yield "tail", text[mid:]
+
+    spark.udtf.register("split_halves", SplitHalves)
+    out = spark.sql(
+        "SELECT part, text FROM split_halves('abcdef') ORDER BY part"
+    ).collect()
+    assert [(r.part, r.text) for r in out] == [("head", "abc"), ("tail", "def")]
+    # lateral-join form over a table
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "id long, t string")
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT id, part, text FROM udtf_docs, "
+        "LATERAL split_halves(t) ORDER BY id, part"
+    ).collect()
+    assert [(r.id, r.part, r.text) for r in rows] == [
+        (1, "head", "he"),
+        (1, "tail", "llo"),
+    ]
