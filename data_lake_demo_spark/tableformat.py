@@ -663,7 +663,9 @@ class AcidTable:
     def scan(self, filters=(), as_of: int | None = None) -> DataFrame:
         """Manifest-pruned snapshot read — Iceberg's planning step.
         ``filters`` are ``(col, op, value)`` triples (op in ``= < <=
-        > >= in between``); files whose footer [min, max] ranges prove
+        > >= in between starts_with is_null is_not_null``; the null
+        ops prune on the ``#null:`` count stats, ``starts_with`` on
+        string ranges); files whose footer [min, max] ranges prove
         they contain no matching row are never handed to Spark, so the
         job's task count scales with the MATCHING partition of the
         table, not the table. The same filters are re-applied as a
