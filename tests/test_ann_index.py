@@ -452,3 +452,40 @@ def test_opq_composes_with_by_residual(spark, tmp_path):
         for r in idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect()
     }
     assert len(exact & got) / len(exact) >= 0.4
+
+
+@pytest.mark.parametrize("mode", ["flat", "sq"])
+def test_apply_changes_syncs_non_pq_modes(spark, tmp_path, mode):
+    """The CDF sync contract holds for every index mode: add()
+    dispatches on the stored model (flat vectors / SQ bytes / PQ
+    codes), so deletes tombstone and inserts encode with the stored
+    quantizer regardless of mode."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    table = AcidTable(spark, str(tmp_path / "emb"))
+    v0 = table.overwrite(emb)
+    kw = {"flat": True} if mode == "flat" else {"sq": True}
+    idx = AnnIndex.build(table.snapshot(), str(tmp_path / "idx"), nlist=8, **kw)
+
+    table.merge_delete(
+        spark.range(10, 20).select(F.col("id").alias("vec_id")), ["vec_id"]
+    )
+    table.append(
+        _emb(spark)
+        .filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 65))
+        .withColumn("vec_id", F.col("vec_id") + 940)
+    )
+    idx.apply_changes(table.changes(v0), txn_app="sync", batch_id=1)
+    got_ids = {r.nid for r in idx.codes_table.snapshot().select("nid").collect()}
+    assert got_ids == {i for i in range(60) if not 10 <= i < 20} | set(
+        range(1000, 1005)
+    )
+    q = _emb(spark).filter(F.col("vec_id") < 3)
+    res = (
+        idx.query(q, k=5, nprobe=8)
+        if mode == "flat"
+        else idx.query(q, k=5, nprobe=8, rerank_corpus=table.snapshot())
+    )
+    rows = res.collect()
+    assert rows and all(not 10 <= r.nid < 20 for r in rows)
