@@ -26,8 +26,16 @@ source shape, expressed through Spark 4's Python Data Source API
   expressible as an append-only stream; by default the reader raises
   (the Delta default), and ``skipChangeCommits=true`` streams only
   append commits, ignoring rewrites (Delta's skipChangeCommits).
-  Consumers that need row-level deletes use AcidTable.changes() — the
-  CDF — in a foreachBatch loop instead.
+- **Change data feed mode.** ``readChangeFeed=true`` streams every
+  commit as row-level changes instead: the schema gains
+  ``_change_type`` ("insert"/"delete") and ``_commit_version``,
+  appends fan out per-file as inserts, and a rewrite commit becomes
+  ONE partition whose executor diffs the commit's removed-vs-added
+  file multisets (Counter semantics, so duplicate rows diff
+  correctly; a pure-layout compaction diffs to an empty feed) — the
+  streaming twin of ``AcidTable.changes``, Delta's CDF contract.
+  Memory is bounded by the files one commit touched, which the
+  MERGE/DELETE file skipping already minimizes.
 
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
 the live snapshot through the same planner (one partition per live
@@ -65,6 +73,16 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+class _ChangePartition(InputPartition):
+    """One commit's net row diff: executor reads the commit's removed
+    and added files and emits insert/delete rows (CDF mode)."""
+
+    def __init__(self, adds: list, removes: list, version: int):
+        self.adds = adds
+        self.removes = removes
+        self.version = version
+
+
 def _read_parquet_rows(path: str, fields: list[str]):
     """Executor-side file read: yield tuples in schema field order,
     padding columns the file predates (additive evolution) with None."""
@@ -79,6 +97,36 @@ def _read_parquet_rows(path: str, fields: list[str]):
         else:
             cols.append([None] * n)
     yield from zip(*cols) if n else iter(())
+
+
+def _read_change_rows(part: _ChangePartition, fields: list[str]):
+    """Executor-side net row diff for one commit (CDF mode): rows
+    present after-but-not-before are inserts, before-but-not-after
+    are deletes — multiset semantics (Counter), so duplicate rows
+    diff correctly. A pure-layout commit (compact / zorder) has
+    identical multisets and yields an EMPTY feed, matching
+    ``AcidTable.changes``. Memory is O(files this commit touched) —
+    bounded by the same file skipping that produced the commit."""
+    from collections import Counter
+
+    def load(paths) -> Counter:
+        c: Counter = Counter()
+        for p in paths:
+            for row in _read_parquet_rows(p, fields):
+                c[row] += 1
+        return c
+
+    after, before = load(part.adds), load(part.removes)
+    for row, n in sorted((after - before).items()):
+        for _ in range(n):
+            yield (*row, "insert", part.version)
+    for row, n in sorted((before - after).items()):
+        for _ in range(n):
+            yield (*row, "delete", part.version)
+
+
+def _cdf_enabled(options) -> bool:
+    return str(options.get("readchangefeed", "false")).lower() in ("true", "1")
 
 
 def _table(options):
@@ -160,7 +208,12 @@ class _AcidBatchReader(DataSourceReader):
 class _AcidStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
-        self._fields = schema_fields
+        self._cdf = _cdf_enabled(options)
+        # CDF rows append (_change_type, _commit_version); data fields
+        # are everything before them
+        self._fields = (
+            schema_fields[:-2] if self._cdf else schema_fields
+        )
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
@@ -179,14 +232,28 @@ class _AcidStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(start["version"], end["version"]):
             c = t._read_commit(v)
+            if self._cdf:
+                adds = [os.path.join(t.path, a["path"]) for a in c.add]
+                removes = [os.path.join(t.path, p) for p in c.remove]
+                if not removes:
+                    # pure append: fan out per file (all-insert rows)
+                    parts.extend(_ChangePartition([a], [], v) for a in adds)
+                else:
+                    # rewrite commit: one partition diffs the touched
+                    # file pair sets (bounded by the commit's file
+                    # skipping; pure-layout rewrites diff to empty)
+                    parts.append(_ChangePartition(adds, removes, v))
+                continue
             if c.remove or c.op in _CHANGE_OPS:
                 if not self._skip_changes:
                     raise ValueError(
                         f"commit {v} is a change commit ({c.op}); an "
                         "append-only stream cannot represent removed "
                         "rows. Set .option('skipChangeCommits', 'true') "
-                        "to ignore rewrites, or consume "
-                        "AcidTable.changes() for row-level CDC."
+                        "to ignore rewrites, set "
+                        ".option('readChangeFeed', 'true') for "
+                        "row-level insert/delete rows, or consume "
+                        "AcidTable.changes() in batch."
                     )
                 continue
             parts.extend(
@@ -196,7 +263,9 @@ class _AcidStreamReader(DataSourceStreamReader):
         # (or all-skipped commits) still needs a no-op partition
         return parts or [_FilePartition("")]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _ChangePartition):
+            return _read_change_rows(partition, self._fields)
         if not partition.path:
             return iter(())
         return _read_parquet_rows(partition.path, self._fields)
@@ -220,7 +289,12 @@ class AcidTableDataSource(DataSource):
         _, schema_json = t._resolve()
         if schema_json is None:
             raise ValueError(f"table {t.path} has no commits")
-        return T.StructType.fromJson(json.loads(schema_json))
+        st = T.StructType.fromJson(json.loads(schema_json))
+        if _cdf_enabled(self.options):
+            st = st.add("_change_type", T.StringType()).add(
+                "_commit_version", T.LongType()
+            )
+        return st
 
     def _fields(self) -> list[str]:
         return [f.name for f in self.schema().fields]

@@ -864,3 +864,57 @@ def test_ingest_stream_observed_metrics(spark, tmp_path):
         assert got[("ingest_quarantine", "pages")] == 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_acid_stream_change_feed_mode(spark, tmp_path):
+    """readChangeFeed=true streams row-level insert/delete rows per
+    commit (Delta's CDF stream): appends arrive as inserts, a MERGE
+    surfaces only its net changed rows (rewritten-but-identical rows
+    diff away), merge_delete yields deletes, a pure-layout compaction
+    yields NOTHING, and a checkpointed re-drain delivers only new
+    commits."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"), ["k"]
+    )
+    t.merge_delete(
+        spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    t.compact(n_files=1)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_table_stream(
+                spark, str(tmp_path / "t"), readChangeFeed="true"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    got = drain()
+    assert got == sorted(
+        [
+            (1, "a", "insert", 0),
+            (2, "b", "insert", 0),
+            (2, "b", "delete", 1),  # the updated row's old image
+            (2, "B2", "insert", 1),
+            (3, "c", "insert", 1),
+            (1, "a", "delete", 2),
+            # compaction (v3): pure layout, empty feed
+        ]
+    )
+    # incremental: only the new commit's changes arrive
+    t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+    got2 = drain()
+    assert sorted(set(got2) - set(got)) == [(9, "z", "insert", 4)]
