@@ -35,7 +35,9 @@ source shape, expressed through Spark 4's Python Data Source API
   correctly; a pure-layout compaction diffs to an empty feed) — the
   streaming twin of ``AcidTable.changes``, Delta's CDF contract.
   Memory is bounded by the files one commit touched, which the
-  MERGE/DELETE file skipping already minimizes.
+  MERGE/DELETE file skipping already minimizes. The same option on a
+  BATCH read returns a commit range's change rows
+  (``startingVersion``/``endingVersion`` — Delta's ``table_changes``).
 
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
 the live snapshot through the same planner (one partition per live
@@ -160,7 +162,8 @@ _PUSHABLE_OPS = {
 class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
-        self._fields = schema_fields
+        self._cdf = _cdf_enabled(options)
+        self._fields = schema_fields[:-2] if self._cdf else schema_fields
         self._pushed: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -190,6 +193,26 @@ class _AcidBatchReader(DataSourceReader):
 
     def partitions(self):
         t = _table(self._options)
+        if self._cdf:
+            # batch CDF (Delta's table_changes): all commits in
+            # [startingVersion, endingVersion] as change partitions.
+            # Manifest pruning doesn't apply — the unit is a commit's
+            # file diff, not a live-file scan.
+            start = int(self._options.get("startingversion", 0))
+            end_opt = self._options.get("endingversion")
+            end = (
+                int(end_opt) if end_opt is not None else t.latest_version()
+            )
+            parts = []
+            for v in range(start, end + 1):
+                c = t._read_commit(v)
+                adds = [os.path.join(t.path, a["path"]) for a in c.add]
+                removes = [os.path.join(t.path, p) for p in c.remove]
+                if not removes:
+                    parts.extend(_ChangePartition([a], [], v) for a in adds)
+                else:
+                    parts.append(_ChangePartition(adds, removes, v))
+            return parts or [_FilePartition("")]
         if self._pushed:
             files, _, _ = t._pruned_live(self._pushed)
         else:
@@ -199,7 +222,9 @@ class _AcidBatchReader(DataSourceReader):
         # pruned (or empty) table still needs a no-op sentinel
         return parts or [_FilePartition("")]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _ChangePartition):
+            return _read_change_rows(partition, self._fields)
         if not partition.path:
             return iter(())
         return _read_parquet_rows(partition.path, self._fields)

@@ -918,3 +918,42 @@ def test_acid_stream_change_feed_mode(spark, tmp_path):
     t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
     got2 = drain()
     assert sorted(set(got2) - set(got)) == [(9, "z", "insert", 4)]
+
+
+def test_acid_batch_change_feed_read(spark, tmp_path):
+    """Batch CDF symmetry (Delta's table_changes): the same
+    readChangeFeed option on a BATCH read returns the commit-range
+    change rows, with startingVersion/endingVersion bounds."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B2")], "k long, v string"), ["k"])
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    register(spark)
+
+    def read_cdf(**opts):
+        r = (
+            spark.read.format("acidtable")
+            .option("path", str(tmp_path / "t"))
+            .option("readChangeFeed", "true")
+        )
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert read_cdf() == sorted(
+        [
+            (1, "a", "insert", 0),
+            (2, "b", "insert", 0),
+            (2, "b", "delete", 1),
+            (2, "B2", "insert", 1),
+            (3, "c", "insert", 2),
+        ]
+    )
+    # bounded range: only the merge commit's changes
+    assert read_cdf(startingVersion=1, endingVersion=1) == sorted(
+        [(2, "b", "delete", 1), (2, "B2", "insert", 1)]
+    )
