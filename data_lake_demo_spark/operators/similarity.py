@@ -145,10 +145,19 @@ def lsh_ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket,
     re-ranked by exact cosine. Equi-join on the bucket id replaces the
     cross join — the 100 TB path.
+
+    ``multi_probe=True`` additionally probes every Hamming-1 neighbor
+    bucket (Lv et al. 2007, "Multi-Probe LSH"): near-misses on one
+    hyperplane sign land one bit away, so probing the n_planes
+    single-bit flips recovers them without more tables. Query-side
+    only — the corpus keeps ONE bucket per vector; each query explodes
+    to n_planes+1 probe rows (all distinct, so no candidate dedup is
+    needed) and the join stays an equi-join on the bucket id.
 
     ``dim`` (embedding dimensionality) is inferred from the corpus when
     not given; the same value is used for the query side so both hash
@@ -169,6 +178,13 @@ def lsh_ann_topk(
         n_planes=n_planes,
         seed=seed,
     )
+    if multi_probe:
+        probes = ", ".join(
+            ["lsh_bucket"] + [f"lsh_bucket ^ {1 << i}" for i in range(n_planes)]
+        )
+        q = q.select(
+            "qid", "qvec", F.expr(f"explode(array({probes}))").alias("lsh_bucket")
+        )
     scored = (
         c.join(F.broadcast(q), "lsh_bucket")
         .filter(F.col("nid") != F.col("qid"))

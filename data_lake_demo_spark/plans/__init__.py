@@ -56,6 +56,8 @@ WINDOW = [
     "doc_retrieval_join",  # NEW RAG retrieval composition (ANN top-k
     # ∘ metadata hydration join), full oracle (evicts q15_top_supplier
     # — r1-green, reproved)
+    "emb_lsh_multiprobe_ann",  # NEW multi-probe LSH, full oracle
+    # (evicts q14_promo_revenue_pct — r1-green, reproved)
     # -- stalest r1-green: named in the r4 verdict --------------------
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -92,7 +94,6 @@ WINDOW = [
     "q7_volume_shipping",
     "q12_priority_by_flag",
     "q13_order_count_distribution",
-    "q14_promo_revenue_pct",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 

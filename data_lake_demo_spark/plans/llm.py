@@ -739,6 +739,52 @@ def _lsh_ann_oracle() -> str:
     return _lsh_ann_ctes(5) + "\nSELECT * FROM topk ORDER BY qid, rk"
 
 
+def emb_lsh_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): each query also probes
+    its n_planes Hamming-1 neighbor buckets, recovering near-misses
+    that flipped one hyperplane sign — candidate set is a strict
+    superset of emb_lsh_ann's, so recall can only improve, at
+    (n_planes+1)× probe rows on the TINY query side only. The probe
+    arithmetic is literal (bucket XOR 2^i), so the FULL pipeline
+    value-hashes like the single-probe variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5, multi_probe=True).orderBy(
+        "qid", "rk"
+    )
+
+
+def _lsh_multiprobe_oracle(n_planes: int = 8, k: int = 5) -> str:
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, n_planes, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q0 AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+q AS (SELECT qid, qv, unnest([{probes}]) AS bucket FROM q0),
+scored AS (
+  SELECT qid, c.vec_id AS nid,
+         floor(({_duck_dot('qv', 'c.v')}
+            / (sqrt({_duck_dot('qv', 'qv')}) * sqrt({_duck_dot('c.v', 'c.v')})))
+           * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> qid)
+SELECT qid, nid, cos_sim, rk FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM scored) t
+WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 def doc_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression ratio per document (rows-only — DuckDB has no
     zlib; determinism and the class ordering repetitive < prose <
@@ -1946,6 +1992,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "knn_brute_force": knn_brute_force,
     "emb_lsh_ann": emb_lsh_ann,
+    "emb_lsh_multiprobe_ann": emb_lsh_multiprobe_ann,
     "emb_sq_ann": emb_sq_ann,
     "doc_retrieval_join": doc_retrieval_join,
     "doc_quality_model_scores": doc_quality_model_scores,
@@ -1999,6 +2046,7 @@ ORACLE = {
     "emb_semantic_dedup": _semantic_dedup_oracle(),
     "emb_label_centroid_sim": _centroid_sim_oracle(),
     "emb_lsh_ann": _lsh_ann_oracle(),
+    "emb_lsh_multiprobe_ann": _lsh_multiprobe_oracle(),
     "doc_retrieval_join": _retrieval_join_oracle(),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_ivf_ann /
     # emb_pq_ann: rows-only (xxhash64 minhash/simhash families and

@@ -1351,3 +1351,34 @@ def test_udtf_surface_arrow_optimized(spark):
         (1, "head", "he"),
         (1, "tail", "llo"),
     ]
+
+
+def test_multiprobe_lsh_recall_superset(spark):
+    """Multi-probe's contract: the candidate set strictly contains the
+    single-probe candidates (every original-bucket match plus the
+    Hamming-1 probes), so per-query recall vs brute force can only go
+    up — and measurably does on the fixture."""
+    from data_lake_demo_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+    )
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in brute_force_topk(emb, queries, k=5).collect()}
+    single = {(r.qid, r.nid) for r in lsh_ann_topk(emb, queries, k=5).collect()}
+    multi = {
+        (r.qid, r.nid)
+        for r in lsh_ann_topk(emb, queries, k=5, multi_probe=True).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single  # candidates are a superset => recall never drops
+    # the fixture's embeddings are weakly correlated (max pair cosine
+    # ~0.45), so absolute recall floors would test the data, not the
+    # operator; instead pin the structural claim: multi-probe surfaces
+    # strictly more scored candidates (9 probed buckets vs 1)
+    single_n = lsh_ann_topk(emb, queries, k=500).count()
+    multi_n = lsh_ann_topk(emb, queries, k=500, multi_probe=True).count()
+    assert multi_n > single_n
