@@ -405,3 +405,44 @@ def test_paragraph_dedup_invariants(spark, corpus):
     assert {(r.doc_id, r.text_dedup) for r in again} == {
         (r.doc_id, r.text_dedup) for r in out
     }
+
+
+def test_md5fold_matches_python_replication(spark):
+    """The portable-family foundation: Spark's _md5fold_expr must agree
+    byte-for-byte with a pure-Python replication (hashlib md5 hex +
+    base-31 ascii fold mod 2^31) — the same agreement the DuckDB
+    oracles rely on, pinned against a third implementation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.dedup import _md5fold_expr
+
+    toks = ["hello", "Ünïcode tøken", "", "a b", "123", "…", "x" * 100]
+
+    def py_fold(s: str) -> int:
+        h = hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()
+        v = ord(h[0])
+        for c in h[1:8]:
+            v = v * 31 + ord(c)
+        return v % (2**31)
+
+    df = spark.createDataFrame([(t,) for t in toks], "sh string")
+    got = {r.sh: r.h for r in df.withColumn("h", F.expr(_md5fold_expr("sh"))).collect()}
+    assert got == {t: py_fold(t) for t in toks}
+
+
+def test_lm_perplexity_invariant_under_repartitioning(spark):
+    """Parity rule 1 in action: the per-bigram quantize-then-integer-
+    sum fold makes the LM score independent of physical partitioning —
+    the same frame at 1, 3, and 17 partitions yields bit-identical
+    scores (a raw double sum would drift with aggregation order)."""
+    from data_lake_demo_spark.operators.lmquality import bigram_lm_scores
+    from data_lake_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    results = []
+    for n in (1, 3, 17):
+        rows = bigram_lm_scores(docs.repartition(n)).collect()
+        results.append({(r.doc_id): (r.n_bigrams, r.bits_per_token) for r in rows})
+    assert results[0] == results[1] == results[2]
