@@ -436,9 +436,11 @@ def ivfpq_ann_topk(
     seed: int = 42,
     max_iter: int = 4,
     train_limit: int = 20_000,
+    by_residual: bool = False,
 ) -> DataFrame:
-    """IVF + PQ composed (the FAISS IVFPQ index, ``by_residual=False``
-    variant): the coarse quantizer prunes which rows are scored at all
+    """IVF + PQ composed (the FAISS IVFPQ index; pass
+    ``by_residual=True`` for FAISS's default residual encoding — the
+    persisted ``AnnIndex`` path supports the same flag): the coarse quantizer prunes which rows are scored at all
     (each query touches ~nprobe/nlist of the corpus), and PQ codes make
     the surviving scan m bytes/vector via per-query ADC lookup tables.
     Top ``rerank*k`` ADC candidates are re-ranked with exact cosine.
@@ -472,6 +474,7 @@ def ivfpq_ann_topk(
         nlist=nlist,
         seed=seed,
         max_iter=max_iter,
+        by_residual=by_residual,
     )
     codes = ai.encode_pq(c, model)
     q = queries.select(

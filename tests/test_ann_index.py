@@ -489,3 +489,25 @@ def test_apply_changes_syncs_non_pq_modes(spark, tmp_path, mode):
     )
     rows = res.collect()
     assert rows and all(not 10 <= r.nid < 20 for r in rows)
+
+
+def test_ephemeral_residual_matches_persisted_residual(spark, tmp_path):
+    """The ephemeral wrapper honors by_residual too, and stays
+    row-identical to a persisted by_residual build on the same
+    parameters — the same persistence-changes-nothing contract the
+    raw-encoding equivalence test pins."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ephemeral = sorted(
+        map(
+            tuple,
+            ivfpq_ann_topk(
+                emb, queries, k=5, nprobe=8, by_residual=True
+            ).collect(),
+        )
+    )
+    idx = AnnIndex.build(emb, str(tmp_path / "idx"), nlist=16, by_residual=True)
+    persisted = sorted(
+        map(tuple, idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect())
+    )
+    assert ephemeral == persisted
