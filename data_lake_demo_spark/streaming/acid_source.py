@@ -111,20 +111,36 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     bounded by the same file skipping that produced the commit."""
     from collections import Counter
 
-    def load(paths) -> Counter:
-        c: Counter = Counter()
+    def key(v):
+        # nested parquet values (array/map columns) arrive as Python
+        # lists/dicts — unhashable; build a canonical hashable key
+        # while keeping the ORIGINAL row for emission
+        if isinstance(v, list):
+            return ("__l", tuple(key(x) for x in v))
+        if isinstance(v, dict):
+            return ("__d", tuple(sorted((k, key(x)) for k, x in v.items())))
+        return v
+
+    def load(paths):
+        counts: Counter = Counter()
+        originals: dict = {}
         for p in paths:
             for row in _read_parquet_rows(p, fields):
-                c[row] += 1
-        return c
+                k = tuple(key(v) for v in row)
+                counts[k] += 1
+                originals[k] = row
+        return counts, originals
 
-    after, before = load(part.adds), load(part.removes)
-    for row, n in sorted((after - before).items()):
+    after, rows_a = load(part.adds)
+    before, rows_b = load(part.removes)
+    # repr-keyed sort: deterministic output order even when column
+    # types are mixed/nested (raw tuple comparison would TypeError)
+    for k, n in sorted((after - before).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*row, "insert", part.version)
-    for row, n in sorted((before - after).items()):
+            yield (*rows_a[k], "insert", part.version)
+    for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*row, "delete", part.version)
+            yield (*rows_b[k], "delete", part.version)
 
 
 def _cdf_enabled(options) -> bool:

@@ -511,3 +511,66 @@ def test_ephemeral_residual_matches_persisted_residual(spark, tmp_path):
         map(tuple, idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect())
     )
     assert ephemeral == persisted
+
+
+def test_cdf_stream_drives_index_sync_exactly_once(spark, tmp_path):
+    """Two round-5 features composed end to end: the embeddings table
+    is tailed as a CDF STREAM (readChangeFeed=true) and each
+    micro-batch feeds AnnIndex.apply_changes in foreachBatch — fully
+    streaming index maintenance. The quantizers come from build();
+    the stream then populates and maintains the codes: inserts encode
+    with the stored model, deletes tombstone, and a re-drain from the
+    same checkpoint is a no-op (source offsets + both txn watermarks
+    hold)."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    table = AcidTable(spark, str(tmp_path / "emb"))
+    table.overwrite(emb)
+    # train quantizers + encode, then tombstone every code: the CDF
+    # stream must repopulate the index from commit 0 on its own
+    idx = AnnIndex.build(table.snapshot(), str(tmp_path / "idx"), nlist=8)
+    idx.codes_table.merge_delete(
+        table.snapshot().select(F.col("vec_id").alias("nid")), ["nid"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_table_stream(
+                spark, str(tmp_path / "emb"), readChangeFeed="true"
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: idx.apply_changes(
+                    df, txn_app="cdfsync", batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # backlog: the initial overwrite arrives as insert rows
+    got = {r.nid for r in idx.codes_table.snapshot().select("nid").collect()}
+    assert got == set(range(60))
+
+    # mutate upstream; only the delta flows on the next drain
+    table.merge_delete(
+        spark.range(10, 20).select(F.col("id").alias("vec_id")), ["vec_id"]
+    )
+    table.append(
+        _emb(spark)
+        .filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 65))
+        .withColumn("vec_id", F.col("vec_id") + 940)
+    )
+    drain()
+    got = {r.nid for r in idx.codes_table.snapshot().select("nid").collect()}
+    assert got == {i for i in range(60) if not 10 <= i < 20} | set(
+        range(1000, 1005)
+    )
+    # replay: no new codes-table commits
+    v = idx.codes_table.latest_version()
+    drain()
+    assert idx.codes_table.latest_version() == v
