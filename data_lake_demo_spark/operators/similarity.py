@@ -437,10 +437,12 @@ def ivfpq_ann_topk(
     max_iter: int = 4,
     train_limit: int = 20_000,
     by_residual: bool = False,
+    opq: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFPQ index; pass
-    ``by_residual=True`` for FAISS's default residual encoding — the
-    persisted ``AnnIndex`` path supports the same flag): the coarse quantizer prunes which rows are scored at all
+    ``by_residual=True`` for FAISS's default residual encoding and/or
+    ``opq=True`` for the learned rotation — the persisted
+    ``AnnIndex`` path supports the same flags): the coarse quantizer prunes which rows are scored at all
     (each query touches ~nprobe/nlist of the corpus), and PQ codes make
     the surviving scan m bytes/vector via per-query ADC lookup tables.
     Top ``rerank*k`` ADC candidates are re-ranked with exact cosine.
@@ -475,6 +477,7 @@ def ivfpq_ann_topk(
         seed=seed,
         max_iter=max_iter,
         by_residual=by_residual,
+        opq_iters=8 if opq else 0,
     )
     codes = ai.encode_pq(c, model)
     q = queries.select(

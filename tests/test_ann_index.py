@@ -574,3 +574,22 @@ def test_cdf_stream_drives_index_sync_exactly_once(spark, tmp_path):
     v = idx.codes_table.latest_version()
     drain()
     assert idx.codes_table.latest_version() == v
+
+
+def test_ephemeral_opq_matches_persisted_opq(spark, tmp_path):
+    """OPQ parity between the ephemeral wrapper and the persisted
+    index (same flags, same seed ⇒ identical rotation ⇒ identical
+    rows)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ephemeral = sorted(
+        map(
+            tuple,
+            ivfpq_ann_topk(emb, queries, k=5, nprobe=8, opq=True).collect(),
+        )
+    )
+    idx = AnnIndex.build(emb, str(tmp_path / "idx"), nlist=16, opq=True)
+    persisted = sorted(
+        map(tuple, idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect())
+    )
+    assert ephemeral == persisted
