@@ -164,7 +164,6 @@ _RENAMES = {
     # pattern translator like translate_strftime
     "format_datetime": "date_format",
     "last_day_of_month": "last_day",
-    "random": "rand",
     "reduce": "aggregate",  # same (arr, init, merge[, finish]) shape
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
@@ -189,6 +188,23 @@ def _url_rewrite(part: str):
         return f"parse_url({args[0]}, '{part}')"
 
     return rw
+
+
+def _random_rewrite(args: list[str]) -> str | None:
+    # Presto random() → double in [0,1) = Spark rand(); but Presto
+    # random(n) is a uniform INTEGER in [0,n) and random(m,n) an
+    # integer in [m,n), while Spark rand(n) treats n as a SEED — a
+    # bare rename silently changes semantics for the arg forms.
+    if len(args) == 0 or (len(args) == 1 and not args[0].strip()):
+        return "rand()"
+    if len(args) == 1:
+        return f"cast(floor(rand() * ({args[0]})) as bigint)"
+    if len(args) == 2:
+        return (
+            f"({args[0]}) + cast(floor(rand() * "
+            f"(({args[1]}) - ({args[0]}))) as bigint)"
+        )
+    return None
 
 
 def _dow_rewrite(args: list[str]) -> str | None:
@@ -234,6 +250,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "date_diff", _date_diff_rewrite)
     sql = _rewrite_calls(sql, "day_of_week", _dow_rewrite)
     sql = _rewrite_calls(sql, "dow", _dow_rewrite)
+    sql = _rewrite_calls(sql, "random", _random_rewrite)
     for presto, part in _URL_PARTS.items():
         sql = _rewrite_calls(sql, presto, _url_rewrite(part))
     return _outside_literals(sql, _rename_and_quote)

@@ -889,6 +889,17 @@ class AnnIndex:
         exact cosine; without it, ADC order is returned directly with
         the (approximate) ADC inner product as the score."""
         model = self.model
+        if model.by_residual and nprobe is None:
+            # adc_candidates folds the per-probe `bias` column for
+            # by-residual codes, and prep only emits it when probing —
+            # an unprobed by-residual scan would hit an
+            # unresolved-column AnalysisException deep in the plan.
+            raise ValueError(
+                "nprobe=None (exhaustive scan) is not supported on a "
+                "by_residual index: residual ADC needs the per-cell "
+                "probe bias. Pass nprobe=<n> (e.g. nlist for a full "
+                "probe sweep)."
+            )
         q = queries.select(
             F.col(id_col).alias("qid"),
             to_double_array(F.col(vec_col)).alias("qvec"),

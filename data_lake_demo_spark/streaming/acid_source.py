@@ -28,15 +28,22 @@ source shape, expressed through Spark 4's Python Data Source API
   append commits, ignoring rewrites (Delta's skipChangeCommits).
 - **Change data feed mode.** ``readChangeFeed=true`` streams every
   commit as row-level changes instead: the schema gains
-  ``_change_type`` ("insert"/"delete") and ``_commit_version``,
+  ``_change_type`` ("insert"/"delete"), ``_commit_version``, and
+  ``_commit_timestamp`` (the commit log entry's wall-clock time);
   appends fan out per-file as inserts, and a rewrite commit becomes
   ONE partition whose executor diffs the commit's removed-vs-added
   file multisets (Counter semantics, so duplicate rows diff
   correctly; a pure-layout compaction diffs to an empty feed) — the
-  streaming twin of ``AcidTable.changes``, Delta's CDF contract.
-  Memory is bounded by the files one commit touched, which the
-  MERGE/DELETE file skipping already minimizes. The same option on a
-  BATCH read returns a commit range's change rows
+  streaming twin of ``AcidTable.changes``. Change-type convention:
+  this feed emits NET row diffs as "insert"/"delete" ONLY — a MERGE
+  update surfaces as a delete of the old row plus an insert of the
+  new one, NOT as Delta's "update_preimage"/"update_postimage" pair
+  (the log records file-level adds/removes, not row-level update
+  provenance). CDC consumers keyed to Delta's four-value enum should
+  treat delete+insert at the same key as an update. Memory is
+  bounded by the files one commit touched, which the MERGE/DELETE
+  file skipping already minimizes. The same option on a BATCH read
+  returns a commit range's change rows
   (``startingVersion``/``endingVersion`` — Delta's ``table_changes``).
 
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
@@ -56,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -69,6 +77,9 @@ from pyspark.sql.datasource import (
 _CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
                "compact", "optimize_zorder", "restore"}
 
+#: metadata columns appended (in order) to every CDF-mode row
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
@@ -79,10 +90,11 @@ class _ChangePartition(InputPartition):
     """One commit's net row diff: executor reads the commit's removed
     and added files and emits insert/delete rows (CDF mode)."""
 
-    def __init__(self, adds: list, removes: list, version: int):
+    def __init__(self, adds: list, removes: list, version: int, ts: float):
         self.adds = adds
         self.removes = removes
         self.version = version
+        self.ts = ts
 
 
 def _read_parquet_rows(path: str, fields: list[str]):
@@ -114,7 +126,14 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     def key(v):
         # nested parquet values (array/map columns) arrive as Python
         # lists/dicts — unhashable; build a canonical hashable key
-        # while keeping the ORIGINAL row for emission
+        # while keeping the ORIGINAL row for emission. Float NaN is
+        # mapped to a sentinel: tuple keys use Python equality where
+        # NaN != NaN, so NaN-bearing rows would never cancel between
+        # the removed/added multisets and a pure-layout compaction
+        # would emit spurious delete+insert pairs — AcidTable.changes
+        # (exceptAll) treats NaN as equal, and so must we.
+        if isinstance(v, float) and v != v:
+            return ("__nan",)
         if isinstance(v, list):
             return ("__l", tuple(key(x) for x in v))
         if isinstance(v, dict):
@@ -133,14 +152,15 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
 
     after, rows_a = load(part.adds)
     before, rows_b = load(part.removes)
+    commit_ts = datetime.fromtimestamp(part.ts, tz=timezone.utc)
     # repr-keyed sort: deterministic output order even when column
     # types are mixed/nested (raw tuple comparison would TypeError)
     for k, n in sorted((after - before).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_a[k], "insert", part.version)
+            yield (*rows_a[k], "insert", part.version, commit_ts)
     for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_b[k], "delete", part.version)
+            yield (*rows_b[k], "delete", part.version, commit_ts)
 
 
 def _cdf_enabled(options) -> bool:
@@ -179,7 +199,7 @@ class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._cdf = _cdf_enabled(options)
-        self._fields = schema_fields[:-2] if self._cdf else schema_fields
+        self._fields = schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
         self._pushed: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -225,9 +245,9 @@ class _AcidBatchReader(DataSourceReader):
                 adds = [os.path.join(t.path, a["path"]) for a in c.add]
                 removes = [os.path.join(t.path, p) for p in c.remove]
                 if not removes:
-                    parts.extend(_ChangePartition([a], [], v) for a in adds)
+                    parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
                 else:
-                    parts.append(_ChangePartition(adds, removes, v))
+                    parts.append(_ChangePartition(adds, removes, v, c.ts))
             return parts or [_FilePartition("")]
         if self._pushed:
             files, _, _ = t._pruned_live(self._pushed)
@@ -250,10 +270,10 @@ class _AcidStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._cdf = _cdf_enabled(options)
-        # CDF rows append (_change_type, _commit_version); data fields
-        # are everything before them
+        # CDF rows append (_change_type, _commit_version,
+        # _commit_timestamp); data fields are everything before them
         self._fields = (
-            schema_fields[:-2] if self._cdf else schema_fields
+            schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
         )
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
@@ -278,12 +298,12 @@ class _AcidStreamReader(DataSourceStreamReader):
                 removes = [os.path.join(t.path, p) for p in c.remove]
                 if not removes:
                     # pure append: fan out per file (all-insert rows)
-                    parts.extend(_ChangePartition([a], [], v) for a in adds)
+                    parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
                 else:
                     # rewrite commit: one partition diffs the touched
                     # file pair sets (bounded by the commit's file
                     # skipping; pure-layout rewrites diff to empty)
-                    parts.append(_ChangePartition(adds, removes, v))
+                    parts.append(_ChangePartition(adds, removes, v, c.ts))
                 continue
             if c.remove or c.op in _CHANGE_OPS:
                 if not self._skip_changes:
@@ -332,8 +352,10 @@ class AcidTableDataSource(DataSource):
             raise ValueError(f"table {t.path} has no commits")
         st = T.StructType.fromJson(json.loads(schema_json))
         if _cdf_enabled(self.options):
-            st = st.add("_change_type", T.StringType()).add(
-                "_commit_version", T.LongType()
+            st = (
+                st.add("_change_type", T.StringType())
+                .add("_commit_version", T.LongType())
+                .add("_commit_timestamp", T.TimestampType())
             )
         return st
 

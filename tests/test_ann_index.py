@@ -511,6 +511,11 @@ def test_ephemeral_residual_matches_persisted_residual(spark, tmp_path):
         map(tuple, idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect())
     )
     assert ephemeral == persisted
+    # nprobe=None (exhaustive scan) is undefined for by-residual
+    # codes — residual ADC needs the per-cell probe bias; must be a
+    # clear ValueError, not an unresolved-column AnalysisException
+    with pytest.raises(ValueError, match="by_residual"):
+        idx.query(queries, k=5, nprobe=None)
 
 
 def test_cdf_stream_drives_index_sync_exactly_once(spark, tmp_path):

@@ -193,6 +193,31 @@ def test_dialect_translation():
     assert translate('SELECT * FROM "db"."raw"') == "SELECT * FROM `db`.`raw`"
 
 
+def test_dialect_random_arg_forms(spark):
+    # Trino random() is rand(); but random(n) is a uniform INTEGER in
+    # [0, n) and random(m, n) an integer in [m, n) — Spark rand(n)
+    # treats n as a SEED, so a bare rename silently changes semantics
+    assert translate("SELECT random()") == "SELECT rand()"
+    assert translate("SELECT random(10)") == (
+        "SELECT cast(floor(rand() * (10)) as bigint)"
+    )
+    assert translate("SELECT random(5, 15)") == (
+        "SELECT (5) + cast(floor(rand() * ((15) - (5))) as bigint)"
+    )
+    # semantics: integer-typed, in-range, both bounds reachable
+    rows = spark.sql(
+        translate(
+            "SELECT random(3) AS a, random(5, 8) AS b "
+            "FROM range(2000)"
+        )
+    ).collect()
+    a_vals = {r.a for r in rows}
+    b_vals = {r.b for r in rows}
+    assert a_vals == {0, 1, 2}
+    assert b_vals == {5, 6, 7}
+    assert all(isinstance(r.a, int) for r in rows[:5])
+
+
 def test_dialect_nested_comma_first_arg():
     # comma-bearing first argument must not mis-split the call
     assert (

@@ -900,7 +900,18 @@ def test_acid_stream_change_feed_mode(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        rows = spark.read.parquet(out).collect()
+        # _commit_timestamp (wall-clock) is asserted separately —
+        # non-null and commit-constant — then dropped for the
+        # deterministic tuple comparison
+        by_version = {}
+        for r in rows:
+            assert r["_commit_timestamp"] is not None
+            by_version.setdefault(r["_commit_version"], set()).add(
+                r["_commit_timestamp"]
+            )
+        assert all(len(ts) == 1 for ts in by_version.values())
+        return sorted(tuple(r)[:-1] for r in rows)
 
     got = drain()
     assert got == sorted(
@@ -918,6 +929,37 @@ def test_acid_stream_change_feed_mode(spark, tmp_path):
     t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
     got2 = drain()
     assert sorted(set(got2) - set(got)) == [(9, "z", "insert", 4)]
+
+
+def test_acid_change_feed_nan_rows_cancel(spark, tmp_path):
+    """Python tuple keys use NaN != NaN, so without NaN normalization
+    a pure-layout compaction of NaN-bearing rows would emit spurious
+    delete+insert pairs — the feed must stay EMPTY, matching
+    AcidTable.changes (whose exceptAll treats NaN as equal)."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 2.5)], "k long, x double"
+        )
+    )
+    t.append(
+        spark.createDataFrame([(3, float("nan"))], "k long, x double")
+    )
+    t.compact(n_files=1)  # layout-only rewrite of both NaN rows
+
+    register(spark)
+    rows = (
+        spark.read.format("acidtable")
+        .option("path", str(tmp_path / "t"))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)  # just the compaction commit
+        .load()
+        .collect()
+    )
+    assert rows == []
 
 
 def test_acid_batch_change_feed_read(spark, tmp_path):
@@ -942,7 +984,9 @@ def test_acid_batch_change_feed_read(spark, tmp_path):
         )
         for key, val in opts.items():
             r = r.option(key, val)
-        return sorted(tuple(x) for x in r.load().collect())
+        rows = r.load().collect()
+        assert all(x["_commit_timestamp"] is not None for x in rows)
+        return sorted(tuple(x)[:-1] for x in rows)
 
     assert read_cdf() == sorted(
         [
