@@ -95,29 +95,68 @@ def train_linear_quality(
 
 
 def score_quality(
-    docs: DataFrame, weights, bias: float, *, n_buckets: int = 1024
+    docs: DataFrame,
+    weights,
+    bias: float,
+    *,
+    n_buckets: int = 1024,
+    quantize_q: int | None = 1_000_000,
 ) -> DataFrame:
     """(doc_id, n_toks, quality_score) — p(positive) per document,
     computed RELATIONALLY: explode unigrams, broadcast-join the
     ≤ n_buckets weights table, sum w_b per doc, normalize by token
-    count, sigmoid. No Python in the plan."""
+    count, sigmoid. No Python in the plan.
+
+    With ``quantize_q`` (the default) weights are quantized
+    driver-side to integers ``floor(w*q + 0.5)`` and the per-doc fold
+    is an integer sum — the engine's standard order-independence
+    recipe (cf. dsir_weights), so the score is bit-identical
+    regardless of partitioning/AQE ordering. ``quantize_q=None``
+    keeps raw float weights (order-dependent in the last ulps)."""
+    import math
+
     spark = docs.sparkSession
-    wtab = spark.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(weights) if v != 0.0],
-        "b int, w double",
-    )
+    if quantize_q:
+        q = int(quantize_q)
+        rows = [
+            (i, int(math.floor(float(v) * q + 0.5)))
+            for i, v in enumerate(weights)
+        ]
+        wtab = spark.createDataFrame(
+            [(b, iw) for b, iw in rows if iw != 0], "b int, iw long"
+        )
+        sum_col = F.sum(F.coalesce(F.col("iw"), F.lit(0))).alias("sw")
+        z_num = F.col("sw").cast("double") / F.lit(float(q))
+    else:
+        wtab = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(weights) if v != 0.0],
+            "b int, w double",
+        )
+        sum_col = F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("sw")
+        z_num = F.col("sw")
     feats = _doc_buckets(spread_small_input(docs, "doc_id"), n_buckets)
     sums = (
         feats.join(F.broadcast(wtab), ["b"], "left")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("sw"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_toks"), sum_col)
     )
-    z = F.col("sw") / F.col("n_toks") + F.lit(float(bias))
+    z = z_num / F.col("n_toks") + F.lit(float(bias))
     return sums.select(
         "doc_id",
         "n_toks",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_score"),
     ).orderBy("doc_id")
+
+
+def frozen_weights(n_buckets: int = 1024):
+    """A deterministic literal weight family (no training): an LCG
+    over the bucket index, centered to [-0.5, 0.5). Exists so the
+    SCORING plan — the part that runs at 100 TB — gets a full
+    cross-engine value-hash oracle: the same integer arithmetic
+    replicates in ANSI SQL, while the trained production weights
+    cannot (numpy gradient descent has no SQL twin). The same recipe
+    as the portable MinHash/SimHash/PQ-codebook families."""
+    import numpy as np
+
+    k = (np.arange(n_buckets, dtype=np.int64) * 1103515245 + 12345) % 2039
+    return k / 2039.0 - 0.5

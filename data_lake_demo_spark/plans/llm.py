@@ -815,6 +815,59 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(docs, w, b)
 
 
+def doc_quality_model_scores_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME relational scoring plan as doc_quality_model_scores
+    (explode unigrams → md5 bucket → broadcast weights join → integer
+    fold → sigmoid) but with the frozen LCG weight family instead of
+    trained weights — which makes the 100 TB-path plan fully
+    value-hash oracle-able (the portable-family recipe: literal,
+    seeded, non-iterative parameters replicate in ANSI SQL). The
+    score is emitted quantized at 1e-4 to absorb any cross-engine
+    exp() last-ulp divergence."""
+    from data_lake_demo_spark.operators.quality_model import (
+        frozen_weights,
+        score_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_quality(docs, frozen_weights(), -0.25, quantize_q=1000)
+    return scored.withColumn(
+        "quality_score",
+        F.floor(F.col("quality_score") * 10000 + F.lit(0.5)) / F.lit(10000.0),
+    )
+
+
+QUALITY_FROZEN_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+         (((ord(substr(md5(f), 1, 1)) * 31 + ord(substr(md5(f), 2, 1))) * 31
+            + ord(substr(md5(f), 3, 1))) * 31 + ord(substr(md5(f), 4, 1)))
+           % 1024 AS b
+  FROM (SELECT doc_id, unnest(t) AS f FROM toks)),
+wtab AS (
+  SELECT b,
+         CAST(floor((((b * 1103515245 + 12345) % 2039)
+                     / CAST(2039 AS DOUBLE) - 0.5)
+                    * CAST(1000 AS DOUBLE) + 0.5) AS BIGINT) AS iw
+  FROM (SELECT unnest(range(0, 1024)) AS b)),
+sums AS (
+  SELECT doc_id, count(*) AS n_toks, sum(COALESCE(iw, 0)) AS sw
+  FROM feats LEFT JOIN wtab USING (b) GROUP BY doc_id),
+logits AS (
+  SELECT doc_id, n_toks,
+         CAST(sw AS DOUBLE) / CAST(1000 AS DOUBLE) / n_toks
+           + CAST(-0.25 AS DOUBLE) AS z
+  FROM sums)
+SELECT doc_id, n_toks,
+       floor((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)))
+             * CAST(10000 AS DOUBLE) + 0.5) / CAST(10000 AS DOUBLE)
+         AS quality_score
+FROM logits ORDER BY doc_id
+"""
+
+
 def doc_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG retrieval shape end to end: ANN top-3 per query vector
     (LSH-bucketed — the literal hyperplane family, so fully
@@ -1996,6 +2049,7 @@ QUERIES = {
     "emb_sq_ann": emb_sq_ann,
     "doc_retrieval_join": doc_retrieval_join,
     "doc_quality_model_scores": doc_quality_model_scores,
+    "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
@@ -2034,6 +2088,7 @@ ORACLE = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_minhash_dups_portable": _minhash_portable_oracle(),
+    "doc_quality_model_scores_frozen": QUALITY_FROZEN_SQL,
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
