@@ -89,28 +89,27 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint buckets with the portable (md5-fold, 31-bit)
-    hash family: every stage — per-token hash, per-bit majority vote,
-    weighted fingerprint assembly, bucket aggregation — value-hashes
-    against the DuckDB twin. The 64-bit xxhash64 production variant
-    stays rows-only beside it."""
+    """SimHash fingerprint buckets with the portable (md5-derived,
+    28-bit) hash family: every stage — per-token hash, per-bit
+    majority vote, weighted fingerprint assembly, bucket aggregation —
+    value-hashes against the DuckDB twin. The 64-bit xxhash64
+    production variant stays rows-only beside it."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        simhash_dedup(docs, bits=31, base_hash="md5fold")
+        simhash_dedup(docs, bits=28, base_hash="md5fold")
         .select("fp", "n_docs", "keep_id")
         .orderBy("fp")
     )
 
 
-def _simhash_portable_oracle(bits: int = 31) -> str:
-    fold = "CAST(ord(substr(md5(tok), 1, 1)) AS BIGINT)"
-    for i in range(2, 9):
-        fold = f"({fold} * 31 + ord(substr(md5(tok), {i}, 1)))"
+def _simhash_portable_oracle(bits: int = 28) -> str:
+    from data_lake_demo_spark.operators.dedup import md5fold_oracle_expr
+
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents),
-h AS (SELECT doc_id, ({fold}) % {2**31} AS h FROM toks),
+h AS (SELECT doc_id, {md5fold_oracle_expr('tok')} AS h FROM toks),
 bs AS (
   SELECT doc_id, b.b AS b, sum((h >> b.b) & 1) AS s1, count(*) AS n
   FROM h CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
@@ -149,15 +148,16 @@ def _minhash_portable_oracle(
     min_jaccard: float = 0.5,
     max_bucket: int = 256,
 ) -> str:
-    from data_lake_demo_spark.operators.dedup import _MERSENNE_P, _affine_params
+    from data_lake_demo_spark.operators.dedup import (
+        _MERSENNE_P,
+        _affine_params,
+        md5fold_oracle_expr,
+    )
 
     values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine_params(num_hashes))
     )
     rpb = num_hashes // bands
-    fold = "CAST(ord(substr(md5(s), 1, 1)) AS BIGINT)"
-    for i in range(2, 9):
-        fold = f"({fold} * 31 + ord(substr(md5(s), {i}, 1)))"
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -168,7 +168,7 @@ sh AS (
                              FOR i IN range(1, len(t) - 1)])
     END) AS s
   FROM toks),
-h AS (SELECT doc_id, ({fold}) % {2**31} AS h FROM sh),
+h AS (SELECT doc_id, {md5fold_oracle_expr('s')} AS h FROM sh),
 mins AS (
   SELECT doc_id, p.i AS i, min((h * p.a + p.b) % {_MERSENNE_P}) AS m
   FROM h CROSS JOIN (VALUES {values}) p(i, a, b)

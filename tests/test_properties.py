@@ -407,29 +407,37 @@ def test_paragraph_dedup_invariants(spark, corpus):
     }
 
 
-def test_md5fold_matches_python_replication(spark):
+def test_md5fold_matches_python_and_duckdb(spark):
     """The portable-family foundation: Spark's _md5fold_expr must agree
-    byte-for-byte with a pure-Python replication (hashlib md5 hex +
-    base-31 ascii fold mod 2^31) — the same agreement the DuckDB
-    oracles rely on, pinned against a third implementation."""
+    byte-for-byte with a pure-Python replication (hashlib md5 hex,
+    first 7 chars parsed base-16) AND with the DuckDB oracle twin
+    (md5fold_oracle_expr) — three independent implementations pinned
+    to one value."""
     import hashlib
 
+    import duckdb
     from pyspark.sql import functions as F
 
-    from data_lake_demo_spark.operators.dedup import _md5fold_expr
+    from data_lake_demo_spark.operators.dedup import (
+        _md5fold_expr,
+        md5fold_oracle_expr,
+    )
 
     toks = ["hello", "Ünïcode tøken", "", "a b", "123", "…", "x" * 100]
 
     def py_fold(s: str) -> int:
         h = hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()
-        v = ord(h[0])
-        for c in h[1:8]:
-            v = v * 31 + ord(c)
-        return v % (2**31)
+        return int(h[:7], 16)
 
     df = spark.createDataFrame([(t,) for t in toks], "sh string")
     got = {r.sh: r.h for r in df.withColumn("h", F.expr(_md5fold_expr("sh"))).collect()}
     assert got == {t: py_fold(t) for t in toks}
+    con = duckdb.connect()
+    for t in toks:
+        (dv,) = con.execute(
+            f"SELECT {md5fold_oracle_expr('?')}", [t]
+        ).fetchone()
+        assert dv == py_fold(t), t
 
 
 def test_lm_perplexity_invariant_under_repartitioning(spark):
