@@ -157,6 +157,27 @@ class PQModel:
         )
 
 
+def portable_pq_model(*, dim: int = 64, m: int = 8, ksub: int = 16) -> PQModel:
+    """Literal seeded codebooks — NO k-means — so the full
+    encode→prep→ADC pipeline becomes value-hash oracle-able in DuckDB
+    (the portable-family recipe MinHash/SimHash/frozen-quality use:
+    fixed, seeded, non-iterative parameters replicate in ANSI SQL,
+    where an iteratively-trained codebook cannot). Entry (s, j, d) is
+    an LCG over the flattened index, centered to [-0.5, 0.5); both
+    numpy (here) and the SQL twin compute ``k/2039 - 0.5`` from the
+    same 64-bit integer arithmetic, so the doubles are bit-identical.
+    Production queries keep the trained models; this family exists to
+    certify the pipeline's ALGEBRA."""
+    import numpy as np
+
+    s = np.arange(m, dtype=np.int64)[:, None, None]
+    j = np.arange(ksub, dtype=np.int64)[None, :, None]
+    d = np.arange(dim // m, dtype=np.int64)[None, None, :]
+    k = ((s * 65537 + j * 257 + d * 97 + 31) * 1103515245 + 12345) % 2039
+    w = k / 2039.0 - 0.5  # (m, ksub, dsub)
+    return PQModel(dim=dim, m=m, ksub_eff=ksub, books=[w[i] for i in range(m)])
+
+
 def sample_vectors(c: DataFrame, vec_col: str, train_limit: int):
     """Bounded driver-side training sample, unit-normalized."""
     import numpy as np

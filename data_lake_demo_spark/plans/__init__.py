@@ -14,88 +14,83 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-5 rotation (replacing round-4's implicit
-# module-order scheme): queries whose code changed this round lead,
-# then the stalest entries — everything here except the first block
-# was last driver-verified in ROUND 1 (rounds 2-4 windows were filled
-# by the LLM/events modules; tests/test_oracle_parity.py re-proves
-# the evicted set every pytest run, but driver rows are the hard
-# signal). Evicted to make room: the r4-green llm/events blocks,
-# unchanged since their green rows.
+# explicit round-6 rotation: queries whose code changed this round
+# lead, then queries with NO driver row yet, then the stalest rows.
+# After this rotation every r1-stale entry named in the r5 verdict
+# has a fresh window slot; the evicted set is the r5-green block
+# (unchanged since its green rows; tests/test_oracle_parity.py
+# re-proves every evicted query each pytest run, but driver rows are
+# the hard signal).
 WINDOW = [
-    # -- changed or new in round 5 ------------------------------------
-    "doc_pii_scrub",  # phone pattern fixed + n_phones column
-    "emb_pq_ann",  # now served from the persisted AnnIndex
-    "emb_ivfpq_ann",  # persisted index + L2 probe ranking
-    "events_hll_daily_users_exact",  # NEW exact twin of the HLL rollup
-    "doc_paragraph_dedup",  # NEW Dolma-style paragraph dedup (evicts
-    # distinct_counts from slot 50: r1-green, unchanged, re-proven by
-    # the in-suite parity replica every pytest run)
-    "emb_ivf_ann",  # CHANGED: persisted IVF-FLAT index + L2 probe
-    # ranking (rows-only; evicts global_count — same r1-green rationale)
-    "emb_semantic_dedup",  # NEW SemDeDup composition, full oracle
-    # (evicts having_filter — r1-green, parity-reproved)
-    "events_histogram_quantiles",  # NEW mergeable-histogram quantiles
-    # (evicts grouping_sets_revenue — r1-green, parity-reproved)
-    "doc_sample_k_per_source",  # NEW exact-k per-group sample, full
-    # oracle (evicts cube_quantity — r1-green, parity-reproved)
-    "doc_lm_perplexity",  # NEW CCNet bigram-LM quality score, full
-    # oracle (evicts q22_idle_rich_customers — r1-green, parity-reproved)
-    "doc_dsir_weights",  # NEW DSIR importance weights, full oracle
-    # (evicts rollup_revenue — r1-green, parity-reproved)
-    "media_frame_features",  # NEW frame-sample → Arrow decode tier,
-    # full oracle (evicts q21_waiting_suppliers — r1-green, reproved)
-    "doc_minhash_dups_portable",  # NEW portable-family MinHash-LSH,
-    # full oracle (evicts q19_disjunctive_predicates — r1-green,
-    # reproved); first value-hash row for the LSH pipeline itself
-    "doc_simhash_buckets_portable",  # NEW portable-family SimHash,
-    # full oracle (evicts q17_small_quantity_revenue — r1-green,
-    # reproved); value-hash row for the bit-vote fingerprint algebra
-    "events_hourly_anomalies",  # NEW z-score anomaly alarms, full
-    # oracle (evicts q18_large_volume_orders — r1-green, reproved)
-    "doc_retrieval_join",  # NEW RAG retrieval composition (ANN top-k
-    # ∘ metadata hydration join), full oracle (evicts q15_top_supplier
-    # — r1-green, reproved)
-    "emb_lsh_multiprobe_ann",  # NEW multi-probe LSH, full oracle
-    # (evicts q14_promo_revenue_pct — r1-green, reproved)
-    # -- stalest r1-green: named in the r4 verdict --------------------
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    # -- stalest r1-green: the window-function block ------------------
-    "top3_orders_per_customer",
-    "running_revenue_by_supplier",
-    "order_gaps_lag_lead",
-    "rank_dense_rank_parts",
-    "topk_expensive_orders",
-    "window_distribution_functions",
-    # -- remaining r1-green relational surface ------------------------
-    "semi_join_customers_with_orders",
-    "full_outer_nation_activity",
-    "non_equi_nation_pairs",
-    "set_ops_customer_cohorts",
-    "scalar_subquery_above_avg",
-    "in_subquery_asia_suppliers",
-    "scalar_functions_showcase",
-    "pivot_qty_by_status",
-    "unpivot_customer_measures",
-    "unpivot_stack_measures",
-    "range_join_price_bands",
-    "not_in_subquery_priorities",
-    "grouping_id_rollup",
-    "fuzzy_name_pairs",
-    "array_agg_per_group",
-    "exact_percentiles",
-    "case_when_conditional_agg",
-    "q4_order_priority_checking",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q12_priority_by_flag",
-    "q13_order_count_distribution",
+    # -- new or changed in round 6 ------------------------------------
+    "emb_pq_ann_portable",  # NEW literal-codebook PQ: first full
+    # value-hash row for the encode→prep→ADC pipeline
+    "doc_quality_model_scores_frozen",  # NEW frozen-weights twin:
+    # first full value-hash row for the model-scoring plan
+    "doc_minhash_dups_portable",  # CHANGED: conv-radix portable hash
+    # (was the ascii fold — 2.7× cheaper, new oracle values)
+    "doc_simhash_buckets_portable",  # CHANGED: conv-radix hash +
+    # bits=28 (identical fingerprints, new hash values)
+    "doc_quality_model_scores",  # CHANGED: integer-quantized weight
+    # fold (order-independent scores; rows-only as before)
+    # -- never driver-proven (added after the r5 window froze) --------
+    "doc_bpe_vocab_tokens",
+    "emb_sq_ann",
+    "doc_compression_signals",
+    # -- stalest: last driver row is ROUND 1 (r5 verdict item #1) -----
+    "global_count",
+    "distinct_counts",
+    "rollup_revenue",
+    "cube_quantity",
+    "grouping_sets_revenue",
+    "having_filter",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    # -- last driver row is ROUND 3 -----------------------------------
+    "bloom_semi_join_orders",
+    "orders_table_profile",
+    "approx_stats",
+    "q22_idle_rich_customers",
+    # -- last driver row is ROUND 4: dedup family ---------------------
+    "doc_exact_dedup",
+    "doc_dedup_components",
+    "doc_dedup_components_bigstar",
+    "doc_minhash_near_dups",
+    "doc_simhash_buckets",
+    "doc_ngram_jaccard_dups",
+    "doc_winnowing_overlap",
+    "doc_decontaminate",
+    # -- round 4: embedding family ------------------------------------
+    "emb_norms",
+    "knn_brute_force",
+    "emb_lsh_ann",
+    "emb_near_dups",
+    "emb_label_centroid_sim",
+    "emb_quantize_int8",
+    # -- round 4: events family ---------------------------------------
+    "countmin_event_type_freq",
+    "events_daily_retention",
+    "events_hll_daily_users",
+    "events_rolling_7d_active",
+    "events_daily_from_hourly_rollup",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_sessionization",
+    "events_json_extract",
+    "events_daily_funnel",
+    "events_asof_last_view",
+    # -- round 4: relational ------------------------------------------
+    "q1_pricing_summary",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
+# Remaining r4-green entries (media_feature_stats, the doc_token_stats/
+# quality/corpus-prep block, anti_join, group_count_ordinal) and the
+# full r5-green block stay outside this window — all unchanged since
+# their green rows and re-proven by the in-suite parity replica.
 
 
 def all_queries():

@@ -1041,6 +1041,101 @@ def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rk")
 
 
+def emb_pq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME encode→prep→ADC stages as the persisted PQ index
+    (operators/ann_index.py: encode_pq's Arrow kernel, prep_queries'
+    batched einsum LUTs, adc_candidates' codegen hex/conv byte decode
+    and LUT fold) run with LITERAL seeded codebooks instead of
+    k-means — which makes the pipeline value-hash oracle-able: the
+    DuckDB twin regenerates the identical codebooks from integer
+    arithmetic and replays unit-normalize → per-subspace argmin
+    encode → LUT build → ADC top-k. The k-means production queries
+    (emb_pq_ann etc.) stay rows-only beside it; a green row here
+    certifies the ADC algebra they share. ADC scores are emitted
+    quantized at 1e-6 — cross-engine float-sum order differs in the
+    last ulps (numpy einsum vs SQL aggregation), which the margin
+    absorbs."""
+    from data_lake_demo_spark.operators.ann_index import (
+        adc_candidates,
+        encode_pq,
+        portable_pq_model,
+        prep_queries,
+    )
+    from data_lake_demo_spark.functions.vector import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = portable_pq_model(dim=64, m=8, ksub=16)
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    codes = encode_pq(corpus, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    prepped = prep_queries(q, model)
+    cands = adc_candidates(codes, prepped, model, k=5, rerank=1)
+    return cands.select(
+        "qid",
+        F.col("rk0").alias("rk"),
+        "nid",
+        (F.floor(F.col("adc_score") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "adc_q"
+        ),
+    ).orderBy("qid", "rk")
+
+
+def _pq_portable_oracle(*, m: int = 8, ksub: int = 16, dsub: int = 8, k: int = 5) -> str:
+    """DuckDB replica of the portable-codebook PQ pipeline. Stays in
+    lockstep with portable_pq_model (the LCG) and with encode_pq /
+    prep_queries / adc_candidates (unit-normalize, first-index argmin
+    ties, nid != qid filter, score-desc-then-nid ranking)."""
+    dim = m * dsub
+    return f"""
+WITH books AS (
+  SELECT s.range AS s, j.range AS j, d.range AS d,
+         (((s.range * 65537 + j.range * 257 + d.range * 97 + 31)
+           * 1103515245 + 12345) % 2039)
+           / CAST(2039 AS DOUBLE) - 0.5 AS w
+  FROM range({m}) s, range({ksub}) j, range({dsub}) d),
+base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+dists AS (
+  SELECT vec_id AS nid, b.s AS s, b.j AS j,
+         sum((u[b.s * {dsub} + b.d + 1] - b.w)
+             * (u[b.s * {dsub} + b.d + 1] - b.w)) AS d2
+  FROM unitv CROSS JOIN books b GROUP BY vec_id, b.s, b.j),
+codes AS (
+  SELECT nid, s, j AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS qid, b.s AS s, b.j AS j,
+         sum(u[b.s * {dsub} + b.d + 1] * b.w) AS dt
+  FROM unitv CROSS JOIN books b
+  WHERE vec_id < 10 GROUP BY vec_id, b.s, b.j),
+adc AS (
+  SELECT qid, nid, sum(dt) AS adc_score
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.j
+  WHERE nid != qid GROUP BY qid, nid),
+ranked AS (
+  SELECT qid, nid, adc_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_score DESC, nid) AS rk
+  FROM adc)
+SELECT qid, rk, nid,
+       floor(adc_score * CAST(1000000 AS DOUBLE) + 0.5)
+         / CAST(1000000 AS DOUBLE) AS adc_q
+FROM ranked WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -2050,6 +2145,7 @@ QUERIES = {
     "doc_retrieval_join": doc_retrieval_join,
     "doc_quality_model_scores": doc_quality_model_scores,
     "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
+    "emb_pq_ann_portable": emb_pq_ann_portable,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
@@ -2089,6 +2185,7 @@ ORACLE = {
     "doc_ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "doc_minhash_dups_portable": _minhash_portable_oracle(),
     "doc_quality_model_scores_frozen": QUALITY_FROZEN_SQL,
+    "emb_pq_ann_portable": _pq_portable_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
