@@ -49,6 +49,14 @@ source shape, expressed through Spark 4's Python Data Source API
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
 the live snapshot through the same planner (one partition per live
 file), so both engines resolve the table from the one commit log.
+
+Write symmetry (round 6): ``df.write.format("acidtable")`` appends
+(``mode("append")``) or atomically replaces (``mode("overwrite")``)
+through the same put-if-absent commit protocol — executors stream
+Arrow batches straight to staged parquet, the driver commits the
+staged set once, and a lost race retries only the commit, never the
+data write. ``writeStream.format("acidtable")`` commits each
+micro-batch with ``txn=(txnAppId, batchId)`` for exactly-once.
 Batch reads additionally implement the DSv2 ``pushFilters`` hook:
 Catalyst-pushed predicates become manifest [min, max] pruning, so a
 filtered read plans only the files that may match (every filter is
@@ -69,9 +77,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
@@ -335,6 +346,144 @@ class _AcidStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; the log is immutable
 
 
+class _StagedFiles(WriterCommitMessage):
+    """Per-task commit message: the staged files' table-relative paths."""
+
+    def __init__(self, rels: list):
+        self.rels = rels
+
+
+def _stage_write(iterator, table_path: str, stage_id: str):
+    """Executor-side half of a distributed acidtable write: stream the
+    task's Arrow batches into ONE parquet file under data/<stage_id>/.
+    The file is invisible to readers until the driver's commit
+    references it — task retries/speculation just orphan a file the
+    vacuum sweeps later, they can never corrupt the table."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(table_path, "data", stage_id)
+    os.makedirs(data_dir, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    writer = None
+    n_rows = 0
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(data_dir, name), batch.schema
+                )
+            writer.write_batch(batch)
+            n_rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None or n_rows == 0:  # empty task: nothing staged
+        if writer is not None:
+            try:
+                os.remove(os.path.join(data_dir, name))
+            except OSError:
+                pass
+        return _StagedFiles([])
+    return _StagedFiles([os.path.join("data", stage_id, name)])
+
+
+def _staged_actions(table, messages) -> list[dict]:
+    rels = [r for m in messages if m is not None for r in m.rels]
+    actions = []
+    for rel in sorted(rels):
+        rows, stats = table._file_meta(rel)
+        if rows == 0:
+            continue
+        actions.append({"path": rel, "stats": stats})
+    return actions
+
+
+def _drop_staged(table_path: str, messages) -> None:
+    for m in messages or []:
+        for rel in getattr(m, "rels", []) or []:
+            try:
+                os.remove(os.path.join(table_path, rel))
+            except OSError:
+                pass  # abort cleanup is best-effort; vacuum catches the rest
+
+
+class _AcidBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("acidtable").mode("append"|"overwrite")``:
+    executors stream Arrow batches straight to staged parquet; the
+    driver turns the staged set into ONE atomic commit (append, or an
+    overwrite that also removes every previously-live file) through
+    the same put-if-absent log the Python AcidTable API uses — plain
+    Spark writers and AcidTable callers share one transaction
+    protocol and can race safely."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        import uuid
+
+        self._options = options
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "acidtable writer requires .option('path', ...) or save(path)"
+            )
+        self._stage_id = uuid.uuid4().hex
+
+    def write(self, iterator):
+        return _stage_write(iterator, self._path, self._stage_id)
+
+    def commit(self, messages):
+        t = _table(self._options)
+        t.commit_staged(
+            _staged_actions(t, messages),
+            self._schema_json,
+            overwrite=self._overwrite,
+        )
+
+    def abort(self, messages):
+        _drop_staged(self._path, messages)
+
+
+class _AcidStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("acidtable")``: same executor staging as
+    the batch writer; each micro-batch commits with
+    ``txn=(txnAppId, batchId)``, so Structured Streaming's
+    at-least-once batch replay deduplicates into exactly-once — the
+    DSv2 spelling of ``AcidTable.foreach_batch_sink``."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self._options = options
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "acidtable stream writer requires .option('path', ...)"
+            )
+        self._app = options.get("txnappid") or f"acidtable-stream:{self._path}"
+
+    def write(self, iterator):
+        import uuid
+
+        # one stage dir per task attempt; commit-message paths are what
+        # tie the files to the batch, not the directory name
+        return _stage_write(iterator, self._path, uuid.uuid4().hex)
+
+    def commit(self, messages, batchId: int) -> None:
+        t = _table(self._options)
+        t.commit_staged(
+            _staged_actions(t, messages),
+            self._schema_json,
+            overwrite=self._overwrite and batchId == 0,
+            txn=(self._app, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(self._path, messages)
+
+
 class AcidTableDataSource(DataSource):
     """``spark.dataSource.register(AcidTableDataSource)`` then
     ``spark.readStream.format("acidtable").option("path", p).load()``
@@ -367,6 +516,12 @@ class AcidTableDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _AcidStreamReader(self.options, [f.name for f in schema.fields])
+
+    def writer(self, schema, overwrite: bool) -> _AcidBatchWriter:
+        return _AcidBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> _AcidStreamWriter:
+        return _AcidStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark: SparkSession) -> None:

@@ -632,6 +632,44 @@ class AcidTable:
                 continue
         raise CommitConflict(f"overwrite lost {max_retries} commit races")
 
+    def commit_staged(
+        self,
+        add: list[dict],
+        schema_json: str,
+        *,
+        overwrite: bool = False,
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Commit already-staged file actions (the driver half of a
+        distributed write whose data files were produced elsewhere —
+        the DSv2 ``acidtable`` writer's executors stage parquet
+        directly, then hand the driver this commit). Same retry/txn
+        semantics as ``append``/``overwrite``; data files are never
+        rewritten on a lost race."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if txn is not None:
+                last = self.last_txn_batch(txn[0], as_of=base)
+                if last is not None and txn[1] <= last:
+                    return base
+            remove: list[str] = []
+            if overwrite:
+                live, _ = self._resolve(base if base >= 0 else None)
+                remove = live
+            try:
+                return self._try_commit(
+                    base + 1,
+                    "overwrite" if overwrite else "append",
+                    add,
+                    remove,
+                    schema_json,
+                    txn,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"staged commit lost {max_retries} races")
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """Read the table as of a version (default: latest). The file
         list is pinned at call time — later commits don't leak in."""
