@@ -71,13 +71,33 @@ def _unit(a):
     return a / n
 
 
+def _assign(pts, ctrs, chunk: int = 8192):
+    """argmin assignment via ``_d2_rank`` in bounded chunks, so the
+    (n, k) score matrix never exceeds (chunk, k) during training."""
+    import numpy as np
+
+    out = np.empty(len(pts), dtype=np.int64)
+    for i in range(0, len(pts), chunk):
+        out[i : i + chunk] = _d2_rank(pts[i : i + chunk], ctrs).argmin(1)
+    return out
+
+
+def _d2_rank(X, C):
+    """(n, k) distances-for-RANKING to centroid/codeword rows C:
+    ||x||^2 - 2<x,c> + ||c||^2 with the per-row ||x||^2 dropped (a
+    constant under argmin/argsort). One GEMM instead of the
+    (n, k, dim) broadcast cube — the cube is ~160 MB at the 20k/16/64
+    training defaults and O(batch*k*dim) in every Arrow encode batch;
+    the expansion is O(n*k) working set at the same ranking order."""
+    return (C ** 2).sum(1) - 2.0 * (X @ C.T)
+
+
 def _kmeans(pts, n_clusters: int, rng, max_iter: int):
     """Seeded Lloyd's on a driver-resident sample (the FAISS recipe:
     quantizers train on a bounded sample, never the full corpus)."""
     ctrs = pts[rng.choice(len(pts), size=n_clusters, replace=False)].copy()
     for _ in range(max_iter):
-        d2 = ((pts[:, None, :] - ctrs[None, :, :]) ** 2).sum(-1)
-        owner = d2.argmin(1)
+        owner = _assign(pts, ctrs)
         for j in range(n_clusters):
             sel = pts[owner == j]
             if len(sel):
@@ -205,7 +225,7 @@ def _pq_reconstruct(sample, books, m: int, dsub: int):
     out = np.empty_like(sample)
     for s in range(m):
         sub = sample[:, s * dsub : (s + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        d2 = _d2_rank(sub, books[s])
         out[:, s * dsub : (s + 1) * dsub] = books[s][d2.argmin(1)]
     return out
 
@@ -262,7 +282,7 @@ def train_pq_model(
         # bias computed in prep, the second the usual ADC fold.
         if coarse is None:
             raise ValueError("by_residual requires nlist (an IVF structure)")
-        d2 = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+        d2 = _d2_rank(sample, coarse)
         sample = sample - coarse[d2.argmin(1)]
     books = _train_books(sample, m, dsub, ksub_eff, rng, max_iter)
     return PQModel(
@@ -333,7 +353,7 @@ def encode_sq(c: DataFrame, model: PQModel) -> DataFrame:
             )
             out = {"nid": pdf["nid"]}
             if coarse_arr is not None:
-                d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+                d2c = _d2_rank(U, coarse_arr)
                 out["cell"] = d2c.argmin(1).astype("int32")
             codes = np.clip(
                 np.rint((U - vmin) / delta), 0, 255
@@ -374,7 +394,7 @@ def prep_sq_queries(
                 "bias": (Q @ vmin).tolist(),
             }
             if with_probes:
-                d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+                d2c = _d2_rank(Q, coarse_arr)
                 order = np.argsort(d2c, axis=1)[:, :nprobe]
                 out["probes"] = [row.astype("int32").tolist() for row in order]
             yield pd.DataFrame(out)
@@ -450,7 +470,7 @@ def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
             U = model.apply_rot(_unit(V))
             out = {"nid": pdf["nid"]}
             if coarse_arr is not None:
-                d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+                d2c = _d2_rank(U, coarse_arr)
                 cells = d2c.argmin(1)
                 out["cell"] = cells.astype("int32")
                 if model.by_residual:
@@ -459,7 +479,7 @@ def encode_pq(c: DataFrame, model: PQModel) -> DataFrame:
             S = U.reshape(n_rows, m, model.dsub)
             codes = np.empty((n_rows, m), dtype=np.uint8)
             for s in range(m):
-                d2 = ((S[:, s, None, :] - books_arr[s][None, :, :]) ** 2).sum(-1)
+                d2 = _d2_rank(S[:, s], books_arr[s])
                 codes[:, s] = d2.argmin(1)
             out["codes"] = [row.tobytes() for row in codes]
             yield pd.DataFrame(out)
@@ -487,7 +507,7 @@ def encode_flat(c: DataFrame, model: PQModel) -> DataFrame:
             U = model.apply_rot(
                 _unit(np.asarray(pdf["nvec"].tolist(), dtype=np.float64))
             )
-            d2c = ((U[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+            d2c = _d2_rank(U, coarse_arr)
             yield pd.DataFrame(
                 {
                     "nid": pdf["nid"],
@@ -517,7 +537,7 @@ def prep_flat_queries(
             Q = model.apply_rot(
                 _unit(np.asarray(pdf["qvec"].tolist(), dtype=np.float64))
             )
-            d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+            d2c = _d2_rank(Q, coarse_arr)
             order = np.argsort(d2c, axis=1)[:, :nprobe]
             yield pd.DataFrame(
                 {
@@ -568,7 +588,7 @@ def prep_queries(
             dt = np.einsum("nsd,skd->nsk", Q.reshape(n, m, dsub), books_arr)
             out = {"qid": pdf["qid"], "dt": [row.ravel().tolist() for row in dt]}
             if with_probes:
-                d2c = ((Q[:, None, :] - coarse_arr[None, :, :]) ** 2).sum(-1)
+                d2c = _d2_rank(Q, coarse_arr)
                 order = np.argsort(d2c, axis=1)[:, :nprobe]
                 out["probes"] = [row.astype("int32").tolist() for row in order]
                 if with_bias:

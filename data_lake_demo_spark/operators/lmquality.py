@@ -149,13 +149,18 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 
 
 def _feature_bucket(f: Column, n_buckets: int) -> Column:
-    """Deterministic cross-engine feature bucket: a base-31 fold of
-    the first four md5 hex chars, mod ``n_buckets``. (xxhash64 would
-    be cheaper but has no DuckDB twin; md5 keeps the oracle exact —
-    the same trade doc_fingerprint_buckets makes.)"""
+    """Deterministic cross-engine feature bucket: the portable radix
+    hash (first 7 md5 hex chars parsed base-16 — see dedup.
+    _md5fold_expr for the measured ~4× win over the round-5 ascii
+    fold), mod ``n_buckets``. xxhash64 would be marginally cheaper
+    but has no DuckDB twin; md5 keeps the oracle exact."""
     h = F.md5(f.cast("binary"))
-    a1, a2, a3, a4 = (F.ascii(F.substring(h, i, 1)) for i in (1, 2, 3, 4))
-    return (((a1 * 31 + a2) * 31 + a3) * 31 + a4) % n_buckets
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_buckets
+
+
+def feature_bucket_oracle_expr(col: str, n_buckets: int) -> str:
+    """DuckDB twin of ``_feature_bucket`` — MUST stay in lockstep."""
+    return f"(CAST(('0x' || substr(md5({col}), 1, 7)) AS BIGINT) % {n_buckets})"
 
 
 def _doc_features(docs: DataFrame) -> DataFrame:
@@ -273,10 +278,7 @@ feats0 AS (
            END)) AS f
   FROM toks),
 feats AS (
-  SELECT doc_id,
-         (((ord(substr(md5(f), 1, 1)) * 31 + ord(substr(md5(f), 2, 1))) * 31
-            + ord(substr(md5(f), 3, 1))) * 31 + ord(substr(md5(f), 4, 1)))
-           % {n_buckets} AS b
+  SELECT doc_id, {feature_bucket_oracle_expr('f', n_buckets)} AS b
   FROM feats0),
 tgt AS (
   SELECT b, count(*) AS ct FROM feats

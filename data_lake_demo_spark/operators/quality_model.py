@@ -68,11 +68,10 @@ def train_linear_quality(
     import hashlib
 
     def bucket(tok: str) -> int:
+        # lockstep with lmquality._feature_bucket (radix parse of the
+        # first 7 md5 hex chars)
         h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).hexdigest()
-        v = ord(h[0])
-        for c in h[1:4]:
-            v = v * 31 + ord(c)
-        return v % n_buckets
+        return int(h[:7], 16) % n_buckets
 
     X = np.zeros((len(rows), n_buckets))
     y = np.array([r.y for r in rows], dtype=np.float64)

@@ -33,6 +33,9 @@ WINDOW = [
     # bits=28 (identical fingerprints, new hash values)
     "doc_quality_model_scores",  # CHANGED: integer-quantized weight
     # fold (order-independent scores; rows-only as before)
+    "doc_dsir_weights",  # CHANGED: feature bucket switched to the
+    # radix hash (new bucket values; oracle updated in lockstep —
+    # evicts q1_pricing_summary, r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -83,8 +86,6 @@ WINDOW = [
     "events_json_extract",
     "events_daily_funnel",
     "events_asof_last_view",
-    # -- round 4: relational ------------------------------------------
-    "q1_pricing_summary",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -842,9 +842,7 @@ WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
 feats AS (
   SELECT doc_id,
-         (((ord(substr(md5(f), 1, 1)) * 31 + ord(substr(md5(f), 2, 1))) * 31
-            + ord(substr(md5(f), 3, 1))) * 31 + ord(substr(md5(f), 4, 1)))
-           % 1024 AS b
+         (CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 1024) AS b
   FROM (SELECT doc_id, unnest(t) AS f FROM toks)),
 wtab AS (
   SELECT b,
