@@ -198,6 +198,26 @@ def portable_pq_model(*, dim: int = 64, m: int = 8, ksub: int = 16) -> PQModel:
     return PQModel(dim=dim, m=m, ksub_eff=ksub, books=[w[i] for i in range(m)])
 
 
+def portable_ivfpq_model(
+    *, dim: int = 64, m: int = 8, ksub: int = 16, nlist: int = 8
+) -> PQModel:
+    """``portable_pq_model`` plus LITERAL coarse centroids (a second
+    LCG stream over (cell, dim)), so the IVF tier — coarse cell
+    assignment at encode, probe ranking at prep, the per-cell ADC
+    hash join — joins the oracle-able family too. by_residual stays
+    False: the residual bias fold is k-means territory (and the
+    centroid-IP bias would replicate fine, but one literal family per
+    concept keeps the oracles readable)."""
+    import numpy as np
+
+    base = portable_pq_model(dim=dim, m=m, ksub=ksub)
+    c = np.arange(nlist, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    k = ((c * 8191 + d * 127 + 7) * 1103515245 + 12345) % 2039
+    base.coarse = k / 2039.0 - 0.5  # (nlist, dim)
+    return base
+
+
 def sample_vectors(c: DataFrame, vec_col: str, train_limit: int):
     """Bounded driver-side training sample, unit-normalized."""
     import numpy as np

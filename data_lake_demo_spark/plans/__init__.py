@@ -25,6 +25,10 @@ WINDOW = [
     # -- new or changed in round 6 ------------------------------------
     "emb_pq_ann_portable",  # NEW literal-codebook PQ: first full
     # value-hash row for the encode→prep→ADC pipeline
+    "emb_ivfpq_ann_portable",  # NEW literal centroids + codebooks:
+    # value-hash row for the IVF tier (cell assign, probe ranking,
+    # per-cell ADC join — evicts events_asof_last_view, r4-green,
+    # parity-reproved)
     "doc_quality_model_scores_frozen",  # NEW frozen-weights twin:
     # first full value-hash row for the model-scoring plan
     "doc_minhash_dups_portable",  # CHANGED: conv-radix portable hash
@@ -85,7 +89,6 @@ WINDOW = [
     "events_sessionization",
     "events_json_extract",
     "events_daily_funnel",
-    "events_asof_last_view",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1134,6 +1134,123 @@ FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
 
 
+def emb_ivfpq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_pq_ann_portable's sibling for the IVF tier: literal coarse
+    centroids (a second LCG stream) compose with the literal
+    codebooks, so the oracle additionally replays coarse cell
+    assignment at encode, nprobe probe ranking at prep, and the
+    per-cell ADC hash join — the stages that make IVFPQ scale
+    (candidates come only from probed cells). A green row here plus
+    emb_pq_ann_portable's covers every stage the k-means production
+    indexes run except k-means itself."""
+    from data_lake_demo_spark.operators.ann_index import (
+        adc_candidates,
+        encode_pq,
+        portable_ivfpq_model,
+        prep_queries,
+    )
+    from data_lake_demo_spark.functions.vector import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = portable_ivfpq_model(dim=64, m=8, ksub=16, nlist=8)
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    codes = encode_pq(corpus, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    prepped = prep_queries(q, model, nprobe=2)
+    cands = adc_candidates(codes, prepped, model, k=5, rerank=1)
+    return cands.select(
+        "qid",
+        F.col("rk0").alias("rk"),
+        "nid",
+        (F.floor(F.col("adc_score") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "adc_q"
+        ),
+    ).orderBy("qid", "rk")
+
+
+def _ivfpq_portable_oracle(
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dsub: int = 8,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB replica of the portable IVFPQ pipeline: the PQ-portable
+    oracle plus coarse assignment (argmin cell per vector), probe
+    ranking (top-nprobe cells per query), and the cell-membership
+    join restricting ADC candidates to probed cells."""
+    dim = m * dsub
+    return f"""
+WITH books AS (
+  SELECT s.range AS s, j.range AS j, d.range AS d,
+         (((s.range * 65537 + j.range * 257 + d.range * 97 + 31)
+           * 1103515245 + 12345) % 2039)
+           / CAST(2039 AS DOUBLE) - 0.5 AS w
+  FROM range({m}) s, range({ksub}) j, range({dsub}) d),
+cents AS (
+  SELECT c.range AS c, d.range AS d,
+         (((c.range * 8191 + d.range * 127 + 7) * 1103515245 + 12345) % 2039)
+           / CAST(2039 AS DOUBLE) - 0.5 AS w
+  FROM range({nlist}) c, range({dim}) d),
+base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+celld AS (
+  SELECT vec_id, ct.c AS c, sum((u[ct.d + 1] - ct.w) * (u[ct.d + 1] - ct.w)) AS d2
+  FROM unitv CROSS JOIN cents ct GROUP BY vec_id, ct.c),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM celld) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM celld WHERE vec_id < 10) WHERE rn <= {nprobe}),
+dists AS (
+  SELECT vec_id AS nid, b.s AS s, b.j AS j,
+         sum((u[b.s * {dsub} + b.d + 1] - b.w)
+             * (u[b.s * {dsub} + b.d + 1] - b.w)) AS d2
+  FROM unitv CROSS JOIN books b GROUP BY vec_id, b.s, b.j),
+codes AS (
+  SELECT nid, s, j AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY nid, s ORDER BY d2, j) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS qid, b.s AS s, b.j AS j,
+         sum(u[b.s * {dsub} + b.d + 1] * b.w) AS dt
+  FROM unitv CROSS JOIN books b
+  WHERE vec_id < 10 GROUP BY vec_id, b.s, b.j),
+adc AS (
+  SELECT lut.qid, codes.nid, sum(lut.dt) AS adc_score
+  FROM codes
+  JOIN cells ON codes.nid = cells.vec_id
+  JOIN probes ON cells.cell = probes.cell
+  JOIN lut ON codes.s = lut.s AND codes.code = lut.j AND lut.qid = probes.qid
+  WHERE codes.nid != lut.qid GROUP BY lut.qid, codes.nid),
+ranked AS (
+  SELECT qid, nid, adc_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_score DESC, nid) AS rk
+  FROM adc)
+SELECT qid, rk, nid,
+       floor(adc_score * CAST(1000000 AS DOUBLE) + 0.5)
+         / CAST(1000000 AS DOUBLE) AS adc_q
+FROM ranked WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -2144,6 +2261,7 @@ QUERIES = {
     "doc_quality_model_scores": doc_quality_model_scores,
     "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
     "emb_pq_ann_portable": emb_pq_ann_portable,
+    "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
@@ -2184,6 +2302,7 @@ ORACLE = {
     "doc_minhash_dups_portable": _minhash_portable_oracle(),
     "doc_quality_model_scores_frozen": QUALITY_FROZEN_SQL,
     "emb_pq_ann_portable": _pq_portable_oracle(),
+    "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
