@@ -218,6 +218,27 @@ def portable_ivfpq_model(
     return base
 
 
+def portable_sq_model(*, dim: int = 64) -> PQModel:
+    """Literal scalar-quantizer ranges: vmin = −1, delta = 2/255 per
+    dimension — the exact range of unit-vector components, so the
+    byte codes are a fixed uniform grid both engines compute
+    identically (no training sample). Completes the oracle-able
+    compression ladder: flat (exact SQL), SQ8 (this), PQ/IVFPQ (the
+    literal codebook families)."""
+    import numpy as np
+
+    return PQModel(
+        dim=dim,
+        m=0,
+        ksub_eff=0,
+        books=[],
+        sq={
+            "vmin": np.full(dim, -1.0),
+            "delta": np.full(dim, 2.0 / 255.0),
+        },
+    )
+
+
 def sample_vectors(c: DataFrame, vec_col: str, train_limit: int):
     """Bounded driver-side training sample, unit-normalized."""
     import numpy as np

@@ -29,6 +29,9 @@ WINDOW = [
     # value-hash row for the IVF tier (cell assign, probe ranking,
     # per-cell ADC join — evicts events_asof_last_view, r4-green,
     # parity-reproved)
+    "emb_sq_ann_portable",  # NEW literal SQ8 ranges: value-hash row
+    # for the byte-grid encode + weighted decoded-IP fold (evicts
+    # events_daily_funnel, r4-green, parity-reproved)
     "doc_quality_model_scores_frozen",  # NEW frozen-weights twin:
     # first full value-hash row for the model-scoring plan
     "doc_minhash_dups_portable",  # CHANGED: conv-radix portable hash
@@ -88,7 +91,6 @@ WINDOW = [
     "events_sliding_windows",
     "events_sessionization",
     "events_json_extract",
-    "events_daily_funnel",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1251,6 +1251,83 @@ FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
 
 
+def emb_sq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 rung of the portable family: literal per-dimension
+    ranges (vmin=−1, delta=2/255 — the unit-component range) run
+    through the REAL encode_sq / prep_sq_queries / sq_candidates
+    stages, so the byte-grid encode and the weighted decoded-IP fold
+    value-hash against the DuckDB twin. Scores quantized at 1e-6 for
+    cross-engine sum-order noise; the exact-.5 rounding tie (numpy
+    rint is half-even, the oracle floors +0.5) cannot occur off the
+    u=0 gridpoint, where both round to 128."""
+    from data_lake_demo_spark.operators.ann_index import (
+        encode_sq,
+        portable_sq_model,
+        prep_sq_queries,
+        sq_candidates,
+    )
+    from data_lake_demo_spark.functions.vector import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = portable_sq_model(dim=64)
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    codes = encode_sq(corpus, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    prepped = prep_sq_queries(q, model)
+    cands = sq_candidates(codes, prepped, model, k=5, rerank=1)
+    return cands.select(
+        "qid",
+        F.col("rk0").alias("rk"),
+        "nid",
+        (F.floor(F.col("adc_score") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "adc_q"
+        ),
+    ).orderBy("qid", "rk")
+
+
+def _sq_portable_oracle(*, dim: int = 64, k: int = 5) -> str:
+    delta = "(CAST(2 AS DOUBLE) / CAST(255 AS DOUBLE))"
+    return f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+codes AS (
+  SELECT vec_id AS nid,
+         [LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+            CAST(floor((x + 1.0) / {delta} + 0.5) AS BIGINT))) FOR x IN u]
+           AS cd
+  FROM unitv),
+qprep AS (
+  SELECT vec_id AS qid, u, -list_sum(u) AS bias
+  FROM unitv WHERE vec_id < 10),
+scores AS (
+  SELECT q.qid, c.nid,
+         q.bias + list_sum(
+           [q.u[i] * {delta} * c.cd[i] FOR i IN range(1, {dim + 1})])
+           AS adc_score
+  FROM codes c CROSS JOIN qprep q WHERE c.nid != q.qid),
+ranked AS (
+  SELECT qid, nid, adc_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_score DESC, nid) AS rk
+  FROM scores)
+SELECT qid, rk, nid,
+       floor(adc_score * CAST(1000000 AS DOUBLE) + 0.5)
+         / CAST(1000000 AS DOUBLE) AS adc_q
+FROM ranked WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -2262,6 +2339,7 @@ QUERIES = {
     "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
     "emb_pq_ann_portable": emb_pq_ann_portable,
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
+    "emb_sq_ann_portable": emb_sq_ann_portable,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
@@ -2303,6 +2381,7 @@ ORACLE = {
     "doc_quality_model_scores_frozen": QUALITY_FROZEN_SQL,
     "emb_pq_ann_portable": _pq_portable_oracle(),
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
+    "emb_sq_ann_portable": _sq_portable_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
