@@ -65,6 +65,14 @@ returned as residual — pruning never substitutes for evaluation).
 Reference parity: the reference's queue-driven workers tail new work
 units and write idempotently (worker.py:201-256); this is that loop
 expressed as a Spark source over the transactional lake zone.
+
+Known platform limitation: ``CREATE TABLE ... USING acidtable`` DDL
+parses and resolves the schema, but Spark 4.1's Python Data Source
+API does not propagate the table's OPTIONS/LOCATION to subsequent
+reads (probed: the reader receives an empty options dict), so
+DDL-registered tables cannot resolve their path. Use
+``catalog.register_acid_table`` / ``AcidCatalog.attach`` (session
+views) for SQL access instead; revisit when Spark forwards options.
 """
 
 from __future__ import annotations
@@ -178,6 +186,18 @@ def _cdf_enabled(options) -> bool:
     return str(options.get("readchangefeed", "false")).lower() in ("true", "1")
 
 
+def _local_path(p: str) -> str:
+    """SQL DDL (``CREATE TABLE ... USING acidtable OPTIONS (path ...)``)
+    hands the option through Spark's path normalization, which
+    URI-qualifies local paths (``file:/x`` or ``file:///x``) — strip
+    the scheme so the POSIX log store sees a filesystem path."""
+    if p.startswith("file://"):
+        return p[len("file://") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    return p
+
+
 def _table(options):
     from data_lake_demo_spark.tableformat import AcidTable
 
@@ -185,7 +205,7 @@ def _table(options):
     if not path:
         raise ValueError("acidtable source requires .option('path', ...) or load(path)")
     # planner-only handle: no SparkSession needed for log resolution
-    return AcidTable(None, path)
+    return AcidTable(None, _local_path(path))
 
 
 #: DSv2 filter class name → the (col, op, value) op tableformat's
@@ -425,6 +445,8 @@ class _AcidBatchWriter(DataSourceArrowWriter):
         self._schema_json = schema.json()
         self._overwrite = overwrite
         self._path = options.get("path")
+        if self._path:
+            self._path = _local_path(self._path)
         if not self._path:
             raise ValueError(
                 "acidtable writer requires .option('path', ...) or save(path)"
@@ -458,6 +480,8 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         self._schema_json = schema.json()
         self._overwrite = overwrite
         self._path = options.get("path")
+        if self._path:
+            self._path = _local_path(self._path)
         if not self._path:
             raise ValueError(
                 "acidtable stream writer requires .option('path', ...)"

@@ -274,7 +274,12 @@ def test_no_python_udf_across_entire_query_registry(spark):
                 "emb_pq_ann", "emb_ivfpq_ann", "emb_ivf_ann",
                 "emb_sq_ann",  # SQ8 prep runs in the same Arrow tier
                 "doc_bpe_vocab_tokens",  # real-BPE apply kernel
-                "doc_compression_signals"}  # zlib Arrow kernel
+                "doc_compression_signals",  # zlib Arrow kernel
+                # the portable twins run the SAME Arrow encode/prep
+                # kernels as their production counterparts (that is
+                # their whole point — same stages, literal params)
+                "emb_pq_ann_portable", "emb_ivfpq_ann_portable",
+                "emb_sq_ann_portable"}
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
