@@ -12,8 +12,11 @@ that differ from Spark SQL (SURVEY §2.8 F1/F3):
 - Function renames where semantics already agree: ``approx_distinct``,
   ``arbitrary``, ``contains`` (Presto's ARRAY membership — must become
   ``array_contains``; Spark 3.5 reuses the name for strings),
-  ``strpos``, ``json_extract[_scalar]``, ``from_iso8601_timestamp``,
-  ``to_unixtime`` (returns BIGINT seconds vs Presto's DOUBLE).
+  ``strpos``, ``json_extract[_scalar]``, ``from_iso8601_timestamp``.
+- ``to_unixtime`` → ``cast(ts AS DOUBLE)`` (Presto returns fractional
+  DOUBLE seconds; a rename to ``unix_timestamp`` would truncate), and
+  ``random(n)`` / ``random(m, n)`` → floor-of-rand forms (Trino's arg
+  forms are uniform INTEGERS; Spark ``rand(n)`` seeds instead).
 - ``cardinality(arr)`` / ``split_part`` / ``regexp_like`` /
   ``try_cast`` / ``slice`` / ``element_at`` — exist in Spark SQL ≥3.x
   with matching semantics, run verbatim.
@@ -158,7 +161,6 @@ _RENAMES = {
     "json_extract": "get_json_object",
     "from_iso8601_timestamp": "to_timestamp",
     "from_iso8601_date": "to_date",
-    "to_unixtime": "unix_timestamp",
     # Joda patterns for y/M/d/H/m/s coincide with Spark's — the cases
     # Athena queries actually use; exotic Joda tokens would need a
     # pattern translator like translate_strftime
@@ -207,6 +209,16 @@ def _random_rewrite(args: list[str]) -> str | None:
     return None
 
 
+def _to_unixtime_rewrite(args: list[str]) -> str | None:
+    # Presto to_unixtime returns a DOUBLE with fractional seconds;
+    # Spark unix_timestamp truncates to BIGINT — a bare rename loses
+    # sub-second precision AND changes the type. cast(ts AS DOUBLE)
+    # is Spark's exact fractional-epoch spelling.
+    if len(args) != 1:
+        return None
+    return f"cast(({args[0]}) as double)"
+
+
 def _dow_rewrite(args: list[str]) -> str | None:
     # Presto day_of_week is ISO (1=Monday..7=Sunday); Spark's
     # dayofweek is 1=Sunday..7=Saturday — a bare rename would be
@@ -251,6 +263,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "day_of_week", _dow_rewrite)
     sql = _rewrite_calls(sql, "dow", _dow_rewrite)
     sql = _rewrite_calls(sql, "random", _random_rewrite)
+    sql = _rewrite_calls(sql, "to_unixtime", _to_unixtime_rewrite)
     for presto, part in _URL_PARTS.items():
         sql = _rewrite_calls(sql, presto, _url_rewrite(part))
     return _outside_literals(sql, _rename_and_quote)

@@ -218,6 +218,20 @@ def test_dialect_random_arg_forms(spark):
     assert all(isinstance(r.a, int) for r in rows[:5])
 
 
+def test_dialect_to_unixtime_fractional(spark):
+    # Presto to_unixtime returns DOUBLE with sub-second precision;
+    # the old rename to unix_timestamp truncated to whole seconds
+    assert translate("SELECT to_unixtime(ts) FROM t") == (
+        "SELECT cast((ts) as double) FROM t"
+    )
+    got = spark.sql(
+        translate(
+            "SELECT to_unixtime(timestamp '2024-06-01 00:00:00.250') AS e"
+        )
+    ).collect()[0].e
+    assert isinstance(got, float) and abs(got % 1 - 0.25) < 1e-9
+
+
 def test_dialect_nested_comma_first_arg():
     # comma-bearing first argument must not mis-split the call
     assert (
