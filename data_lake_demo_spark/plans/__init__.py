@@ -32,6 +32,9 @@ WINDOW = [
     "emb_sq_ann_portable",  # NEW literal SQ8 ranges: value-hash row
     # for the byte-grid encode + weighted decoded-IP fold (evicts
     # events_daily_funnel, r4-green, parity-reproved)
+    "emb_ann_recall_at_k",  # NEW recall@5 of the SQ8 scan vs exact
+    # brute force (~0.98 — quantization loss measured, full oracle;
+    # evicts events_json_extract, r4-green, parity-reproved)
     "doc_quality_model_scores_frozen",  # NEW frozen-weights twin:
     # first full value-hash row for the model-scoring plan
     "doc_minhash_dups_portable",  # CHANGED: conv-radix portable hash
@@ -90,7 +93,6 @@ WINDOW = [
     "events_tumbling_hourly",
     "events_sliding_windows",
     "events_sessionization",
-    "events_json_extract",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -739,6 +739,80 @@ def _lsh_ann_oracle() -> str:
     return _lsh_ann_ctes(5) + "\nSELECT * FROM topk ORDER BY qid, rk"
 
 
+def emb_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality as a first-class query: recall@5 of the
+    SQ8 compressed scan against exact brute force, per query vector —
+    the evaluation loop a production ANN deployment runs continuously
+    ("measure, don't guess"; recall floors elsewhere live only in
+    pytest). Both sides are already-oracle-proven stages (the
+    portable SQ8 pipeline and the exact-cosine top-k), so the recall
+    numbers themselves carry a full value-hash oracle. At scale the
+    exact side is the expensive one — you run it on a sampled query
+    set exactly like this (10 probes here). The fixture's LSH
+    single-bucket recall is ~0 by construction (near-orthogonal
+    synthetic vectors share no sign-bucket); the SQ8 byte grid keeps
+    8 bits/dimension, so ITS recall quantifies pure quantization
+    loss — the number a capacity-planning decision actually needs."""
+    from data_lake_demo_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).select("qid", "nid")
+    approx = _portable_sq_topk(emb, queries, k=5).select(
+        "qid", F.col("nid").alias("anid")
+    )
+    joined = exact.join(
+        approx,
+        (exact.qid == approx.qid) & (exact.nid == approx.anid),
+        "left",
+    ).select(exact.qid, exact.nid, approx.anid)
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("anid").alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    return (
+        _sq_portable_ctes()
+        + f""",
+approx AS (SELECT qid, nid FROM ranked WHERE rk <= 5),
+exscored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         floor(({_duck_dot('qv', 'c.v')}
+            / (sqrt({_duck_dot('qv', 'qv')}) * sqrt({_duck_dot('c.v', 'c.v')})))
+           * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+  FROM (SELECT vec_id, v FROM base) c
+  CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10) q
+  WHERE c.vec_id <> q.qid),
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+    FROM exscored) t
+  WHERE rk <= 5),
+hits AS (
+  SELECT ex.qid, ex.nid, a.nid AS anid
+  FROM ex LEFT JOIN approx a ON ex.qid = a.qid AND ex.nid = a.nid)
+SELECT qid, count(*) AS n_exact, count(anid) AS n_hits,
+       CAST(count(anid) AS DOUBLE) / count(*) AS recall
+FROM hits GROUP BY qid ORDER BY qid
+"""
+    )
+
+
 def emb_lsh_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al. 2007): each query also probes
     its n_planes Hamming-1 neighbor buckets, recovering near-misses
@@ -1251,6 +1325,31 @@ FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
 
 
+def _portable_sq_topk(emb: DataFrame, queries: DataFrame, *, k: int) -> DataFrame:
+    """(qid, rk0, nid, adc_score) — the literal-range SQ8 pipeline's
+    top-k, shared by emb_sq_ann_portable and the recall evaluation."""
+    from data_lake_demo_spark.operators.ann_index import (
+        encode_sq,
+        portable_sq_model,
+        prep_sq_queries,
+        sq_candidates,
+    )
+    from data_lake_demo_spark.functions.vector import to_double_array
+
+    model = portable_sq_model(dim=64)
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    codes = encode_sq(corpus, model)
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    prepped = prep_sq_queries(q, model)
+    return sq_candidates(codes, prepped, model, k=k, rerank=1)
+
+
 def emb_sq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQ8 rung of the portable family: literal per-dimension
     ranges (vmin=−1, delta=2/255 — the unit-component range) run
@@ -1260,27 +1359,8 @@ def emb_sq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine sum-order noise; the exact-.5 rounding tie (numpy
     rint is half-even, the oracle floors +0.5) cannot occur off the
     u=0 gridpoint, where both round to 128."""
-    from data_lake_demo_spark.operators.ann_index import (
-        encode_sq,
-        portable_sq_model,
-        prep_sq_queries,
-        sq_candidates,
-    )
-    from data_lake_demo_spark.functions.vector import to_double_array
-
     emb = load_table(spark, sf_dir, "embeddings")
-    model = portable_sq_model(dim=64)
-    corpus = emb.select(
-        F.col("vec_id").alias("nid"),
-        to_double_array(F.col("embedding")).alias("nvec"),
-    )
-    codes = encode_sq(corpus, model)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        to_double_array(F.col("embedding")).alias("qvec"),
-    )
-    prepped = prep_sq_queries(q, model)
-    cands = sq_candidates(codes, prepped, model, k=5, rerank=1)
+    cands = _portable_sq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return cands.select(
         "qid",
         F.col("rk0").alias("rk"),
@@ -1291,7 +1371,9 @@ def emb_sq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rk")
 
 
-def _sq_portable_oracle(*, dim: int = 64, k: int = 5) -> str:
+def _sq_portable_ctes(*, dim: int = 64) -> str:
+    """CTE block through ``ranked`` — shared by the SQ-portable ANN
+    oracle and the SQ recall-evaluation oracle."""
     delta = "(CAST(2 AS DOUBLE) / CAST(255 AS DOUBLE))"
     return f"""
 WITH base AS (
@@ -1320,12 +1402,19 @@ ranked AS (
   SELECT qid, nid, adc_score,
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc_score DESC, nid) AS rk
-  FROM scores)
+  FROM scores)"""
+
+
+def _sq_portable_oracle(*, k: int = 5) -> str:
+    return (
+        _sq_portable_ctes()
+        + f"""
 SELECT qid, rk, nid,
        floor(adc_score * CAST(1000000 AS DOUBLE) + 0.5)
          / CAST(1000000 AS DOUBLE) AS adc_q
 FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
+    )
 
 
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2340,6 +2429,7 @@ QUERIES = {
     "emb_pq_ann_portable": emb_pq_ann_portable,
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
+    "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
@@ -2382,6 +2472,7 @@ ORACLE = {
     "emb_pq_ann_portable": _pq_portable_oracle(),
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
+    "emb_ann_recall_at_k": _ann_recall_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
