@@ -658,6 +658,10 @@ def winnow_fingerprints(
     from pyspark.sql import Window as W
 
     exploded = (
+        # NO spread_small_input here (measured: the extra text shuffle
+        # costs ~0.5 s at sf0.1 while single-task gram md5 is ~0.1 s —
+        # the window's own partitionBy(id) shuffle parallelizes every
+        # downstream stage, and hashes are what it carries)
         df.withColumn("__toks", tokens(text_col))
         .withColumn("__grams", shingles(F.col("__toks"), k))
         .withColumn("__gh", F.transform(F.col("__grams"), lambda g: F.md5(g)))
