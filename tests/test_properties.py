@@ -454,3 +454,23 @@ def test_lm_perplexity_invariant_under_repartitioning(spark):
         rows = bigram_lm_scores(docs.repartition(n)).collect()
         results.append({(r.doc_id): (r.n_bigrams, r.bits_per_token) for r in rows})
     assert results[0] == results[1] == results[2]
+
+
+def test_d2_rank_orders_like_true_distances():
+    """The GEMM expansion (||c||² − 2⟨x,c⟩) must rank exactly like
+    the true squared distances for every row — argmin AND full
+    argsort — since encode/prep replaced the (n, k, dim) cubes with
+    it. Margins in real data dwarf the fp difference; this pins the
+    contract on adversarially tiny random margins too."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.ann_index import _d2_rank
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        X = rng.normal(size=(64, 16))
+        C = rng.normal(size=(9, 16))
+        true_d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        fast = _d2_rank(X, C)
+        assert (true_d2.argmin(1) == fast.argmin(1)).all()
+        assert (np.argsort(true_d2, axis=1) == np.argsort(fast, axis=1)).all()
