@@ -1003,7 +1003,16 @@ class AnnIndex:
             # scans ~nprobe/nlist of the index. prepped is cached
             # because the probe-set collect and the ADC join both
             # consume it (it's query-batch-sized — broadcast-small).
+            # A long-lived serving process calls query() per batch, so
+            # the PREVIOUS batch's cache is released here — the caller
+            # has consumed its result by the time it issues a new one.
+            if getattr(self, "_cached_prepped", None) is not None:
+                try:
+                    self._cached_prepped.unpersist()
+                except Exception:
+                    pass  # releasing a dead cache is never an error
             prepped = prepped.cache()
+            self._cached_prepped = prepped
             cells = sorted(r[0] for r in prepped.select("cell").distinct().collect())
             codes = self.codes_table.scan([("cell", "in", cells)])
         else:
