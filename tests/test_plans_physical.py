@@ -279,7 +279,8 @@ def test_no_python_udf_across_entire_query_registry(spark):
                 # kernels as their production counterparts (that is
                 # their whole point — same stages, literal params)
                 "emb_pq_ann_portable", "emb_ivfpq_ann_portable",
-                "emb_sq_ann_portable"}
+                "emb_sq_ann_portable",
+                "emb_ann_recall_at_k"}  # approx side = the SQ kernels
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
