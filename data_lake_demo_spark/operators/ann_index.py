@@ -1040,7 +1040,13 @@ class AnnIndex:
         probed cells' files, exact cosine against the STORED unit
         vectors inside codegen, windowed top-k. No rerank stage — the
         stored vectors ARE exact."""
+        if getattr(self, "_cached_prepped", None) is not None:
+            try:
+                self._cached_prepped.unpersist()
+            except Exception:
+                pass  # releasing a dead cache is never an error
         prepped = prep_flat_queries(q, self.model, nprobe=nprobe).cache()
+        self._cached_prepped = prepped
         cells = sorted(r[0] for r in prepped.select("cell").distinct().collect())
         inv = self.codes_table.scan([("cell", "in", cells)])
         scored = (
