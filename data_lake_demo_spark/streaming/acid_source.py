@@ -496,11 +496,15 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         return _stage_write(iterator, self._path, uuid.uuid4().hex)
 
     def commit(self, messages, batchId: int) -> None:
+        # overwrite=True arrives for COMPLETE output mode, whose every
+        # micro-batch emits the full result — each batch must REPLACE
+        # the table (append would duplicate); the txn watermark still
+        # deduplicates a replayed batch either way.
         t = _table(self._options)
         t.commit_staged(
             _staged_actions(t, messages),
             self._schema_json,
-            overwrite=self._overwrite and batchId == 0,
+            overwrite=self._overwrite,
             txn=(self._app, int(batchId)),
         )
 

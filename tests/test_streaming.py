@@ -834,6 +834,59 @@ def test_acid_dsv2_stream_writer_exactly_once(spark, tmp_path):
     assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3]
 
 
+def test_acid_dsv2_stream_writer_complete_mode_replaces(spark, tmp_path):
+    """Complete output mode: every micro-batch emits the FULL
+    aggregation result, so the stream writer must OVERWRITE per
+    batch — appending would duplicate earlier totals. Counts must
+    track the input exactly across drains."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    src, p, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "t"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "k string"
+    ).coalesce(1).write.mode("append").json(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k string")
+            .json(src)
+            .groupBy("k")
+            .count()
+            .writeStream.format("acidtable")
+            .outputMode("complete")
+            .option("path", p)
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", "completeapp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    t = AcidTable(spark, p)
+    assert sorted((r.k, r["count"]) for r in t.snapshot().collect()) == [
+        ("a", 2),
+        ("b", 1),
+    ]
+    # more input: the next complete batch REPLACES the previous totals
+    spark.createDataFrame([("a",), ("c",)], "k string").coalesce(
+        1
+    ).write.mode("append").json(src)
+    drain()
+    assert sorted((r.k, r["count"]) for r in t.snapshot().collect()) == [
+        ("a", 3),
+        ("b", 1),
+        ("c", 1),
+    ]
+
+
 def test_acid_to_acid_streaming_pipeline_exactly_once(spark, tmp_path):
     """The full table-to-table loop the round-5 surface enables: tail
     one AcidTable as a stream, transform the micro-batches, and MERGE
