@@ -657,27 +657,45 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
+    # Gram construction via lead() over exploded tokens rather than
+    # the shingles() array transform: the interpreted HOF (slice +
+    # concat_ws per gram inside a lambda) measured ~3.2 s alone at
+    # sf0.1 even fully parallel, while the lead chain is whole-stage
+    # codegen over already-exploded rows. Both window chains share
+    # one partitioning (id, token pos ≡ gram pos), so Spark plans a
+    # single Exchange+Sort for gram assembly AND the winnow min.
+    # Values are bit-identical to the array formulation (same grams,
+    # same md5s, same min) — the WINNOW_SQL oracle is untouched.
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks")).withColumn(
+        "__nt", F.size("__toks")
+    )
+    # docs shorter than k tokens: the whole text is the single gram,
+    # and the single fingerprint is its own window min
+    short = toks_df.filter(F.col("__nt") < k).select(
+        F.col(id_col), F.md5(F.concat_ws(" ", "__toks")).alias("fp")
+    )
+    wl = W.partitionBy(id_col).orderBy("tp")
+    gram_cols = [F.col("tk")] + [F.lead("tk", i).over(wl) for i in range(1, k)]
     exploded = (
-        # NO spread_small_input here (measured: the extra text shuffle
-        # costs ~0.5 s at sf0.1 while single-task gram md5 is ~0.1 s —
-        # the window's own partitionBy(id) shuffle parallelizes every
-        # downstream stage, and hashes are what it carries)
-        df.withColumn("__toks", tokens(text_col))
-        .withColumn("__grams", shingles(F.col("__toks"), k))
-        .withColumn("__gh", F.transform(F.col("__grams"), lambda g: F.md5(g)))
-        .select(F.col(id_col), F.col("__gh"))
-        .withColumn("__n", F.size(F.col("__gh")))
-        .select(id_col, "__n", F.posexplode("__gh").alias("pos", "h"))
+        toks_df.filter(F.col("__nt") >= k)
+        .select(
+            F.col(id_col),
+            (F.col("__nt") - (k - 1)).alias("__n"),
+            F.posexplode("__toks").alias("tp", "tk"),
+        )
+        .withColumn("g", F.concat_ws(" ", *gram_cols))
+        .filter(F.col("tp") <= F.col("__n") - 1)  # complete grams only
+        .select(id_col, "__n", F.col("tp").alias("pos"), F.md5("g").alias("h"))
     )
     win = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
-    return (
+    long_fps = (
         exploded.withColumn("fp", F.min("h").over(win))
         # complete windows only; a doc shorter than w grams emits its
         # single full-array min via the last position
         .filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__n") - 1))
         .select(id_col, "fp")
-        .distinct()
     )
+    return long_fps.union(short).distinct()
 
 
 def winnow_containment(
