@@ -209,6 +209,27 @@ def _random_rewrite(args: list[str]) -> str | None:
     return None
 
 
+def _split_rewrite(args: list[str]) -> str | None:
+    # Presto split(s, delim) treats delim as a LITERAL string; Spark
+    # split(s, pattern) treats it as a REGEX — split(url, '.') would
+    # silently explode every character. When the delimiter is a
+    # string literal, regex-escape it; non-literal delimiters pass
+    # through untouched (can't safely rewrite an expression).
+    if len(args) not in (2, 3):
+        return None
+    m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+    if not m:
+        return None
+    lit = m.group(1)
+    if not re.search(r"[.^$*+?()\[\]{}|\\]", lit):
+        return None  # no metacharacters — passthrough
+    # two backslashes in the emitted SQL: one survives Spark's string-
+    # literal escape processing, leaving \<char> for the regex engine
+    escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", lit)
+    rest = f", {args[2]}" if len(args) == 3 else ""
+    return f"split({args[0]}, '{escaped}'{rest})"
+
+
 def _to_unixtime_rewrite(args: list[str]) -> str | None:
     # Presto to_unixtime returns a DOUBLE with fractional seconds;
     # Spark unix_timestamp truncates to BIGINT — a bare rename loses
@@ -264,6 +285,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "dow", _dow_rewrite)
     sql = _rewrite_calls(sql, "random", _random_rewrite)
     sql = _rewrite_calls(sql, "to_unixtime", _to_unixtime_rewrite)
+    sql = _rewrite_calls(sql, "split", _split_rewrite)
     for presto, part in _URL_PARTS.items():
         sql = _rewrite_calls(sql, presto, _url_rewrite(part))
     return _outside_literals(sql, _rename_and_quote)

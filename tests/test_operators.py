@@ -1421,3 +1421,18 @@ def test_multiprobe_lsh_recall_superset(spark):
     single_n = lsh_ann_topk(emb, queries, k=500).count()
     multi_n = lsh_ann_topk(emb, queries, k=500, multi_probe=True).count()
     assert multi_n > single_n
+
+
+def test_dialect_split_literal_delimiter(spark):
+    """Presto split() takes a LITERAL delimiter; Spark's is a regex —
+    split(url, '.') must not explode per character."""
+    from data_lake_demo_spark.functions.dialect import translate
+
+    cases = [
+        ("SELECT split('a.b.c', '.') AS s", ["a", "b", "c"]),
+        ("SELECT split('a|b|c', '|') AS s", ["a", "b", "c"]),
+        ("SELECT split('a,b,c', ',') AS s", ["a", "b", "c"]),
+        ("SELECT split('a.b.c', '.', 2) AS s", ["a", "b.c"]),
+    ]
+    for sql, want in cases:
+        assert spark.sql(translate(sql)).collect()[0].s == want, sql
