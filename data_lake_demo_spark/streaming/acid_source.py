@@ -280,10 +280,12 @@ class _AcidBatchReader(DataSourceReader):
                 else:
                     parts.append(_ChangePartition(adds, removes, v, c.ts))
             return parts or [_FilePartition("")]
+        as_of = self._options.get("versionasof")
+        as_of = int(as_of) if as_of is not None else None
         if self._pushed:
-            files, _, _ = t._pruned_live(self._pushed)
+            files, _, _ = t._pruned_live(self._pushed, as_of=as_of)
         else:
-            files, _ = t._resolve()
+            files, _ = t._resolve(as_of)
         parts = [_FilePartition(os.path.join(t.path, f)) for f in files]
         # same ≥1-partition contract as the stream reader: a fully
         # pruned (or empty) table still needs a no-op sentinel
@@ -524,7 +526,8 @@ class AcidTableDataSource(DataSource):
 
     def schema(self):
         t = _table(self.options)
-        _, schema_json = t._resolve()
+        as_of = self.options.get("versionasof")
+        _, schema_json = t._resolve(int(as_of) if as_of is not None else None)
         if schema_json is None:
             raise ValueError(f"table {t.path} has no commits")
         st = T.StructType.fromJson(json.loads(schema_json))

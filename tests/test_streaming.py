@@ -788,6 +788,29 @@ def test_acid_dsv2_writer_concurrent_with_python_api(spark, tmp_path):
     assert t.latest_version() == 3  # four commits, no clobbering
 
 
+def test_acid_dsv2_version_as_of_read(spark, tmp_path):
+    """Time travel through the DSv2 reader (Delta's versionAsOf): a
+    pinned batch read resolves the historical file set and schema,
+    unaffected by later overwrites."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+
+    def read(**opts):
+        r = spark.read.format("acidtable").option("path", p)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert read() == [(9, "z")]
+    assert read(versionAsOf=0) == [(1, "a"), (2, "b")]
+
+
 def test_acid_dsv2_stream_writer_exactly_once(spark, tmp_path):
     """writeStream.format('acidtable'): micro-batches commit with
     txn=(app, batchId), so a checkpointed restart that replays the
