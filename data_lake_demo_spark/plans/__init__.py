@@ -23,6 +23,16 @@ ALL_MODULES = [llm, events, relational]
 # the hard signal).
 WINDOW = [
     # -- new or changed in round 6 ------------------------------------
+    "q2_min_cost_supplier",  # NEW: completes the numbered TPC-H sweep
+    # (no partsupp in the fixtures — supply relation derived from
+    # lineitem; correlated-min shape; evicts events_tumbling_hourly,
+    # r4-green, parity-reproved)
+    "q11_important_stock",  # NEW: scalar-subquery-in-HAVING shape
+    # (evicts events_sliding_windows, r4-green, parity-reproved)
+    "q16_supplier_part_counts",  # NEW: NOT IN + COUNT(DISTINCT) shape
+    # (evicts events_sessionization, r4-green, parity-reproved)
+    "q20_excess_suppliers",  # NEW: doubly-nested IN shape (evicts
+    # events_daily_from_hourly_rollup, r4-green, parity-reproved)
     "emb_pq_ann_portable",  # NEW literal-codebook PQ: first full
     # value-hash row for the encode→prep→ADC pipeline
     "emb_ivfpq_ann_portable",  # NEW literal centroids + codebooks:
@@ -89,10 +99,6 @@ WINDOW = [
     "events_daily_retention",
     "events_hll_daily_users",
     "events_rolling_7d_active",
-    "events_daily_from_hourly_rollup",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_sessionization",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

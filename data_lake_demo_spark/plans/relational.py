@@ -1679,6 +1679,228 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Adapted TPC-H Q2/Q11/Q16/Q20 (SURVEY §2.3/§2.4 subquery shapes).
+# The fixture set has no partsupp table, so the part↔supplier supply
+# relation is DERIVED from lineitem: a (l_partkey, l_suppkey) pair is a
+# "supply arrangement" and its cost is the average observed unit price.
+# The query SHAPES (correlated min, scalar-subquery HAVING, NOT IN with
+# distinct counting, doubly-nested IN) are the TPC-H originals.
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier
+    offering the minimum derived supply cost — correlated MIN subquery
+    re-expressed as a per-part min aggregate joined back on equality.
+    Supply cost is qavg-quantized so the min and the equality compare
+    identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        qavg(F.col("l_extendedprice") / F.col("l_quantity"), "supply_cost")
+    )
+    eligible = (
+        supply.join(part, supply.l_partkey == part.p_partkey)
+        .join(supp, supply.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.p_partkey == min_cost.mk)
+            & (eligible.supply_cost == min_cost.min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         {_sql_qavg('l_extendedprice / l_quantity', 'supply_cost')}
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+  FROM supply
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM eligible e
+WHERE supply_cost = (SELECT min(supply_cost) FROM eligible m
+                     WHERE m.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value held by one geography's
+    suppliers, kept only when it exceeds a fraction of that total —
+    scalar subquery inside HAVING. (Restriction is the EUROPE region
+    rather than Q11's single nation: the sf0.001 fixture has only 10
+    suppliers, so any single nation can be empty.) TPC-H scales the fraction
+    inversely with SF; here the threshold is 1.5× the mean per-part
+    value (scale-free across fixture SFs). The total re-quantizes the
+    per-part values so both engines accumulate exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    geo_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(geo_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(qsum(F.col("l_extendedprice"), "stock_value"))
+    )
+    total = per_part.agg(
+        qsum(F.col("stock_value"), "t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > 1.5 * F.col("t") / F.col("n"))
+        .select("l_partkey", "stock_value")
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_sql_qsum('l_extendedprice', 'stock_value')}
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+  GROUP BY l_partkey)
+SELECT l_partkey, stock_value
+FROM per_part
+WHERE stock_value > 1.5 * (SELECT {_sql_qsum('stock_value', 't')} FROM per_part)
+                        / (SELECT count(*) FROM per_part)
+ORDER BY stock_value DESC, l_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, type,
+    size) over the derived supply relation, with a NOT-IN supplier
+    exclusion (negative account balance standing in for the complaints
+    predicate) and a multi-way part filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of a
+    'small%' part's 1996 volume — doubly-nested IN subqueries
+    re-expressed as per-(part,supplier) vs per-part aggregate join,
+    then a semi join into supplier."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li96 = li.join(small_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(
+        qsum(F.col("l_quantity"), "supp_qty")
+    )
+    per_part = li96.groupBy(F.col("l_partkey").alias("pk")).agg(
+        qsum(F.col("l_quantity"), "part_qty")
+    )
+    excess = (
+        per_ps.join(per_part, per_ps.l_partkey == F.col("pk"))
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH li96 AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, {_sql_qsum('l_quantity', 'supp_qty')}
+  FROM li96 GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey AS pk, {_sql_qsum('l_quantity', 'part_qty')}
+  FROM li96 GROUP BY l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_ps JOIN per_part ON l_partkey = pk
+                    WHERE supp_qty > 0.3 * part_qty)
+ORDER BY s_suppkey
+"""
+
+
 # Registration order matters: the driver's correctness gate checks the
 # FIRST 50 entries of __spark_entry__.queries() (llm 17 + events 7
 # register before us — see plans/__init__.ALL_MODULES), leaving 26
@@ -1696,6 +1918,10 @@ QUERIES = {
     # orders_table_profile, case_when_conditional_agg,
     # q12_priority_by_flag, q7_volume_shipping, q22_idle_rich_customers)
     # and rows-only approx_stats — all unchanged since their green row.
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_suppliers": q20_excess_suppliers,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -1803,4 +2029,8 @@ ORACLE = {
     "q18_large_volume_orders": Q18_SQL,
     "q19_disjunctive_predicates": Q19_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
 }
