@@ -33,6 +33,9 @@ WINDOW = [
     # (evicts events_sessionization, r4-green, parity-reproved)
     "q20_excess_suppliers",  # NEW: doubly-nested IN shape (evicts
     # events_daily_from_hourly_rollup, r4-green, parity-reproved)
+    "doc_bm25_retrieval",  # NEW: Okapi BM25 lexical retrieval, full
+    # oracle (evicts events_rolling_7d_active, r4-green,
+    # parity-reproved)
     "emb_pq_ann_portable",  # NEW literal-codebook PQ: first full
     # value-hash row for the encode→prep→ADC pipeline
     "emb_ivfpq_ann_portable",  # NEW literal centroids + codebooks:
@@ -98,7 +101,6 @@ WINDOW = [
     "countmin_event_type_freq",
     "events_daily_retention",
     "events_hll_daily_users",
-    "events_rolling_7d_active",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

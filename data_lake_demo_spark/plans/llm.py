@@ -25,6 +25,7 @@ from data_lake_demo_spark.operators.dedup import (
     tokens,
     winnow_fingerprints,
 )
+from data_lake_demo_spark.operators.bm25 import bm25_oracle_sql, bm25_topk
 from data_lake_demo_spark.operators.similarity import (
     brute_force_topk,
     lsh_ann_topk,
@@ -979,6 +980,16 @@ FROM topk JOIN documents d ON topk.nid = d.doc_id
 ORDER BY qid, rk
 """
     )
+
+
+def doc_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this retrieval (operators/bm25.py): the first 8
+    documents each query the corpus with their own term set; top-5
+    non-self matches per query by Okapi BM25, fully value-hash
+    oracle-able (quantized per-term contribution fold). The lexical
+    counterpart of ``doc_retrieval_join``'s embedding RAG shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, n_query_docs=8, k=5).orderBy("qid", "rk")
 
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2424,6 +2435,7 @@ QUERIES = {
     "emb_lsh_multiprobe_ann": emb_lsh_multiprobe_ann,
     "emb_sq_ann": emb_sq_ann,
     "doc_retrieval_join": doc_retrieval_join,
+    "doc_bm25_retrieval": doc_bm25_retrieval,
     "doc_quality_model_scores": doc_quality_model_scores,
     "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
     "emb_pq_ann_portable": emb_pq_ann_portable,
@@ -2487,6 +2499,7 @@ ORACLE = {
     "emb_lsh_ann": _lsh_ann_oracle(),
     "emb_lsh_multiprobe_ann": _lsh_multiprobe_oracle(),
     "doc_retrieval_join": _retrieval_join_oracle(),
+    "doc_bm25_retrieval": bm25_oracle_sql(n_query_docs=8, k=5),
     # doc_minhash_near_dups / doc_simhash_buckets / emb_ivf_ann /
     # emb_pq_ann: rows-only (xxhash64 minhash/simhash families and
     # k-means codebooks are engine-side; their exact twins —

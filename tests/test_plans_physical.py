@@ -38,6 +38,10 @@ def test_query_build_time_stays_bounded(spark):
     exempt = {
         "doc_dedup_components",
         "doc_dedup_components_bigstar",
+        # composes connected_components, so it also EXECUTES its CC
+        # rounds eagerly during construction (~2-3 s at sf0.001 —
+        # execution cost, not expression-building cost)
+        "emb_semantic_dedup",
     }
     qs = {n: f for n, f in entry.queries().items() if n not in exempt}
     for fn in qs.values():  # warmup: JVM JIT / analysis-path one-timers
