@@ -72,6 +72,31 @@ def merge_upsert(
     return untouched.unionByName(updates)
 
 
+def merge_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str,
+    *,
+    dedupe_order: str | None = None,
+) -> DataFrame:
+    """The full SQL MERGE shape in one rewrite: rows of ``updates``
+    with ``delete_col`` true DELETE their matched target rows (WHEN
+    MATCHED THEN DELETE); the rest upsert (update matched / insert
+    unmatched). A delete row matching nothing is a no-op, like MERGE.
+    Same one-shuffle anti-join + union plan as :func:`merge_upsert`;
+    the ``delete_col`` never lands in the output.
+    """
+    keys = list(keys)
+    if dedupe_order is not None:
+        updates = _latest_per_key(updates, keys, dedupe_order)
+    else:
+        _assert_unique_keys(updates, keys, "update")
+    untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    survivors = updates.filter(~F.col(delete_col)).drop(delete_col)
+    return untouched.unionByName(survivors)
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

@@ -943,6 +943,63 @@ class AcidTable:
                 continue
         raise CommitConflict(f"merge lost {max_retries} commit races")
 
+    def merge_apply(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        delete_col: str,
+        *,
+        dedupe_order: str | None = None,
+        txn: tuple[str, int] | None = None,
+        partition_by: Sequence[str] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Full MERGE (WHEN MATCHED AND <delete_col> THEN DELETE /
+        WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT) as
+        ONE atomic copy-on-write commit — the CDC-apply and
+        incremental-view-maintenance shape, where a single batch
+        carries both upserts and retractions and applying them in two
+        commits would expose a half-applied snapshot.
+
+        Same manifest-level file skipping, optimistic retry, and
+        ``txn`` exactly-once watermark as ``merge``. On a table with
+        no commits yet, deletes are no-ops and the surviving upserts
+        become the first snapshot."""
+        from data_lake_demo_spark.operators.upsert import merge_apply
+
+        keys = list(keys)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if txn is not None:
+                last = self.last_txn_batch(txn[0], as_of=base)
+                if last is not None and txn[1] <= last:
+                    return base
+            live, schema_json = self._resolve_actions(base)
+            touched = self._touched_files(live, updates, keys)
+            if touched:
+                target = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                )
+            elif schema_json is not None:
+                target = self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
+            else:  # first commit: surviving upserts seed the table
+                target = self.spark.createDataFrame(
+                    [], updates.drop(delete_col).schema
+                )
+            merged = merge_apply(
+                target, updates, keys, delete_col, dedupe_order=dedupe_order
+            )
+            add, schema = self._stage_actions(merged, partition_by=partition_by)
+            try:
+                return self._try_commit(
+                    base + 1, "merge", add, touched, schema, txn
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"merge_apply lost {max_retries} commit races")
+
     def merge_delete(
         self,
         keys_df: DataFrame,
