@@ -1,26 +1,32 @@
 """Incrementally-maintained materialized aggregates over ACID tables.
 
 A ``MaterializedAggregate`` is a continuously-maintained GROUP BY
-(count + exact quantized sum per key) stored as its own AcidTable and
-kept in sync with a base AcidTable via the base's change feed
-(``AcidTable.changes``) — the lakehouse materialized-view pattern
-(Delta/Databricks "incremental materialized view", Timescale
-continuous aggregates). The reference's analogue is the curated-zone
-rollup its Athena queries recompute from scratch (README.md:46-80);
-here maintenance cost is O(churn), never O(table).
+(count + exact quantized sum per key, optionally min/max) stored as
+its own AcidTable and kept in sync with a base AcidTable via the
+base's change feed (``AcidTable.changes``) — the lakehouse
+materialized-view pattern (Delta/Databricks "incremental materialized
+view", Timescale continuous aggregates). The reference's analogue is
+the curated-zone rollup its Athena queries recompute from scratch
+(README.md:46-80); here maintenance cost is O(churn), never O(table).
 
 Why this shape survives 100 TB
 ------------------------------
 * The change feed reads only files that DIFFER between the synced and
   current snapshots (see ``AcidTable.changes``), so a sync after 1%
   churn reads ~1% of the data; a pure-layout commit (compact, Z-order)
-  yields an empty feed and the sync is a no-op commit-free pass.
-* The maintained aggregates are self-maintainable under retraction:
-  COUNT and quantized SUM accept negative deltas, so DELETEs and the
-  delete+insert pairs MERGE emits fold in exactly — no recompute, and
-  AVG derives as sum/count. (MIN/MAX are NOT retraction-safe and are
-  deliberately absent; maintain them with ``operators/rollup_time`` on
-  append-only streams instead.)
+  yields an empty feed and the sync is a data-free watermark commit.
+* COUNT and quantized SUM are self-maintainable under retraction:
+  negative deltas fold DELETEs and the delete+insert pairs MERGE
+  emits in exactly — no recompute, and AVG derives as sum/count.
+* MIN/MAX are NOT retraction-safe (deleting the current minimum needs
+  the runner-up, which folded state can't know). With
+  ``minmax=True`` the standard two-tier algorithm applies: groups
+  whose feed slice is insert-only FOLD (least/greatest against
+  stored state); groups that saw any delete are DIRTY and recompute
+  from the base snapshot PINNED at the synced version — restricted
+  to just the dirty keys via a broadcast semi join, so the recompute
+  cost is O(rows of dirty groups) (manifest-pruned further when the
+  base is partitioned/clustered by the group key), never O(table).
 * Applying a delta touches only MV files whose stats ranges overlap
   the delta's keys (``merge_apply``'s manifest pruning) — one atomic
   commit carrying both upserts and group retirements.
@@ -29,8 +35,8 @@ Why this shape survives 100 TB
   concurrent sync of the same base version is a no-op, and the
   watermark travels atomically with the data it describes.
 
-Determinism: per-row contributions are quantized (``floor(v*1000 +
-0.5)``, the repo-wide qsum idiom) so retractions cancel bit-exactly
+Determinism: per-row sum contributions are quantized (``floor(v*1000
++ 0.5)``, the repo-wide qsum idiom) so retractions cancel bit-exactly
 and the MV equals the from-scratch aggregate — asserted by tests.
 """
 
@@ -48,8 +54,8 @@ SCALE = 1000
 
 
 class MaterializedAggregate:
-    """count + exact-sum GROUP BY over ``base``, materialized at
-    ``mv_path`` and maintained from the base's change feed."""
+    """count + exact-sum (+ optional min/max) GROUP BY over ``base``,
+    materialized at ``mv_path`` and maintained from the change feed."""
 
     def __init__(
         self,
@@ -59,6 +65,7 @@ class MaterializedAggregate:
         group_cols: Sequence[str],
         value_col: str,
         *,
+        minmax: bool = False,
         app: str = "materialized-aggregate",
     ) -> None:
         self.spark = spark
@@ -66,12 +73,19 @@ class MaterializedAggregate:
         self.mv = AcidTable(spark, mv_path)
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        self.minmax = minmax
         self.app = app
 
     # -- state ---------------------------------------------------------
     def synced_version(self) -> int | None:
         """Base version the MV currently reflects (None = never)."""
         return self.mv.last_txn_batch(self.app)
+
+    def _state_cols(self) -> list[str]:
+        cols = ["n", "value_q"]
+        if self.minmax:
+            cols += ["value_min", "value_max"]
+        return cols
 
     def _current(self) -> DataFrame:
         if self.mv.latest_version() < 0:
@@ -80,39 +94,61 @@ class MaterializedAggregate:
                 for f in self.base.snapshot().schema.fields
                 if f.name in self.group_cols
             ]
-            schema = T.StructType(
-                fields
-                + [
-                    T.StructField("n", T.LongType()),
-                    T.StructField("value_q", T.LongType()),
+            fields += [
+                T.StructField("n", T.LongType()),
+                T.StructField("value_q", T.LongType()),
+            ]
+            if self.minmax:
+                fields += [
+                    T.StructField("value_min", T.DoubleType()),
+                    T.StructField("value_max", T.DoubleType()),
                 ]
-            )
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], T.StructType(fields))
         return self.mv.snapshot()
 
     # -- maintenance ---------------------------------------------------
+    def _full_agg(self, rows: DataFrame) -> DataFrame:
+        """From-scratch aggregate of ``rows`` — the dirty-group
+        recompute, and the definition the folded state must equal."""
+        q = F.floor(F.col(self.value_col) * SCALE + F.lit(0.5))
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("value_q"),
+        ]
+        if self.minmax:
+            aggs += [
+                F.min(self.value_col).alias("value_min"),
+                F.max(self.value_col).alias("value_max"),
+            ]
+        return rows.groupBy(*self.group_cols).agg(*aggs)
+
     def sync(self) -> int:
         """Fold base changes since the last sync into the MV in ONE
         atomic commit; returns the MV version (unchanged if the base
-        hasn't moved or the feed nets to zero)."""
+        hasn't moved)."""
         target = self.base.latest_version()
         last = self.synced_version()
         since = -1 if last is None else last
         if target <= since:
             return self.mv.latest_version()
         feed = self.base.changes(since, target)
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        is_ins = F.col("_change_type") == "insert"
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
         q = F.floor(F.col(self.value_col) * SCALE + F.lit(0.5))
-        delta = (
-            feed.groupBy(*self.group_cols)
-            .agg(
-                F.sum(sign).alias("dn"),
-                F.sum(sign * q).alias("dvq"),
-            )
-            .filter((F.col("dn") != 0) | (F.col("dvq") != 0))
-        )
+        aggs = [
+            F.sum(sign).alias("dn"),
+            F.sum(sign * q).alias("dvq"),
+            F.max((~is_ins).cast("int")).alias("saw_delete"),
+        ]
+        if self.minmax:
+            aggs += [
+                F.min(F.when(is_ins, F.col(self.value_col))).alias("ins_min"),
+                F.max(F.when(is_ins, F.col(self.value_col))).alias("ins_max"),
+            ]
+        delta = feed.groupBy(*self.group_cols).agg(*aggs)
+        if not self.minmax:
+            # value-identical churn can't move count/sum state
+            delta = delta.filter((F.col("dn") != 0) | (F.col("dvq") != 0))
         if delta.limit(1).count() == 0:
             # Pure-layout churn (compact/Z-order) or a net-zero feed:
             # advance the watermark with a data-free commit instead of
@@ -123,17 +159,65 @@ class MaterializedAggregate:
                 self._current().schema.json(),
                 txn=(self.app, target),
             )
-        updates = (
-            delta.join(self._current(), self.group_cols, "left")
-            .select(
-                *self.group_cols,
-                (F.coalesce(F.col("n"), F.lit(0)) + F.col("dn")).alias("n"),
-                (
-                    F.coalesce(F.col("value_q"), F.lit(0)) + F.col("dvq")
-                ).alias("value_q"),
-            )
+        current = self._current()
+        clean = delta.filter(F.col("saw_delete") == 0)
+        folded_cols = [
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("dn")).alias("n"),
+            (F.coalesce(F.col("value_q"), F.lit(0)) + F.col("dvq")).alias(
+                "value_q"
+            ),
+        ]
+        if self.minmax:
+            # least/greatest skip nulls, so a brand-new group folds
+            # from the insert side alone
+            folded_cols += [
+                F.least(F.col("value_min"), F.col("ins_min")).alias(
+                    "value_min"
+                ),
+                F.greatest(F.col("value_max"), F.col("ins_max")).alias(
+                    "value_max"
+                ),
+            ]
+        folded = (
+            clean.join(current, self.group_cols, "left")
+            .select(*self.group_cols, *folded_cols)
             .withColumn("_retire", F.col("n") == 0)
         )
+        dirty = delta.filter(F.col("saw_delete") == 1)
+        if self.minmax and dirty.limit(1).count() > 0:
+            dirty_keys = dirty.select(*self.group_cols)
+            recomputed = self._full_agg(
+                self.base.snapshot(as_of=target).join(
+                    F.broadcast(dirty_keys), self.group_cols, "left_semi"
+                )
+            ).withColumn("_retire", F.lit(False))
+            # dirty groups with no surviving base rows retire
+            retired = (
+                dirty_keys.join(
+                    recomputed.select(*self.group_cols),
+                    self.group_cols,
+                    "left_anti",
+                )
+                .withColumn("n", F.lit(0).cast("long"))
+                .withColumn("value_q", F.lit(0).cast("long"))
+                .withColumn("value_min", F.lit(None).cast("double"))
+                .withColumn("value_max", F.lit(None).cast("double"))
+                .withColumn("_retire", F.lit(True))
+            )
+            updates = folded.unionByName(recomputed).unionByName(retired)
+        else:
+            # without minmax, dirty groups fold too (count/sum are
+            # retraction-safe)
+            dirty_folded = (
+                dirty.join(current, self.group_cols, "left")
+                .select(*self.group_cols, *folded_cols)
+                .withColumn("_retire", F.col("n") == 0)
+            )
+            updates = (
+                folded
+                if self.minmax
+                else folded.unionByName(dirty_folded)
+            )
         return self.mv.merge_apply(
             updates,
             self.group_cols,
@@ -157,10 +241,13 @@ class MaterializedAggregate:
     # -- read ----------------------------------------------------------
     def view(self) -> DataFrame:
         """The maintained aggregate with derived columns: ``n``,
-        ``total`` (exact), ``avg``."""
+        ``total`` (exact), ``avg`` (+ ``value_min``/``value_max``
+        when maintained)."""
+        extra = ["value_min", "value_max"] if self.minmax else []
         return self._current().select(
             *self.group_cols,
             "n",
             (F.col("value_q") / float(SCALE)).alias("total"),
             (F.col("value_q") / float(SCALE) / F.col("n")).alias("avg"),
+            *extra,
         )

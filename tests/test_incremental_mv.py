@@ -154,6 +154,92 @@ def test_layout_only_commit_is_a_noop_sync(spark, tmp_path):
     assert mv.mv.latest_version() >= v_mv
 
 
+def _recompute_minmax(base):
+    return base.snapshot().groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("v") * 1000 + F.lit(0.5))).alias("value_q"),
+        F.min("v").alias("value_min"),
+        F.max("v").alias("value_max"),
+    )
+
+
+def _mk_minmax(spark, tmp_path):
+    base = AcidTable(spark, str(tmp_path / "base"))
+    mv = MaterializedAggregate(
+        spark,
+        base,
+        str(tmp_path / "mv"),
+        ["k"],
+        "v",
+        minmax=True,
+        app="mv-minmax",
+    )
+    return base, mv
+
+
+def test_minmax_folds_on_insert_only_feed(spark, tmp_path):
+    base, mv = _mk_minmax(spark, tmp_path)
+    base.append(
+        spark.createDataFrame([("a", 3.0), ("a", 1.0)], "k string, v double")
+    )
+    mv.sync()
+    base.append(
+        spark.createDataFrame([("a", 5.0), ("b", 2.0)], "k string, v double")
+    )
+    v_before = mv.mv.latest_version()
+    mv.sync()
+    assert _rows(mv._current()) == _rows(_recompute_minmax(base))
+    row = {r["k"]: (r["value_min"], r["value_max"]) for r in mv.view().collect()}
+    assert row == {"a": (1.0, 5.0), "b": (2.0, 2.0)}
+    assert mv.mv.latest_version() == v_before + 1
+
+
+def test_minmax_delete_of_extremum_recomputes_dirty_group_only(
+    spark, tmp_path
+):
+    base, mv = _mk_minmax(spark, tmp_path)
+    base.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0), ("a", 5.0), ("b", 2.0)],
+            "k string, v double",
+        )
+    )
+    mv.sync()
+    base.delete([("v", "=", 9.0)])  # retract the current max of 'a'
+    mv.sync()
+    assert _rows(mv._current()) == _rows(_recompute_minmax(base))
+    row = {r["k"]: (r["value_min"], r["value_max"]) for r in mv.view().collect()}
+    assert row == {"a": (1.0, 5.0), "b": (2.0, 2.0)}
+
+
+def test_minmax_dirty_group_with_no_survivors_retires(spark, tmp_path):
+    base, mv = _mk_minmax(spark, tmp_path)
+    base.append(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    )
+    mv.sync()
+    base.delete([("k", "=", "a")])
+    base.append(spark.createDataFrame([("c", 7.0)], "k string, v double"))
+    mv.sync()
+    assert _rows(mv._current()) == _rows(_recompute_minmax(base))
+    assert sorted(r["k"] for r in mv._current().collect()) == ["b", "c"]
+
+
+def test_minmax_merge_update_pair_converges(spark, tmp_path):
+    base, mv = _mk_minmax(spark, tmp_path)
+    base.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 4.0), ("b", 2.0)], "k string, v double"
+        )
+    )
+    mv.sync()
+    base.merge(
+        spark.createDataFrame([("b", 10.0)], "k string, v double"), ["k"]
+    )
+    mv.sync()
+    assert _rows(mv._current()) == _rows(_recompute_minmax(base))
+
+
 def test_streaming_cdf_drives_syncs_exactly_once(spark, tmp_path):
     """End-to-end: the acidtable CDF stream triggers MV syncs via
     foreachBatch; restart + replay leaves the MV correct."""
