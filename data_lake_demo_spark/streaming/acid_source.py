@@ -208,6 +208,30 @@ def _table(options):
     return AcidTable(None, _local_path(path))
 
 
+def _as_of_version(t, options) -> int | None:
+    """Resolve the pinned version from ``versionAsOf`` /
+    ``timestampAsOf`` (epoch seconds, or ISO-8601 — naive timestamps
+    read as UTC, matching the epoch-seconds commit clock)."""
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError("specify either versionAsOf or timestampAsOf, not both")
+    if v is not None:
+        return int(v)
+    if ts is None:
+        return None
+    try:
+        epoch = float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = dt.timestamp()
+    return t.version_at_timestamp(epoch)
+
+
 #: DSv2 filter class name → the (col, op, value) op tableformat's
 #: manifest pruner understands. All five are null-rejecting, so
 #: pruning on footer [min, max] stats is sound for each.
@@ -280,8 +304,7 @@ class _AcidBatchReader(DataSourceReader):
                 else:
                     parts.append(_ChangePartition(adds, removes, v, c.ts))
             return parts or [_FilePartition("")]
-        as_of = self._options.get("versionasof")
-        as_of = int(as_of) if as_of is not None else None
+        as_of = _as_of_version(t, self._options)
         if self._pushed:
             files, _, _ = t._pruned_live(self._pushed, as_of=as_of)
         else:
@@ -526,8 +549,7 @@ class AcidTableDataSource(DataSource):
 
     def schema(self):
         t = _table(self.options)
-        as_of = self.options.get("versionasof")
-        _, schema_json = t._resolve(int(as_of) if as_of is not None else None)
+        _, schema_json = t._resolve(_as_of_version(t, self.options))
         if schema_json is None:
             raise ValueError(f"table {t.path} has no commits")
         st = T.StructType.fromJson(json.loads(schema_json))

@@ -62,6 +62,8 @@ what makes scan/merge/delete pruning selective.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import re
@@ -114,6 +116,45 @@ def _ckpt_name(version: int) -> str:
 
 _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
 
+# ---- per-file bloom-filter indexes --------------------------------------
+#
+# [min, max] ranges can't prune point lookups on high-cardinality keys
+# whose values interleave across files (uuid-ish ids, hashes): every
+# file's range overlaps every probe. A per-file bloom over the column
+# (Iceberg's parquet bloom properties / Delta's bloom index) answers
+# "can this file contain value v?" probabilistically with no false
+# NEGATIVES, so skipping on a bloom miss is sound for the
+# null-rejecting `=` / `in` ops. The hash family is md5-derived double
+# hashing over the value's canonical STRING cast — portable between
+# the Spark build side and the driver-side Python probe with no
+# native-hash reimplementation (the same engine-portability trick as
+# the repo's portable MinHash family). Intended for integer/string
+# key columns; m=8192 bits, k=4 → ~1 KiB/file/col riding the manifest
+# (FPP ≈ 2% at 1k distinct values/file, smaller files do better).
+
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions_py(val, m: int, k: int) -> list[int]:
+    h = hashlib.md5(str(val).encode()).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = int(h[15:30], 16) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_may_contain(entry: list, val) -> bool:
+    """False only when the bloom PROVES ``val`` absent from the file."""
+    try:
+        m, k, b64 = int(entry[0]), int(entry[1]), entry[2]
+        bits = base64.b64decode(b64)
+        return all(
+            (bits[p // 8] >> (p % 8)) & 1
+            for p in _bloom_positions_py(val, m, k)
+        )
+    except Exception:
+        return True  # malformed entry: never a correctness issue
+
 
 def _norm_stat_value(v):
     """Normalize a value for manifest-stats comparison. DATE values
@@ -148,6 +189,16 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
                 if op == "is_not_null" and nc[0] == nc[1]:
                     return False
             continue
+        bloom = stats.get(f"#bloom:{col}")
+        if bloom is not None:
+            # probe with the RAW value's str() — the build side hashed
+            # cast-to-string, not the date-normalized stat form
+            if op == "=" and not _bloom_may_contain(bloom, val):
+                return False
+            if op == "in" and all(
+                not _bloom_may_contain(bloom, v) for v in val
+            ):
+                return False
         rng = stats.get(col)
         if rng is None:
             continue
@@ -245,10 +296,15 @@ class AcidTable:
         *,
         log_store: LogStore | None = None,
         checkpoint_interval: int = 20,
+        bloom_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.path = path
         self.checkpoint_interval = checkpoint_interval
+        # writer-side property: this handle's writes attach per-file
+        # bloom indexes for these (integer/string key) columns; readers
+        # need nothing — the blooms ride the manifest like any stat
+        self.bloom_cols = tuple(bloom_cols)
         self.log = log_store or LocalFSLogStore(os.path.join(path, _COMMITS))
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -560,7 +616,61 @@ class AcidTable:
             if rows == 0:
                 continue
             actions.append({"path": f, "stats": stats})
+        if self.bloom_cols and actions:
+            blooms = self._bloom_stats([a["path"] for a in actions])
+            for a in actions:
+                a["stats"].update(blooms.get(a["path"], {}))
         return actions, schema
+
+    def _bloom_stats(self, rel_files: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file bloom bitsets for ``self.bloom_cols``, built
+        DISTRIBUTED: one column-pruned pass over the staged files
+        computes the k md5-double-hash bit positions per row, and only
+        the ≤ m DISTINCT positions per (file, column) reach the driver
+        — bounded by the bitset size, independent of row count. The
+        driver folds positions into the bitset and base64s it into the
+        manifest entry ``#bloom:<col> = [m, k, bitset]``."""
+        out: dict[str, dict[str, list]] = {f: {} for f in rel_files}
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in rel_files]
+        )
+        m, k = _BLOOM_BITS, _BLOOM_HASHES
+        for col in self.bloom_cols:
+            if col not in df.columns:
+                continue
+            h = F.md5(F.col(col).cast("string"))
+            h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(
+                F.lit(1)
+            )
+            pos = F.array(
+                *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+            )
+            rows = (
+                df.select(
+                    F.input_file_name().alias("__f"), F.explode(pos).alias("p")
+                )
+                .where(F.col("p").isNotNull())
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_list("p").alias("ps"))
+                .collect()
+            )
+            for r in rows:
+                rel = next(
+                    (f for f in rel_files if r["__f"].endswith(f)), None
+                )
+                if rel is None:
+                    continue
+                bits = bytearray(m // 8)
+                for p in r["ps"]:
+                    bits[p // 8] |= 1 << (p % 8)
+                out[rel][f"#bloom:{col}"] = [
+                    m,
+                    k,
+                    base64.b64encode(bytes(bits)).decode(),
+                ]
+        return out
 
     def append(
         self,
@@ -670,9 +780,32 @@ class AcidTable:
                 continue
         raise CommitConflict(f"staged commit lost {max_retries} races")
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest version committed at-or-before ``ts`` (epoch
+        seconds) — Delta's ``timestampAsOf`` resolution. Scans the
+        whole commit range rather than binary-searching so a
+        clock-skewed (locally non-monotone) commit timestamp can never
+        hide a version; the log is metadata-sized and checkpointed, so
+        this is a bounded driver read."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise ValueError(f"table {self.path} has no commits")
+        best = None
+        for v in range(latest + 1):
+            if self._read_commit(v).ts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} (earliest commit is "
+                f"{self._read_commit(0).ts})"
+            )
+        return best
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """Read the table as of a version (default: latest). The file
-        list is pinned at call time — later commits don't leak in."""
+        list is pinned at call time — later commits don't leak in.
+        For timestamp-based travel resolve the version first:
+        ``snapshot(as_of=t.version_at_timestamp(ts))``."""
         files, schema = self._resolve(as_of)
         if not files:
             if schema is None:

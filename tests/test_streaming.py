@@ -811,6 +811,34 @@ def test_acid_dsv2_version_as_of_read(spark, tmp_path):
     assert read(versionAsOf=0) == [(1, "a"), (2, "b")]
 
 
+def test_acid_dsv2_timestamp_as_of_read(spark, tmp_path):
+    """Delta's timestampAsOf through the DSv2 reader: epoch-seconds
+    (and mutual exclusion with versionAsOf)."""
+    import time as _time
+
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+
+    def read(**opts):
+        r = spark.read.format("acidtable").option("path", p)
+        for key, val in opts.items():
+            r = r.option(key, str(val))
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert read(timestampAsOf=mid) == [(1, "a")]
+    assert read(timestampAsOf=_time.time()) == [(9, "z")]
+    with pytest.raises(Exception, match="not both"):
+        read(timestampAsOf=mid, versionAsOf=0)
+
+
 def test_acid_dsv2_stream_writer_exactly_once(spark, tmp_path):
     """writeStream.format('acidtable'): micro-batches commit with
     txn=(app, batchId), so a checkpointed restart that replays the

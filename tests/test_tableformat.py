@@ -936,3 +936,70 @@ def test_prefix_predicate_prunes_string_ranges(spark, tmp_path):
     rdr = _AcidBatchReader({"path": str(tmp_path / "t")}, ["k", "v"])
     list(rdr.pushFilters([StringStartsWith(("v",), "zeb")]))
     assert len(rdr.partitions()) == 1
+
+
+def test_bloom_index_prunes_interleaved_keys(spark, tmp_path):
+    """Per-file bloom indexes prune point lookups that [min, max]
+    ranges cannot: two files whose key ranges fully overlap (evens vs
+    odds) — a range pruner keeps both, the bloom keeps one."""
+    t = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    evens = [(i, "e") for i in range(0, 1000, 2)]
+    odds = [(i, "o") for i in range(1, 1000, 2)]
+    t.append(spark.createDataFrame(evens, "k long, v string").coalesce(1))
+    t.append(spark.createDataFrame(odds, "k long, v string").coalesce(1))
+    # ranges overlap completely: range pruning alone keeps both files
+    kept_range, total, _ = t._pruned_live([("k", "between", (100, 101))])
+    assert total == 2 and len(kept_range) == 2
+    # the bloom proves absence per file for equality probes
+    kept_even, _, _ = t._pruned_live([("k", "=", 100)])
+    kept_odd, _, _ = t._pruned_live([("k", "=", 101)])
+    assert len(kept_even) == 1 and len(kept_odd) == 1
+    assert kept_even != kept_odd
+    # IN probes prune when NO member can be in the file
+    kept_in, _, _ = t._pruned_live([("k", "in", [100, 102])])
+    assert len(kept_in) == 1
+
+
+def test_bloom_index_never_false_negative(spark, tmp_path):
+    """Soundness: every present key survives pruning and is returned
+    exactly — a bloom miss means PROVEN absent, never maybe."""
+    t = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["k", "s"])
+    rows = [(i, f"key-{i*7}") for i in range(200)]
+    t.append(
+        spark.createDataFrame(rows, "k long, s string").repartition(4)
+    )
+    for k, s in rows[::37]:
+        assert t.scan([("k", "=", k)]).count() == 1
+        assert [r["k"] for r in t.scan([("s", "=", s)]).collect()] == [k]
+    # an absent key prunes everything (deterministic hash family)
+    kept, _, _ = t._pruned_live([("k", "=", 10_000_019)])
+    assert kept == []
+
+
+def test_bloom_entries_ride_manifest_for_plain_readers(spark, tmp_path):
+    """Blooms are a writer-side property: a reader handle opened
+    WITHOUT bloom_cols still prunes on entries already in the log."""
+    w = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    w.append(
+        spark.createDataFrame([(i, "x") for i in range(0, 100, 2)],
+                              "k long, v string").coalesce(1)
+    )
+    r = AcidTable(spark, str(tmp_path / "t"))
+    kept, _, _ = r._pruned_live([("k", "=", 51)])
+    assert kept == []  # odd key: bloom-proven absent
+    assert r.scan([("k", "=", 50)]).count() == 1
+
+
+def test_version_at_timestamp_resolution(spark, tmp_path):
+    import time as _time
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t.version_at_timestamp(mid) == 0
+    assert t.version_at_timestamp(_time.time()) == 1
+    assert _rows(t.snapshot(as_of=t.version_at_timestamp(mid))) == [(1, "a")]
+    with pytest.raises(ValueError):
+        t.version_at_timestamp(mid - 1e6)
