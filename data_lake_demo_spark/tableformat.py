@@ -129,10 +129,13 @@ _FILTER_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
 # the Spark build side and the driver-side Python probe with no
 # native-hash reimplementation (the same engine-portability trick as
 # the repo's portable MinHash family). Intended for integer/string
-# key columns; m=8192 bits, k=4 → ~1 KiB/file/col riding the manifest
-# (FPP ≈ 2% at 1k distinct values/file, smaller files do better).
+# key columns. Sizing: k=4 hashes and the default 2^17 bits give
+# FPP ≈ 0.2% at 10k distinct values/file and ~18% (still partial
+# pruning) at 50k — pass ``bloom_bits`` matched to your file sizing,
+# ~13+ bits per distinct value per file; the manifest entry costs
+# bits/6 bytes of base64 per file per column (~22 KiB at the default).
 
-_BLOOM_BITS = 8192
+_BLOOM_BITS = 1 << 17
 _BLOOM_HASHES = 4
 
 
@@ -297,6 +300,7 @@ class AcidTable:
         log_store: LogStore | None = None,
         checkpoint_interval: int = 20,
         bloom_cols: Sequence[str] = (),
+        bloom_bits: int = _BLOOM_BITS,
     ):
         self.spark = spark
         self.path = path
@@ -304,7 +308,10 @@ class AcidTable:
         # writer-side property: this handle's writes attach per-file
         # bloom indexes for these (integer/string key) columns; readers
         # need nothing — the blooms ride the manifest like any stat
+        if bloom_bits % 64:
+            raise ValueError("bloom_bits must be a multiple of 64")
         self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = bloom_bits
         self.log = log_store or LocalFSLogStore(os.path.join(path, _COMMITS))
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -625,16 +632,19 @@ class AcidTable:
     def _bloom_stats(self, rel_files: list[str]) -> dict[str, dict[str, list]]:
         """Per-file bloom bitsets for ``self.bloom_cols``, built
         DISTRIBUTED: one column-pruned pass over the staged files
-        computes the k md5-double-hash bit positions per row, and only
-        the ≤ m DISTINCT positions per (file, column) reach the driver
-        — bounded by the bitset size, independent of row count. The
-        driver folds positions into the bitset and base64s it into the
-        manifest entry ``#bloom:<col> = [m, k, bitset]``."""
+        computes the k md5-double-hash bit positions per row and
+        OR-combines them into 64-bit blocks per (file, block) with
+        ``bit_or`` — map-side partial combine applies, so at most
+        m/64 longs per file reach the driver regardless of row count.
+        The driver packs the blocks little-endian and base64s them
+        into the manifest entry ``#bloom:<col> = [m, k, bitset]``."""
+        import struct
+
         out: dict[str, dict[str, list]] = {f: {} for f in rel_files}
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in rel_files]
         )
-        m, k = _BLOOM_BITS, _BLOOM_HASHES
+        m, k = self.bloom_bits, _BLOOM_HASHES
         for col in self.bloom_cols:
             if col not in df.columns:
                 continue
@@ -651,24 +661,32 @@ class AcidTable:
                     F.input_file_name().alias("__f"), F.explode(pos).alias("p")
                 )
                 .where(F.col("p").isNotNull())
-                .distinct()
-                .groupBy("__f")
-                .agg(F.collect_list("p").alias("ps"))
+                .select(
+                    "__f",
+                    F.expr("CAST(p DIV 64 AS INT)").alias("__block"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                    ).alias("__mask"),
+                )
+                .groupBy("__f", "__block")
+                .agg(F.expr("bit_or(__mask)").alias("__bits"))
                 .collect()
             )
+            blocks: dict[str, dict[int, int]] = {}
             for r in rows:
                 rel = next(
                     (f for f in rel_files if r["__f"].endswith(f)), None
                 )
-                if rel is None:
-                    continue
-                bits = bytearray(m // 8)
-                for p in r["ps"]:
-                    bits[p // 8] |= 1 << (p % 8)
+                if rel is not None:
+                    blocks.setdefault(rel, {})[r["__block"]] = r["__bits"]
+            for rel, bmap in blocks.items():
+                bits = b"".join(
+                    struct.pack("<q", bmap.get(b, 0)) for b in range(m // 64)
+                )
                 out[rel][f"#bloom:{col}"] = [
                     m,
                     k,
-                    base64.b64encode(bytes(bits)).decode(),
+                    base64.b64encode(bits).decode(),
                 ]
         return out
 
