@@ -73,6 +73,10 @@ reads (probed: the reader receives an empty options dict), so
 DDL-registered tables cannot resolve their path. Use
 ``catalog.register_acid_table`` / ``AcidCatalog.attach`` (session
 views) for SQL access instead; revisit when Spark forwards options.
+For name-based access through the reader itself, the durable
+AcidCatalog resolves instead:
+``.option("catalog", lake_root).option("table", name)`` — the planner
+reads the registry's parquet with pyarrow, no session needed.
 """
 
 from __future__ import annotations
@@ -198,12 +202,45 @@ def _local_path(p: str) -> str:
     return p
 
 
+def _catalog_lookup(root: str, name: str) -> str:
+    """Resolve ``name`` → table path from the durable AcidCatalog at
+    ``<root>/_catalog`` WITHOUT a SparkSession: the planner reads the
+    registry's live parquet files with pyarrow (registry rows are
+    unique per name — registrations MERGE on table_name)."""
+    import pyarrow.parquet as pq
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    store = AcidTable(None, os.path.join(_local_path(root), "_catalog"))
+    files, _ = store._resolve()
+    for f in files:
+        tbl = pq.read_table(
+            os.path.join(store.path, f), columns=["table_name", "path"]
+        )
+        for rec in tbl.to_pylist():
+            if rec["table_name"] == name:
+                return rec["path"]
+    raise ValueError(f"table {name!r} not registered in catalog at {root}")
+
+
 def _table(options):
     from data_lake_demo_spark.tableformat import AcidTable
 
     path = options.get("path")
+    name = options.get("table")
+    if name is not None:
+        root = options.get("catalog")
+        if not root:
+            raise ValueError(
+                "acidtable .option('table', name) requires "
+                ".option('catalog', <lake root with _catalog>)"
+            )
+        path = _catalog_lookup(root, name)
     if not path:
-        raise ValueError("acidtable source requires .option('path', ...) or load(path)")
+        raise ValueError(
+            "acidtable source requires .option('path', ...) / load(path), "
+            "or .option('catalog', root).option('table', name)"
+        )
     # planner-only handle: no SparkSession needed for log resolution
     return AcidTable(None, _local_path(path))
 

@@ -96,6 +96,9 @@ class Commit:
     remove: list[str]
     schema_json: str
     txn: dict | None = None  # {"app": str, "batch_id": int}
+    # table properties SNAPSHOT (constraints etc.); None = carry the
+    # previous commit's properties forward unchanged
+    props: dict | None = None
 
 
 def _commit_name(version: int) -> str:
@@ -348,6 +351,7 @@ class AcidTable:
             remove=d["remove"],
             schema_json=d["schema"],
             txn=d.get("txn"),
+            props=d.get("props"),
         )
 
     def history(self) -> list[Commit]:
@@ -368,15 +372,17 @@ class AcidTable:
 
     def _resolve_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, dict], str | None, dict[str, int]]:
-        """({live file: stats}, schema, {app: txn watermark}) as of a
-        version. Starts from the newest checkpoint ≤ target and replays
-        only the commits after it — O(checkpoint_interval) log reads
-        regardless of table age (the Delta checkpoint contract)."""
+    ) -> tuple[dict[str, dict], str | None, dict[str, int], dict]:
+        """({live file: stats}, schema, {app: txn watermark}, props)
+        as of a version. Starts from the newest checkpoint ≤ target
+        and replays only the commits after it — O(checkpoint_interval)
+        log reads regardless of table age (the Delta checkpoint
+        contract)."""
         target = self.latest_version() if as_of is None else as_of
         live: dict[str, dict] = {}
         schema: str | None = None
         txns: dict[str, int] = {}
+        props: dict = {}
         start = 0
         if target >= 0:
             ckpt_v = self._latest_checkpoint_version(target)
@@ -385,6 +391,7 @@ class AcidTable:
                 live = {a["path"]: a.get("stats", {}) for a in d["live"]}
                 schema = d["schema"]
                 txns = dict(d["txns"])
+                props = dict(d.get("props") or {})
                 start = ckpt_v + 1
         for v in range(start, target + 1):
             c = self._read_commit(v)
@@ -396,7 +403,9 @@ class AcidTable:
             if c.txn:
                 app, b = c.txn["app"], c.txn["batch_id"]
                 txns[app] = max(txns.get(app, b), b)
-        return live, schema, txns
+            if c.props is not None:
+                props = dict(c.props)
+        return live, schema, txns, props
 
     def last_txn_batch(self, app: str, *, as_of: int | None = None) -> int | None:
         """Highest batch id this writer app has committed at-or-before
@@ -405,10 +414,14 @@ class AcidTable:
         the same base version they commit against (see ``append``)."""
         return self._resolve_state(as_of)[2].get(app)
 
+    def properties(self, as_of: int | None = None) -> dict:
+        """Resolved table properties (constraints etc.) at a version."""
+        return self._resolve_state(as_of)[3]
+
     def _resolve_actions(
         self, as_of: int | None = None
     ) -> tuple[dict[str, dict], str | None]:
-        live, schema, _ = self._resolve_state(as_of)
+        live, schema, _, _ = self._resolve_state(as_of)
         return live, schema
 
     def _resolve(self, as_of: int | None = None) -> tuple[list[str], str | None]:
@@ -422,12 +435,13 @@ class AcidTable:
         missing checkpoint only means a longer replay."""
         if version < 0 or (version + 1) % self.checkpoint_interval != 0:
             return
-        live, schema, txns = self._resolve_state(version)
+        live, schema, txns, props = self._resolve_state(version)
         body = {
             "version": version,
             "live": [{"path": p, "stats": s} for p, s in sorted(live.items())],
             "schema": schema,
             "txns": txns,
+            "props": props,
         }
         try:
             self.log.put_if_absent(
@@ -444,6 +458,7 @@ class AcidTable:
         remove: list[str],
         schema_json: str,
         txn: tuple[str, int] | None = None,
+        props: dict | None = None,
     ) -> int:
         """Put-if-absent commit of the version slot. Exactly one writer
         wins a version; the whole ACID story rests on this one atomic
@@ -459,6 +474,8 @@ class AcidTable:
         }
         if txn is not None:
             body["txn"] = {"app": txn[0], "batch_id": txn[1]}
+        if props is not None:
+            body["props"] = props
         try:
             self.log.put_if_absent(
                 _commit_name(version), json.dumps(body).encode()
@@ -690,6 +707,64 @@ class AcidTable:
                 ]
         return out
 
+    _CONSTRAINT_PREFIX = "constraint."
+
+    def set_properties(self, updates: dict, *, max_retries: int = 5) -> int:
+        """Metadata-only commit updating table properties (a None
+        value deletes its key). Properties snapshot-resolve like any
+        state: later commits without a props field carry them forward."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            _, schema, _, props = self._resolve_state(base if base >= 0 else None)
+            if schema is None:
+                raise ValueError(
+                    f"table {self.path} has no commits (append a first "
+                    "snapshot before setting properties)"
+                )
+            new = dict(props)
+            for k, v in updates.items():
+                if v is None:
+                    new.pop(k, None)
+                else:
+                    new[k] = v
+            try:
+                return self._try_commit(
+                    base + 1, "setprops", [], [], schema, props=new
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"set_properties lost {max_retries} commit races")
+
+    def set_check_constraint(self, name: str, expr: str) -> int:
+        """Delta-style ``ALTER TABLE ADD CONSTRAINT ... CHECK (expr)``:
+        existing rows are validated first (the constraint must already
+        hold), then every subsequent ``append`` / ``overwrite`` /
+        ``merge`` / ``merge_apply`` batch is rejected wholesale if any
+        written row fails or NULLs the expression. Enforcement is one
+        ``limit(1)`` probe per write — per-BATCH cost, not per-row.
+        (The DSv2 ``commit_staged`` path stages parquet without a
+        SparkSession on the commit side and is not validated.)"""
+        self._enforce_constraints(self.snapshot(), {f"constraint.{name}": expr})
+        return self.set_properties({self._CONSTRAINT_PREFIX + name: expr})
+
+    def drop_check_constraint(self, name: str) -> int:
+        return self.set_properties({self._CONSTRAINT_PREFIX + name: None})
+
+    def _enforce_constraints(
+        self, df: DataFrame, props: dict | None = None
+    ) -> None:
+        props = self.properties() if props is None else props
+        for key, expr in props.items():
+            if not key.startswith(self._CONSTRAINT_PREFIX):
+                continue
+            cond = F.expr(expr)
+            bad = df.filter(~cond | cond.isNull()).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {key[len(self._CONSTRAINT_PREFIX):]!r}"
+                    f" ({expr}) violated by e.g. {bad[0].asDict()!r}"
+                )
+
     def append(
         self,
         df: DataFrame,
@@ -714,6 +789,7 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
+        self._enforce_constraints(df)
         add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -750,6 +826,7 @@ class AcidTable:
     ) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
+        self._enforce_constraints(df)
         add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -979,7 +1056,7 @@ class AcidTable:
         within the vacuum retention window (vacuum only deletes files
         unreferenced by every RETAINED snapshot, so a restorable
         version's files are exactly the retained ones)."""
-        target_live, target_schema, _ = self._resolve_state(version)
+        target_live, target_schema, _, _ = self._resolve_state(version)
         if target_schema is None:
             raise ValueError(f"version {version} has no schema to restore")
         add = [{"path": p, "stats": s} for p, s in sorted(target_live.items())]
@@ -1061,6 +1138,7 @@ class AcidTable:
         rewrite."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
+        self._enforce_constraints(updates)
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -1119,6 +1197,8 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_apply
 
         keys = list(keys)
+        # delete rows never land; only surviving upserts are validated
+        self._enforce_constraints(updates.filter(~F.col(delete_col)))
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:

@@ -839,6 +839,34 @@ def test_acid_dsv2_timestamp_as_of_read(spark, tmp_path):
         read(timestampAsOf=mid, versionAsOf=0)
 
 
+def test_acid_dsv2_reads_by_catalog_name(spark, tmp_path):
+    """Name-based access through the DSv2 reader: .option('catalog',
+    root).option('table', name) resolves the path from the durable
+    AcidCatalog registry (pyarrow, planner-side) — closing the
+    no-DDL-options gap documented in the module."""
+    from data_lake_demo_spark.catalog import AcidCatalog
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    root = str(tmp_path)
+    t = AcidTable(spark, str(tmp_path / "orders_t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    AcidCatalog(spark, root).register("orders_acid", t.path)
+    got = (
+        spark.read.format("acidtable")
+        .option("catalog", root)
+        .option("table", "orders_acid")
+        .load()
+        .collect()
+    )
+    assert sorted((r.k, r.v) for r in got) == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception, match="not registered"):
+        spark.read.format("acidtable").option("catalog", root).option(
+            "table", "nope"
+        ).load().collect()
+
+
 def test_acid_dsv2_stream_writer_exactly_once(spark, tmp_path):
     """writeStream.format('acidtable'): micro-batches commit with
     txn=(app, batchId), so a checkpointed restart that replays the

@@ -438,7 +438,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     }
 
     store.reads = 0
-    live, sch, txns = t._resolve_state()
+    live, sch, txns, _ = t._resolve_state()
     # newest checkpoint is v29 → 1 checkpoint read + commits 30..34
     assert store.reads <= 1 + (34 - 29) + 1
     assert txns == {"w": 34}
@@ -451,7 +451,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
             expect[a["path"]] = a.get("stats", {})
     assert live == expect
     # time travel BEFORE the first checkpoint still resolves
-    live5, _, txns5 = t._resolve_state(as_of=5)
+    live5, _, txns5, _ = t._resolve_state(as_of=5)
     assert set(live5) == {f"data/x/{v}.parquet" for v in range(6)} - {
         "data/x/4.parquet"
     }
@@ -1003,3 +1003,51 @@ def test_version_at_timestamp_resolution(spark, tmp_path):
     assert _rows(t.snapshot(as_of=t.version_at_timestamp(mid))) == [(1, "a")]
     with pytest.raises(ValueError):
         t.version_at_timestamp(mid - 1e6)
+
+
+def test_check_constraint_rejects_violating_writes(spark, tmp_path):
+    """Delta-shape CHECK constraints: properties persist in the log,
+    violating batches are rejected wholesale (append/merge), NULL
+    counts as a violation, and dropping the constraint re-opens the
+    gate."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    t.set_check_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([(2, -1.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="v_positive"):  # NULL violates
+        t.append(
+            spark.createDataFrame([(2, None)], "k long, v double")
+        )
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(
+            spark.createDataFrame([(1, -5.0)], "k long, v double"), ["k"]
+        )
+    assert _rows(t.snapshot()) == [(1, 10.0)]  # nothing landed
+    t.append(spark.createDataFrame([(3, 2.5)], "k long, v double"))
+    # a fresh handle resolves the constraint from the log
+    t2 = AcidTable(spark, str(tmp_path / "t"))
+    assert t2.properties()["constraint.v_positive"] == "v > 0"
+    t2.drop_check_constraint("v_positive")
+    t2.append(spark.createDataFrame([(4, -1.0)], "k long, v double"))
+    assert len(_rows(t2.snapshot())) == 3
+
+
+def test_check_constraint_requires_existing_rows_valid(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, -3.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="violated"):
+        t.set_check_constraint("v_positive", "v > 0")
+    assert "constraint.v_positive" not in t.properties()
+
+
+def test_properties_survive_checkpoints_and_data_commits(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    t.append(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    t.set_properties({"owner": "pipeline-a"})
+    for i in range(2, 8):  # cross at least one checkpoint boundary
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+    fresh = AcidTable(spark, str(tmp_path / "t"))
+    assert fresh.properties()["owner"] == "pipeline-a"
+    # time travel sees the pre-property state
+    assert fresh.properties(as_of=0) == {}
