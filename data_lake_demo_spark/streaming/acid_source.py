@@ -105,13 +105,17 @@ _CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, dv: str | None = None):
         self.path = path
+        self.dv = dv  # packed deletion vector (merge-on-read mask)
 
 
 class _ChangePartition(InputPartition):
     """One commit's net row diff: executor reads the commit's removed
-    and added files and emits insert/delete rows (CDF mode)."""
+    and added files and emits insert/delete rows (CDF mode). Each
+    entry is a ``(path, deletion vector | None)`` pair — a carried
+    file whose vector changed appears on BOTH sides, each masked with
+    its own vector, so the diff nets to the newly-masked rows."""
 
     def __init__(self, adds: list, removes: list, version: int, ts: float):
         self.adds = adds
@@ -120,9 +124,10 @@ class _ChangePartition(InputPartition):
         self.ts = ts
 
 
-def _read_parquet_rows(path: str, fields: list[str]):
+def _read_parquet_rows(path: str, fields: list[str], dv: str | None = None):
     """Executor-side file read: yield tuples in schema field order,
-    padding columns the file predates (additive evolution) with None."""
+    padding columns the file predates (additive evolution) with None.
+    ``dv`` masks merge-on-read-deleted rows by position."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
@@ -133,7 +138,17 @@ def _read_parquet_rows(path: str, fields: list[str]):
             cols.append(tbl.column(f).to_pylist())
         else:
             cols.append([None] * n)
-    yield from zip(*cols) if n else iter(())
+    if not n:
+        return
+    if dv:
+        from data_lake_demo_spark.tableformat import _unpack_dv
+
+        skip = set(_unpack_dv(dv))
+        for i, row in enumerate(zip(*cols)):
+            if i not in skip:
+                yield row
+        return
+    yield from zip(*cols)
 
 
 def _read_change_rows(part: _ChangePartition, fields: list[str]):
@@ -163,11 +178,11 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
             return ("__d", tuple(sorted((k, key(x)) for k, x in v.items())))
         return v
 
-    def load(paths):
+    def load(entries):
         counts: Counter = Counter()
         originals: dict = {}
-        for p in paths:
-            for row in _read_parquet_rows(p, fields):
+        for p, dv in entries:
+            for row in _read_parquet_rows(p, fields, dv):
                 k = tuple(key(v) for v in row)
                 counts[k] += 1
                 originals[k] = row
@@ -184,6 +199,55 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
             yield (*rows_b[k], "delete", part.version, commit_ts)
+
+
+def _cdf_partitions(t, start_v: int, end_v: int) -> list:
+    """Change partitions for commits in ``[start_v, end_v)``, with
+    live-set and deletion-vector state FOLDED commit by commit from a
+    single resolve at ``start_v - 1``:
+
+    * file diffs are computed against the folded live set (not the
+      commit's raw add/remove lists), so a restore's re-add of a
+      carried file doesn't double-count its rows;
+    * a carried file whose deletion vector changed enters both sides,
+      each masked with its version's vector — a merge-on-read DELETE
+      commit (no file changes at all) thus emits exactly the
+      newly-masked rows as deletes.
+    """
+    live_map, _, _, _, dvs = t._resolve_state(start_v - 1 if start_v > 0 else -1)
+    live = set(live_map)
+    dvs = dict(dvs)
+    parts = []
+    for v in range(start_v, end_v):
+        c = t._read_commit(v)
+        pre_live, pre_dvs = set(live), dict(dvs)
+        for p in c.remove:
+            live.discard(p)
+            dvs.pop(p, None)
+        for a in c.add:
+            live.add(a["path"])
+        for e in c.dv or ():
+            if e["del"]:
+                dvs[e["path"]] = e["del"]
+            else:
+                dvs.pop(e["path"], None)
+        added = sorted(live - pre_live)
+        removed = sorted(pre_live - live)
+        changed = sorted(
+            p for p in (live & pre_live) if pre_dvs.get(p) != dvs.get(p)
+        )
+        adds = [
+            (os.path.join(t.path, p), dvs.get(p)) for p in added + changed
+        ]
+        removes = [
+            (os.path.join(t.path, p), pre_dvs.get(p)) for p in removed + changed
+        ]
+        if not removes:
+            # pure append: fan out per file (all-insert rows)
+            parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
+        elif adds or removes:
+            parts.append(_ChangePartition(adds, removes, v, c.ts))
+    return parts
 
 
 def _cdf_enabled(options) -> bool:
@@ -331,22 +395,16 @@ class _AcidBatchReader(DataSourceReader):
             end = (
                 int(end_opt) if end_opt is not None else t.latest_version()
             )
-            parts = []
-            for v in range(start, end + 1):
-                c = t._read_commit(v)
-                adds = [os.path.join(t.path, a["path"]) for a in c.add]
-                removes = [os.path.join(t.path, p) for p in c.remove]
-                if not removes:
-                    parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
-                else:
-                    parts.append(_ChangePartition(adds, removes, v, c.ts))
-            return parts or [_FilePartition("")]
+            return _cdf_partitions(t, start, end + 1) or [_FilePartition("")]
         as_of = _as_of_version(t, self._options)
         if self._pushed:
             files, _, _ = t._pruned_live(self._pushed, as_of=as_of)
         else:
             files, _ = t._resolve(as_of)
-        parts = [_FilePartition(os.path.join(t.path, f)) for f in files]
+        dvs = t._resolve_state(as_of)[4]
+        parts = [
+            _FilePartition(os.path.join(t.path, f), dvs.get(f)) for f in files
+        ]
         # same ≥1-partition contract as the stream reader: a fully
         # pruned (or empty) table still needs a no-op sentinel
         return parts or [_FilePartition("")]
@@ -356,7 +414,7 @@ class _AcidBatchReader(DataSourceReader):
             return _read_change_rows(partition, self._fields)
         if not partition.path:
             return iter(())
-        return _read_parquet_rows(partition.path, self._fields)
+        return _read_parquet_rows(partition.path, self._fields, partition.dv)
 
 
 class _AcidStreamReader(DataSourceStreamReader):
@@ -383,22 +441,18 @@ class _AcidStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         t = _table(self._options)
+        if self._cdf:
+            # one planner pass folds live-set + deletion-vector state
+            # across the batch's commit range (rewrite commits diff
+            # their touched pair sets; MOR delete commits emit the
+            # newly-masked rows; pure-layout rewrites diff to empty)
+            return _cdf_partitions(
+                t, start["version"], end["version"]
+            ) or [_FilePartition("")]
         parts = []
         for v in range(start["version"], end["version"]):
             c = t._read_commit(v)
-            if self._cdf:
-                adds = [os.path.join(t.path, a["path"]) for a in c.add]
-                removes = [os.path.join(t.path, p) for p in c.remove]
-                if not removes:
-                    # pure append: fan out per file (all-insert rows)
-                    parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
-                else:
-                    # rewrite commit: one partition diffs the touched
-                    # file pair sets (bounded by the commit's file
-                    # skipping; pure-layout rewrites diff to empty)
-                    parts.append(_ChangePartition(adds, removes, v, c.ts))
-                continue
-            if c.remove or c.op in _CHANGE_OPS:
+            if c.remove or c.dv or c.op in _CHANGE_OPS:
                 if not self._skip_changes:
                     raise ValueError(
                         f"commit {v} is a change commit ({c.op}); an "

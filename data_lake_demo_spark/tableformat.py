@@ -99,6 +99,28 @@ class Commit:
     # table properties SNAPSHOT (constraints etc.); None = carry the
     # previous commit's properties forward unchanged
     props: dict | None = None
+    # deletion-vector actions: [{"path", "del" (packed b64), "n"}] —
+    # each entry REPLACES the file's whole vector (merge-on-read)
+    dv: list[dict] | None = None
+
+
+def _pack_dv(indices) -> str:
+    """Sorted row indices → base64 of packed little-endian int64s —
+    JSON-safe, order-canonical (two writers deleting the same rows
+    produce byte-identical vectors)."""
+    import array as _array
+
+    return base64.b64encode(
+        _array.array("q", sorted(set(int(i) for i in indices))).tobytes()
+    ).decode()
+
+
+def _unpack_dv(b64: str) -> list[int]:
+    import array as _array
+
+    a = _array.array("q")
+    a.frombytes(base64.b64decode(b64))
+    return list(a)
 
 
 def _commit_name(version: int) -> str:
@@ -352,6 +374,7 @@ class AcidTable:
             schema_json=d["schema"],
             txn=d.get("txn"),
             props=d.get("props"),
+            dv=d.get("dv"),
         )
 
     def history(self) -> list[Commit]:
@@ -372,17 +395,18 @@ class AcidTable:
 
     def _resolve_state(
         self, as_of: int | None = None
-    ) -> tuple[dict[str, dict], str | None, dict[str, int], dict]:
-        """({live file: stats}, schema, {app: txn watermark}, props)
-        as of a version. Starts from the newest checkpoint ≤ target
-        and replays only the commits after it — O(checkpoint_interval)
-        log reads regardless of table age (the Delta checkpoint
-        contract)."""
+    ) -> tuple[dict[str, dict], str | None, dict[str, int], dict, dict]:
+        """({live file: stats}, schema, {app: txn watermark}, props,
+        {file: packed deletion vector}) as of a version. Starts from
+        the newest checkpoint ≤ target and replays only the commits
+        after it — O(checkpoint_interval) log reads regardless of
+        table age (the Delta checkpoint contract)."""
         target = self.latest_version() if as_of is None else as_of
         live: dict[str, dict] = {}
         schema: str | None = None
         txns: dict[str, int] = {}
         props: dict = {}
+        dvs: dict[str, str] = {}
         start = 0
         if target >= 0:
             ckpt_v = self._latest_checkpoint_version(target)
@@ -392,20 +416,27 @@ class AcidTable:
                 schema = d["schema"]
                 txns = dict(d["txns"])
                 props = dict(d.get("props") or {})
+                dvs = dict(d.get("dvs") or {})
                 start = ckpt_v + 1
         for v in range(start, target + 1):
             c = self._read_commit(v)
             for p in c.remove:
                 live.pop(p, None)
+                dvs.pop(p, None)  # a rewrite materializes the vector
             for a in c.add:
                 live[a["path"]] = a.get("stats", {})
+            for e in c.dv or ():
+                if e["del"]:
+                    dvs[e["path"]] = e["del"]
+                else:  # empty vector = explicit clear (restore)
+                    dvs.pop(e["path"], None)
             schema = c.schema_json
             if c.txn:
                 app, b = c.txn["app"], c.txn["batch_id"]
                 txns[app] = max(txns.get(app, b), b)
             if c.props is not None:
                 props = dict(c.props)
-        return live, schema, txns, props
+        return live, schema, txns, props, dvs
 
     def last_txn_batch(self, app: str, *, as_of: int | None = None) -> int | None:
         """Highest batch id this writer app has committed at-or-before
@@ -418,10 +449,17 @@ class AcidTable:
         """Resolved table properties (constraints etc.) at a version."""
         return self._resolve_state(as_of)[3]
 
+    def deletion_vectors(self, as_of: int | None = None) -> dict[str, list[int]]:
+        """{live file: sorted masked row indices} at a version
+        (merge-on-read state; empty when fully materialized)."""
+        return {
+            p: _unpack_dv(b) for p, b in self._resolve_state(as_of)[4].items()
+        }
+
     def _resolve_actions(
         self, as_of: int | None = None
     ) -> tuple[dict[str, dict], str | None]:
-        live, schema, _, _ = self._resolve_state(as_of)
+        live, schema, _, _, _ = self._resolve_state(as_of)
         return live, schema
 
     def _resolve(self, as_of: int | None = None) -> tuple[list[str], str | None]:
@@ -435,13 +473,14 @@ class AcidTable:
         missing checkpoint only means a longer replay."""
         if version < 0 or (version + 1) % self.checkpoint_interval != 0:
             return
-        live, schema, txns, props = self._resolve_state(version)
+        live, schema, txns, props, dvs = self._resolve_state(version)
         body = {
             "version": version,
             "live": [{"path": p, "stats": s} for p, s in sorted(live.items())],
             "schema": schema,
             "txns": txns,
             "props": props,
+            "dvs": dvs,
         }
         try:
             self.log.put_if_absent(
@@ -459,6 +498,7 @@ class AcidTable:
         schema_json: str,
         txn: tuple[str, int] | None = None,
         props: dict | None = None,
+        dv: list[dict] | None = None,
     ) -> int:
         """Put-if-absent commit of the version slot. Exactly one writer
         wins a version; the whole ACID story rests on this one atomic
@@ -476,6 +516,8 @@ class AcidTable:
             body["txn"] = {"app": txn[0], "batch_id": txn[1]}
         if props is not None:
             body["props"] = props
+        if dv is not None:
+            body["dv"] = dv
         try:
             self.log.put_if_absent(
                 _commit_name(version), json.dumps(body).encode()
@@ -715,7 +757,7 @@ class AcidTable:
         state: later commits without a props field carry them forward."""
         for _ in range(max_retries):
             base = self.latest_version()
-            _, schema, _, props = self._resolve_state(base if base >= 0 else None)
+            _, schema, _, props, _ = self._resolve_state(base if base >= 0 else None)
             if schema is None:
                 raise ValueError(
                     f"table {self.path} has no commits (append a first "
@@ -912,9 +954,48 @@ class AcidTable:
         # append with new columns widens the table; older files read
         # the missing columns as null (the Delta/Iceberg add-column
         # semantics, resolved at read time from parquet footers)
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+        return self._apply_dvs(df, files, self._resolve_state(as_of)[4])
+
+    def _apply_dvs(
+        self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
+    ) -> DataFrame:
+        """Merge-on-read: filter out rows whose (file, row index) is in
+        a deletion vector. No-op (and zero plan overhead) when none of
+        ``rel_paths`` carries a vector; otherwise the tombstone set —
+        bounded by MOR-deleted rows, the reason ``delete(mode=
+        'merge_on_read')`` is for small-fraction deletes — broadcasts
+        into an anti join against parquet's ``_metadata`` file/row
+        coordinates."""
+        relevant = {p: dvs[p] for p in rel_paths if p in dvs}
+        if not relevant:
+            return df
+        return self._with_dv_coords(df, rel_paths, dvs).select(*df.columns)
+
+    def _with_dv_coords(
+        self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
+    ) -> DataFrame:
+        """``df`` with ``__fp``/``__ri`` file-coordinate columns
+        appended and DV-masked rows removed. The coordinate columns
+        come from parquet's ``_metadata`` pseudo-column, which only
+        resolves on the scan relation — callers needing coordinates
+        must take them HERE, before any join hides the relation."""
+        out = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        rows = []
+        for p in rel_paths:
+            if p in dvs:
+                fp = "file:" + os.path.abspath(os.path.join(self.path, p))
+                rows.extend((fp, int(i)) for i in _unpack_dv(dvs[p]))
+        if not rows:
+            return out
+        tomb = self.spark.createDataFrame(rows, "__fp string, __ri long")
+        return out.join(F.broadcast(tomb), ["__fp", "__ri"], "left_anti")
 
     def _pruned_live(
         self, filters, as_of: int | None = None
@@ -952,22 +1033,44 @@ class AcidTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(schema))
             )
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in kept]
+        df = self._apply_dvs(
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in kept]
+            ),
+            kept,
+            self._resolve_state(as_of)[4],
         )
         return df.filter(pred) if filters else df
 
-    def delete(self, filters, *, max_retries: int = 5) -> int:
-        """DELETE WHERE as predicate copy-on-write: only live files
-        whose stats CAN contain a matching row are rewritten (with the
-        matching rows dropped); provably-unmatched files carry over to
-        the new snapshot untouched — the Delta/Iceberg delete shape,
-        and the reason a point delete on a partition-clustered 100 TB
-        table rewrites one partition, not the table. Empty filters are
-        rejected (use ``overwrite`` with an empty frame to truncate —
-        an explicit full-table delete should look explicit)."""
+    def delete(
+        self, filters, *, mode: str = "copy_on_write", max_retries: int = 5
+    ) -> int:
+        """DELETE WHERE. Two physical strategies, same logical result:
+
+        ``copy_on_write`` (default): only live files whose stats CAN
+        contain a matching row are rewritten (with the matching rows
+        dropped); provably-unmatched files carry over untouched — the
+        Delta/Iceberg v1 delete shape, and the reason a point delete
+        on a partition-clustered 100 TB table rewrites one partition,
+        not the table.
+
+        ``merge_on_read``: no data file is rewritten — the matching
+        rows' (file, row index) coordinates are committed as DELETION
+        VECTORS (Delta DVs / Iceberg v2 positional deletes) and every
+        reader masks them out. Delete cost is O(matching rows), write
+        amplification zero; read cost grows with accumulated vectors
+        until a rewrite of the file (compact / optimize / merge /
+        copy-on-write delete) MATERIALIZES them, which atomically
+        drops the vector. Suited to small-fraction deletes; for
+        GDPR-scale sweeps prefer copy_on_write or ``merge_delete``.
+
+        Empty filters are rejected (use ``overwrite`` with an empty
+        frame to truncate — an explicit full-table delete should look
+        explicit)."""
         if not filters:
             raise ValueError("delete() requires at least one filter")
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         pred = _filters_to_predicate(filters)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -976,9 +1079,41 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(filters, base)
             if not touched:
                 return base  # provably nothing to delete: no commit
-            remaining = self.spark.read.option("mergeSchema", "true").parquet(
+            dvs = self._resolve_state(base)[4]
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f) for f in touched]
-            ).filter(~pred)
+            )
+            if mode == "merge_on_read":
+                hits = (
+                    self._with_dv_coords(raw, touched, dvs)
+                    .filter(pred)
+                    .select("__fp", "__ri")
+                    .collect()
+                )
+                if not hits:
+                    return base  # stats false-positive: nothing matched
+                by_file: dict[str, list[int]] = {}
+                for r in hits:
+                    rel = next(
+                        (f for f in touched if r["__fp"].endswith(f)), None
+                    )
+                    if rel is None:  # never expected; fail loud
+                        raise RuntimeError(f"unmapped file {r['__fp']}")
+                    by_file.setdefault(rel, []).append(r["__ri"])
+                entries = []
+                for rel, idx in sorted(by_file.items()):
+                    if rel in dvs:
+                        idx = idx + _unpack_dv(dvs[rel])
+                    entries.append(
+                        {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
+                    )
+                try:
+                    return self._try_commit(
+                        base + 1, "delete", [], [], schema_json, dv=entries
+                    )
+                except CommitConflict:
+                    continue
+            remaining = self._apply_dvs(raw, touched, dvs).filter(~pred)
             add, schema = self._stage_actions(remaining)
             try:
                 return self._try_commit(base + 1, "delete", add, touched, schema)
@@ -1011,24 +1146,35 @@ class AcidTable:
         the feed within the vacuum retention window (the same
         contract Delta's CDF has with its VACUUM)."""
         until = self.latest_version() if until_version is None else until_version
-        live_new, schema_new = self._resolve_actions(until)
-        live_old, schema_old = self._resolve_actions(since_version)
-        added = sorted(set(live_new) - set(live_old))
-        removed = sorted(set(live_old) - set(live_new))
+        live_new, schema_new, _, _, dv_new = self._resolve_state(until)
+        live_old, schema_old, _, _, dv_old = self._resolve_state(since_version)
+        # diff on (path, deletion vector): a carried-over file whose
+        # vector changed must be read on BOTH sides — each side masked
+        # with its own vector, so exceptAll nets to exactly the
+        # newly-masked rows on the delete side. A file with an
+        # UNCHANGED vector still never gets read.
+        keys_new = {(p, dv_new.get(p)) for p in live_new}
+        keys_old = {(p, dv_old.get(p)) for p in live_old}
+        added = sorted(p for p, _ in keys_new - keys_old)
+        removed = sorted(p for p, _ in keys_old - keys_new)
         schema_json = schema_new or schema_old
         if schema_json is None:
             raise ValueError(f"table {self.path} has no commits")
 
-        def read(paths: list[str]) -> DataFrame:
+        def read(paths: list[str], dvs: dict[str, str]) -> DataFrame:
             if not paths:
                 return self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema_json))
                 )
-            return self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, p) for p in paths]
+            return self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                ),
+                paths,
+                dvs,
             )
 
-        a, r = read(added), read(removed)
+        a, r = read(added, dv_new), read(removed, dv_old)
         all_cols = list(dict.fromkeys(a.columns + r.columns))
         types = {f.name: f.dataType for f in a.schema.fields}
         types.update({f.name: f.dataType for f in r.schema.fields if f.name not in types})
@@ -1056,17 +1202,29 @@ class AcidTable:
         within the vacuum retention window (vacuum only deletes files
         unreferenced by every RETAINED snapshot, so a restorable
         version's files are exactly the retained ones)."""
-        target_live, target_schema, _, _ = self._resolve_state(version)
+        target_live, target_schema, _, _, target_dvs = self._resolve_state(version)
         if target_schema is None:
             raise ValueError(f"version {version} has no schema to restore")
         add = [{"path": p, "stats": s} for p, s in sorted(target_live.items())]
+        # restore the target's deletion vectors too: files with one get
+        # it back verbatim; files without get an explicit CLEAR (empty
+        # vector) so a vector added after `version` can't survive
+        dv_entries = [
+            {
+                "path": p,
+                "del": target_dvs.get(p, ""),
+                "n": len(_unpack_dv(target_dvs[p])) if p in target_dvs else 0,
+            }
+            for p in sorted(target_live)
+        ]
         for _ in range(max_retries):
             base = self.latest_version()
             live, _ = self._resolve(base)
             remove = [p for p in live if p not in target_live]
             try:
                 return self._try_commit(
-                    base + 1, "restore", add, remove, target_schema
+                    base + 1, "restore", add, remove, target_schema,
+                    dv=dv_entries,
                 )
             except CommitConflict:
                 continue
@@ -1148,11 +1306,15 @@ class AcidTable:
                 last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
                     return base
-            live, schema_json = self._resolve_actions(base)
+            live, schema_json, _, _, dvs = self._resolve_state(base)
             touched = self._touched_files(live, updates, keys)
             if touched:
-                target = self.spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in touched]
+                target = self._apply_dvs(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in touched]
+                    ),
+                    touched,
+                    dvs,
                 )
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
@@ -1205,11 +1367,15 @@ class AcidTable:
                 last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
                     return base
-            live, schema_json = self._resolve_actions(base)
+            live, schema_json, _, _, dvs = self._resolve_state(base)
             touched = self._touched_files(live, updates, keys)
             if touched:
-                target = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in touched]
+                target = self._apply_dvs(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in touched]
+                    ),
+                    touched,
+                    dvs,
                 )
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
@@ -1263,12 +1429,16 @@ class AcidTable:
                     return base
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
-            live, _ = self._resolve_actions(base)
+            live, _, _, _, dvs = self._resolve_state(base)
             touched = self._touched_files(live, key_set, keys)
             if not touched:
                 return base  # no file can contain a matching key
-            remaining = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in touched]
+            remaining = self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                ),
+                touched,
+                dvs,
             ).join(key_set, on=keys, how="left_anti")
             # join strategy stays Catalyst's call: AQE broadcasts a
             # small tombstone batch and shuffle-joins a huge one —

@@ -1261,3 +1261,53 @@ def test_acid_batch_change_feed_read(spark, tmp_path):
     assert read_cdf(startingVersion=1, endingVersion=1) == sorted(
         [(2, "b", "delete", 1), (2, "B2", "insert", 1)]
     )
+
+
+def test_acid_dsv2_reads_respect_deletion_vectors(spark, tmp_path):
+    """Merge-on-read DELETE through the DSv2 surfaces: the batch
+    reader masks DV'd rows, the CDF stream emits exactly the
+    newly-masked rows as deletes, and the append-only stream treats a
+    DV commit as a change commit."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, v string"
+        ).coalesce(1)
+    )
+    t.delete([("k", "<", 2)], mode="merge_on_read")
+
+    batch = spark.read.format("acidtable").load(p)
+    assert sorted(r.k for r in batch.collect()) == [2, 3, 4, 5]
+    # time travel to the pre-delete version still sees all rows
+    pinned = (
+        spark.read.format("acidtable").option("versionAsOf", 0).load(p)
+    )
+    assert pinned.count() == 6
+
+    feed = (
+        spark.read.format("acidtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(p)
+        .collect()
+    )
+    assert sorted((r.k, r._change_type) for r in feed) == [
+        (0, "delete"),
+        (1, "delete"),
+    ]
+
+    with pytest.raises(Exception, match="change commit"):
+        q = (
+            spark.readStream.format("acidtable")
+            .load(p)
+            .writeStream.format("memory")
+            .queryName("dv_append_only")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)

@@ -438,7 +438,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     }
 
     store.reads = 0
-    live, sch, txns, _ = t._resolve_state()
+    live, sch, txns, *_ = t._resolve_state()
     # newest checkpoint is v29 → 1 checkpoint read + commits 30..34
     assert store.reads <= 1 + (34 - 29) + 1
     assert txns == {"w": 34}
@@ -451,7 +451,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
             expect[a["path"]] = a.get("stats", {})
     assert live == expect
     # time travel BEFORE the first checkpoint still resolves
-    live5, _, txns5, _ = t._resolve_state(as_of=5)
+    live5, _, txns5, *_ = t._resolve_state(as_of=5)
     assert set(live5) == {f"data/x/{v}.parquet" for v in range(6)} - {
         "data/x/4.parquet"
     }
@@ -1051,3 +1051,96 @@ def test_properties_survive_checkpoints_and_data_commits(spark, tmp_path):
     assert fresh.properties()["owner"] == "pipeline-a"
     # time travel sees the pre-property state
     assert fresh.properties(as_of=0) == {}
+
+
+# ---- merge-on-read deletion vectors -----------------------------------
+
+
+def _dv_table(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_mor_delete_masks_without_rewriting(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    files_before, _ = t._resolve()
+    t.delete([("k", "<", 3)], mode="merge_on_read")
+    files_after, _ = t._resolve()
+    assert files_after == files_before  # zero write amplification
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(3, 10))
+    assert t.scan([("k", "<", 5)]).count() == 2  # 3, 4
+    # time travel sees the pre-delete rows
+    assert t.snapshot(as_of=0).count() == 10
+    dvs = t.deletion_vectors()
+    assert list(dvs.values()) == [[0, 1, 2]]
+
+
+def test_mor_deletes_accumulate_and_stay_idempotent(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+    t.delete([("k", "=", 4)], mode="merge_on_read")
+    assert sorted(r.k for r in t.snapshot().collect()) == [0, 2, 3, 5, 6, 7, 8, 9]
+    assert list(t.deletion_vectors().values()) == [[1, 4]]
+    v = t.latest_version()
+    # already-masked rows are invisible: re-deleting them is a no-op
+    assert t.delete([("k", "=", 1)], mode="merge_on_read") == v
+
+
+def test_rewrites_materialize_deletion_vectors(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete([("k", "<", 3)], mode="merge_on_read")
+    t.compact(n_files=1)
+    assert t.deletion_vectors() == {}  # vector gone with the rewrite
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(3, 10))
+    # copy-on-write delete on a DV'd file also materializes
+    t2 = _dv_table(spark, tmp_path / "two")
+    t2.delete([("k", "=", 5)], mode="merge_on_read")
+    t2.delete([("k", "=", 6)])  # cow rewrites the file
+    assert t2.deletion_vectors() == {}
+    assert sorted(r.k for r in t2.snapshot().collect()) == [0, 1, 2, 3, 4, 7, 8, 9]
+
+
+def test_merge_on_dv_file_does_not_resurrect(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete([("k", "=", 2)], mode="merge_on_read")
+    t.merge(spark.createDataFrame([(3, "V3")], "k long, v string"), ["k"])
+    got = sorted((r.k, r.v) for r in t.snapshot().collect())
+    assert (2, "v2") not in got
+    assert (3, "V3") in got
+    assert t.deletion_vectors() == {}  # merge rewrote the file
+
+
+def test_changes_feed_emits_dv_deletes_once(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    v0 = t.latest_version()
+    t.delete([("k", "in", [1, 2])], mode="merge_on_read")
+    feed = t.changes(v0).collect()
+    assert sorted((r.k, r._change_type) for r in feed) == [
+        (1, "delete"), (2, "delete")]
+    # a later pure-layout rewrite of the DV'd file nets to empty
+    v1 = t.latest_version()
+    t.compact(n_files=1)
+    assert t.changes(v1).count() == 0
+
+
+def test_restore_round_trips_deletion_vectors(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete([("k", "<", 5)], mode="merge_on_read")  # v1
+    t.restore(0)  # v2: rows back, vector cleared
+    assert t.snapshot().count() == 10
+    assert t.deletion_vectors() == {}
+    t.restore(1)  # v3: vector re-applied
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(5, 10))
+    assert list(t.deletion_vectors().values()) == [[0, 1, 2, 3, 4]]
+
+
+def test_vacuum_keeps_dv_referenced_files(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete([("k", "=", 0)], mode="merge_on_read")
+    t.vacuum(retain_versions=1, grace_seconds=0)
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(1, 10))
