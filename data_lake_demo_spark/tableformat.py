@@ -1522,24 +1522,49 @@ class AcidTable:
                 continue
         raise CommitConflict(f"scd2 lost {max_retries} commit races")
 
-    def compact(self, *, n_files: int = 16, max_retries: int = 5) -> int:
+    def compact(
+        self, *, n_files: int = 16, filters=(), max_retries: int = 5
+    ) -> int:
         """OPTIMIZE (bin-packing): rewrite the table into ``n_files``
         right-sized files as one atomic snapshot swap. The antidote to
         small-file buildup from streaming appends — a micro-batch sink
         commits a few small files per trigger, and parquet scan setup
         is per-file; periodic compaction restores scan efficiency
         without pausing ingestion (readers keep resolving consistent
-        snapshots throughout)."""
+        snapshots throughout).
+
+        ``filters`` scopes the rewrite (Delta's ``OPTIMIZE WHERE``):
+        only files whose stats ranges may match are rewritten; the
+        rest carry over untouched — at 100 TB you compact yesterday's
+        hot partition, not the table. Scoping is FILE-granular: every
+        row of a touched file is preserved (the predicate selects
+        files, never rows)."""
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
-            live, _ = self._resolve(base)
-            add, schema = self._stage_actions(
-                self.snapshot(base).repartition(n_files)
+            if filters:
+                touched, _, _ = self._pruned_live(filters, base)
+            else:
+                touched, _ = self._resolve(base)
+            if not touched:
+                return base  # nothing in scope: no commit
+            _, table_schema, _, _, dvs = self._resolve_state(base)
+            rows = self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                ),
+                touched,
+                dvs,
             )
+            add, schema = self._stage_actions(rows.repartition(n_files))
             try:
-                return self._try_commit(base + 1, "compact", add, live, schema)
+                # commit the TABLE schema, not the touched subset's —
+                # a scoped compact must not narrow columns that only
+                # exist in untouched files
+                return self._try_commit(
+                    base + 1, "compact", add, touched, table_schema or schema
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"compact lost {max_retries} commit races")

@@ -240,6 +240,30 @@ def test_minmax_merge_update_pair_converges(spark, tmp_path):
     assert _rows(mv._current()) == _rows(_recompute_minmax(base))
 
 
+def test_mor_delete_flows_through_mv_sync(spark, tmp_path):
+    """A merge-on-read DELETE (deletion vectors, no file rewrite)
+    surfaces in the change feed as the newly-masked rows, so the MV
+    folds it like any retraction; the later compaction that
+    materializes the vector is a pure-layout no-op to the feed."""
+    base, mv = _mk(spark, tmp_path)
+    base.append(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double"
+        ).coalesce(1)
+    )
+    mv.sync()
+    base.delete([("v", "=", 2.0)], mode="merge_on_read")
+    mv.sync()
+    _assert_converged(mv, base)
+    view = {r["k"]: (r["n"], r["total"]) for r in mv.view().collect()}
+    assert view == {"a": (1, 1.0), "b": (1, 3.0)}
+    v_before = mv.synced_version()
+    base.compact(n_files=1)  # materializes the vector
+    mv.sync()
+    _assert_converged(mv, base)
+    assert mv.synced_version() == base.latest_version() > v_before
+
+
 def test_streaming_cdf_drives_syncs_exactly_once(spark, tmp_path):
     """End-to-end: the acidtable CDF stream triggers MV syncs via
     foreachBatch; restart + replay leaves the MV correct."""

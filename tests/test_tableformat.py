@@ -1144,3 +1144,29 @@ def test_vacuum_keeps_dv_referenced_files(spark, tmp_path):
     t.delete([("k", "=", 0)], mode="merge_on_read")
     t.vacuum(retain_versions=1, grace_seconds=0)
     assert sorted(r.k for r in t.snapshot().collect()) == list(range(1, 10))
+
+
+def test_compact_where_scopes_the_rewrite(spark, tmp_path):
+    """OPTIMIZE WHERE: only files whose stats may match are rewritten;
+    out-of-scope files carry over by path (never read), and rows are
+    preserved exactly — file-granular scoping."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for d in ("2024-01-01", "2024-01-02"):
+        for p in range(3):  # three small files per day
+            t.append(
+                spark.createDataFrame(
+                    [(d, p * 10 + i) for i in range(5)], "day string, n long"
+                ).coalesce(1)
+            )
+    before, _ = t._resolve()
+    assert len(before) == 6
+    t.compact(n_files=1, filters=[("day", "=", "2024-01-02")])
+    after, _ = t._resolve()
+    day1_files = [f for f in before if f in after]
+    assert len(day1_files) == 3  # day-1 files untouched, by path
+    assert len(after) == 4  # 3 carried + 1 compacted
+    assert t.snapshot().count() == 30
+    assert t.scan([("day", "=", "2024-01-02")]).count() == 15
+    # out-of-scope predicate: no commit at all
+    v = t.latest_version()
+    assert t.compact(n_files=1, filters=[("day", "=", "2030-01-01")]) == v
