@@ -456,6 +456,26 @@ class AcidTable:
             p: _unpack_dv(b) for p, b in self._resolve_state(as_of)[4].items()
         }
 
+    def row_count(self, as_of: int | None = None) -> int:
+        """COUNT(*) from the manifest alone — per-file record counts
+        ride the log (Iceberg's record_count), minus deletion-vector
+        masks, so the answer costs one log resolution and ZERO data
+        reads. Files committed before the counts existed fall back to
+        a driver-side parquet FOOTER read (still metadata-only)."""
+        live, _, _, _, dvs = self._resolve_state(as_of)
+        total = 0
+        for p, stats in live.items():
+            n = stats.get("#rows")
+            if n is not None:
+                total += n[0]
+            else:  # pre-upgrade commit: footer metadata, no data scan
+                import pyarrow.parquet as pq
+
+                total += pq.read_metadata(os.path.join(self.path, p)).num_rows
+            if p in dvs:
+                total -= len(_unpack_dv(dvs[p]))
+        return total
+
     def _resolve_actions(
         self, as_of: int | None = None
     ) -> tuple[dict[str, dict], str | None]:
@@ -681,6 +701,10 @@ class AcidTable:
             rows, stats = self._file_meta(f)
             if rows == 0:
                 continue
+            if rows is not None:
+                # manifest row count (Iceberg record_count): powers
+                # metadata-only COUNT(*) via row_count()
+                stats["#rows"] = [rows]
             actions.append({"path": f, "stats": stats})
         if self.bloom_cols and actions:
             blooms = self._bloom_stats([a["path"] for a in actions])

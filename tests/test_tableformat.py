@@ -1170,3 +1170,16 @@ def test_compact_where_scopes_the_rewrite(spark, tmp_path):
     # out-of-scope predicate: no commit at all
     v = t.latest_version()
     assert t.compact(n_files=1, filters=[("day", "=", "2030-01-01")]) == v
+
+
+def test_row_count_is_metadata_only_and_dv_aware(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(20)], "k long"))
+    t.append(spark.createDataFrame([(i,) for i in range(20, 25)], "k long"))
+    assert t.row_count() == 25
+    t.delete([("k", "<", 3)], mode="merge_on_read")
+    assert t.row_count() == 22
+    assert t.row_count(as_of=0) == 20
+    t.delete([("k", "=", 10)])  # copy-on-write
+    assert t.row_count() == 21
+    assert t.row_count() == t.snapshot().count()
