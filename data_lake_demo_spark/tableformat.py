@@ -1145,6 +1145,125 @@ class AcidTable:
                 continue
         raise CommitConflict(f"delete lost {max_retries} commit races")
 
+    def update(
+        self,
+        assignments: dict[str, str],
+        filters=(),
+        *,
+        mode: str = "copy_on_write",
+        max_retries: int = 5,
+    ) -> int:
+        """UPDATE ... SET col = expr [WHERE ...] — the Delta UPDATE
+        shape. ``assignments`` maps existing columns to SQL expression
+        strings; every expression is evaluated against the PRE-update
+        row (standard SQL UPDATE semantics, so ``{"a": "b", "b": "a"}``
+        swaps), and the result is cast back to the column's declared
+        type so the table schema never drifts. Assigning a column the
+        table doesn't have is an error (UPDATE can't add columns —
+        that's schema evolution via append).
+
+        Two physical strategies, same logical result:
+
+        ``copy_on_write`` (default): files whose stats CAN contain a
+        matching row are rewritten with matching rows transformed and
+        the rest copied; provably-unmatched files carry over by path.
+        A cheap existence probe on the candidate files skips the
+        commit entirely when the stats ranges were a false positive
+        (the scan phase of Delta's two-phase UPDATE).
+
+        ``merge_on_read``: no live file is rewritten — the matching
+        rows' coordinates are committed as DELETION VECTORS and their
+        updated versions are appended as a new file in the SAME
+        commit (the Delta DV-update shape). Write cost is O(matching
+        rows); suited to small-fraction updates, and the change feed
+        sees exactly the delete+insert pair per updated row.
+
+        Empty ``filters`` means every row (UPDATE without WHERE).
+        CHECK constraints are enforced against the post-update rows
+        before anything is committed."""
+        if not assignments:
+            raise ValueError("update() requires at least one assignment")
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown update mode {mode!r}")
+        pred = _filters_to_predicate(filters)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            touched, _, schema_json = self._pruned_live(filters, base)
+            if not touched:
+                return base  # provably nothing to update: no commit
+            dvs = self._resolve_state(base)[4]
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            )
+            unknown = set(assignments) - set(raw.columns)
+            if unknown:
+                raise ValueError(
+                    f"update() targets unknown column(s) {sorted(unknown)}"
+                )
+            types = {f.name: f.dataType for f in raw.schema.fields}
+
+            def new_value(c):
+                return F.expr(assignments[c]).cast(types[c])
+
+            masked = self._apply_dvs(raw, touched, dvs)
+            updated_rows = masked.filter(pred).select(
+                *[
+                    new_value(c).alias(c) if c in assignments else F.col(c)
+                    for c in raw.columns
+                ]
+            )
+            if mode == "merge_on_read":
+                hits = (
+                    self._with_dv_coords(raw, touched, dvs)
+                    .filter(pred)
+                    .select("__fp", "__ri")
+                    .collect()
+                )
+                if not hits:
+                    return base  # stats false-positive: nothing matched
+                by_file: dict[str, list[int]] = {}
+                for r in hits:
+                    rel = next(
+                        (f for f in touched if r["__fp"].endswith(f)), None
+                    )
+                    if rel is None:  # never expected; fail loud
+                        raise RuntimeError(f"unmapped file {r['__fp']}")
+                    by_file.setdefault(rel, []).append(r["__ri"])
+                entries = []
+                for rel, idx in sorted(by_file.items()):
+                    if rel in dvs:
+                        idx = idx + _unpack_dv(dvs[rel])
+                    entries.append(
+                        {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
+                    )
+                self._enforce_constraints(updated_rows)
+                add, schema = self._stage_actions(updated_rows)
+                try:
+                    return self._try_commit(
+                        base + 1, "update", add, [], schema, dv=entries
+                    )
+                except CommitConflict:
+                    continue
+            if masked.filter(pred).limit(1).first() is None:
+                return base  # stats false-positive: nothing matched
+            self._enforce_constraints(updated_rows)
+            rewritten = masked.select(
+                *[
+                    F.when(pred, new_value(c)).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in raw.columns
+                ]
+            )
+            add, schema = self._stage_actions(rewritten)
+            try:
+                return self._try_commit(base + 1, "update", add, touched, schema)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"update lost {max_retries} commit races")
+
     def changes(
         self, since_version: int, until_version: int | None = None
     ) -> DataFrame:

@@ -1183,3 +1183,87 @@ def test_row_count_is_metadata_only_and_dv_aware(spark, tmp_path):
     t.delete([("k", "=", 10)])  # copy-on-write
     assert t.row_count() == 21
     assert t.row_count() == t.snapshot().count()
+
+
+def test_update_cow_scopes_rewrite_and_sees_old_values(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100, 110)], "k long, v long"
+        ).coalesce(1)
+    )
+    live0 = set(t._resolve(None)[0])
+    t.update({"v": "v + k"}, [("k", ">=", 100)])
+    live1 = set(t._resolve(None)[0])
+    # the low-range file provably can't match: carried over by path
+    assert len(live0 & live1) == 1
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[5] == 50 and got[100] == 1100 and got[109] == 1199
+    # swap semantics: every assignment sees the PRE-update row
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, 2)], "a long, b long"))
+    t2.update({"a": "b", "b": "a"})
+    assert t2.snapshot().collect()[0].asDict() == {"a": 2, "b": 1}
+
+
+def test_update_mor_masks_and_appends_in_one_commit(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+        .coalesce(1)
+    )
+    v0 = t.latest_version()
+    v1 = t.update({"v": "v * 100"}, [("k", "in", [3, 7])], mode="merge_on_read")
+    assert v1 == v0 + 1  # DV-mask + append land atomically
+    assert t.row_count() == 10
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[3] == 300 and got[7] == 700 and got[0] == 0
+    assert t.deletion_vectors()  # old rows masked, no file rewritten
+    feed = t.changes(v0, v1).collect()
+    by = {(r["_change_type"], r["k"]): r["v"] for r in feed}
+    assert by == {
+        ("delete", 3): 3, ("delete", 7): 7,
+        ("insert", 3): 300, ("insert", 7): 700,
+    }
+
+
+def test_update_guards_and_noop_paths(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(0, 20, 2)], "k long")
+        .coalesce(1)
+    )
+    v = t.latest_version()
+    # out of stats range: pruned, no commit; in range but absent:
+    # existence probe / empty hit set, no commit (both modes)
+    assert t.update({"k": "k + 1"}, [("k", "=", 100)]) == v
+    assert t.update({"k": "k + 1"}, [("k", "=", 3)]) == v
+    assert t.update({"k": "k"}, [("k", "=", 3)], mode="merge_on_read") == v
+    with pytest.raises(ValueError):
+        t.update({}, [("k", "=", 2)])
+    with pytest.raises(ValueError):
+        t.update({"nope": "1"})
+    t.set_check_constraint("pos", "k >= 0")
+    with pytest.raises(ValueError):
+        t.update({"k": "k - 100"}, [("k", "=", 2)])
+    assert t.latest_version() == v + 1  # only the constraint commit landed
+
+
+def test_update_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(6)], "k long").coalesce(1)
+    )
+    t.delete([("k", "<", 2)], mode="merge_on_read")
+    t.update({"k": "k + 100"})  # unfiltered copy-on-write
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [102, 103, 104, 105]
+    t.update({"k": "k + 1000"}, mode="merge_on_read")  # unfiltered MOR
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [
+        1102, 1103, 1104, 1105
+    ]
+    assert t.row_count() == 4
