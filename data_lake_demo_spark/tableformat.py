@@ -1373,6 +1373,195 @@ class AcidTable:
                 continue
         raise CommitConflict(f"restore lost {max_retries} commit races")
 
+    # ---- named refs: tags and write-audit-publish branches --------------
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]*$")
+
+    @classmethod
+    def _check_ref_name(cls, name: str) -> None:
+        if not cls._REF_NAME_RE.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Iceberg-style TAG: an immutable named pointer at a snapshot
+        (``prod-2026-08-14``-shaped release marks). Stored in the same
+        log store via put-if-absent, so tag creation is atomic and a
+        name can never be re-pointed; commit resolution ignores ref
+        objects (strict digit-stem filter). Read back with
+        ``snapshot(as_of=t.tag_version(name))``. Tags do NOT pin
+        vacuum retention (same as Iceberg, where expire_snapshots
+        honors refs — here the retain_versions window must cover the
+        tagged version; documented trade)."""
+        self._check_ref_name(name)
+        latest = self.latest_version()
+        v = latest if version is None else version
+        if not 0 <= v <= latest:
+            raise ValueError(f"version {v} does not exist (latest {latest})")
+        try:
+            self.log.put_if_absent(
+                f"tag-{name}.ref",
+                json.dumps({"version": v, "ts": time.time()}).encode(),
+            )
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        return v
+
+    def tag_version(self, name: str) -> int:
+        self._check_ref_name(name)
+        try:
+            return json.loads(self.log.read(f"tag-{name}.ref"))["version"]
+        except (FileNotFoundError, KeyError):
+            raise ValueError(f"no tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for n in self.log.list_names():
+            if n.startswith("tag-") and n.endswith(".ref"):
+                out[n[4:-4]] = json.loads(self.log.read(n))["version"]
+        return out
+
+    def _branch_store(self, name: str, log_store: LogStore | None) -> LogStore:
+        return log_store or LocalFSLogStore(
+            os.path.join(self.path, f"_branch_{name}")
+        )
+
+    def create_branch(
+        self, name: str, *, log_store: LogStore | None = None
+    ) -> "AcidTable":
+        """Write-audit-publish (Iceberg WAP / Nessie branch): an
+        isolated commit log seeded with the current snapshot, SHARING
+        the table's data directory. Writes to the returned handle
+        (append / update / delete / merge — the full verb set) are
+        invisible to main-table readers until ``publish_branch`` folds
+        the branch's net effect back as one atomic commit; until then
+        the branch is the audit surface (query it, run checks, walk
+        away by simply never publishing).
+
+        The branch seed carries the base's live set BY PATH (no data
+        copied), plus schema, properties (constraints keep enforcing
+        on branch writes), and deletion vectors. Caveats: txn
+        watermarks do NOT carry (stream into main, not a branch), and
+        main-table ``vacuum`` treats unpublished branch files as
+        uncommitted staging — protected only by the grace window, so
+        don't vacuum main while a branch sits unpublished longer than
+        ``grace_seconds``."""
+        self._check_ref_name(name)
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} has no commits to branch")
+        try:
+            self.log.put_if_absent(
+                f"branch-{name}.ref",
+                json.dumps({"base": base, "ts": time.time()}).encode(),
+            )
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        live, schema, _, props, dvs = self._resolve_state(base)
+        br = AcidTable(
+            self.spark,
+            self.path,
+            log_store=self._branch_store(name, log_store),
+            checkpoint_interval=self.checkpoint_interval,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+        )
+        br._try_commit(
+            0,
+            "branch",
+            [{"path": p, "stats": s} for p, s in sorted(live.items())],
+            [],
+            schema,
+            props=props,
+            dv=[
+                {"path": p, "del": dvs[p], "n": len(_unpack_dv(dvs[p]))}
+                for p in sorted(dvs)
+            ],
+        )
+        return br
+
+    def branch(
+        self, name: str, *, log_store: LogStore | None = None
+    ) -> "AcidTable":
+        """Reopen a branch created by ``create_branch`` (pass the same
+        ``log_store`` if the branch lives on a non-default backend)."""
+        self._check_ref_name(name)
+        self._branch_base(name)  # existence check
+        return AcidTable(
+            self.spark,
+            self.path,
+            log_store=self._branch_store(name, log_store),
+            checkpoint_interval=self.checkpoint_interval,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+        )
+
+    def _branch_base(self, name: str) -> int:
+        try:
+            return json.loads(self.log.read(f"branch-{name}.ref"))["base"]
+        except (FileNotFoundError, KeyError):
+            raise ValueError(f"no branch {name!r}") from None
+
+    def branches(self) -> dict[str, int]:
+        """{branch name: base version} for every registered branch."""
+        out = {}
+        for n in self.log.list_names():
+            if n.startswith("branch-") and n.endswith(".ref"):
+                out[n[7:-4]] = json.loads(self.log.read(n))["base"]
+        return out
+
+    def publish_branch(
+        self, name: str, *, log_store: LogStore | None = None
+    ) -> int:
+        """Fold a branch's net effect back into the main log as ONE
+        atomic commit (the WAP publish / Iceberg fast-forward). The
+        publish is computed as a state DIFF — branch live set vs the
+        base snapshot — so N branch commits (including compactions
+        that only reshuffled layout) collapse into a single
+        add/remove/dv action list, and files the branch carried
+        untouched are never mentioned, let alone read.
+
+        Strictly fast-forward: if the MAIN log advanced past the
+        branch's base (any commit — data, properties, another
+        publish), publishing raises ``CommitConflict`` and the branch
+        must be re-created from the new head (rebase is the caller's
+        policy decision: replay, or diff-and-reapply via MERGE). This
+        is the conservative Iceberg fast_forward contract — never
+        silently interleave audited state with unaudited writes."""
+        base = self._branch_base(name)
+        br = self.branch(name, log_store=log_store)
+        live_b, schema_b, _, props_b, dvs_b = br._resolve_state(None)
+        live_base, _, _, props_base, dvs_base = self._resolve_state(base)
+        adds = [
+            {"path": p, "stats": s}
+            for p, s in sorted(live_b.items())
+            if p not in live_base
+        ]
+        removes = sorted(p for p in live_base if p not in live_b)
+        dv_entries = []
+        for p in sorted(live_b):
+            old = dvs_base.get(p, "") if p in live_base else ""
+            new = dvs_b.get(p, "")
+            if new != old:
+                dv_entries.append(
+                    {"path": p, "del": new,
+                     "n": len(_unpack_dv(new)) if new else 0}
+                )
+        cur = self.latest_version()
+        if cur != base:
+            raise CommitConflict(
+                f"publish of branch {name!r} requires fast-forward: main is"
+                f" at v{cur}, branch based on v{base} — re-branch and replay"
+            )
+        return self._try_commit(
+            base + 1,
+            "publish",
+            adds,
+            removes,
+            schema_b,
+            props=props_b if props_b != props_base else None,
+            dv=dv_entries,
+        )
+
     def _touched_files(
         self,
         live: dict[str, dict],

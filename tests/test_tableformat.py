@@ -1267,3 +1267,82 @@ def test_update_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
         1102, 1103, 1104, 1105
     ]
     assert t.row_count() == 4
+
+
+def test_tags_are_immutable_named_snapshots(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.create_tag("v2")
+    assert t.tags() == {"v1": 0, "v2": 1}
+    assert t.snapshot(as_of=t.tag_version("v1")).count() == 1
+    assert t.snapshot(as_of=t.tag_version("v2")).count() == 2
+    with pytest.raises(ValueError):
+        t.create_tag("v1")  # immutable: no re-pointing
+    with pytest.raises(ValueError):
+        t.create_tag("v3", version=99)
+    with pytest.raises(ValueError):
+        t.tag_version("nope")
+    with pytest.raises(ValueError):
+        t.create_tag("bad name")
+
+
+def test_branch_wap_isolated_then_published_atomically(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+        .coalesce(1)
+    )
+    base = t.latest_version()
+    br = t.create_branch("audit")
+    assert t.branches() == {"audit": base}
+    # branch sees the seed, then takes writes main can't see
+    assert br.snapshot().count() == 10
+    br.append(spark.createDataFrame([(100, 100)], "k long, v long"))
+    br.delete([("k", "<", 3)])
+    br.update({"v": "v * 10"}, [("k", "=", 5)])
+    assert t.latest_version() == base  # main untouched
+    assert t.snapshot().count() == 10
+    # audit on the branch, then publish: ONE commit lands the net state
+    assert br.snapshot().count() == 8
+    v = t.publish_branch("audit")
+    assert v == base + 1
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert set(got) == {3, 4, 5, 6, 7, 8, 9, 100}
+    assert got[5] == 50 and got[100] == 100
+    # the publish commit is a pure state diff (no carried-file noise)
+    c = t._read_commit(v)
+    assert c.op == "publish"
+    assert all(p not in {a["path"] for a in c.add} for p in c.remove)
+
+
+def test_branch_publish_requires_fast_forward(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    br = t.create_branch("wap")
+    br.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))  # main advances
+    with pytest.raises(CommitConflict):
+        t.publish_branch("wap")
+    with pytest.raises(ValueError):
+        t.create_branch("wap")  # name taken
+    with pytest.raises(ValueError):
+        t.publish_branch("ghost")
+
+
+def test_branch_mor_vectors_and_inmemory_backend_publish(spark, tmp_path):
+    from data_lake_demo_spark.storage import InMemoryLogStore
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(6)], "k long").coalesce(1)
+    )
+    store = InMemoryLogStore()
+    br = t.create_branch("dv", log_store=store)
+    br.delete([("k", "=", 4)], mode="merge_on_read")
+    assert t.deletion_vectors() == {}  # vector is branch-local
+    t.publish_branch("dv", log_store=store)
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 2, 3, 5]
+    assert t.deletion_vectors()  # the branch's vector landed on main
+    assert t.row_count() == 5
