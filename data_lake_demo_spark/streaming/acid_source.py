@@ -429,18 +429,34 @@ class _AcidStreamReader(DataSourceStreamReader):
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        # admission control (Delta's maxFilesPerTrigger analog, at
+        # commit granularity since a commit is the atomic unit here):
+        # each micro-batch consumes at most N commits, bounding batch
+        # size when tailing a backlog. Position tracking is driver-
+        # local, so the FIRST batch after a restart is uncapped (the
+        # checkpointed start isn't visible in latestOffset()) —
+        # subsequent batches are capped again; documented caveat.
+        mct = options.get("maxcommitspertrigger")
+        self._max_commits = int(mct) if mct is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self._pos: int | None = None
 
     def initialOffset(self) -> dict:
         start = self._options.get("startingversion")
-        if start is not None:
-            return {"version": int(start)}
-        return {"version": 0}
+        v = int(start) if start is not None else 0
+        self._pos = v
+        return {"version": v}
 
     def latestOffset(self) -> dict:
-        return {"version": _table(self._options).latest_version() + 1}
+        latest = _table(self._options).latest_version() + 1
+        if self._max_commits is None or self._pos is None:
+            return {"version": latest}
+        return {"version": min(latest, self._pos + self._max_commits)}
 
     def partitions(self, start: dict, end: dict):
         t = _table(self._options)
+        self._pos = end["version"]
         if self._cdf:
             # one planner pass folds live-set + deletion-vector state
             # across the batch's commit range (rewrite commits diff

@@ -1311,3 +1311,55 @@ def test_acid_dsv2_reads_respect_deletion_vectors(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_acid_stream_max_commits_per_trigger(spark, tmp_path):
+    """Admission control: maxCommitsPerTrigger bounds each planned
+    micro-batch to N commits; the unit-level offset walk is
+    deterministic, and an end-to-end drain still delivers everything."""
+    from data_lake_demo_spark.streaming.acid_source import (
+        _AcidStreamReader,
+        read_table_stream,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+
+    r = _AcidStreamReader({"path": p, "maxcommitspertrigger": "2"}, ["k"])
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}  # capped at +2
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 4}
+    r.partitions({"version": 2}, {"version": 4})
+    assert r.latestOffset() == {"version": 5}  # backlog drained: clamp
+    r.partitions({"version": 4}, {"version": 5})
+    assert r.latestOffset() == {"version": 5}  # caught up: no movement
+
+    # restart shape: no initialOffset call → first batch uncapped,
+    # position re-learned from the planned range
+    r2 = _AcidStreamReader({"path": p, "maxcommitspertrigger": "2"}, ["k"])
+    assert r2.latestOffset() == {"version": 5}
+    r2.partitions({"version": 3}, {"version": 5})
+    assert r2.latestOffset() == {"version": 5}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _AcidStreamReader({"path": p, "maxcommitspertrigger": "0"}, ["k"])
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_table_stream(spark, p, maxCommitsPerTrigger=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["k"] for r in spark.read.parquet(out).collect()
+    ) == [0, 1, 2, 3, 4]
