@@ -816,6 +816,64 @@ class AcidTable:
     def drop_check_constraint(self, name: str) -> int:
         return self.set_properties({self._CONSTRAINT_PREFIX + name: None})
 
+    _GENERATED_PREFIX = "generated."
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Delta's ``GENERATED ALWAYS AS (expr)``: the column's value
+        is derived from other columns. A write batch that omits the
+        column gets it computed; a batch that supplies it is validated
+        (null-safe equality, one ``limit(1)`` probe) and rejected on
+        any mismatch — so the invariant can never drift. ``update()``
+        probes the invariant on its post-update rows too (it does NOT
+        recompute — assign the source and generated columns together).
+        Retrofit rule: on a non-empty table the column must already
+        exist and already satisfy the expression (validated here),
+        mirroring the constraint shape."""
+        snap = self.snapshot()
+        if snap.take(1):
+            if name not in snap.columns:
+                raise ValueError(
+                    f"generated column {name!r} must exist before it can"
+                    " be declared on a non-empty table"
+                )
+            self._check_generated(snap, {self._GENERATED_PREFIX + name: expr})
+        return self.set_properties({self._GENERATED_PREFIX + name: expr})
+
+    def drop_generated_column(self, name: str) -> int:
+        return self.set_properties({self._GENERATED_PREFIX + name: None})
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute missing generated columns; validate supplied ones.
+        Zero plan overhead when the table declares none."""
+        for key, expr in self.properties().items():
+            if not key.startswith(self._GENERATED_PREFIX):
+                continue
+            col = key[len(self._GENERATED_PREFIX):]
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                self._check_generated(df, {key: expr})
+        return df
+
+    def _check_generated(self, df: DataFrame, props: dict | None = None) -> None:
+        props = self.properties() if props is None else props
+        for key, expr in props.items():
+            if not key.startswith(self._GENERATED_PREFIX):
+                continue
+            col = key[len(self._GENERATED_PREFIX):]
+            if col not in df.columns:
+                continue
+            bad = (
+                df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"generated column {col!r} ({expr}) mismatch on e.g."
+                    f" {bad[0].asDict()!r}"
+                )
+
     def _enforce_constraints(
         self, df: DataFrame, props: dict | None = None
     ) -> None:
@@ -855,6 +913,7 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
@@ -892,6 +951,7 @@ class AcidTable:
     ) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         add, schema = self._stage_actions(df, partition_by=partition_by)
         for _ in range(max_retries):
@@ -1239,6 +1299,7 @@ class AcidTable:
                         {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
                     )
                 self._enforce_constraints(updated_rows)
+                self._check_generated(updated_rows)
                 add, schema = self._stage_actions(updated_rows)
                 try:
                     return self._try_commit(
@@ -1249,6 +1310,7 @@ class AcidTable:
             if masked.filter(pred).limit(1).first() is None:
                 return base  # stats false-positive: nothing matched
             self._enforce_constraints(updated_rows)
+            self._check_generated(updated_rows)
             rewritten = masked.select(
                 *[
                     F.when(pred, new_value(c)).otherwise(F.col(c)).alias(c)
@@ -1372,6 +1434,89 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"restore lost {max_retries} commit races")
+
+    # ---- metadata tables (Iceberg .files / DESCRIBE HISTORY / DETAIL) ---
+
+    def files(self, as_of: int | None = None) -> DataFrame:
+        """The live manifest as a queryable DataFrame — Iceberg's
+        ``.files`` metadata table: one row per live data file with its
+        record count, on-disk size, masked-row count, and the footer
+        stats JSON. Built from the log plus driver-side ``stat()``
+        calls — no data file is opened, so it stays cheap at any table
+        size (cost scales with file COUNT, like any planner pass)."""
+        live, _, _, _, dvs = self._resolve_state(as_of)
+        rows = []
+        for p, stats in sorted(live.items()):
+            n = stats.get("#rows")
+            try:
+                size = os.path.getsize(os.path.join(self.path, p))
+            except OSError:
+                size = None
+            rows.append(
+                (
+                    p,
+                    n[0] if n else None,
+                    size,
+                    len(_unpack_dv(dvs[p])) if p in dvs else 0,
+                    json.dumps(stats),
+                )
+            )
+        schema = (
+            "path string, record_count long, size_bytes long,"
+            " masked_rows long, stats string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame: one row per commit with
+        operation, timestamp, add/remove/vector action counts, and the
+        idempotency txn if any. Log-only (no data reads)."""
+        rows = [
+            (
+                c.version,
+                c.op,
+                float(c.ts),
+                len(c.add),
+                len(c.remove),
+                len(c.dv or ()),
+                c.txn["app"] if c.txn else None,
+                c.txn["batch_id"] if c.txn else None,
+            )
+            for c in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, timestamp double, n_added"
+            " long, n_removed long, n_dv long, txn_app string,"
+            " txn_batch_id long",
+        )
+
+    def detail(self, as_of: int | None = None) -> dict:
+        """DESCRIBE DETAIL: one metadata-only summary dict (file and
+        row counts, total bytes, DV state, schema column names,
+        properties, ref counts)."""
+        live, schema, _, props, dvs = self._resolve_state(as_of)
+        size = 0
+        for p in live:
+            try:
+                size += os.path.getsize(os.path.join(self.path, p))
+            except OSError:
+                pass
+        cols = (
+            [f["name"] for f in json.loads(schema)["fields"]] if schema else []
+        )
+        return {
+            "location": self.path,
+            "num_files": len(live),
+            "size_bytes": size,
+            "num_rows": self.row_count(as_of),
+            "num_deletion_vectors": len(dvs),
+            "columns": cols,
+            "properties": props,
+            "num_tags": len(self.tags()),
+            "num_branches": len(self.branches()),
+            "latest_version": self.latest_version(),
+        }
 
     # ---- named refs: tags and write-audit-publish branches --------------
 

@@ -4,7 +4,10 @@ time travel, optimistic concurrency (data_lake_demo_spark/tableformat).
 
 from __future__ import annotations
 
+import json
 import threading
+
+from pyspark.sql import functions as F
 
 import pytest
 
@@ -1346,3 +1349,72 @@ def test_branch_mor_vectors_and_inmemory_backend_publish(spark, tmp_path):
     assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 2, 3, 5]
     assert t.deletion_vectors()  # the branch's vector landed on main
     assert t.row_count() == 5
+
+
+def test_metadata_tables_files_history_detail(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(8)], "k long").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(i,) for i in range(8, 10)], "k long")
+        .coalesce(1)
+    )
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+    t.create_tag("rc1")
+
+    f = t.files().collect()
+    assert len(f) == 2
+    by_rows = {r["record_count"]: r for r in f}
+    assert set(by_rows) == {8, 2}
+    assert by_rows[8]["masked_rows"] == 1 and by_rows[2]["masked_rows"] == 0
+    assert all(r["size_bytes"] > 0 for r in f)
+    assert json.loads(by_rows[2]["stats"])["k"] == [8, 9]
+
+    h = {r["version"]: r for r in t.history_df().collect()}
+    assert [h[v]["operation"] for v in sorted(h)] == [
+        "append", "append", "delete"
+    ]
+    assert h[2]["n_dv"] == 1 and h[2]["n_added"] == 0
+
+    d = t.detail()
+    assert d["num_files"] == 2 and d["num_rows"] == 9
+    assert d["num_deletion_vectors"] == 1 and d["columns"] == ["k"]
+    assert d["num_tags"] == 1 and d["latest_version"] == 2
+    # time travel: detail as of the first commit
+    assert t.detail(as_of=0)["num_rows"] == 8
+
+
+def test_generated_columns_compute_validate_and_guard_update(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        .withColumn("v2", F.expr("v * 2"))
+    )
+    t.set_generated_column("v2", "v * 2")
+    # omitted -> computed
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    got = {r["k"]: r["v2"] for r in t.snapshot().collect()}
+    assert got == {1: 20, 2: 40, 3: 60}
+    # supplied and consistent -> accepted
+    t.append(
+        spark.createDataFrame([(4, 40, 80)], "k long, v long, v2 long")
+    )
+    # supplied and WRONG -> rejected wholesale
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame([(5, 50, 1)], "k long, v long, v2 long")
+        )
+    # update() probes the invariant on post-update rows
+    with pytest.raises(ValueError):
+        t.update({"v": "v + 1"}, [("k", "=", 1)])
+    t.update({"v": "v + 1", "v2": "(v + 1) * 2"}, [("k", "=", 1)])
+    got = {r["k"]: (r["v"], r["v2"]) for r in t.snapshot().collect()}
+    assert got[1] == (11, 22)
+    # retrofit guards: declaring on a non-empty table needs the column
+    with pytest.raises(ValueError):
+        t.set_generated_column("nope", "v * 3")
+    with pytest.raises(ValueError):  # existing rows must already satisfy
+        t.set_generated_column("v", "v2")
+    t.drop_generated_column("v2")
+    t.append(spark.createDataFrame([(6, 60)], "k long, v long"))  # v2 null ok
