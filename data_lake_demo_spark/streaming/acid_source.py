@@ -351,11 +351,32 @@ _PUSHABLE_OPS = {
 }
 
 
+def _reverse_colmap(options, pinned: bool = False) -> dict:
+    """{logical: physical} for a column-mapped table (empty when the
+    table has no mapping or no commits yet). Planner-side: log reads
+    only, no SparkSession. ``pinned`` resolves the map as of the
+    versionAsOf/timestampAsOf option (time travel shows each
+    version's own column names)."""
+    try:
+        t = _table(options)
+        as_of = _as_of_version(t, options) if pinned else None
+        colmap = t._colmap(as_of)
+    except Exception:
+        return {}
+    return {lg: ph for ph, lg in colmap.items() if lg}
+
+
 class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._cdf = _cdf_enabled(options)
-        self._fields = schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
+        fields = schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
+        # schema fields arrive LOGICAL (DataSource.schema applies the
+        # column mapping); parquet access needs PHYSICAL names — the
+        # output binding is positional, so translating here is the
+        # whole read-side story
+        self._rev = _reverse_colmap(options, pinned=True)
+        self._fields = [self._rev.get(f, f) for f in fields]
         self._pushed: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -380,7 +401,8 @@ class _AcidBatchReader(DataSourceReader):
                 val = getattr(f, "value", None)
                 if op == "in":
                     val = list(val)
-                self._pushed.append((attr[0], op, val))
+                col = self._rev.get(attr[0], attr[0])
+                self._pushed.append((col, op, val))
             yield f  # always residual — pruning is best-effort
 
     def partitions(self):
@@ -423,9 +445,13 @@ class _AcidStreamReader(DataSourceStreamReader):
         self._cdf = _cdf_enabled(options)
         # CDF rows append (_change_type, _commit_version,
         # _commit_timestamp); data fields are everything before them
-        self._fields = (
+        fields = (
             schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
         )
+        # logical schema names -> physical parquet names (positional
+        # output binding, same as the batch reader)
+        rev = _reverse_colmap(options)
+        self._fields = [rev.get(f, f) for f in fields]
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
@@ -505,14 +531,17 @@ class _StagedFiles(WriterCommitMessage):
         self.rels = rels
 
 
-def _stage_write(iterator, table_path: str, stage_id: str):
+def _stage_write(iterator, table_path: str, stage_id: str, rev: dict | None = None):
     """Executor-side half of a distributed acidtable write: stream the
     task's Arrow batches into ONE parquet file under data/<stage_id>/.
     The file is invisible to readers until the driver's commit
     references it — task retries/speculation just orphan a file the
-    vacuum sweeps later, they can never corrupt the table."""
+    vacuum sweeps later, they can never corrupt the table. ``rev``
+    (logical -> physical, column-mapped tables only) renames batch
+    columns so staged files always carry physical names."""
     import uuid
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     data_dir = os.path.join(table_path, "data", stage_id)
@@ -522,6 +551,11 @@ def _stage_write(iterator, table_path: str, stage_id: str):
     n_rows = 0
     try:
         for batch in iterator:
+            if rev:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns),
+                    names=[rev.get(n, n) for n in batch.schema.names],
+                )
             if writer is None:
                 writer = pq.ParquetWriter(
                     os.path.join(data_dir, name), batch.schema
@@ -561,6 +595,37 @@ def _drop_staged(table_path: str, messages) -> None:
                 pass  # abort cleanup is best-effort; vacuum catches the rest
 
 
+def _writer_physical(options, schema: T.StructType) -> tuple[str, dict | None]:
+    """(physical schema json, logical->physical rename map or None)
+    for a write into a possibly column-mapped table. Rejects writing
+    a column whose name is reserved by a renamed/dropped physical
+    column — same restriction as AcidTable._physicalize."""
+    try:
+        colmap = _table(options)._colmap()
+    except Exception:
+        colmap = {}
+    if not colmap:
+        return schema.json(), None
+    rev = {lg: ph for ph, lg in colmap.items() if lg}
+    for f in schema.fields:
+        if f.name in colmap and colmap[f.name] != f.name and f.name not in rev:
+            state = (
+                "dropped" if colmap[f.name] == ""
+                else f"renamed to {colmap[f.name]!r}"
+            )
+            raise ValueError(
+                f"column name {f.name!r} is reserved: its physical column"
+                f" was {state}; choose a different name"
+            )
+    phys = T.StructType(
+        [
+            T.StructField(rev.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return phys.json(), rev
+
+
 class _AcidBatchWriter(DataSourceArrowWriter):
     """``df.write.format("acidtable").mode("append"|"overwrite")``:
     executors stream Arrow batches straight to staged parquet; the
@@ -574,7 +639,6 @@ class _AcidBatchWriter(DataSourceArrowWriter):
         import uuid
 
         self._options = options
-        self._schema_json = schema.json()
         self._overwrite = overwrite
         self._path = options.get("path")
         if self._path:
@@ -583,10 +647,11 @@ class _AcidBatchWriter(DataSourceArrowWriter):
             raise ValueError(
                 "acidtable writer requires .option('path', ...) or save(path)"
             )
+        self._schema_json, self._rev = _writer_physical(options, schema)
         self._stage_id = uuid.uuid4().hex
 
     def write(self, iterator):
-        return _stage_write(iterator, self._path, self._stage_id)
+        return _stage_write(iterator, self._path, self._stage_id, self._rev)
 
     def commit(self, messages):
         t = _table(self._options)
@@ -609,7 +674,6 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options, schema: T.StructType, overwrite: bool):
         self._options = options
-        self._schema_json = schema.json()
         self._overwrite = overwrite
         self._path = options.get("path")
         if self._path:
@@ -618,6 +682,7 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 "acidtable stream writer requires .option('path', ...)"
             )
+        self._schema_json, self._rev = _writer_physical(options, schema)
         self._app = options.get("txnappid") or f"acidtable-stream:{self._path}"
 
     def write(self, iterator):
@@ -625,7 +690,7 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
 
         # one stage dir per task attempt; commit-message paths are what
         # tie the files to the batch, not the directory name
-        return _stage_write(iterator, self._path, uuid.uuid4().hex)
+        return _stage_write(iterator, self._path, uuid.uuid4().hex, self._rev)
 
     def commit(self, messages, batchId: int) -> None:
         # overwrite=True arrives for COMPLETE output mode, whose every
@@ -656,10 +721,22 @@ class AcidTableDataSource(DataSource):
 
     def schema(self):
         t = _table(self.options)
-        _, schema_json = t._resolve(_as_of_version(t, self.options))
+        as_of = _as_of_version(t, self.options)
+        _, schema_json = t._resolve(as_of)
         if schema_json is None:
             raise ValueError(f"table {t.path} has no commits")
         st = T.StructType.fromJson(json.loads(schema_json))
+        colmap = t._colmap(as_of)
+        if colmap:  # column mapping: expose logical names, hide drops
+            st = T.StructType(
+                [
+                    T.StructField(
+                        colmap.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in st.fields
+                    if colmap.get(f.name, f.name) != ""
+                ]
+            )
         if _cdf_enabled(self.options):
             st = (
                 st.add("_change_type", T.StringType())

@@ -915,7 +915,11 @@ class AcidTable:
                 return self.latest_version()
         df = self._apply_generated(df)
         self._enforce_constraints(df)
-        add, schema = self._stage_actions(df, partition_by=partition_by)
+        colmap = self._colmap()
+        add, schema = self._stage_actions(
+            self._physicalize(df, colmap),
+            partition_by=self._phys_partition_by(partition_by, colmap),
+        )
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -953,7 +957,11 @@ class AcidTable:
         new set in one commit)."""
         df = self._apply_generated(df)
         self._enforce_constraints(df)
-        add, schema = self._stage_actions(df, partition_by=partition_by)
+        colmap = self._colmap()
+        add, schema = self._stage_actions(
+            self._physicalize(df, colmap),
+            partition_by=self._phys_partition_by(partition_by, colmap),
+        )
         for _ in range(max_retries):
             base = self.latest_version()
             live, _ = self._resolve(base if base >= 0 else None)
@@ -1028,11 +1036,15 @@ class AcidTable:
         For timestamp-based travel resolve the version first:
         ``snapshot(as_of=t.version_at_timestamp(ts))``."""
         files, schema = self._resolve(as_of)
+        colmap = self._colmap(as_of)
         if not files:
             if schema is None:
                 raise ValueError(f"table {self.path} has no commits")
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema))
+            return self._logicalize(
+                self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema))
+                ),
+                colmap,
             )
         # mergeSchema: additive schema evolution across commits — an
         # append with new columns widens the table; older files read
@@ -1041,7 +1053,9 @@ class AcidTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
-        return self._apply_dvs(df, files, self._resolve_state(as_of)[4])
+        return self._logicalize(
+            self._apply_dvs(df, files, self._resolve_state(as_of)[4]), colmap
+        )
 
     def _apply_dvs(
         self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
@@ -1109,13 +1123,18 @@ class AcidTable:
         time) an equality filter on the cluster column prunes to that
         partition's files — at 100 TB the difference between a
         one-file point read and a full-manifest scan."""
+        colmap = self._colmap(as_of)
+        filters = self._phys_filters(filters, colmap)
         pred = _filters_to_predicate(filters)  # validates ops up front
         kept, _, schema = self._pruned_live(filters, as_of)
         if not kept:
             if schema is None:
                 raise ValueError(f"table {self.path} has no commits")
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema))
+            return self._logicalize(
+                self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema))
+                ),
+                colmap,
             )
         df = self._apply_dvs(
             self.spark.read.option("mergeSchema", "true").parquet(
@@ -1124,7 +1143,7 @@ class AcidTable:
             kept,
             self._resolve_state(as_of)[4],
         )
-        return df.filter(pred) if filters else df
+        return self._logicalize(df.filter(pred) if filters else df, colmap)
 
     def delete(
         self, filters, *, mode: str = "copy_on_write", max_retries: int = 5
@@ -1155,6 +1174,7 @@ class AcidTable:
             raise ValueError("delete() requires at least one filter")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown delete mode {mode!r}")
+        filters = self._phys_filters(filters)
         pred = _filters_to_predicate(filters)
         for _ in range(max_retries):
             base = self.latest_version()
@@ -1245,38 +1265,48 @@ class AcidTable:
             raise ValueError("update() requires at least one assignment")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown update mode {mode!r}")
+        # row-level predicate + assignments run in LOGICAL column space;
+        # manifest pruning runs on physical stats keys
         pred = _filters_to_predicate(filters)
+        colmap = self._colmap()
+        phys_filters = self._phys_filters(filters, colmap)
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
-            touched, _, schema_json = self._pruned_live(filters, base)
+            touched, _, schema_json = self._pruned_live(phys_filters, base)
             if not touched:
                 return base  # provably nothing to update: no commit
             dvs = self._resolve_state(base)[4]
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f) for f in touched]
             )
-            unknown = set(assignments) - set(raw.columns)
+            masked = self._logicalize(
+                self._apply_dvs(raw, touched, dvs), colmap
+            )
+            unknown = set(assignments) - set(masked.columns)
             if unknown:
                 raise ValueError(
                     f"update() targets unknown column(s) {sorted(unknown)}"
                 )
-            types = {f.name: f.dataType for f in raw.schema.fields}
+            types = {f.name: f.dataType for f in masked.schema.fields}
 
             def new_value(c):
                 return F.expr(assignments[c]).cast(types[c])
 
-            masked = self._apply_dvs(raw, touched, dvs)
             updated_rows = masked.filter(pred).select(
                 *[
                     new_value(c).alias(c) if c in assignments else F.col(c)
-                    for c in raw.columns
+                    for c in masked.columns
                 ]
             )
             if mode == "merge_on_read":
                 hits = (
-                    self._with_dv_coords(raw, touched, dvs)
+                    self._logicalize(
+                        self._with_dv_coords(raw, touched, dvs),
+                        colmap,
+                        keep=("__fp", "__ri"),
+                    )
                     .filter(pred)
                     .select("__fp", "__ri")
                     .collect()
@@ -1300,7 +1330,9 @@ class AcidTable:
                     )
                 self._enforce_constraints(updated_rows)
                 self._check_generated(updated_rows)
-                add, schema = self._stage_actions(updated_rows)
+                add, schema = self._stage_actions(
+                    self._physicalize(updated_rows, colmap)
+                )
                 try:
                     return self._try_commit(
                         base + 1, "update", add, [], schema, dv=entries
@@ -1316,10 +1348,12 @@ class AcidTable:
                     F.when(pred, new_value(c)).otherwise(F.col(c)).alias(c)
                     if c in assignments
                     else F.col(c)
-                    for c in raw.columns
+                    for c in masked.columns
                 ]
             )
-            add, schema = self._stage_actions(rewritten)
+            add, schema = self._stage_actions(
+                self._physicalize(rewritten, colmap)
+            )
             try:
                 return self._try_commit(base + 1, "update", add, touched, schema)
             except CommitConflict:
@@ -1396,7 +1430,9 @@ class AcidTable:
         a, r = align(a), align(r)
         ins = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
         dels = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
-        return ins.unionByName(dels)
+        return self._logicalize(
+            ins.unionByName(dels), keep=("_change_type",)
+        )
 
     def restore(self, version: int, *, max_retries: int = 5) -> int:
         """RESTORE TABLE TO VERSION AS OF — roll the live set back to
@@ -1434,6 +1470,173 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"restore lost {max_retries} commit races")
+
+    # ---- column mapping: rename / drop without rewriting data -----------
+    #
+    # Delta's column-mapping idea retrofitted onto the log: data files
+    # and manifest stats are ALWAYS keyed by the column's PHYSICAL
+    # name (its name at first write); a ``colmap`` table property maps
+    # physical -> logical ("" = dropped). Renames and drops are pure
+    # metadata commits — no file is read or rewritten. Translation
+    # happens only at the API boundary (reads logicalize their output,
+    # writes physicalize their input, filter/key/zorder column names
+    # map logical -> physical); every hook is a no-op when the table
+    # has no mapping, so unmapped tables pay zero overhead.
+
+    def _colmap(self, as_of: int | None = None) -> dict[str, str]:
+        """physical -> logical name map ("" marks a dropped column)."""
+        return dict(self.properties(as_of).get("colmap") or {})
+
+    def _logical_view(self, as_of: int | None = None) -> dict[str, str]:
+        """physical -> logical for the NON-dropped columns of the
+        schema at ``as_of`` (identity when unmapped)."""
+        _, schema, _, props, _ = self._resolve_state(as_of)
+        if schema is None:
+            raise ValueError(f"table {self.path} has no commits")
+        colmap = dict(props.get("colmap") or {})
+        out = {}
+        for f in json.loads(schema)["fields"]:
+            lg = colmap.get(f["name"], f["name"])
+            if lg != "":
+                out[f["name"]] = lg
+        return out
+
+    def _logicalize(
+        self, df: DataFrame, colmap: dict | None = None, keep: Sequence[str] = ()
+    ) -> DataFrame:
+        """Physical frame -> logical frame: rename mapped columns,
+        hide dropped ones, pass ``keep`` columns through untouched."""
+        colmap = self._colmap() if colmap is None else colmap
+        if not colmap:
+            return df
+        cols = []
+        for c in df.columns:
+            if c in keep:
+                cols.append(F.col(c))
+                continue
+            lg = colmap.get(c, c)
+            if lg == "":
+                continue
+            cols.append(F.col(c).alias(lg))
+        return df.select(*cols)
+
+    def _physicalize(self, df: DataFrame, colmap: dict | None = None) -> DataFrame:
+        """Logical frame -> physical frame for staging. Rejects a
+        column whose logical name collides with a physical name that
+        maps elsewhere (including dropped names): without stable
+        column IDs, reusing such a name would silently bind new data
+        to an old column — the same restriction Delta places on
+        re-adding a mapped/dropped column's original name."""
+        colmap = self._colmap() if colmap is None else colmap
+        if not colmap:
+            return df
+        rev = {lg: ph for ph, lg in colmap.items() if lg}
+        for c in df.columns:
+            if c in colmap and colmap[c] != c and c not in rev:
+                state = "dropped" if colmap[c] == "" else f"renamed to {colmap[c]!r}"
+                raise ValueError(
+                    f"column name {c!r} is reserved: its physical column was"
+                    f" {state}; choose a different name"
+                )
+        return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
+
+    def _phys_filters(self, filters, colmap: dict | None = None):
+        colmap = self._colmap() if colmap is None else colmap
+        if not colmap or not filters:
+            return filters
+        rev = {lg: ph for ph, lg in colmap.items() if lg}
+        return [(rev.get(c, c), op, v) for c, op, v in filters]
+
+    def _phys_names(self, names: Sequence[str], colmap: dict | None = None):
+        colmap = self._colmap() if colmap is None else colmap
+        if not colmap:
+            return list(names)
+        rev = {lg: ph for ph, lg in colmap.items() if lg}
+        return [rev.get(n, n) for n in names]
+
+    def _phys_partition_by(
+        self, partition_by: Sequence[str] | None, colmap: dict | None = None
+    ):
+        """Translate logical column names inside partition specs
+        (plain names and transform arguments) to physical names."""
+        if partition_by is None:
+            return None
+        colmap = self._colmap() if colmap is None else colmap
+        if not colmap:
+            return partition_by
+        rev = {lg: ph for ph, lg in colmap.items() if lg}
+        out = []
+        for spec in partition_by:
+            m = self._TRANSFORM_RE.match(spec)
+            if not m:
+                out.append(rev.get(spec, spec))
+                continue
+            fn, arg = m.group(1), m.group(2).strip()
+            if fn.lower() in ("bucket", "truncate"):
+                pre, col = (a.strip() for a in arg.split(",", 1))
+                out.append(f"{fn}({pre}, {rev.get(col, col)})")
+            else:
+                out.append(f"{fn}({rev.get(arg, arg)})")
+        return out
+
+    def _guard_mapped_name_in_exprs(self, name: str) -> None:
+        """Refuse to remap a column referenced by a CHECK constraint or
+        generated-column expression (enforcement would silently stop
+        matching rows — Delta blocks this the same way)."""
+        word = re.compile(rf"\b{re.escape(name)}\b")
+        for key, expr in self.properties().items():
+            if key.startswith(self._CONSTRAINT_PREFIX) or key.startswith(
+                self._GENERATED_PREFIX
+            ):
+                if isinstance(expr, str) and word.search(expr):
+                    raise ValueError(
+                        f"column {name!r} is referenced by {key!r} ({expr});"
+                        " drop that constraint/generated column first"
+                    )
+        if self._GENERATED_PREFIX + name in self.properties():
+            raise ValueError(
+                f"column {name!r} is a generated column; drop the"
+                " generation expression first"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (no data rewrite). Old files
+        keep their physical column name; readers alias it on the fly.
+        Time travel shows the name each version had."""
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+            raise ValueError(f"invalid column name {new!r}")
+        view = self._logical_view()
+        if old not in view.values():
+            raise ValueError(f"no column {old!r} (have {sorted(view.values())})")
+        if new in view.values():
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_mapped_name_in_exprs(old)
+        colmap = self._colmap()
+        if new in colmap and colmap[new] != new:
+            raise ValueError(
+                f"name {new!r} is reserved by a renamed/dropped physical column"
+            )
+        phys = next(p for p, l in view.items() if l == old)
+        colmap[phys] = new
+        if colmap[phys] == phys:
+            del colmap[phys]
+        return self.set_properties({"colmap": colmap or None})
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop: the physical column stays in
+        existing files (hidden by every reader) until a rewrite
+        (compact / merge / CoW update) naturally ages it out. The name
+        becomes reserved — re-adding it would rebind old data."""
+        view = self._logical_view()
+        if name not in view.values():
+            raise ValueError(f"no column {name!r} (have {sorted(view.values())})")
+        if len(view) == 1:
+            raise ValueError("cannot drop the only column")
+        self._guard_mapped_name_in_exprs(name)
+        colmap = self._colmap()
+        phys = next(p for p, l in view.items() if l == name)
+        colmap[phys] = ""
+        return self.set_properties({"colmap": colmap})
 
     # ---- metadata tables (Iceberg .files / DESCRIBE HISTORY / DETAIL) ---
 
@@ -1502,9 +1705,12 @@ class AcidTable:
                 size += os.path.getsize(os.path.join(self.path, p))
             except OSError:
                 pass
-        cols = (
-            [f["name"] for f in json.loads(schema)["fields"]] if schema else []
-        )
+        colmap = dict(props.get("colmap") or {})
+        cols = [
+            colmap.get(f["name"], f["name"])
+            for f in json.loads(schema)["fields"]
+        ] if schema else []
+        cols = [c for c in cols if c != ""]
         return {
             "location": self.path,
             "num_files": len(live),
@@ -1774,6 +1980,11 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
         self._enforce_constraints(updates)
+        colmap = self._colmap()
+        updates = self._physicalize(updates, colmap)
+        keys = self._phys_names(keys, colmap)
+        partition_by = self._phys_partition_by(partition_by, colmap)
+        dropped = [p for p, l in colmap.items() if l == ""]
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -1799,6 +2010,8 @@ class AcidTable:
                 )
             else:
                 raise ValueError(f"table {self.path} has no commits")
+            if dropped:  # the rewrite materializes column drops
+                target = target.drop(*dropped)
             merged = merge_upsert(
                 target, updates, keys, dedupe_order=dedupe_order
             )
@@ -1835,9 +2048,13 @@ class AcidTable:
         become the first snapshot."""
         from data_lake_demo_spark.operators.upsert import merge_apply
 
-        keys = list(keys)
         # delete rows never land; only surviving upserts are validated
         self._enforce_constraints(updates.filter(~F.col(delete_col)))
+        colmap = self._colmap()
+        updates = self._physicalize(updates, colmap)
+        keys = self._phys_names(keys, colmap)
+        partition_by = self._phys_partition_by(partition_by, colmap)
+        dropped = [p for p, l in colmap.items() if l == ""]
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -1862,6 +2079,8 @@ class AcidTable:
                 target = self.spark.createDataFrame(
                     [], updates.drop(delete_col).schema
                 )
+            if dropped:  # the rewrite materializes column drops
+                target = target.drop(*dropped)
             merged = merge_apply(
                 target, updates, keys, delete_col, dedupe_order=dedupe_order
             )
@@ -1896,8 +2115,12 @@ class AcidTable:
 
         ``txn=(app, batch_id)`` gives the same exactly-once replay
         contract as ``append``/``merge``."""
-        keys = list(keys)
-        key_set = keys_df.select(*keys).dropDuplicates(keys)
+        colmap = self._colmap()
+        keys = self._phys_names(keys, colmap)
+        key_set = self._physicalize(
+            keys_df, colmap
+        ).select(*keys).dropDuplicates(keys)
+        partition_by = self._phys_partition_by(partition_by, colmap)
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
@@ -1992,7 +2215,7 @@ class AcidTable:
                 end_col=end_col,
                 dedupe_order=dedupe_order,
             )
-            add, schema = self._stage_actions(new_dim)
+            add, schema = self._stage_actions(self._physicalize(new_dim))
             try:
                 return self._try_commit(base + 1, "scd2", add, live, schema)
             except CommitConflict:
@@ -2016,6 +2239,7 @@ class AcidTable:
         hot partition, not the table. Scoping is FILE-granular: every
         row of a touched file is preserved (the predicate selects
         files, never rows)."""
+        filters = self._phys_filters(filters)
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
@@ -2075,7 +2299,7 @@ class AcidTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            add, schema = self._stage_actions(laid_out)
+            add, schema = self._stage_actions(self._physicalize(laid_out))
             try:
                 return self._try_commit(
                     base + 1, "optimize_zorder", add, live, schema

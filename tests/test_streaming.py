@@ -1363,3 +1363,44 @@ def test_acid_stream_max_commits_per_trigger(spark, tmp_path):
     assert sorted(
         r["k"] for r in spark.read.parquet(out).collect()
     ) == [0, 1, 2, 3, 4]
+
+
+def test_acid_dsv2_column_mapping_reads_and_writes(spark, tmp_path):
+    """Column-mapped tables through the plain Spark API: reads show
+    logical names (positional binding to physical parquet columns),
+    pushed filters translate for pruning, and writes with logical
+    names stage physically-consistent files."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(5)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.rename_column("v", "val")
+    register(spark)
+    df = spark.read.format("acidtable").load(p)
+    assert df.columns == ["k", "val"]
+    assert {r["k"]: r["val"] for r in df.collect()}[3] == 30
+    assert df.filter("val >= 30").count() == 2
+    # pinned read before the rename keeps the old name
+    old = (
+        spark.read.format("acidtable").option("versionAsOf", "0").load(p)
+    )
+    assert old.columns == ["k", "v"]
+    # DSv2 write with logical names -> physically consistent files
+    spark.createDataFrame(
+        [(100, 1000)], "k long, val long"
+    ).write.format("acidtable").mode("append").option("path", p).save()
+    got = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert got[100] == 1000 and got[0] == 0
+    # reserved name rejected at the writer
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        spark.createDataFrame([(1, 2)], "k long, v long").write.format(
+            "acidtable"
+        ).mode("append").option("path", p).save()

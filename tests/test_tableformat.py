@@ -1418,3 +1418,82 @@ def test_generated_columns_compute_validate_and_guard_update(spark, tmp_path):
         t.set_generated_column("v", "v2")
     t.drop_generated_column("v2")
     t.append(spark.createDataFrame([(6, 60)], "k long, v long"))  # v2 null ok
+
+
+def test_column_mapping_rename_is_metadata_only(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "k long, v long")
+        .coalesce(1)
+    )
+    live0 = set(t._resolve(None)[0])
+    t.rename_column("v", "val")
+    assert set(t._resolve(None)[0]) == live0  # no data rewrite
+    assert t.snapshot().columns == ["k", "val"]
+    assert t.snapshot(as_of=0).columns == ["k", "v"]  # per-version names
+    # writes in logical names stay physically consistent with old files
+    t.append(
+        spark.createDataFrame([(100, 1000)], "k long, val long").coalesce(1)
+    )
+    got = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert got[0] == 0 and got[100] == 1000
+    # manifest pruning works through the mapping (stats are physical)
+    kept, total, _ = t._pruned_live(t._phys_filters([("val", ">=", 1000)]))
+    assert (len(kept), total) == (1, 2)
+    assert t.scan([("val", ">=", 1000)]).count() == 1
+    # verbs take logical names
+    t.update({"val": "val + 1"}, [("k", "=", 100)])
+    t.delete([("val", "=", 1001)])
+    assert t.scan([("val", ">=", 1000)]).count() == 0
+    # physical files keep the original column name in their stats
+    assert any(
+        "v" in json.loads(r["stats"]) for r in t.files().collect()
+    )
+    # the old name is reserved for new columns
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(1, 2)], "k long, v long"))
+    with pytest.raises(ValueError):
+        t.rename_column("k", "val")  # collision
+    with pytest.raises(ValueError):
+        t.rename_column("ghost", "x")
+
+
+def test_column_mapping_drop_merge_and_changes(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, tag string"
+        ).coalesce(1)
+    )
+    t.drop_column("tag")
+    assert t.snapshot().columns == ["k", "v"]
+    t.rename_column("k", "id")
+    v_before = t.latest_version()
+    t.merge(
+        spark.createDataFrame([(2, 99), (3, 30)], "id long, v long"), ["id"]
+    )
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    feed = t.changes(v_before)
+    assert "id" in feed.columns and "tag" not in feed.columns
+    by = {
+        (r["_change_type"], r["id"]): r["v"] for r in feed.collect()
+    }
+    assert by[("insert", 3)] == 30 and by[("delete", 2)] == 20
+    # dropped name is reserved
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame(
+                [(9, 9, "x")], "id long, v long, tag string"
+            )
+        )
+    # detail/metadata reflect logical names
+    assert t.detail()["columns"] == ["id", "v"]
+    # guards: can't remap constraint-referenced or last columns
+    t.set_check_constraint("pos", "v >= 0")
+    with pytest.raises(ValueError):
+        t.rename_column("v", "w")
+    t.drop_check_constraint("pos")
+    t.drop_column("v")
+    with pytest.raises(ValueError):
+        t.drop_column("id")  # only column left
