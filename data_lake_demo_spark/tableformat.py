@@ -1488,17 +1488,31 @@ class AcidTable:
         return dict(self.properties(as_of).get("colmap") or {})
 
     def _logical_view(self, as_of: int | None = None) -> dict[str, str]:
-        """physical -> logical for the NON-dropped columns of the
-        schema at ``as_of`` (identity when unmapped)."""
-        _, schema, _, props, _ = self._resolve_state(as_of)
+        """physical -> logical for the NON-dropped columns at
+        ``as_of`` (identity when unmapped). Physical columns are the
+        committed schema's fields UNIONED with every live file's
+        stats-derived columns — the commit schema is the LAST write's
+        shape, but additive evolution means an earlier wide file's
+        columns are still readable (mergeSchema) and must stay
+        renameable/droppable."""
+        live, schema, _, props, _ = self._resolve_state(as_of)
         if schema is None:
             raise ValueError(f"table {self.path} has no commits")
         colmap = dict(props.get("colmap") or {})
+        phys = [f["name"] for f in json.loads(schema)["fields"]]
+        seen = set(phys)
+        for stats in live.values():
+            for k in stats:
+                name = k[len("#null:"):] if k.startswith("#null:") else k
+                if name.startswith("#") or name in seen:
+                    continue
+                seen.add(name)
+                phys.append(name)
         out = {}
-        for f in json.loads(schema)["fields"]:
-            lg = colmap.get(f["name"], f["name"])
+        for p in phys:
+            lg = colmap.get(p, p)
             if lg != "":
-                out[f["name"]] = lg
+                out[p] = lg
         return out
 
     def _logicalize(
@@ -2307,6 +2321,76 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"optimize lost {max_retries} commit races")
+
+    def reorg_purge(self, *, n_files: int = 16, max_retries: int = 5) -> int:
+        """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite exactly
+        the files that still carry soft-deleted state — merge-on-read
+        deletion vectors, or a DROPPED physical column — and clear the
+        drop entries from the column map once no live file can contain
+        the column (which releases the dropped name for reuse; old
+        snapshots keep their own map via time travel). Files are
+        selected from manifest stats alone: a file needs purging iff
+        it has a vector, its stats mention a dropped column, or it has
+        no stats to prove otherwise. A clean table returns without
+        committing."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, schema_json, _, props, dvs = self._resolve_state(base)
+            colmap = dict(props.get("colmap") or {})
+            dropped = [p for p, l in colmap.items() if l == ""]
+
+            def needs(p, stats):
+                if p in dvs:
+                    return True
+                if not dropped:
+                    return False
+                if not stats:
+                    return True  # unknown layout: conservatively rewrite
+                return any(
+                    d in stats or f"#null:{d}" in stats for d in dropped
+                )
+
+            touched = sorted(p for p, st in live.items() if needs(p, st))
+            new_props = None
+            if dropped:
+                kept_map = {p: l for p, l in colmap.items() if l != ""}
+                new_props = dict(props)
+                if kept_map:
+                    new_props["colmap"] = kept_map
+                else:
+                    new_props.pop("colmap", None)
+            if not touched and new_props is None:
+                return base  # nothing soft-deleted: no commit
+            add = []
+            if touched:
+                rows = self._apply_dvs(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in touched]
+                    ),
+                    touched,
+                    dvs,
+                )
+                if dropped:
+                    rows = rows.drop(*dropped)
+                add, _ = self._stage_actions(
+                    rows.repartition(min(n_files, len(touched)))
+                )
+            fields = [
+                f
+                for f in json.loads(schema_json)["fields"]
+                if f["name"] not in dropped
+            ]
+            schema_out = json.dumps({"type": "struct", "fields": fields})
+            try:
+                return self._try_commit(
+                    base + 1, "purge", add, touched, schema_out,
+                    props=new_props,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"reorg_purge lost {max_retries} commit races")
 
     def vacuum(
         self,

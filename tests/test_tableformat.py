@@ -1497,3 +1497,32 @@ def test_column_mapping_drop_merge_and_changes(spark, tmp_path):
     t.drop_column("v")
     with pytest.raises(ValueError):
         t.drop_column("id")  # only column left
+
+
+def test_reorg_purge_materializes_dvs_and_dropped_columns(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10, "x") for i in range(6)], "k long, v long, tag string"
+        ).coalesce(1)
+    )
+    t.append(  # a second file that never had the column issues purged
+        spark.createDataFrame([(10, 100)], "k long, v long").coalesce(1)
+    )
+    t.drop_column("tag")
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+    v = t.reorg_purge()
+    assert t.deletion_vectors() == {}
+    assert t._colmap() == {}  # drop entry cleared: name released
+    for r in t.files().collect():
+        assert "tag" not in json.loads(r["stats"])
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {0: 0, 2: 20, 3: 30, 4: 40, 5: 50, 10: 100}
+    assert sorted(t.snapshot().columns) == ["k", "v"]
+    # idempotent: a clean table purges without committing
+    assert t.reorg_purge() == v
+    # the dropped name is reusable after the purge
+    t.append(
+        spark.createDataFrame([(20, 200, "fresh")], "k long, v long, tag string")
+    )
+    assert {r["k"]: r["tag"] for r in t.snapshot().collect()}[20] == "fresh"
