@@ -326,6 +326,7 @@ class AcidTable:
         checkpoint_interval: int = 20,
         bloom_cols: Sequence[str] = (),
         bloom_bits: int = _BLOOM_BITS,
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -337,6 +338,12 @@ class AcidTable:
             raise ValueError("bloom_bits must be a multiple of 64")
         self.bloom_cols = tuple(bloom_cols)
         self.bloom_bits = bloom_bits
+        # Delta autoOptimize.autoCompact (writer-side policy): after an
+        # append through THIS handle leaves more than N live files,
+        # compact down to N in a follow-up commit. Pure layout — the
+        # change feed of the compaction is empty, streams need
+        # skipChangeCommits/CDF exactly as for manual OPTIMIZE.
+        self.auto_compact_files = auto_compact_files
         self.log = log_store or LocalFSLogStore(os.path.join(path, _COMMITS))
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -927,9 +934,18 @@ class AcidTable:
                 if last is not None and txn[1] <= last:
                     return base
             try:
-                return self._try_commit(base + 1, "append", add, [], schema, txn)
+                v = self._try_commit(base + 1, "append", add, [], schema, txn)
             except CommitConflict:
                 continue
+            if (
+                self.auto_compact_files
+                and len(self._resolve(v)[0]) > self.auto_compact_files
+            ):
+                try:  # best-effort: losing the race just defers compaction
+                    return self.compact(n_files=self.auto_compact_files)
+                except CommitConflict:
+                    pass
+            return v
         raise CommitConflict(f"append lost {max_retries} commit races")
 
     def foreach_batch_sink(self, app: str):

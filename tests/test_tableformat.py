@@ -1526,3 +1526,14 @@ def test_reorg_purge_materializes_dvs_and_dropped_columns(spark, tmp_path):
         spark.createDataFrame([(20, 200, "fresh")], "k long, v long, tag string")
     )
     assert {r["k"]: r["tag"] for r in t.snapshot().collect()}[20] == "fresh"
+
+
+def test_auto_compact_keeps_file_count_bounded(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"), auto_compact_files=2)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+    files, _ = t._resolve(None)
+    assert len(files) <= 2  # compaction kept pace with the appends
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 2, 3, 4]
+    # readers of old versions still resolve (compactions are commits)
+    assert t.history_df().filter("operation = 'compact'").count() >= 1
