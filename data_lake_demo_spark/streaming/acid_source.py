@@ -595,6 +595,81 @@ def _drop_staged(table_path: str, messages) -> None:
                 pass  # abort cleanup is best-effort; vacuum catches the rest
 
 
+def _enforce_write_rules(t, actions) -> None:
+    """Driver-side enforcement of CHECK constraints and generated
+    columns for the DSv2 write path (closing the gap the Python-API
+    verbs never had): staged files are probed BEFORE the commit
+    references them — a failed probe aborts the write and the
+    orphaned staging is vacuum-swept. The DSv2 commit callback runs
+    in a Python worker with no SparkSession, so the probe evaluates
+    through an embedded SQL engine (DuckDB) over the staged parquet;
+    constraint/generated expressions should therefore stay ANSI
+    (comparisons, arithmetic, CASE — the shapes CHECK clauses are
+    made of). Omitted generated columns are rejected (the staged
+    parquet already exists, so compute-if-omitted isn't possible on
+    this path — supply the column, or write via AcidTable.append)."""
+    props = t.properties()
+    cons = {
+        k: v for k, v in props.items() if k.startswith(t._CONSTRAINT_PREFIX)
+    }
+    gens = {
+        k: v for k, v in props.items() if k.startswith(t._GENERATED_PREFIX)
+    }
+    if (not cons and not gens) or not actions:
+        return
+    import duckdb
+
+    colmap = t._colmap()
+    paths = [os.path.join(t.path, a["path"]) for a in actions]
+    files_sql = "read_parquet([{}], union_by_name=true)".format(
+        ",".join("'" + p.replace("'", "''") + "'" for p in paths)
+    )
+    con = duckdb.connect()
+    try:
+        phys_cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM {files_sql}"
+            ).fetchall()
+        ]
+        sel, logical_cols = [], []
+        for c in phys_cols:
+            lg = colmap.get(c, c)
+            if lg == "":
+                continue
+            sel.append(f'"{c}" AS "{lg}"')
+            logical_cols.append(lg)
+        view = f"(SELECT {', '.join(sel)} FROM {files_sql})"
+        for key, expr in cons.items():
+            bad = con.execute(
+                f"SELECT 1 FROM {view} WHERE NOT ({expr})"
+                f" OR (({expr}) IS NULL) LIMIT 1"
+            ).fetchall()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {key[len(t._CONSTRAINT_PREFIX):]!r}"
+                    f" ({expr}) violated by the written batch"
+                )
+        for key, expr in gens.items():
+            col = key[len(t._GENERATED_PREFIX):]
+            if col not in logical_cols:
+                raise ValueError(
+                    f"generated column {col!r} must be supplied when"
+                    " writing through the acidtable DSv2 writer"
+                )
+            bad = con.execute(
+                f'SELECT 1 FROM {view} WHERE NOT ("{col}" IS NOT DISTINCT'
+                f" FROM ({expr})) LIMIT 1"
+            ).fetchall()
+            if bad:
+                raise ValueError(
+                    f"generated column {col!r} ({expr}) mismatch in the"
+                    " written batch"
+                )
+    finally:
+        con.close()
+
+
 def _writer_physical(options, schema: T.StructType) -> tuple[str, dict | None]:
     """(physical schema json, logical->physical rename map or None)
     for a write into a possibly column-mapped table. Rejects writing
@@ -655,8 +730,10 @@ class _AcidBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         t = _table(self._options)
+        actions = _staged_actions(t, messages)
+        _enforce_write_rules(t, actions)
         t.commit_staged(
-            _staged_actions(t, messages),
+            actions,
             self._schema_json,
             overwrite=self._overwrite,
         )
@@ -698,8 +775,10 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         # the table (append would duplicate); the txn watermark still
         # deduplicates a replayed batch either way.
         t = _table(self._options)
+        actions = _staged_actions(t, messages)
+        _enforce_write_rules(t, actions)
         t.commit_staged(
-            _staged_actions(t, messages),
+            actions,
             self._schema_json,
             overwrite=self._overwrite,
             txn=(self._app, int(batchId)),

@@ -815,8 +815,9 @@ class AcidTable:
         ``merge`` / ``merge_apply`` batch is rejected wholesale if any
         written row fails or NULLs the expression. Enforcement is one
         ``limit(1)`` probe per write — per-BATCH cost, not per-row.
-        (The DSv2 ``commit_staged`` path stages parquet without a
-        SparkSession on the commit side and is not validated.)"""
+        The DSv2 writers validate too (probing staged files before the
+        commit references them — acid_source._enforce_write_rules);
+        only a bare ``commit_staged`` call bypasses enforcement."""
         self._enforce_constraints(self.snapshot(), {f"constraint.{name}": expr})
         return self.set_properties({self._CONSTRAINT_PREFIX + name: expr})
 
@@ -2337,6 +2338,65 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"optimize lost {max_retries} commit races")
+
+    def clone_to(
+        self,
+        target_path: str,
+        *,
+        shallow: bool = True,
+        log_store: LogStore | None = None,
+        as_of: int | None = None,
+    ) -> "AcidTable":
+        """Delta ``CLONE``: a new, independently-writable table seeded
+        from this table's snapshot. ``shallow`` (default) copies ZERO
+        data — the clone's first commit references the source's live
+        files by absolute path (every reader resolves them because
+        path joins pass absolute components through), along with the
+        snapshot's schema, properties (constraints, colmap), and
+        deletion vectors. Writes to the clone stage under the CLONE's
+        data dir; copy-on-write verbs progressively localize it, and
+        ``reorg_purge``/``compact`` can force full independence.
+        Caveat (same as Delta's): the source's ``vacuum`` doesn't know
+        about clones — a shallow clone is a dev/test-against-prod
+        snapshot, not an archival copy. ``shallow=False`` rewrites the
+        data into the clone (one distributed copy) and severs the
+        dependency."""
+        live, schema, _, props, dvs = self._resolve_state(as_of)
+        if schema is None:
+            raise ValueError(f"table {self.path} has no commits to clone")
+        clone = AcidTable(
+            self.spark,
+            target_path,
+            log_store=log_store,
+            checkpoint_interval=self.checkpoint_interval,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+        )
+        if clone.latest_version() >= 0:
+            raise ValueError(f"target {target_path} already has commits")
+        if not shallow:
+            src = self.snapshot(as_of)  # logical view
+            clone._try_commit(0, "clone", [], [], schema, props=props or None)
+            # deep clone materializes through the normal write path so
+            # colmap/constraints resolve against the cloned props
+            clone.overwrite(src)
+            return clone
+        add = [
+            {"path": os.path.abspath(os.path.join(self.path, p)), "stats": s}
+            for p, s in sorted(live.items())
+        ]
+        dv_entries = [
+            {
+                "path": os.path.abspath(os.path.join(self.path, p)),
+                "del": dvs[p],
+                "n": len(_unpack_dv(dvs[p])),
+            }
+            for p in sorted(dvs)
+        ]
+        clone._try_commit(
+            0, "clone", add, [], schema, props=props or None, dv=dv_entries
+        )
+        return clone
 
     def reorg_purge(self, *, n_files: int = 16, max_retries: int = 5) -> int:
         """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite exactly

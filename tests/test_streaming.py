@@ -1404,3 +1404,36 @@ def test_acid_dsv2_column_mapping_reads_and_writes(spark, tmp_path):
         spark.createDataFrame([(1, 2)], "k long, v long").write.format(
             "acidtable"
         ).mode("append").option("path", p).save()
+
+
+def test_acid_dsv2_writer_enforces_constraints_and_generated(spark, tmp_path):
+    """The DSv2 write path probes staged files against CHECK
+    constraints and generated columns before the commit references
+    them — a violating batch aborts with the table unchanged."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, 10, 20)], "k long, v long, v2 long")
+    )
+    t.set_check_constraint("pos", "v >= 0")
+    t.set_generated_column("v2", "v * 2")
+    register(spark)
+    v = t.latest_version()
+
+    def write(rows, schema):
+        spark.createDataFrame(rows, schema).write.format("acidtable").mode(
+            "append"
+        ).option("path", p).save()
+
+    with pytest.raises(Exception):  # constraint violation
+        write([(2, -5, -10)], "k long, v long, v2 long")
+    with pytest.raises(Exception):  # generated mismatch
+        write([(2, 5, 99)], "k long, v long, v2 long")
+    with pytest.raises(Exception):  # generated column omitted
+        write([(2, 5)], "k long, v long")
+    assert t.latest_version() == v  # nothing landed
+    write([(2, 5, 10)], "k long, v long, v2 long")  # clean batch lands
+    assert t.snapshot().count() == 2

@@ -1537,3 +1537,60 @@ def test_auto_compact_keeps_file_count_bounded(spark, tmp_path):
     assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 2, 3, 4]
     # readers of old versions still resolve (compactions are commits)
     assert t.history_df().filter("operation = 'compact'").count() >= 1
+
+
+def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        ).coalesce(1)
+    )
+    src.delete([("k", "=", 5)], mode="merge_on_read")
+    src.rename_column("v", "val")
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero data copied: the clone's commit references source files
+    assert all(
+        r["path"].startswith(str(tmp_path / "src"))
+        for r in clone.files().collect()
+    )
+    # snapshot parity incl. deletion vectors and column mapping
+    assert sorted(map(tuple, clone.snapshot().collect())) == sorted(
+        map(tuple, src.snapshot().collect())
+    )
+    assert clone.snapshot().columns == ["k", "val"]
+    # divergence: writes to the clone never touch the source
+    clone.append(spark.createDataFrame([(100, 1000)], "k long, val long"))
+    clone.update({"val": "val + 1"}, [("k", "=", 0)])
+    assert src.snapshot().count() == 5
+    assert clone.snapshot().count() == 6
+    assert {r["k"]: r["val"] for r in clone.snapshot().collect()}[0] == 1
+    # source evolves independently of the clone
+    src.append(spark.createDataFrame([(7, 70)], "k long, val long"))
+    assert clone.snapshot().count() == 6
+    # deep clone severs the file dependency entirely
+    deep = src.clone_to(str(tmp_path / "deep"), shallow=False)
+    assert all(
+        r["path"].startswith(str(tmp_path / "deep")) or not r["path"].startswith("/")
+        for r in deep.files().collect()
+    )
+    assert sorted(map(tuple, deep.snapshot().collect())) == sorted(
+        map(tuple, src.snapshot().collect())
+    )
+    with pytest.raises(ValueError):
+        src.clone_to(str(tmp_path / "clone"))  # target not empty
+
+
+def test_branch_isolates_and_publishes_column_mapping(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1)
+    )
+    br = t.create_branch("remap")
+    br.rename_column("v", "val")
+    br.append(spark.createDataFrame([(2, 20)], "k long, val long"))
+    assert t.snapshot().columns == ["k", "v"]  # main unaffected
+    assert br.snapshot().columns == ["k", "val"]
+    t.publish_branch("remap")
+    assert t.snapshot().columns == ["k", "val"]
+    assert {r["k"]: r["val"] for r in t.snapshot().collect()} == {1: 10, 2: 20}
