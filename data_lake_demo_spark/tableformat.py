@@ -850,6 +850,106 @@ class AcidTable:
     def drop_generated_column(self, name: str) -> int:
         return self.set_properties({self._GENERATED_PREFIX + name: None})
 
+    _IDENTITY_PREFIX = "identity."
+
+    def set_identity_column(self, name: str, *, start: int = 1) -> int:
+        """Delta's ``GENERATED ALWAYS AS IDENTITY``: the column is
+        assigned by the table, monotonically unique across commits,
+        with gaps allowed (the standard identity contract). The high
+        watermark rides the table properties and every identity-
+        assigning append advances it IN ITS OWN COMMIT, so concurrent
+        writers can never double-allocate — a loser of the commit
+        race restages with the fresh watermark. Retrofit rule: the
+        column must already exist (its current max seeds the
+        watermark, floored at ``start``); subsequent appends must
+        OMIT the column (ALWAYS, not BY DEFAULT)."""
+        view = self._logical_view()
+        if name not in view.values():
+            raise ValueError(f"no column {name!r} (have {sorted(view.values())})")
+        if self._GENERATED_PREFIX + name in self.properties():
+            raise ValueError(f"{name!r} is already a generated column")
+        phys = next(p for p, l in view.items() if l == name)
+        live, _, _, _, _ = self._resolve_state(None)
+        cur_max = None
+        for stats in live.values():
+            rng = stats.get(phys)
+            if rng is None:
+                cur_max = None
+                break  # a live file lacks stats: fall back to a scan
+            cur_max = rng[1] if cur_max is None else max(cur_max, rng[1])
+        if cur_max is None and live:
+            row = self.snapshot().agg(F.max(name).alias("m")).first()
+            cur_max = row["m"]
+        nxt = int(start)
+        if cur_max is not None:
+            nxt = max(nxt, int(cur_max) + 1)
+        return self.set_properties({self._IDENTITY_PREFIX + name: {"next": nxt}})
+
+    def drop_identity_column(self, name: str) -> int:
+        return self.set_properties({self._IDENTITY_PREFIX + name: None})
+
+    def _append_with_identity(
+        self, df, identity, *, txn, partition_by, max_retries
+    ) -> int:
+        """Append path for tables with identity columns: assignment
+        uses a single ``monotonically_increasing_id`` pass (unique,
+        gap-tolerant), the new watermark is read from the STAGED
+        files' own footer stats (so the committed watermark provably
+        covers every written id), and a lost commit race orphans the
+        staging (vacuum-swept) and restages against the winner's
+        watermark."""
+        for c in identity:
+            if c in df.columns:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS — omit it"
+                )
+        df = self._apply_generated(df)
+        self._enforce_constraints(df)
+        colmap = self._colmap()
+        phys_part = self._phys_partition_by(partition_by, colmap)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            props = self.properties(base)
+            if txn is not None:
+                last = self.last_txn_batch(txn[0], as_of=base)
+                if last is not None and txn[1] <= last:
+                    return base
+            out = df.withColumn("__mono", F.monotonically_increasing_id())
+            for c in identity:
+                nxt = props[self._IDENTITY_PREFIX + c]["next"]
+                out = out.withColumn(
+                    c, (F.lit(int(nxt)) + F.col("__mono")).cast("long")
+                )
+            out = out.drop("__mono")
+            add, schema = self._stage_actions(
+                self._physicalize(out, colmap), partition_by=phys_part
+            )
+            new_props = dict(props)
+            phys_of = {
+                c: self._phys_names([c], colmap)[0] for c in identity
+            }
+            for c in identity:
+                top = None
+                for a in add:
+                    rng = a["stats"].get(phys_of[c])
+                    if rng is None:
+                        top = None
+                        break
+                    top = rng[1] if top is None else max(top, rng[1])
+                if top is None and add:  # stats missing: read staged max
+                    top = self.spark.read.parquet(
+                        *[os.path.join(self.path, a["path"]) for a in add]
+                    ).agg(F.max(phys_of[c]).alias("m")).first()["m"]
+                if top is not None:
+                    new_props[self._IDENTITY_PREFIX + c] = {"next": int(top) + 1}
+            try:
+                return self._try_commit(
+                    base + 1, "append", add, [], schema, txn, props=new_props
+                )
+            except CommitConflict:
+                continue  # staged files orphan; vacuum sweeps them
+        raise CommitConflict(f"append lost {max_retries} commit races")
+
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Compute missing generated columns; validate supplied ones.
         Zero plan overhead when the table declares none."""
@@ -921,6 +1021,19 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
+        identity = sorted(
+            k[len(self._IDENTITY_PREFIX):]
+            for k in self.properties()
+            if k.startswith(self._IDENTITY_PREFIX)
+        )
+        if identity:
+            return self._append_with_identity(
+                df,
+                identity,
+                txn=txn,
+                partition_by=partition_by,
+                max_retries=max_retries,
+            )
         df = self._apply_generated(df)
         self._enforce_constraints(df)
         colmap = self._colmap()
@@ -2473,6 +2586,7 @@ class AcidTable:
         *,
         retain_versions: int = 10,
         grace_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Garbage-collect data files unreferenced by every retained
         snapshot. Two classes of garbage:
@@ -2491,7 +2605,8 @@ class AcidTable:
           the snapshot.
 
         Time travel keeps working for the retained window. Returns
-        deleted paths."""
+        deleted paths; ``dry_run=True`` (Delta's VACUUM DRY RUN)
+        returns the would-delete list without touching anything."""
         latest = self.latest_version()
         horizon = max(latest - retain_versions + 1, 0)
         # files referenced by ANY retained snapshot version
@@ -2520,8 +2635,9 @@ class AcidTable:
                         continue  # raced with the writer finishing its own cleanup
                     if age < grace_seconds:
                         continue  # possibly an in-flight writer's staging
-                os.remove(os.path.join(self.path, rel))
+                if not dry_run:
+                    os.remove(os.path.join(self.path, rel))
                 deleted.append(rel)
-            if not os.listdir(sdir):
+            if not dry_run and not os.listdir(sdir):
                 os.rmdir(sdir)
         return deleted

@@ -1594,3 +1594,50 @@ def test_branch_isolates_and_publishes_column_mapping(spark, tmp_path):
     t.publish_branch("remap")
     assert t.snapshot().columns == ["k", "val"]
     assert {r["k"]: r["val"] for r in t.snapshot().collect()} == {1: 10, 2: 20}
+
+
+def test_identity_column_assignment_watermark_and_races(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        .coalesce(1)
+    )
+    t.set_identity_column("id", start=100)
+    t.append(spark.createDataFrame([("c",), ("d",)], "s string").coalesce(1))
+    got = {r["s"]: r["id"] for r in t.snapshot().collect()}
+    assert got["a"] == 1 and got["b"] == 2
+    assert {got["c"], got["d"]} == {100, 101}
+    # watermark advanced past everything staged
+    t.append(spark.createDataFrame([("e",)], "s string").coalesce(1))
+    got = {r["s"]: r["id"] for r in t.snapshot().collect()}
+    assert got["e"] >= 102
+    # ALWAYS: supplying the column is rejected
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(9, "x")], "id long, s string"))
+    # vacuum dry run reports would-delete without deleting
+    n_before = len(t.vacuum(retain_versions=1, grace_seconds=0, dry_run=True))
+    files_on_disk = sum(
+        len(fs) for _, _, fs in __import__("os").walk(str(tmp_path / "t" / "data"))
+    )
+    assert (
+        sum(len(fs) for _, _, fs in __import__("os").walk(str(tmp_path / "t" / "data")))
+        == files_on_disk
+    )
+    assert len(t.vacuum(retain_versions=1, grace_seconds=0)) == n_before
+    # concurrent identity appends never double-allocate
+    errs = []
+
+    def add(tag):
+        try:
+            t.append(
+                spark.createDataFrame([(f"{tag}{i}",) for i in range(3)], "s string")
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=add, args=(c,)) for c in "xy"]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    ids = [r["id"] for r in t.snapshot().collect()]
+    assert len(ids) == len(set(ids))  # all unique across the race
