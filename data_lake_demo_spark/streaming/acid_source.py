@@ -470,7 +470,32 @@ class _AcidStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         start = self._options.get("startingversion")
-        v = int(start) if start is not None else 0
+        ts = self._options.get("startingtimestamp")
+        if start is not None and ts is not None:
+            raise ValueError(
+                "specify either startingVersion or startingTimestamp, not both"
+            )
+        if ts is not None:
+            # Delta's startingTimestamp: begin at the first commit AT
+            # OR AFTER the timestamp (epoch seconds or ISO-8601)
+            t = _table(self._options)
+            try:
+                epoch = float(ts)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(ts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                epoch = dt.timestamp()
+            latest = t.latest_version()
+            v = latest + 1  # nothing at/after ts yet: start at the tail
+            for cand in range(latest + 1):
+                if t._read_commit(cand).ts >= epoch:
+                    v = cand
+                    break
+        else:
+            v = int(start) if start is not None else 0
         self._pos = v
         return {"version": v}
 

@@ -1437,3 +1437,48 @@ def test_acid_dsv2_writer_enforces_constraints_and_generated(spark, tmp_path):
     assert t.latest_version() == v  # nothing landed
     write([(2, 5, 10)], "k long, v long, v2 long")  # clean batch lands
     assert t.snapshot().count() == 2
+
+
+def test_acid_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp begins tailing at the first commit at-or-
+    after the timestamp (Delta parity with startingVersion)."""
+    import time as _time
+
+    from data_lake_demo_spark.streaming.acid_source import (
+        _AcidStreamReader,
+        read_table_stream,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    cut = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "k long"))
+
+    r = _AcidStreamReader({"path": p, "startingtimestamp": str(cut)}, ["k"])
+    assert r.initialOffset() == {"version": 1}
+    r0 = _AcidStreamReader({"path": p, "startingtimestamp": "0"}, ["k"])
+    assert r0.initialOffset() == {"version": 0}
+    future = _AcidStreamReader(
+        {"path": p, "startingtimestamp": str(_time.time() + 3600)}, ["k"]
+    )
+    assert future.initialOffset() == {"version": 2}  # tail: nothing yet
+    with pytest.raises(ValueError):
+        _AcidStreamReader(
+            {"path": p, "startingversion": "0", "startingtimestamp": "0"},
+            ["k"],
+        ).initialOffset()
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_table_stream(spark, p, startingTimestamp=str(cut))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["k"] for r in spark.read.parquet(out).collect()] == [2]
