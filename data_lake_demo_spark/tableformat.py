@@ -943,11 +943,20 @@ class AcidTable:
                 if top is not None:
                     new_props[self._IDENTITY_PREFIX + c] = {"next": int(top) + 1}
             try:
-                return self._try_commit(
+                v = self._try_commit(
                     base + 1, "append", add, [], schema, txn, props=new_props
                 )
             except CommitConflict:
                 continue  # staged files orphan; vacuum sweeps them
+            if (
+                self.auto_compact_files
+                and len(self._resolve(v)[0]) > self.auto_compact_files
+            ):
+                try:  # same best-effort policy as the plain append path
+                    return self.compact(n_files=self.auto_compact_files)
+                except CommitConflict:
+                    pass
+            return v
         raise CommitConflict(f"append lost {max_retries} commit races")
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:

@@ -1537,6 +1537,16 @@ def test_auto_compact_keeps_file_count_bounded(spark, tmp_path):
     assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 2, 3, 4]
     # readers of old versions still resolve (compactions are commits)
     assert t.history_df().filter("operation = 'compact'").count() >= 1
+    # identity-column appends follow the same policy
+    t.append(spark.createDataFrame([(99, 0)], "k long, id long").coalesce(1))
+    t.set_identity_column("id", start=1)
+    for i in range(4):
+        t.append(spark.createDataFrame([(10 + i,)], "k long").coalesce(1))
+    files, _ = t._resolve(None)
+    assert len(files) <= 2
+    ids = [r["id"] for r in t.snapshot().collect() if r["id"] is not None]
+    assert len(ids) == len(set(ids))  # compaction preserved assignments
+    assert len(ids) == 5
 
 
 def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
