@@ -35,12 +35,16 @@ source shape, expressed through Spark 4's Python Data Source API
   file multisets (Counter semantics, so duplicate rows diff
   correctly; a pure-layout compaction diffs to an empty feed) — the
   streaming twin of ``AcidTable.changes``. Change-type convention:
-  this feed emits NET row diffs as "insert"/"delete" ONLY — a MERGE
-  update surfaces as a delete of the old row plus an insert of the
-  new one, NOT as Delta's "update_preimage"/"update_postimage" pair
-  (the log records file-level adds/removes, not row-level update
-  provenance). CDC consumers keyed to Delta's four-value enum should
-  treat delete+insert at the same key as an update. Memory is
+  an ``update()`` commit's rows are labeled
+  "update_preimage"/"update_postimage" (its net diff is exactly the
+  updated rows, so the labeling rides the commit operation — the
+  same way Delta derives CDF types from the command); every OTHER
+  commit emits "insert"/"delete" only — in particular a MERGE
+  update surfaces as a delete+insert pair, because merge commits
+  mix updates with true inserts/deletes and the log records
+  file-level adds/removes, not row-level provenance. CDC consumers
+  keyed to Delta's enum should treat delete+insert at the same key
+  in a merge commit as an update. Memory is
   bounded by the files one commit touched, which the MERGE/DELETE
   file skipping already minimizes. The same option on a BATCH read
   returns a commit range's change rows
@@ -117,11 +121,14 @@ class _ChangePartition(InputPartition):
     file whose vector changed appears on BOTH sides, each masked with
     its own vector, so the diff nets to the newly-masked rows."""
 
-    def __init__(self, adds: list, removes: list, version: int, ts: float):
+    def __init__(
+        self, adds: list, removes: list, version: int, ts: float, op: str = ""
+    ):
         self.adds = adds
         self.removes = removes
         self.version = version
         self.ts = ts
+        self.op = op  # commit operation; "update" relabels the diff
 
 
 def _read_parquet_rows(path: str, fields: list[str], dv: str | None = None):
@@ -191,14 +198,24 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     after, rows_a = load(part.adds)
     before, rows_b = load(part.removes)
     commit_ts = datetime.fromtimestamp(part.ts, tz=timezone.utc)
+    # Delta's 4-value change-type enum: an UPDATE commit's net diff is
+    # exactly the updated rows (copied-unchanged rows cancel in the
+    # multiset diff), so its deletes ARE preimages and its inserts ARE
+    # postimages — labeling rides the commit operation, matching how
+    # Delta derives CDF types from the command, not from row pairing.
+    # (MERGE stays insert/delete: its commits mix updates with true
+    # inserts/deletes and the log has no row-level provenance.)
+    is_update = part.op == "update"
+    ins_label = "update_postimage" if is_update else "insert"
+    del_label = "update_preimage" if is_update else "delete"
     # repr-keyed sort: deterministic output order even when column
     # types are mixed/nested (raw tuple comparison would TypeError)
     for k, n in sorted((after - before).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_a[k], "insert", part.version, commit_ts)
+            yield (*rows_a[k], ins_label, part.version, commit_ts)
     for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_b[k], "delete", part.version, commit_ts)
+            yield (*rows_b[k], del_label, part.version, commit_ts)
 
 
 def _cdf_partitions(t, start_v: int, end_v: int) -> list:
@@ -244,9 +261,11 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
         ]
         if not removes:
             # pure append: fan out per file (all-insert rows)
-            parts.extend(_ChangePartition([a], [], v, c.ts) for a in adds)
+            parts.extend(
+                _ChangePartition([a], [], v, c.ts, c.op) for a in adds
+            )
         elif adds or removes:
-            parts.append(_ChangePartition(adds, removes, v, c.ts))
+            parts.append(_ChangePartition(adds, removes, v, c.ts, c.op))
     return parts
 
 

@@ -1263,6 +1263,45 @@ def test_acid_batch_change_feed_read(spark, tmp_path):
     )
 
 
+def test_acid_change_feed_labels_update_pre_postimage(spark, tmp_path):
+    """An update() commit's CDF rows carry Delta's
+    update_preimage/update_postimage labels (both CoW and MOR); a
+    merge commit keeps the documented insert/delete convention."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(4)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.update({"v": "v + 1"}, [("k", "=", 1)])  # copy-on-write: v1
+    t.update({"v": "v + 1"}, [("k", "=", 2)], mode="merge_on_read")  # v2
+    t.merge(spark.createDataFrame([(3, 999)], "k long, v long"), ["k"])  # v3
+
+    feed = (
+        spark.read.format("acidtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(p)
+        .collect()
+    )
+    got = sorted((r.k, r.v, r._change_type, r._commit_version) for r in feed)
+    assert got == sorted(
+        [
+            (1, 10, "update_preimage", 1),
+            (1, 11, "update_postimage", 1),
+            (2, 20, "update_preimage", 2),
+            (2, 21, "update_postimage", 2),
+            (3, 30, "delete", 3),
+            (3, 999, "insert", 3),
+        ]
+    )
+
+
 def test_acid_dsv2_reads_respect_deletion_vectors(spark, tmp_path):
     """Merge-on-read DELETE through the DSv2 surfaces: the batch
     reader masks DV'd rows, the CDF stream emits exactly the
