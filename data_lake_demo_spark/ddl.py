@@ -1,0 +1,443 @@
+"""SQL DDL/DML surface over the ACID table format.
+
+Delta Lake exposes its table verbs (OPTIMIZE, VACUUM, RESTORE,
+ALTER TABLE ... ADD CONSTRAINT, column mapping renames) as SQL
+extensions grafted onto Spark's parser; Iceberg does the same via
+stored procedures. This module is that surface for AcidTable: a
+small, explicit statement router that parses the Delta/Iceberg SQL
+shapes and calls the corresponding Python verbs (tableformat.py),
+so a SQL-first user never touches the Python API. Reference parity:
+the reference repo's whole DDL story is Athena SQL strings in docs
+(reference README.md:46-68); here DDL executes against the
+transactional layer instead of a metastore.
+
+Grammar (case-insensitive keywords; one statement per call):
+
+    ALTER TABLE t RENAME COLUMN a TO b
+    ALTER TABLE t DROP COLUMN a
+    ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
+    ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+    ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+    ALTER TABLE t DROP CONSTRAINT name
+    ALTER TABLE t CREATE TAG name [AS OF VERSION n]
+    ALTER TABLE t CREATE BRANCH name
+    DELETE FROM t [WHERE conj]
+    UPDATE t SET a = expr [, b = expr ...] [WHERE conj]
+    RESTORE TABLE t TO VERSION AS OF n
+    OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
+    VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    DESCRIBE HISTORY t
+    DESCRIBE DETAIL t
+    SHOW TBLPROPERTIES t
+
+``conj`` is a conjunction (AND) of simple predicates — the same
+grammar the manifest pruner understands (``col op literal``, IN,
+BETWEEN, IS [NOT] NULL, LIKE 'prefix%'), because a WHERE here feeds
+file skipping first and a residual filter second
+(tableformat._filters_to_predicate / _file_may_match). Disjunctions
+and expression predicates are rejected with a clear error rather
+than silently degraded to a full scan.
+
+Anything that doesn't match the grammar falls through to
+``spark.sql`` — so ``AcidSql.sql`` is a drop-in superset of the
+session's SQL entry once the catalog's tables are attached as views
+(AcidCatalog.attach_all).
+
+Table names resolve through an :class:`~data_lake_demo_spark.catalog.
+AcidCatalog` (or any ``{name: path}`` mapping); the literal form
+``acid.`/abs/path``` bypasses the catalog — the shape of Delta's
+``delta.`path``` addressing.
+
+Every statement returns a DataFrame (like ``spark.sql``): verbs
+yield a one-row ``(version)`` frame, DESCRIBE/SHOW yield their
+metadata frames, VACUUM yields the (would-)deleted paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["AcidSql"]
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# table reference: bare/dotted name or acid.`/path`
+_TREF = r"(?:acid\.`[^`]+`|" + _IDENT + r"(?:\." + _IDENT + r")*)"
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d+\.\d*(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", t):
+        return float(t)
+    low = t.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    raise ValueError(
+        f"unsupported literal {tok!r} (string/integer/float/boolean only)"
+    )
+
+
+def _split_top(s: str, sep_word: str) -> list[str]:
+    """Split on a keyword at paren/quote depth 0 (case-insensitive)."""
+    parts, depth, i, start, n = [], 0, 0, 0, len(s)
+    w = len(sep_word)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + w].upper() == sep_word
+            and (
+                not sep_word[0].isalpha()  # punctuation: no word boundary
+                or (
+                    (i == 0 or not s[i - 1].isalnum())
+                    and (i + w == n or not s[i + w].isalnum())
+                )
+            )
+        ):
+            parts.append(s[start:i])
+            i += w
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _parse_where(clause: str) -> list[tuple]:
+    """Conjunctive WHERE → the (col, op, val) filter tuples the table
+    verbs take. Rejecting what the grammar can't express (OR, nested
+    expressions) is deliberate: these filters drive manifest pruning,
+    and a predicate we can't prune on should be an explicit full-scan
+    decision by the caller, not a silent one."""
+    # re-fuse BETWEEN's inner AND that the top-level conjunction split
+    parts, pending = [], None
+    for frag in _split_top(clause, "AND"):
+        if pending is not None:
+            parts.append(f"{pending} AND {frag}")
+            pending = None
+        elif re.search(r"(?i)\bBETWEEN\s+\S+\s*$", frag):
+            pending = frag
+        else:
+            parts.append(frag)
+    if pending is not None:
+        raise ValueError(f"dangling BETWEEN in WHERE {clause!r}")
+    filters = []
+    for raw in parts:
+        p = raw.strip()
+        if not p:
+            raise ValueError(f"empty predicate in WHERE {clause!r}")
+        if re.search(r"(?i)\bOR\b", p):
+            raise ValueError(
+                f"unsupported predicate {p!r}: WHERE accepts conjunctions "
+                "of simple predicates only (use the Python API for "
+                "arbitrary predicates)"
+            )
+        m = re.fullmatch(rf"({_IDENT})\s+IS\s+NOT\s+NULL", p, re.I)
+        if m:
+            filters.append((m.group(1), "is_not_null", None))
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+IS\s+NULL", p, re.I)
+        if m:
+            filters.append((m.group(1), "is_null", None))
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+IN\s*\((.+)\)", p, re.I | re.S)
+        if m:
+            vals = [_parse_literal(v) for v in _split_top(m.group(2), ",")]
+            filters.append((m.group(1), "in", tuple(vals)))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)", p, re.I
+        )
+        if m:
+            filters.append(
+                (
+                    m.group(1),
+                    "between",
+                    (_parse_literal(m.group(2)), _parse_literal(m.group(3))),
+                )
+            )
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+LIKE\s+('(?:[^']|'')*')", p, re.I)
+        if m:
+            pat = _parse_literal(m.group(2))
+            if pat.endswith("%") and not re.search(r"[%_]", pat[:-1]):
+                filters.append((m.group(1), "starts_with", pat[:-1]))
+                continue
+            raise ValueError(
+                f"unsupported LIKE pattern {pat!r} (prefix% only)"
+            )
+        m = re.fullmatch(rf"({_IDENT})\s*(<=|>=|=|<|>)\s*(.+)", p, re.S)
+        if m:
+            filters.append(
+                (m.group(1), m.group(2), _parse_literal(m.group(3)))
+            )
+            continue
+        raise ValueError(f"unsupported predicate {p!r}")
+    return filters
+
+
+def _parse_props(body: str, *, values: bool) -> dict | list:
+    """TBLPROPERTIES body: ('k'='v', ...) with values, ('k', ...) without."""
+    out = {} if values else []
+    for item in _split_top(body, ","):
+        item = item.strip()
+        if not item:
+            continue
+        if values:
+            kv = _split_top(item, "=")
+            if len(kv) != 2:
+                raise ValueError(f"bad property assignment {item!r}")
+            out[str(_parse_literal(kv[0]))] = _parse_literal(kv[1])
+        else:
+            out.append(str(_parse_literal(item)))
+    return out
+
+
+class AcidSql:
+    """SQL entry point for the transactional zone.
+
+    ``tables`` is an AcidCatalog, a ``{name: path}`` mapping, or
+    ``None`` (only ``acid.`/path``` references resolve). Handles are
+    cached per path so identity/bloom writer-side options set on a
+    handle persist across statements in a session.
+    """
+
+    def __init__(self, spark: SparkSession, tables=None):
+        self.spark = spark
+        self._tables = tables
+        self._handles: dict[str, object] = {}
+
+    # ---- resolution ----------------------------------------------------
+
+    def _path_of(self, ref: str) -> str:
+        if ref.lower().startswith("acid.`"):
+            return ref[ref.index("`") + 1 : -1]
+        t = self._tables
+        if t is None:
+            raise ValueError(
+                f"no catalog configured: address {ref!r} as acid.`/path`"
+            )
+        if hasattr(t, "entries"):  # AcidCatalog
+            rows = (
+                t.entries().filter(f"table_name = '{ref}'").collect()
+            )
+            if not rows:
+                raise ValueError(f"table {ref!r} not in catalog")
+            return rows[0].path
+        if ref not in t:
+            raise ValueError(f"table {ref!r} not in catalog")
+        return t[ref]
+
+    def table(self, ref: str):
+        """The cached AcidTable handle behind a table reference."""
+        from data_lake_demo_spark.tableformat import AcidTable
+
+        path = self._path_of(ref)
+        if path not in self._handles:
+            self._handles[path] = AcidTable(self.spark, path)
+        return self._handles[path]
+
+    # ---- results -------------------------------------------------------
+
+    def _version_df(self, version: int) -> DataFrame:
+        return self.spark.createDataFrame([(version,)], "version long")
+
+    # ---- the router ----------------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";").strip()
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+RENAME\s+COLUMN\s+({_IDENT})"
+            rf"\s+TO\s+({_IDENT})",
+            s,
+            re.I,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).rename_column(m.group(2), m.group(3))
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+DROP\s+COLUMN\s+({_IDENT})", s, re.I
+        )
+        if m:
+            return self._version_df(self.table(m.group(1)).drop_column(m.group(2)))
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+SET\s+TBLPROPERTIES\s*\((.+)\)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).set_properties(
+                    _parse_props(m.group(2), values=True)
+                )
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            keys = _parse_props(m.group(2), values=False)
+            return self._version_df(
+                self.table(m.group(1)).set_properties({k: None for k in keys})
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+            r"\s+CHECK\s*\((.+)\)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).set_check_constraint(
+                    m.group(2), m.group(3).strip()
+                )
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+            s,
+            re.I,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).drop_check_constraint(m.group(2))
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+CREATE\s+TAG\s+({_IDENT})"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+            s,
+            re.I,
+        )
+        if m:
+            v = int(m.group(3)) if m.group(3) else None
+            return self._version_df(
+                self.table(m.group(1)).create_tag(m.group(2), v)
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+CREATE\s+BRANCH\s+({_IDENT})",
+            s,
+            re.I,
+        )
+        if m:
+            self.table(m.group(1)).create_branch(m.group(2))
+            return self._version_df(self.table(m.group(1)).latest_version())
+
+        m = re.fullmatch(
+            rf"DELETE\s+FROM\s+({_TREF})(?:\s+WHERE\s+(.+))?", s, re.I | re.S
+        )
+        if m:
+            filters = _parse_where(m.group(2)) if m.group(2) else ()
+            return self._version_df(self.table(m.group(1)).delete(filters))
+
+        m = re.fullmatch(
+            rf"UPDATE\s+({_TREF})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            assignments = {}
+            for a in _split_top(m.group(2), ","):
+                kv = _split_top(a, "=")
+                if len(kv) != 2 or not re.fullmatch(_IDENT, kv[0].strip()):
+                    raise ValueError(f"bad SET assignment {a.strip()!r}")
+                assignments[kv[0].strip()] = kv[1].strip()
+            filters = _parse_where(m.group(3)) if m.group(3) else ()
+            return self._version_df(
+                self.table(m.group(1)).update(assignments, filters)
+            )
+
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_TREF})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+            s,
+            re.I,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).restore(int(m.group(2)))
+            )
+
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_TREF})(?:\s+WHERE\s+(.+?))?"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            t = self.table(m.group(1))
+            filters = _parse_where(m.group(2)) if m.group(2) else ()
+            if m.group(3):
+                cols = [c.strip() for c in m.group(3).split(",")]
+                if filters:
+                    raise ValueError("ZORDER BY does not take a WHERE scope")
+                return self._version_df(t.optimize_zorder(cols))
+            return self._version_df(t.compact(filters=filters))
+
+        m = re.fullmatch(
+            rf"VACUUM\s+({_TREF})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+(DRY\s+RUN))?",
+            s,
+            re.I,
+        )
+        if m:
+            kw = {"dry_run": bool(m.group(3))}
+            if m.group(2):
+                kw["retain_versions"] = int(m.group(2))
+            paths = self.table(m.group(1)).vacuum(**kw)
+            return self.spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
+
+        m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_TREF})", s, re.I)
+        if m:
+            return self.table(m.group(1)).history_df()
+
+        m = re.fullmatch(rf"DESCRIBE\s+DETAIL\s+({_TREF})", s, re.I)
+        if m:
+            d = self.table(m.group(1)).detail()
+            items = sorted(d.items())
+            return self.spark.createDataFrame(
+                [tuple(str(v) for _, v in items)],
+                ", ".join(f"{k} string" for k, _ in items),
+            )
+
+        m = re.fullmatch(rf"SHOW\s+TBLPROPERTIES\s+({_TREF})", s, re.I)
+        if m:
+            props = self.table(m.group(1)).properties()
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in sorted(props.items())],
+                "key string, value string",
+            )
+
+        # not a table-format statement: plain Spark SQL
+        return self.spark.sql(statement)

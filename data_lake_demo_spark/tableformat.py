@@ -1581,8 +1581,16 @@ class AcidTable:
         files are simply re-referenced, which is why restore must stay
         within the vacuum retention window (vacuum only deletes files
         unreferenced by every RETAINED snapshot, so a restorable
-        version's files are exactly the retained ones)."""
-        target_live, target_schema, _, _, target_dvs = self._resolve_state(version)
+        version's files are exactly the retained ones).
+
+        Metadata restores WITH the data (the Delta RESTORE contract):
+        the commit pins the target version's schema AND its table
+        properties — so a column rename/drop (colmap), constraint, or
+        identity watermark added after ``version`` rolls back with the
+        rows it described."""
+        target_live, target_schema, _, target_props, target_dvs = (
+            self._resolve_state(version)
+        )
         if target_schema is None:
             raise ValueError(f"version {version} has no schema to restore")
         add = [{"path": p, "stats": s} for p, s in sorted(target_live.items())]
@@ -1604,7 +1612,7 @@ class AcidTable:
             try:
                 return self._try_commit(
                     base + 1, "restore", add, remove, target_schema,
-                    dv=dv_entries,
+                    dv=dv_entries, props=dict(target_props),
                 )
             except CommitConflict:
                 continue

@@ -1,0 +1,105 @@
+"""SQL DDL/DML surface (ddl.AcidSql) over the table format."""
+
+import pytest
+
+from data_lake_demo_spark.ddl import AcidSql, _parse_where
+from data_lake_demo_spark.tableformat import AcidTable
+
+
+def test_parse_where_grammar():
+    assert _parse_where("k = 1 AND v < 'x'") == [("k", "=", 1), ("v", "<", "x")]
+    assert _parse_where("k IN (1, 2, 3)") == [("k", "in", (1, 2, 3))]
+    assert _parse_where("k BETWEEN 2 AND 4") == [("k", "between", (2, 4))]
+    assert _parse_where("v IS NULL AND w IS NOT NULL") == [
+        ("v", "is_null", None),
+        ("w", "is_not_null", None),
+    ]
+    assert _parse_where("v LIKE 'ab%'") == [("v", "starts_with", "ab")]
+    assert _parse_where("v = 'it''s'") == [("v", "=", "it's")]
+    with pytest.raises(ValueError, match="conjunctions"):
+        _parse_where("k = 1 OR k = 2")
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        _parse_where("k + 1 = 2")
+    with pytest.raises(ValueError, match="prefix"):
+        _parse_where("v LIKE '%ab'")
+
+
+def test_ddl_statements_route_to_table_verbs(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(6)], "k long, v long, s string"
+        ).coalesce(1)
+    )
+    sql = AcidSql(spark, {"tt": p})
+
+    # DML: UPDATE then DELETE with parsed WHERE
+    sql.sql("UPDATE tt SET v = v + 1 WHERE k = 1")
+    sql.sql("DELETE FROM tt WHERE k >= 5")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {0: 0, 1: 11, 2: 20, 3: 30, 4: 40}
+
+    # column mapping DDL
+    sql.sql("ALTER TABLE tt RENAME COLUMN v TO val")
+    sql.sql("ALTER TABLE tt DROP COLUMN s")
+    assert sorted(t.snapshot().columns) == ["k", "val"]
+
+    # properties + constraints
+    sql.sql("ALTER TABLE tt SET TBLPROPERTIES ('owner' = 'me', 'n' = 3)")
+    props = {r.key: r.value for r in sql.sql("SHOW TBLPROPERTIES tt").collect()}
+    assert props["owner"] == "me" and props["n"] == "3"
+    sql.sql("ALTER TABLE tt UNSET TBLPROPERTIES ('owner')")
+    assert "owner" not in t.properties()
+    sql.sql("ALTER TABLE tt ADD CONSTRAINT pos CHECK (val >= 0)")
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(9, -1)], "k long, val long"))
+    sql.sql("ALTER TABLE tt DROP CONSTRAINT pos")
+    t.append(spark.createDataFrame([(9, -1)], "k long, val long"))
+
+    # maintenance: OPTIMIZE + VACUUM DRY RUN returns paths, deletes nothing
+    sql.sql("OPTIMIZE tt")
+    files, _ = t._resolve(None)
+    assert len(files) <= 16
+    dry = sql.sql("VACUUM tt RETAIN 1 VERSIONS DRY RUN").collect()
+    assert len(dry) > 0  # superseded pre-compact files are reported
+    assert t.snapshot().count() == 6  # and still readable
+
+    # history / detail / restore / tags
+    hist = sql.sql("DESCRIBE HISTORY tt")
+    assert "update" in {r.operation for r in hist.collect()}
+    assert sql.sql("DESCRIBE DETAIL tt").count() == 1
+    v_now = t.latest_version()
+    sql.sql(f"ALTER TABLE tt CREATE TAG prerestore AS OF VERSION {v_now}")
+    assert t.tag_version("prerestore") == v_now
+    sql.sql("RESTORE TABLE tt TO VERSION AS OF 0")
+    assert sorted(t.snapshot().columns) == ["k", "s", "v"]
+    assert t.snapshot().count() == 6
+
+    # unknown statements fall through to spark.sql
+    assert sql.sql("SELECT 1 AS one").collect()[0].one == 1
+
+    # unknown table name errors clearly
+    with pytest.raises(ValueError, match="not in catalog"):
+        sql.sql("OPTIMIZE nope")
+
+
+def test_ddl_path_addressing_and_catalog(spark, tmp_path):
+    from data_lake_demo_spark.catalog import AcidCatalog
+
+    p = str(tmp_path / "t2")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+
+    # acid.`/path` addressing needs no catalog
+    sql = AcidSql(spark)
+    assert sql.sql(f"DESCRIBE HISTORY acid.`{p}`").count() == 1
+    with pytest.raises(ValueError, match="no catalog"):
+        sql.sql("OPTIMIZE bare_name")
+
+    # AcidCatalog-backed resolution
+    cat = AcidCatalog(spark, str(tmp_path / "lake"))
+    cat.register("t2", p)
+    sql2 = AcidSql(spark, cat)
+    sql2.sql("DELETE FROM t2 WHERE k = 1")
+    assert t.snapshot().count() == 0
