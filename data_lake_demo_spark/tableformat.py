@@ -443,7 +443,95 @@ class AcidTable:
                 txns[app] = max(txns.get(app, b), b)
             if c.props is not None:
                 props = dict(c.props)
+        self._check_protocol(props)
         return live, schema, txns, props, dvs
+
+    # ---- protocol / feature flags ---------------------------------------
+    #
+    # Delta's table-features idea: a commit that first USES a format
+    # feature stamps it into the ``protocol`` table property
+    # (auto-stamped centrally in _try_commit, so no verb can forget),
+    # and every reader/writer checks the stamped set against what it
+    # supports. An engine build that predates a feature fails FAST
+    # with a named error instead of silently misreading the table
+    # (e.g. ignoring deletion vectors would resurrect deleted rows).
+    # Reader features gate resolution itself; writer features gate
+    # commits only — an engine can safely read a table it must not
+    # write (the Delta reader/writer split).
+
+    _PROTOCOL_KEY = "protocol"
+    SUPPORTED_READER_FEATURES = frozenset(
+        {"columnMapping", "deletionVectors"}
+    )
+    SUPPORTED_WRITER_FEATURES = frozenset(
+        {"identityColumns", "generatedColumns", "checkConstraints"}
+    )
+
+    @classmethod
+    def _check_protocol(cls, props: dict, *, for_write: bool = False) -> None:
+        proto = props.get(cls._PROTOCOL_KEY) or {}
+        unknown = (
+            set(proto.get("reader_features") or [])
+            - cls.SUPPORTED_READER_FEATURES
+        )
+        if unknown:
+            raise ValueError(
+                f"table requires reader feature(s) {sorted(unknown)} this "
+                "engine version does not support; upgrade the engine to "
+                "read this table"
+            )
+        if for_write:
+            unknown_w = (
+                set(proto.get("writer_features") or [])
+                - cls.SUPPORTED_WRITER_FEATURES
+            )
+            if unknown_w:
+                raise ValueError(
+                    f"table requires writer feature(s) {sorted(unknown_w)} "
+                    "this engine version does not support; the table stays "
+                    "readable, but writes would break its invariants"
+                )
+
+    def protocol(self, as_of: int | None = None) -> dict:
+        """The stamped feature sets (empty lists for a plain table)."""
+        proto = self.properties(as_of).get(self._PROTOCOL_KEY) or {}
+        return {
+            "reader_features": sorted(proto.get("reader_features") or []),
+            "writer_features": sorted(proto.get("writer_features") or []),
+        }
+
+    def _stamp_protocol(
+        self, props: dict | None, dv: list[dict] | None, version: int
+    ) -> dict | None:
+        """Auto-stamp the features THIS commit's post-state uses;
+        returns the (possibly materialized) props for the commit.
+        Also enforces the writer gate against the post-commit state."""
+        post = props
+        if post is None:
+            post = self._resolve_state(version - 1)[3] if version > 0 else {}
+        needed_r, needed_w = set(), set()
+        if dv and any(e.get("del") for e in dv):
+            needed_r.add("deletionVectors")
+        if post.get("colmap"):
+            needed_r.add("columnMapping")
+        for k in post:
+            if k.startswith(self._IDENTITY_PREFIX):
+                needed_w.add("identityColumns")
+            elif k.startswith(self._GENERATED_PREFIX):
+                needed_w.add("generatedColumns")
+            elif k.startswith(self._CONSTRAINT_PREFIX):
+                needed_w.add("checkConstraints")
+        proto = dict(post.get(self._PROTOCOL_KEY) or {})
+        have_r = set(proto.get("reader_features") or [])
+        have_w = set(proto.get("writer_features") or [])
+        if needed_r - have_r or needed_w - have_w:
+            proto["reader_features"] = sorted(have_r | needed_r)
+            proto["writer_features"] = sorted(have_w | needed_w)
+            post = dict(post)
+            post[self._PROTOCOL_KEY] = proto
+            props = post
+        self._check_protocol(post, for_write=True)
+        return props
 
     def last_txn_batch(self, app: str, *, as_of: int | None = None) -> int | None:
         """Highest batch id this writer app has committed at-or-before
@@ -531,6 +619,7 @@ class AcidTable:
         wins a version; the whole ACID story rests on this one atomic
         primitive (os.link on POSIX, conditional PUT on object stores
         — see storage.LogStore)."""
+        props = self._stamp_protocol(props, dv, version)
         body = {
             "version": version,
             "op": op,

@@ -1651,3 +1651,67 @@ def test_identity_column_assignment_watermark_and_races(spark, tmp_path):
     assert not errs
     ids = [r["id"] for r in t.snapshot().collect()]
     assert len(ids) == len(set(ids))  # all unique across the race
+
+
+def test_protocol_feature_flags(spark, tmp_path):
+    """Delta-style table features: commits auto-stamp the features
+    they use; readers reject unknown reader features, writers reject
+    unknown writer features (but the table stays readable)."""
+    import json as _json
+
+    from data_lake_demo_spark.tableformat import _commit_name
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1)
+    )
+    assert t.protocol() == {"reader_features": [], "writer_features": []}
+
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+    assert t.protocol()["reader_features"] == ["deletionVectors"]
+    t.rename_column("v", "val")
+    assert t.protocol()["reader_features"] == [
+        "columnMapping",
+        "deletionVectors",
+    ]
+    t.set_check_constraint("pos", "val >= 0")
+    assert t.protocol()["writer_features"] == ["checkConstraints"]
+
+    # a FUTURE writer feature (written by a newer engine): reads fine,
+    # writes refuse
+    _, schema, _, props, _ = t._resolve_state(None)
+    v = t.latest_version() + 1
+    future = dict(props)
+    future["protocol"] = {
+        "reader_features": future["protocol"]["reader_features"],
+        "writer_features": ["checkConstraints", "futureWriterV9"],
+    }
+    t.log.put_if_absent(
+        _commit_name(v),
+        _json.dumps(
+            {"version": v, "op": "setprops", "ts": 0.0, "add": [],
+             "remove": [], "schema": schema, "props": future}
+        ).encode(),
+    )
+    assert t.snapshot().count() == 1  # still readable
+    with pytest.raises(ValueError, match="futureWriterV9"):
+        t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+
+    # a FUTURE reader feature: resolution itself refuses
+    v += 1
+    future2 = dict(future)
+    future2["protocol"] = {
+        "reader_features": ["deletionVectors", "futureReaderV9"],
+        "writer_features": [],
+    }
+    t.log.put_if_absent(
+        _commit_name(v),
+        _json.dumps(
+            {"version": v, "op": "setprops", "ts": 0.0, "add": [],
+             "remove": [], "schema": schema, "props": future2}
+        ).encode(),
+    )
+    with pytest.raises(ValueError, match="futureReaderV9"):
+        t.snapshot().count()
+    # ... but time travel BEFORE the feature landed still works
+    assert t.snapshot(as_of=v - 2).count() == 1
