@@ -61,6 +61,12 @@ Arrow batches straight to staged parquet, the driver commits the
 staged set once, and a lost race retries only the commit, never the
 data write. ``writeStream.format("acidtable")`` commits each
 micro-batch with ``txn=(txnAppId, batchId)`` for exactly-once.
+Identity columns work through both writers: executor tasks assign
+``watermark + (taskId << 33) + row`` (disjoint with zero
+coordination, gaps allowed by the identity contract), the commit
+advances the watermark transactionally, and a lost watermark race
+repairs by arithmetically shifting the staged id columns (a local
+pass over only this write's files) before retrying.
 Batch reads additionally implement the DSv2 ``pushFilters`` hook:
 Catalyst-pushed predicates become manifest [min, max] pruning, so a
 filtered read plans only the files that may match (every filter is
@@ -100,6 +106,8 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
+
+from data_lake_demo_spark.tableformat import CommitConflict
 
 _CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
                "compact", "optimize_zorder", "restore"}
@@ -575,18 +583,43 @@ class _StagedFiles(WriterCommitMessage):
         self.rels = rels
 
 
-def _stage_write(iterator, table_path: str, stage_id: str, rev: dict | None = None):
+def _stage_write(
+    iterator,
+    table_path: str,
+    stage_id: str,
+    rev: dict | None = None,
+    identity: dict | None = None,
+):
     """Executor-side half of a distributed acidtable write: stream the
     task's Arrow batches into ONE parquet file under data/<stage_id>/.
     The file is invisible to readers until the driver's commit
     references it — task retries/speculation just orphan a file the
     vacuum sweeps later, they can never corrupt the table. ``rev``
     (logical -> physical, column-mapped tables only) renames batch
-    columns so staged files always carry physical names."""
+    columns so staged files always carry physical names.
+
+    ``identity`` ({physical id column: watermark base}) makes this
+    task assign identity values as ``base + (taskId << 33) + row`` —
+    disjoint across tasks with zero coordination (the
+    monotonically_increasing_id partitioning trick), unique-with-gaps
+    exactly as the identity contract allows. The driver's commit
+    advances the watermark past the staged maximum, and shifts these
+    values if a concurrent identity writer won the watermark race
+    (_commit_staged_identity)."""
     import uuid
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    task_base = 0
+    if identity:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is None:  # never expected in a Spark task; fail loud
+            raise RuntimeError("identity assignment requires a TaskContext")
+        task_base = ctx.partitionId() << 33
 
     data_dir = os.path.join(table_path, "data", stage_id)
     os.makedirs(data_dir, exist_ok=True)
@@ -600,6 +633,17 @@ def _stage_write(iterator, table_path: str, stage_id: str, rev: dict | None = No
                     list(batch.columns),
                     names=[rev.get(n, n) for n in batch.schema.names],
                 )
+            if identity:
+                ids = pa.array(
+                    range(task_base + n_rows, task_base + n_rows + batch.num_rows),
+                    type=pa.int64(),
+                )
+                arrays = list(batch.columns)
+                names = list(batch.schema.names)
+                for col, base in sorted(identity.items()):
+                    arrays.append(pc.add(ids, base))
+                    names.append(col)
+                batch = pa.RecordBatch.from_arrays(arrays, names=names)
             if writer is None:
                 writer = pq.ParquetWriter(
                     os.path.join(data_dir, name), batch.schema
@@ -745,6 +789,132 @@ def _writer_physical(options, schema: T.StructType) -> tuple[str, dict | None]:
     return phys.json(), rev
 
 
+def _writer_identity(
+    t, schema: T.StructType, schema_json: str, overwrite: bool
+) -> tuple[dict, str]:
+    """({logical id col: {"phys", "base"}}, schema json including the
+    id columns) for a write into an identity table. GENERATED ALWAYS:
+    a frame supplying the column is rejected, matching
+    AcidTable._append_with_identity."""
+    props = t.properties()
+    idcols = sorted(
+        k[len(t._IDENTITY_PREFIX):]
+        for k in props
+        if k.startswith(t._IDENTITY_PREFIX)
+    )
+    if not idcols:
+        return {}, schema_json
+    if overwrite:
+        raise ValueError(
+            "acidtable DSv2 overwrite into an identity table is not "
+            "supported (the watermark semantics of a full replace are "
+            "ambiguous); use mode('append') or the AcidTable API"
+        )
+    for c in idcols:
+        if c in schema.fieldNames():
+            raise ValueError(
+                f"identity column {c!r} is GENERATED ALWAYS — omit it"
+            )
+    colmap = t._colmap()
+    identity = {
+        c: {
+            "phys": t._phys_names([c], colmap)[0],
+            "base": int(props[t._IDENTITY_PREFIX + c]["next"]),
+        }
+        for c in idcols
+    }
+    d = json.loads(schema_json)
+    d["fields"].extend(
+        {
+            "name": v["phys"],
+            "type": "long",
+            "nullable": False,
+            "metadata": {},
+        }
+        for _, v in sorted(identity.items())
+    )
+    return identity, json.dumps(d)
+
+
+def _commit_staged_identity(
+    t,
+    actions: list[dict],
+    schema_json: str,
+    identity: dict,
+    *,
+    txn=None,
+    max_retries: int = 10,
+) -> int:
+    """Driver half of an identity DSv2 write: advance the watermark
+    past the staged maximum IN the data commit (the same
+    single-commit guarantee as _append_with_identity, so concurrent
+    writers can never double-allocate). If another identity writer
+    advanced the watermark after our executors assigned from it, the
+    staged values could collide with the winner's — detected by
+    comparing the watermark we assigned from against the current one,
+    and repaired by SHIFTING the staged id columns with a local
+    columnar pass (pure arithmetic, only this write's files) before
+    retrying. The common uncontended path never rewrites anything."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    bases = {c: dict(v) for c, v in identity.items()}
+    for _ in range(max_retries):
+        base_v = t.latest_version()
+        props = t.properties(base_v if base_v >= 0 else None)
+        if txn is not None:
+            last = t.last_txn_batch(txn[0], as_of=base_v)
+            if last is not None and txn[1] <= last:
+                return base_v
+        shifts = {}
+        for c, v in bases.items():
+            cur = int(props[t._IDENTITY_PREFIX + c]["next"])
+            if cur != v["base"]:
+                shifts[v["phys"]] = cur - v["base"]
+                v["base"] = cur
+        if shifts:
+            for a in actions:
+                full = os.path.join(t.path, a["path"])
+                tbl = pq.read_table(full)
+                for phys, delta in shifts.items():
+                    tbl = tbl.set_column(
+                        tbl.column_names.index(phys),
+                        phys,
+                        pc.add(tbl.column(phys), delta),
+                    )
+                pq.write_table(tbl, full)
+                _, a["stats"] = t._file_meta(a["path"])
+        new_props = dict(props)
+        for c, v in bases.items():
+            top = None
+            for a in actions:
+                rng = a["stats"].get(v["phys"])
+                if rng is None:
+                    top = None
+                    break
+                top = rng[1] if top is None else max(top, rng[1])
+            if top is None and actions:  # stats missing: direct scan
+                top = max(
+                    pc.max(
+                        pq.read_table(
+                            os.path.join(t.path, a["path"]),
+                            columns=[v["phys"]],
+                        ).column(v["phys"])
+                    ).as_py()
+                    for a in actions
+                )
+            if top is not None:
+                new_props[t._IDENTITY_PREFIX + c] = {"next": int(top) + 1}
+        try:
+            return t._try_commit(
+                base_v + 1, "append", actions, [], schema_json, txn,
+                props=new_props,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"identity append lost {max_retries} commit races")
+
+
 class _AcidBatchWriter(DataSourceArrowWriter):
     """``df.write.format("acidtable").mode("append"|"overwrite")``:
     executors stream Arrow batches straight to staged parquet; the
@@ -767,15 +937,29 @@ class _AcidBatchWriter(DataSourceArrowWriter):
                 "acidtable writer requires .option('path', ...) or save(path)"
             )
         self._schema_json, self._rev = _writer_physical(options, schema)
+        self._identity, self._schema_json = _writer_identity(
+            _table(options), schema, self._schema_json, overwrite
+        )
         self._stage_id = uuid.uuid4().hex
 
     def write(self, iterator):
-        return _stage_write(iterator, self._path, self._stage_id, self._rev)
+        return _stage_write(
+            iterator,
+            self._path,
+            self._stage_id,
+            self._rev,
+            {v["phys"]: v["base"] for v in self._identity.values()} or None,
+        )
 
     def commit(self, messages):
         t = _table(self._options)
         actions = _staged_actions(t, messages)
         _enforce_write_rules(t, actions)
+        if self._identity:
+            _commit_staged_identity(
+                t, actions, self._schema_json, self._identity
+            )
+            return
         t.commit_staged(
             actions,
             self._schema_json,
@@ -804,6 +988,9 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
                 "acidtable stream writer requires .option('path', ...)"
             )
         self._schema_json, self._rev = _writer_physical(options, schema)
+        self._identity, self._schema_json = _writer_identity(
+            _table(options), schema, self._schema_json, overwrite
+        )
         self._app = options.get("txnappid") or f"acidtable-stream:{self._path}"
 
     def write(self, iterator):
@@ -811,7 +998,13 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
 
         # one stage dir per task attempt; commit-message paths are what
         # tie the files to the batch, not the directory name
-        return _stage_write(iterator, self._path, uuid.uuid4().hex, self._rev)
+        return _stage_write(
+            iterator,
+            self._path,
+            uuid.uuid4().hex,
+            self._rev,
+            {v["phys"]: v["base"] for v in self._identity.values()} or None,
+        )
 
     def commit(self, messages, batchId: int) -> None:
         # overwrite=True arrives for COMPLETE output mode, whose every
@@ -821,6 +1014,12 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         t = _table(self._options)
         actions = _staged_actions(t, messages)
         _enforce_write_rules(t, actions)
+        if self._identity:
+            _commit_staged_identity(
+                t, actions, self._schema_json, self._identity,
+                txn=(self._app, int(batchId)),
+            )
+            return
         t.commit_staged(
             actions,
             self._schema_json,

@@ -1521,3 +1521,77 @@ def test_acid_stream_starting_timestamp(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r["k"] for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_acid_dsv2_writer_identity_columns(spark, tmp_path):
+    """Identity columns through the DSv2 writer: executors assign
+    disjoint per-task ranges from the watermark, the commit advances
+    the watermark in the same transaction, supplying the column is
+    rejected, and a stale watermark (concurrent identity writer)
+    repairs by shifting the staged values before committing."""
+    from data_lake_demo_spark.streaming.acid_source import (
+        _commit_staged_identity,
+        register,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(0, "seed")], "id long, s string").coalesce(1)
+    )
+    t.set_identity_column("id", start=100)
+
+    spark.createDataFrame(
+        [(f"r{i}",) for i in range(10)], "s string"
+    ).repartition(3).write.format("acidtable").mode("append").option(
+        "path", p
+    ).save()
+    rows = {r.s: r.id for r in t.snapshot().collect()}
+    ids = [v for k, v in rows.items() if k != "seed"]
+    assert len(ids) == 10 and len(set(ids)) == len(ids)
+    assert min(ids) >= 100
+    watermark = t.properties()["identity.id"]["next"]
+    assert watermark == max(ids) + 1
+
+    # GENERATED ALWAYS: supplying the column through DSv2 is rejected
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        spark.createDataFrame(
+            [(999, "x")], "id long, s string"
+        ).write.format("acidtable").mode("append").option("path", p).save()
+
+    # DSv2 writes interleave safely with Python-API identity appends
+    t.append(spark.createDataFrame([("api",)], "s string"))
+    spark.createDataFrame([("dsv2",)], "s string").write.format(
+        "acidtable"
+    ).mode("append").option("path", p).save()
+    all_ids = [r.id for r in t.snapshot().collect()]
+    assert len(all_ids) == len(set(all_ids))
+
+    # stale-watermark repair: stage a file whose ids were assigned
+    # from an OLD base, then commit with that base — the commit must
+    # shift values up to the current watermark, keeping uniqueness
+    stale_base = 100  # watermark has moved well past this by now
+    os.makedirs(os.path.join(p, "data", "stale"), exist_ok=True)
+    spark.createDataFrame(
+        [(stale_base + i, f"stale{i}") for i in range(3)], "id long, s string"
+    ).toPandas().to_parquet(
+        os.path.join(p, "data", "stale", "f.parquet"), index=False
+    )
+    rel = os.path.join("data", "stale", "f.parquet")
+    _, stats = t._file_meta(rel)
+    before = t.properties()["identity.id"]["next"]
+    _commit_staged_identity(
+        t,
+        [{"path": rel, "stats": stats}],
+        t._resolve_state(None)[1],
+        {"id": {"phys": "id", "base": stale_base}},
+    )
+    final = [r.id for r in t.snapshot().collect()]
+    assert len(final) == len(set(final))  # shift preserved uniqueness
+    stale_ids = sorted(
+        r.id for r in t.snapshot().collect() if r.s.startswith("stale")
+    )
+    assert stale_ids == [before, before + 1, before + 2]
+    assert t.properties()["identity.id"]["next"] == before + 3
