@@ -2096,19 +2096,41 @@ class AcidTable:
             bloom_bits=self.bloom_bits,
         )
 
+    def _branch_ref_slot(self, name: str) -> int:
+        """Highest rebase slot for a branch ref (0 = the original).
+        Rebases can't overwrite the ref (LogStore is put-if-absent
+        only), so each rebase claims the next ``branch-<name>.ref.<k>``
+        slot — the CAS doubles as the rebase race arbiter."""
+        top = -1
+        prefix = f"branch-{name}.ref"
+        for n in self.log.list_names():
+            if n == prefix:
+                top = max(top, 0)
+            elif n.startswith(prefix + "."):
+                try:
+                    top = max(top, int(n[len(prefix) + 1:]))
+                except ValueError:
+                    continue
+        return top
+
     def _branch_base(self, name: str) -> int:
+        slot = self._branch_ref_slot(name)
+        if slot < 0:
+            raise ValueError(f"no branch {name!r}")
+        ref = f"branch-{name}.ref" + ("" if slot == 0 else f".{slot}")
         try:
-            return json.loads(self.log.read(f"branch-{name}.ref"))["base"]
+            return json.loads(self.log.read(ref))["base"]
         except (FileNotFoundError, KeyError):
             raise ValueError(f"no branch {name!r}") from None
 
     def branches(self) -> dict[str, int]:
-        """{branch name: base version} for every registered branch."""
-        out = {}
+        """{branch name: base version} for every registered branch
+        (a rebased branch reports its CURRENT base)."""
+        names = set()
         for n in self.log.list_names():
-            if n.startswith("branch-") and n.endswith(".ref"):
-                out[n[7:-4]] = json.loads(self.log.read(n))["base"]
-        return out
+            if n.startswith("branch-") and ".ref" in n:
+                names.add(n[7 : n.index(".ref")])
+        return {n: self._branch_base(n) for n in sorted(names)}
 
     def publish_branch(
         self, name: str, *, log_store: LogStore | None = None
@@ -2151,7 +2173,8 @@ class AcidTable:
         if cur != base:
             raise CommitConflict(
                 f"publish of branch {name!r} requires fast-forward: main is"
-                f" at v{cur}, branch based on v{base} — re-branch and replay"
+                f" at v{cur}, branch based on v{base} — rebase_branch() it"
+                " onto the new head (or re-branch and replay)"
             )
         return self._try_commit(
             base + 1,
@@ -2162,6 +2185,143 @@ class AcidTable:
             props=props_b if props_b != props_base else None,
             dv=dv_entries,
         )
+
+    def rebase_branch(
+        self, name: str, *, log_store: LogStore | None = None
+    ) -> int:
+        """Re-point a branch whose base main has advanced past: apply
+        the branch's NET diff (vs its old base) on top of the current
+        main head as ONE branch commit, then advance the branch ref —
+        after which ``publish_branch`` fast-forwards cleanly. The git
+        rebase shape, done at snapshot granularity: N branch commits
+        collapse to one replayed diff, and no data file is read or
+        rewritten (log surgery only).
+
+        Three-way conflict rules (conservative — a conflict raises
+        with the offending files/keys rather than guessing):
+
+        * a file the branch removed/rewrote or re-vectored that main
+          no longer carries live (main rewrote or deleted it), or
+          whose deletion vector main changed differently, is a
+          write-write conflict — both sides edited the same rows'
+          container;
+        * branch file ADDS never conflict (fresh paths);
+        * a property key both sides changed from the base to different
+          values conflicts — except ``protocol``, whose feature lists
+          are unioned (feature stamps are monotone);
+        * a schema both sides changed differently conflicts.
+
+        Returns the new base (= main head at rebase time). Concurrent
+        rebases of the same branch race on the ref slot's
+        put-if-absent — exactly one wins."""
+        old_base = self._branch_base(name)
+        head = self.latest_version()
+        if head == old_base:
+            return old_base  # already based on head
+        br = self.branch(name, log_store=log_store)
+        live_b, schema_b, _, props_b, dvs_b = br._resolve_state(None)
+        live_base, schema_base, _, props_base, dvs_base = self._resolve_state(
+            old_base
+        )
+        live_m, schema_m, _, props_m, dvs_m = self._resolve_state(head)
+
+        adds = {p: s for p, s in live_b.items() if p not in live_base}
+        removes = {p for p in live_base if p not in live_b}
+        dv_changed = {
+            p: dvs_b.get(p, "")
+            for p in live_b
+            if p in live_base and dvs_b.get(p, "") != dvs_base.get(p, "")
+        }
+        conflicts = []
+        for p in sorted(removes | set(dv_changed)):
+            if p not in live_m:
+                conflicts.append(f"file {p}: rewritten/deleted by main")
+            elif dvs_m.get(p, "") != dvs_base.get(p, ""):
+                conflicts.append(f"file {p}: deletion vector changed by main")
+
+        merged_props = dict(props_m)
+        for k in sorted(set(props_b) | set(props_base)):
+            b_v, base_v = props_b.get(k), props_base.get(k)
+            if b_v == base_v:
+                continue  # branch didn't change it: main's value stands
+            m_v = props_m.get(k)
+            if k == self._PROTOCOL_KEY:
+                merged_props[k] = {
+                    kind: sorted(
+                        set((b_v or {}).get(kind) or [])
+                        | set((m_v or {}).get(kind) or [])
+                    )
+                    for kind in ("reader_features", "writer_features")
+                }
+                continue
+            if m_v != base_v and m_v != b_v:
+                conflicts.append(f"property {k!r}: changed by both sides")
+                continue
+            if b_v is None:
+                merged_props.pop(k, None)
+            else:
+                merged_props[k] = b_v
+
+        if schema_b != schema_base and schema_m != schema_base and (
+            schema_m != schema_b
+        ):
+            conflicts.append("schema: changed by both sides")
+        target_schema = schema_b if schema_b != schema_base else schema_m
+
+        if conflicts:
+            raise ValueError(
+                f"rebase of branch {name!r} onto v{head} conflicts:\n  "
+                + "\n  ".join(conflicts)
+            )
+
+        target_live = {
+            p: s for p, s in live_m.items() if p not in removes
+        }
+        target_live.update(adds)
+        target_dvs = {p: v for p, v in dvs_m.items() if p in target_live}
+        for p, v in dv_changed.items():
+            if p in target_live:
+                if v:
+                    target_dvs[p] = v
+                else:
+                    target_dvs.pop(p, None)
+
+        # one branch commit transitioning branch state -> target
+        commit_adds = [
+            {"path": p, "stats": s}
+            for p, s in sorted(target_live.items())
+            if p not in live_b
+        ]
+        commit_removes = sorted(p for p in live_b if p not in target_live)
+        dv_entries = [
+            {
+                "path": p,
+                "del": target_dvs.get(p, ""),
+                "n": len(_unpack_dv(target_dvs[p])) if p in target_dvs else 0,
+            }
+            for p in sorted(target_live)
+            if target_dvs.get(p, "") != (dvs_b.get(p, "") if p in live_b else "")
+        ]
+        br._try_commit(
+            br.latest_version() + 1,
+            "rebase",
+            commit_adds,
+            commit_removes,
+            target_schema,
+            props=merged_props,
+            dv=dv_entries,
+        )
+        slot = self._branch_ref_slot(name) + 1
+        try:
+            self.log.put_if_absent(
+                f"branch-{name}.ref.{slot}",
+                json.dumps({"base": head, "ts": time.time()}).encode(),
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent rebase of branch {name!r} won the ref slot"
+            ) from None
+        return head
 
     def _touched_files(
         self,

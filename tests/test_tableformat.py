@@ -1715,3 +1715,54 @@ def test_protocol_feature_flags(spark, tmp_path):
         t.snapshot().count()
     # ... but time travel BEFORE the feature landed still works
     assert t.snapshot(as_of=v - 2).count() == 1
+
+
+def test_rebase_branch_replays_diff_onto_new_head(spark, tmp_path):
+    """Non-fast-forward publish: rebase applies the branch's net diff
+    on top of main's new commits (log surgery, no data rewrite), after
+    which publish fast-forwards; true write-write overlap conflicts."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1)
+    )  # file A
+    t.append(
+        spark.createDataFrame([(3, 30), (4, 40)], "k long, v long").coalesce(1)
+    )  # file B
+    br = t.create_branch("wap")
+    # branch work: delete k=3 (rewrites file B), add file D, set a prop
+    br.delete([("k", "=", 3)])
+    br.append(spark.createDataFrame([(9, 90)], "k long, v long").coalesce(1))
+    br.set_properties({"branch_prop": "yes"})
+    # main advances independently: new file C + its own property
+    t.append(spark.createDataFrame([(5, 50)], "k long, v long").coalesce(1))
+    t.set_properties({"main_prop": "also"})
+
+    with pytest.raises(CommitConflict, match="rebase_branch"):
+        t.publish_branch("wap")
+
+    new_base = t.rebase_branch("wap")
+    assert new_base == t.latest_version()
+    assert t.branches()["wap"] == new_base
+    # branch now sees main's new file AND its own edits
+    br2 = t.branch("wap")
+    assert sorted(r.k for r in br2.snapshot().collect()) == [1, 2, 4, 5, 9]
+    assert br2.properties()["branch_prop"] == "yes"
+    assert br2.properties()["main_prop"] == "also"
+
+    v = t.publish_branch("wap")
+    assert sorted(r.k for r in t.snapshot(v).collect()) == [1, 2, 4, 5, 9]
+    assert t.properties()["branch_prop"] == "yes"
+
+    # conflict: both sides rewrite the same file's rows
+    br3 = t.create_branch("clash")
+    br3.delete([("k", "=", 1)])  # rewrites the file holding k=1
+    t.update({"v": "v + 1"}, [("k", "=", 2)])  # main rewrites the SAME file
+    with pytest.raises(ValueError, match="rewritten/deleted by main"):
+        t.rebase_branch("clash")
+
+    # conflict: same property changed to different values on both sides
+    br4 = t.create_branch("pclash")
+    br4.set_properties({"owner": "branch"})
+    t.set_properties({"owner": "main"})
+    with pytest.raises(ValueError, match="changed by both sides"):
+        t.rebase_branch("pclash")
