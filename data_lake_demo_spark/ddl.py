@@ -23,6 +23,10 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t CREATE BRANCH name
     DELETE FROM t [WHERE conj]
     UPDATE t SET a = expr [, b = expr ...] [WHERE conj]
+    MERGE INTO t [AS] a USING (<subquery>|view) [AS] b ON a.k = b.k
+        [WHEN MATCHED [AND cond] THEN DELETE]
+        [WHEN MATCHED THEN UPDATE SET *]
+        [WHEN NOT MATCHED THEN INSERT *]
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
@@ -264,6 +268,97 @@ class AcidSql:
     def _version_df(self, version: int) -> DataFrame:
         return self.spark.createDataFrame([(version,)], "version long")
 
+    # ---- MERGE INTO ----------------------------------------------------
+
+    def _merge(self, m) -> DataFrame:
+        """``MERGE INTO t [AS] a USING (<subquery>|view) [AS] b
+        ON a.k = b.k [AND ...] <when-clauses>`` where the supported
+        when-clauses are the full-row Delta CDC shapes:
+
+        * ``WHEN MATCHED THEN UPDATE SET *`` +
+          ``WHEN NOT MATCHED THEN INSERT *``            → upsert
+        * the same plus ``WHEN MATCHED AND <cond> THEN DELETE``
+          (``cond`` over SOURCE columns)                → CDC apply,
+          one atomic commit (merge_apply)
+        * only ``WHEN MATCHED THEN DELETE``             → keyed delete
+
+        Column-level ``UPDATE SET c = expr`` is deliberately out of
+        scope (use UPDATE, or the Python API): the table verbs are
+        full-row, which is what a CDC feed carries."""
+        from pyspark.sql import functions as F
+
+        tref, talias, src, salias, on, whens = m.groups()
+        t = self.table(tref)
+        keys = []
+        aliases = {a for a in (talias, salias) if a}
+        for p in _split_top(on, "AND"):
+            em = re.fullmatch(
+                rf"\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*"
+                rf"(?:({_IDENT})\.)?({_IDENT})\s*",
+                p,
+            )
+            if not em or em.group(2) != em.group(4):
+                raise ValueError(
+                    f"unsupported ON predicate {p.strip()!r}: equality on "
+                    "same-named key columns only (a.k = b.k)"
+                )
+            keys.append(em.group(2))
+        src = src.strip()
+        if src.startswith("("):
+            src_df = self.spark.sql(src[1:-1])
+        else:
+            src_df = self.spark.table(src)
+
+        has_update = has_insert = has_plain_delete = False
+        delete_cond = None
+        for clause in _split_top(whens, "WHEN"):
+            c = clause.strip()
+            if not c:
+                continue
+            if re.fullmatch(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", c, re.I):
+                has_update = True
+            elif re.fullmatch(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", c, re.I):
+                has_insert = True
+            elif re.fullmatch(r"MATCHED\s+THEN\s+DELETE", c, re.I):
+                has_plain_delete = True
+            else:
+                dm = re.fullmatch(
+                    r"MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE", c, re.I | re.S
+                )
+                if dm:
+                    delete_cond = dm.group(1)
+                else:
+                    raise ValueError(
+                        f"unsupported MERGE clause 'WHEN {c}' (full-row "
+                        "UPDATE SET * / INSERT * / [AND cond] DELETE only)"
+                    )
+        if delete_cond is not None:
+            if talias and re.search(rf"\b{talias}\.", delete_cond):
+                raise ValueError(
+                    "the DELETE condition may reference source columns "
+                    "only (it is evaluated against the incoming batch)"
+                )
+            for a in aliases:
+                delete_cond = re.sub(rf"\b{a}\.", "", delete_cond)
+        if has_update and has_insert and delete_cond is not None:
+            # source-only columns (e.g. the CDC flag) feed the DELETE
+            # condition but never land: project down to target columns
+            tcols = set(t.snapshot().columns)
+            df = src_df.withColumn("__mrg_del", F.expr(delete_cond)).select(
+                *[c for c in src_df.columns if c in tcols], "__mrg_del"
+            )
+            return self._version_df(t.merge_apply(df, keys, "__mrg_del"))
+        if has_update and has_insert and not has_plain_delete:
+            return self._version_df(t.merge(src_df, keys))
+        if has_plain_delete and not (has_update or has_insert):
+            return self._version_df(
+                t.merge_delete(src_df.select(*keys), keys)
+            )
+        raise ValueError(
+            "unsupported MERGE clause combination: use UPDATE SET * + "
+            "INSERT * [+ AND cond DELETE], or DELETE alone"
+        )
+
     # ---- the router ----------------------------------------------------
 
     def sql(self, statement: str) -> DataFrame:
@@ -376,6 +471,16 @@ class AcidSql:
             return self._version_df(
                 self.table(m.group(1)).update(assignments, filters)
             )
+
+        m = re.fullmatch(
+            rf"MERGE\s+INTO\s+({_TREF})(?:\s+AS)?(?:\s+({_IDENT}))?"
+            rf"\s+USING\s+(\(.*\)|{_TREF})(?:\s+AS)?(?:\s+({_IDENT}))?"
+            r"\s+ON\s+(.+?)\s+(WHEN\s+.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._merge(m)
 
         m = re.fullmatch(
             rf"RESTORE\s+TABLE\s+({_TREF})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",

@@ -103,3 +103,61 @@ def test_ddl_path_addressing_and_catalog(spark, tmp_path):
     sql2 = AcidSql(spark, cat)
     sql2.sql("DELETE FROM t2 WHERE k = 1")
     assert t.snapshot().count() == 0
+
+
+def test_merge_into_statement(spark, tmp_path):
+    """MERGE INTO routes to merge / merge_apply / merge_delete."""
+    p = str(tmp_path / "m")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1)
+    )
+    sql = AcidSql(spark, {"tt": p})
+
+    # upsert via subquery source
+    sql.sql(
+        "MERGE INTO tt AS t USING "
+        "(SELECT * FROM VALUES (2, 'B'), (4, 'd') AS s(k, v)) AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {r.k: r.v for r in t.snapshot().collect()} == {
+        1: "a", 2: "B", 3: "c", 4: "d",
+    }
+
+    # CDC apply: delete + upsert in ONE commit
+    v_before = t.latest_version()
+    sql.sql(
+        "MERGE INTO tt AS t USING "
+        "(SELECT * FROM VALUES (1, 'x', true), (5, 'e', false) "
+        "AS s(k, v, is_del)) AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.is_del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.latest_version() == v_before + 1  # single commit
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert 1 not in got and got[5] == "e"
+
+    # keyed delete
+    sql.sql(
+        "MERGE INTO tt USING (SELECT 2 AS k) s ON tt.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sorted(r.k for r in t.snapshot().collect()) == [3, 4, 5]
+
+    # rejections: column-level SET, mismatched ON, target-side cond
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        sql.sql(
+            "MERGE INTO tt USING (SELECT 1 AS k) s ON tt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 'z'"
+        )
+    with pytest.raises(ValueError, match="same-named"):
+        sql.sql(
+            "MERGE INTO tt USING (SELECT 1 AS kk) s ON tt.k = s.kk "
+            "WHEN MATCHED THEN DELETE"
+        )
