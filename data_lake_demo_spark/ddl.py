@@ -268,6 +268,58 @@ class AcidSql:
     def _version_df(self, version: int) -> DataFrame:
         return self.spark.createDataFrame([(version,)], "version long")
 
+    # ---- CREATE TABLE --------------------------------------------------
+
+    def _create_table(self, m) -> DataFrame:
+        """Seed an empty AcidTable (version 0 carries the declared
+        schema), persist PARTITIONED BY as the ``partition_spec``
+        property that appends default to, register the name. LOCATION
+        is required unless the catalog is an AcidCatalog (whose root
+        derives ``<root>/<name>``) — external-table semantics: DROP
+        TABLE unregisters, never deletes data."""
+        import os
+
+        from data_lake_demo_spark.tableformat import AcidTable
+
+        if_not_exists, name, cols, part, loc, props = m.groups()
+        if loc:
+            path = str(_parse_literal(loc))
+        elif hasattr(self._tables, "store"):  # AcidCatalog: derive
+            path = os.path.join(
+                os.path.dirname(self._tables.store.path), name
+            )
+        else:
+            raise ValueError(
+                f"CREATE TABLE {name!r} needs LOCATION '<path>' (no "
+                "AcidCatalog root to derive one from)"
+            )
+        t = AcidTable(self.spark, path)
+        if t.latest_version() >= 0:
+            if if_not_exists:
+                self._register(name, path)
+                return self._version_df(t.latest_version())
+            raise ValueError(f"table at {path!r} already exists")
+        t.append(self.spark.createDataFrame([], cols))
+        updates = _parse_props(props, values=True) if props else {}
+        if part and part.strip():
+            # _split_top: bucket(4, k)-style transforms carry commas
+            updates["partition_spec"] = [
+                p.strip() for p in _split_top(part, ",") if p.strip()
+            ]
+        v = t.set_properties(updates) if updates else 0
+        self._register(name, path)
+        self._handles[path] = t
+        return self._version_df(v)
+
+    def _register(self, name: str, path: str) -> None:
+        t = self._tables
+        if t is None:
+            return  # path-addressed only; nothing to register
+        if hasattr(t, "register"):
+            t.register(name, path)
+        else:
+            t[name] = path
+
     # ---- MERGE INTO ----------------------------------------------------
 
     def _merge(self, m) -> DataFrame:
@@ -363,6 +415,36 @@ class AcidSql:
 
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";").strip()
+
+        m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})"
+            r"\s*\((.+?)\)"
+            r"(?:\s+USING\s+acid(?:table)?)?"
+            r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+            r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?"
+            r"(?:\s+TBLPROPERTIES\s*\((.+)\))?",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._create_table(m)
+
+        m = re.fullmatch(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})", s, re.I)
+        if m:
+            t = self._tables
+            name = m.group(2)
+            try:
+                self._path_of(name)
+            except ValueError:
+                if m.group(1):
+                    return self._version_df(-1)
+                raise
+            # external-table semantics: unregister only, data untouched
+            if hasattr(t, "drop"):
+                t.drop(name)
+            else:
+                del t[name]
+            return self._version_df(-1)
 
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+RENAME\s+COLUMN\s+({_IDENT})"

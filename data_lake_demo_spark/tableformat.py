@@ -1808,7 +1808,12 @@ class AcidTable:
         self, partition_by: Sequence[str] | None, colmap: dict | None = None
     ):
         """Translate logical column names inside partition specs
-        (plain names and transform arguments) to physical names."""
+        (plain names and transform arguments) to physical names.
+        ``None`` falls back to the table's DECLARED spec (the
+        ``partition_spec`` property CREATE TABLE ... PARTITIONED BY
+        stores) — pass ``[]`` to write unpartitioned explicitly."""
+        if partition_by is None:
+            partition_by = self.properties().get("partition_spec")
         if partition_by is None:
             return None
         colmap = self._colmap() if colmap is None else colmap

@@ -161,3 +161,60 @@ def test_merge_into_statement(spark, tmp_path):
             "MERGE INTO tt USING (SELECT 1 AS kk) s ON tt.k = s.kk "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+def test_create_and_drop_table(spark, tmp_path):
+    """CREATE TABLE seeds schema + declared partition spec; appends
+    default to the spec; DROP TABLE unregisters without deleting."""
+    from data_lake_demo_spark.catalog import AcidCatalog
+
+    cat = AcidCatalog(spark, str(tmp_path / "lake"))
+    sql = AcidSql(spark, cat)
+    sql.sql(
+        "CREATE TABLE ev (k long, ts timestamp, v string) "
+        "PARTITIONED BY (days(ts)) "
+        "TBLPROPERTIES ('owner' = 'me')"
+    )
+    t = sql.table("ev")
+    assert t.snapshot().count() == 0
+    assert t.properties()["partition_spec"] == ["days(ts)"]
+    assert t.properties()["owner"] == "me"
+    # appends default to the declared spec: rows range-cluster by the
+    # hidden days(ts) transform, so each staged file's ts stats span a
+    # single day (manifest-pruned "partitioning", no Hive dirs)
+    t.append(
+        spark.createDataFrame(
+            [
+                (i, f"2024-0{6 + i % 2}-01 10:00:00", f"v{i}")
+                for i in range(200)
+            ],
+            "k long, ts string, v string",
+        ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    )
+    import os as _os
+
+    paths = [r.path for r in t.files().collect()]
+    assert len(paths) >= 2
+    for rel in paths:  # each staged file covers exactly one day
+        f = spark.read.parquet(_os.path.join(str(tmp_path / "lake" / "ev"), rel))
+        assert f.selectExpr("count(distinct to_date(ts))").first()[0] == 1
+    assert t.snapshot().count() == 200
+
+    # idempotent under IF NOT EXISTS, error without
+    sql.sql("CREATE TABLE IF NOT EXISTS ev (k long)")
+    with pytest.raises(ValueError, match="already exists"):
+        sql.sql("CREATE TABLE ev (k long)")
+
+    # DROP TABLE: unregistered, data intact
+    sql.sql("DROP TABLE ev")
+    with pytest.raises(ValueError, match="not in catalog"):
+        sql.sql("DESCRIBE HISTORY ev")
+    assert AcidTable(spark, str(tmp_path / "lake" / "ev")).snapshot().count() == 200
+    sql.sql("DROP TABLE IF EXISTS ev")  # no-op, no error
+
+    # LOCATION form with a dict catalog
+    sql2 = AcidSql(spark, {})
+    sql2.sql(
+        f"CREATE TABLE x (k long) LOCATION '{tmp_path / 'x'}'"
+    )
+    assert sql2.table("x").snapshot().columns == ["k"]
