@@ -670,6 +670,10 @@ def _staged_actions(table, messages) -> list[dict]:
         rows, stats = table._file_meta(rel)
         if rows == 0:
             continue
+        if rows is not None:
+            # manifest record count (same stamp as _stage_actions):
+            # keeps metadata-only row_count() exact for DSv2 writes
+            stats["#rows"] = [rows]
         actions.append({"path": rel, "stats": stats})
     return actions
 
@@ -883,7 +887,9 @@ def _commit_staged_identity(
                         pc.add(tbl.column(phys), delta),
                     )
                 pq.write_table(tbl, full)
-                _, a["stats"] = t._file_meta(a["path"])
+                n_rows, a["stats"] = t._file_meta(a["path"])
+                if n_rows is not None:
+                    a["stats"]["#rows"] = [n_rows]
         new_props = dict(props)
         for c, v in bases.items():
             top = None

@@ -736,6 +736,12 @@ def test_acid_dsv2_batch_writer_roundtrip(spark, tmp_path):
     # interop: the Python API and the DSv2 writer share one log
     t.append(spark.createDataFrame([(4, "d", 4.5)], "k long, v string, x double"))
     assert t.latest_version() == 2
+    # DSv2-written files carry the #rows manifest stamp, so
+    # metadata-only COUNT(*) stays exact without a data read
+    assert t.row_count() == 4
+    assert all(
+        r.record_count and r.record_count > 0 for r in t.files().collect()
+    )
 
     # overwrite mode: atomic full replace (one commit, old files removed)
     spark.createDataFrame(
