@@ -2328,6 +2328,87 @@ class AcidTable:
             ) from None
         return head
 
+    def cherry_pick(
+        self,
+        name: str,
+        version: int,
+        *,
+        log_store: LogStore | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Apply ONE branch commit's effect onto the current main head
+        (Iceberg's ``cherrypick_snapshot``) — the surgical complement
+        of ``publish_branch`` (all-or-nothing) and ``rebase_branch``
+        (move the whole branch): pick just the audited commit you
+        want, leave the rest of the branch unpublished. Pure log
+        surgery — branches share the data directory, so the commit's
+        files are re-referenced, never copied.
+
+        Conflict rules (same conservatism as rebase): every file the
+        commit removes must still be live on main with the SAME
+        deletion vector the branch saw at that commit's parent, and
+        every vector the commit sets must target such a file — i.e.
+        main must not have diverged on the rows this commit touched.
+        A schema change rides along only if the commit itself changed
+        the schema; otherwise main's schema stands. Commit properties
+        do NOT ride (pick one change, not the branch's config)."""
+        br = self.branch(name, log_store=log_store)
+        if version < 0 or version > br.latest_version():
+            raise ValueError(
+                f"branch {name!r} has no commit v{version}"
+            )
+        c = br._read_commit(version)
+        parent_dvs = (
+            br._resolve_state(version - 1)[4] if version > 0 else {}
+        )
+        parent_schema = (
+            br._resolve_state(version - 1)[1] if version > 0 else None
+        )
+        touched = set(c.remove) | {e["path"] for e in c.dv or ()}
+        for _ in range(max_retries):
+            head = self.latest_version()
+            live_m, schema_m, _, _, dvs_m = self._resolve_state(head)
+            conflicts = []
+            for p in sorted(touched):
+                if p not in live_m:
+                    if p in {a["path"] for a in c.add}:
+                        continue  # the commit itself introduces it
+                    conflicts.append(f"file {p}: not live on main")
+                elif dvs_m.get(p, "") != parent_dvs.get(p, ""):
+                    conflicts.append(
+                        f"file {p}: deletion vector diverged on main"
+                    )
+            if conflicts:
+                raise ValueError(
+                    f"cherry-pick of {name!r}@v{version} onto v{head} "
+                    "conflicts:\n  " + "\n  ".join(conflicts)
+                )
+            dup = [a["path"] for a in c.add if a["path"] in live_m]
+            if dup:
+                raise ValueError(
+                    f"cherry-pick of {name!r}@v{version}: file(s) already "
+                    f"live on main (picked twice?): {dup[:3]}"
+                )
+            schema = (
+                c.schema_json
+                if parent_schema is not None and c.schema_json != parent_schema
+                else schema_m
+            )
+            try:
+                return self._try_commit(
+                    head + 1,
+                    "cherrypick",
+                    c.add,
+                    c.remove,
+                    schema or c.schema_json,
+                    dv=c.dv,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"cherry-pick of {name!r}@v{version} lost {max_retries} races"
+        )
+
     def _touched_files(
         self,
         live: dict[str, dict],

@@ -1766,3 +1766,44 @@ def test_rebase_branch_replays_diff_onto_new_head(spark, tmp_path):
     t.set_properties({"owner": "main"})
     with pytest.raises(ValueError, match="changed by both sides"):
         t.rebase_branch("pclash")
+
+
+def test_cherry_pick_single_branch_commit(spark, tmp_path):
+    """cherry_pick applies exactly one branch commit onto main; the
+    rest of the branch stays unpublished; divergence on the touched
+    rows conflicts."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1)
+    )
+    br = t.create_branch("wap")
+    br.append(spark.createDataFrame([(3, 30)], "k long, v long").coalesce(1))
+    pick_v = br.latest_version()  # the append we want
+    br.append(spark.createDataFrame([(4, 40)], "k long, v long").coalesce(1))
+
+    t.append(spark.createDataFrame([(5, 50)], "k long, v long").coalesce(1))
+    v = t.cherry_pick("wap", pick_v)
+    assert sorted(r.k for r in t.snapshot(v).collect()) == [1, 2, 3, 5]
+    assert t.history()[-1].op == "cherrypick"
+    # branch itself is untouched (4 still only there)
+    assert sorted(r.k for r in t.branch("wap").snapshot().collect()) == [
+        1, 2, 3, 4,
+    ]
+
+    # picking the same commit twice is caught (files already live)
+    with pytest.raises(ValueError, match="already live"):
+        t.cherry_pick("wap", pick_v)
+
+    # a rewrite commit conflicts once main diverges on the same file
+    br2 = t.create_branch("rw")
+    br2.delete([("k", "=", 1)])  # rewrites the (1,2) file on the branch
+    rw_v = br2.latest_version()
+    t.update({"v": "v + 1"}, [("k", "=", 2)])  # main rewrites it too
+    with pytest.raises(ValueError, match="not live on main"):
+        t.cherry_pick("rw", rw_v)
+
+    # MOR delete commit cherry-picks cleanly while main is untouched
+    br3 = t.create_branch("mor")
+    br3.delete([("k", "=", 5)], mode="merge_on_read")
+    v = t.cherry_pick("mor", br3.latest_version())
+    assert sorted(r.k for r in t.snapshot(v).collect()) == [1, 2, 3]
