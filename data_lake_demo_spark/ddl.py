@@ -626,5 +626,38 @@ class AcidSql:
                 "key string, value string",
             )
 
-        # not a table-format statement: plain Spark SQL
-        return self.spark.sql(statement)
+        # not a table-format statement: plain Spark SQL, with Delta's
+        # SQL time travel grafted on — `FROM t VERSION AS OF n` /
+        # `TIMESTAMP AS OF '...'` pins that reference to a snapshot
+        # (rewritten to a temp view; unknown names pass through so
+        # ordinary Spark SQL keeps working unchanged)
+        return self.spark.sql(self._rewrite_time_travel(s))
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        pat = re.compile(
+            rf"({_TREF})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"(\d+|'(?:[^']|'')*')",
+            re.I,
+        )
+
+        def sub(m):
+            ref, kind, at = m.group(1), m.group(2).upper(), m.group(3)
+            try:
+                t = self.table(ref)
+            except ValueError:
+                return m.group(0)  # not ours: leave for Spark to judge
+            if kind == "VERSION":
+                v = int(at)
+            else:
+                from datetime import datetime, timezone
+
+                raw = str(_parse_literal(at))
+                dt = datetime.fromisoformat(raw)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                v = t.version_at_timestamp(dt.timestamp())
+            view = f"__tt_{abs(hash((ref, v))) % 10**10}"
+            t.snapshot(v).createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, s)

@@ -218,3 +218,34 @@ def test_create_and_drop_table(spark, tmp_path):
         f"CREATE TABLE x (k long) LOCATION '{tmp_path / 'x'}'"
     )
     assert sql2.table("x").snapshot().columns == ["k"]
+
+
+def test_select_time_travel(spark, tmp_path):
+    """SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF 'ts' pins
+    the reference to a snapshot; unknown names pass through."""
+    import time as _time
+
+    p = str(tmp_path / "tt")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1,), (2,)], "k long"))
+    _time.sleep(0.05)
+    ts_between = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(3,)], "k long"))
+
+    sql = AcidSql(spark, {"tt": p})
+    assert sql.sql("SELECT count(*) AS n FROM tt VERSION AS OF 0").first().n == 2
+    assert sql.sql("SELECT count(*) AS n FROM tt VERSION AS OF 1").first().n == 3
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts_between, tz=timezone.utc).isoformat()
+    assert (
+        sql.sql(f"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '{iso}'")
+        .first().n == 2
+    )
+    # joins between two pinned versions of the same table work
+    got = sql.sql(
+        "SELECT a.k FROM tt VERSION AS OF 1 a "
+        "LEFT ANTI JOIN tt VERSION AS OF 0 b ON a.k = b.k"
+    ).collect()
+    assert [r.k for r in got] == [3]
