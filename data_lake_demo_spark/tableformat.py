@@ -1875,7 +1875,16 @@ class AcidTable:
         colmap[phys] = new
         if colmap[phys] == phys:
             del colmap[phys]
-        return self.set_properties({"colmap": colmap or None})
+        updates: dict = {"colmap": colmap or None}
+        # identity watermarks are keyed by LOGICAL name (writers look
+        # them up against the current schema): migrate the key in the
+        # SAME commit or the rename silently sheds identity semantics
+        ik = self._IDENTITY_PREFIX + old
+        cur = self.properties()
+        if ik in cur:
+            updates[ik] = None
+            updates[self._IDENTITY_PREFIX + new] = cur[ik]
+        return self.set_properties(updates)
 
     def drop_column(self, name: str) -> int:
         """Metadata-only column drop: the physical column stays in
@@ -1891,7 +1900,12 @@ class AcidTable:
         colmap = self._colmap()
         phys = next(p for p, l in view.items() if l == name)
         colmap[phys] = ""
-        return self.set_properties({"colmap": colmap})
+        updates: dict = {"colmap": colmap}
+        # dropping an identity column retires its watermark in the
+        # same commit (a stale key would break every later append)
+        if self._IDENTITY_PREFIX + name in self.properties():
+            updates[self._IDENTITY_PREFIX + name] = None
+        return self.set_properties(updates)
 
     # ---- metadata tables (Iceberg .files / DESCRIBE HISTORY / DETAIL) ---
 

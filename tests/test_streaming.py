@@ -1601,3 +1601,36 @@ def test_acid_dsv2_writer_identity_columns(spark, tmp_path):
     )
     assert stale_ids == [before, before + 1, before + 2]
     assert t.properties()["identity.id"]["next"] == before + 3
+
+
+def test_acid_dsv2_writer_identity_with_column_mapping(spark, tmp_path):
+    """Identity + column mapping composed through the DSv2 writer:
+    the identity column is RENAMED (metadata-only), and a DSv2 write
+    still assigns values — staging under the physical name, rejecting
+    the logical name if supplied."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1)
+    )
+    t.set_identity_column("id", start=50)
+    t.rename_column("id", "row_id")  # identity prop follows the rename?
+    props = t.properties()
+    # identity key must track the LOGICAL name for the writers to find
+    assert any(k.endswith("row_id") for k in props if k.startswith("identity."))
+    spark.createDataFrame([("b",), ("c",)], "s string").write.format(
+        "acidtable"
+    ).mode("append").option("path", p).save()
+    got = {r.s: r.row_id for r in t.snapshot().collect()}
+    assert got["a"] == 1
+    new_ids = {got["b"], got["c"]}
+    assert len(new_ids) == 2 and min(new_ids) >= 50  # unique, gap-tolerant
+    assert t.properties()["identity.row_id"]["next"] > max(new_ids)
+    with pytest.raises(Exception, match="GENERATED ALWAYS|reserved"):
+        spark.createDataFrame([(9, "x")], "row_id long, s string").write.format(
+            "acidtable"
+        ).mode("append").option("path", p).save()

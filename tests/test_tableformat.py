@@ -1807,3 +1807,41 @@ def test_cherry_pick_single_branch_commit(spark, tmp_path):
     br3.delete([("k", "=", 5)], mode="merge_on_read")
     v = t.cherry_pick("mor", br3.latest_version())
     assert sorted(r.k for r in t.snapshot(v).collect()) == [1, 2, 3]
+
+
+def test_rebase_conformance_inmemory_store_and_race(spark, tmp_path):
+    """Rebase works when MAIN's log lives on the in-memory conformance
+    backend (ref slots use only put_if_absent/list/read), and exactly
+    one of two concurrent rebases of the same branch wins the slot."""
+    from data_lake_demo_spark.storage import InMemoryLogStore
+
+    t = AcidTable(spark, str(tmp_path / "t"), log_store=InMemoryLogStore())
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1))
+    br_store = InMemoryLogStore()
+    br = t.create_branch("b", log_store=br_store)
+    br.append(spark.createDataFrame([(2, 20)], "k long, v long").coalesce(1))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long").coalesce(1))
+
+    results, errs = [], []
+
+    def go():
+        try:
+            results.append(t.rebase_branch("b", log_store=br_store))
+        except CommitConflict as e:
+            errs.append(e)
+
+    th = [threading.Thread(target=go) for _ in range(2)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    # exactly one winner; the loser saw the slot CAS fail
+    assert len(results) >= 1 and len(results) + len(errs) == 2
+    assert t.branches()["b"] == t.latest_version()
+    t.publish_branch("b", log_store=br_store)
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3]
+    # cherry-pick conformance on the same backends
+    br2 = t.create_branch("c", log_store=InMemoryLogStore())
+    # reopen via the same store object
+    st2 = br2.log
+    br2.append(spark.createDataFrame([(4, 40)], "k long, v long").coalesce(1))
+    t.cherry_pick("c", br2.latest_version(), log_store=st2)
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3, 4]
