@@ -742,6 +742,127 @@ def winnow_containment(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 8,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Exact-substring span dedup — the suffix-array recipe of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022, arXiv:2107.06499) re-expressed relationally: any token
+    run of >= ``min_len`` tokens that occurs MORE THAN ONCE corpus-wide
+    (across documents OR repeated inside one document) is marked, the
+    marked positions are merged into maximal per-document spans, and
+    every occurrence is scrubbed from the rebuilt text. Equivalent to
+    the suffix-array formulation at k-token granularity: a duplicated
+    run of length L >= k is exactly the union of its L-k+1 duplicated
+    k-grams, so merged spans reproduce the maximal duplicated runs
+    (the "remove all occurrences" policy — deterministic, no
+    first-copy election needed).
+
+    Distributed shape (the reason this beats a literal suffix array on
+    a cluster): one token explode feeds BOTH the gram pipeline and the
+    text rebuild; gram assembly is a lead()-chain over the exploded
+    rows (whole-stage codegen, same partitioning as the span-merge
+    window — see winnow_fingerprints for why not an array-HOF); the
+    global duplicate test is ONE shuffle of (id, pos, digest) rows —
+    16-byte digests with ``base_hash="md5"`` (the oracle-portable
+    default), 8-byte longs with ``"xxhash64"`` (the production pick) —
+    and a count-over-digest window, no collect_list (a pathological
+    mega-hot gram never materializes a position list). Island merge is
+    the classic prev-max-end window per document. Text tokens shuffle
+    once, keyed (id, pos), to meet the covered set.
+
+    Output: (id, n_spans, dup_tokens, n_tokens, text_scrub) — one row
+    per input document; zero-span documents pass through with their
+    original (whitespace-normalized) text.
+    """
+    from pyspark.sql import Window as W
+
+    k = min_len
+    toks_df = spread_small_input(
+        df.select(F.col(id_col), tokens(text_col).alias("__t")), id_col
+    )
+    tok_rows = toks_df.select(
+        F.col(id_col),
+        F.size("__t").alias("__nt"),
+        F.posexplode("__t").alias("pos", "tok"),
+    )
+    wl = W.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(wl) for i in range(1, k)]
+    )
+    dig = (
+        F.md5(gram.cast("binary"))
+        if base_hash == "md5"
+        else F.xxhash64(gram)
+    )
+    grams = (
+        tok_rows.withColumn("__dg", dig)
+        .filter(F.col("pos") <= F.col("__nt") - k)  # complete grams only
+        .select(id_col, "pos", "__dg")
+    )
+    marked = (
+        grams.withColumn(
+            "__n_occ", F.count(F.lit(1)).over(W.partitionBy("__dg"))
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select(id_col, "pos")
+    )
+    prev_end = F.max("pos").over(wl.rowsBetween(W.unboundedPreceding, -1)) + (
+        k - 1
+    )
+    islands = marked.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(wl))
+    spans = islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+    )
+    # merged spans are disjoint by construction — the explode cannot
+    # emit a (id, pos) twice, so no distinct before the anti-join
+    covered = spans.select(
+        F.col(id_col), F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    rebuilt = (
+        tok_rows.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_scrub")
+        )
+    )
+    totals = toks_df.select(F.col(id_col), F.size("__t").alias("n_tokens"))
+    return (
+        totals.join(stats, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("text_scrub", F.lit("")).alias("text_scrub"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,

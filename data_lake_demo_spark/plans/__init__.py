@@ -23,6 +23,10 @@ ALL_MODULES = [llm, events, relational]
 # the hard signal).
 WINDOW = [
     # -- new or changed in round 6 ------------------------------------
+    "doc_substring_dedup",  # NEW: exact-substring span dedup (the
+    # Lee et al. suffix-array family), full oracle incl. rebuilt-text
+    # md5 (evicts events_hll_daily_users — rows-only by design, and
+    # its exact twin events_hll_daily_users_exact is r5-green)
     "q2_min_cost_supplier",  # NEW: completes the numbered TPC-H sweep
     # (no partsupp in the fixtures — supply relation derived from
     # lineitem; correlated-min shape; evicts events_tumbling_hourly,
@@ -100,7 +104,6 @@ WINDOW = [
     # -- round 4: events family ---------------------------------------
     "countmin_event_type_freq",
     "events_daily_retention",
-    "events_hll_daily_users",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1873,6 +1873,109 @@ FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
 """
 
 
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (the suffix-array family of Lee et
+    al. 2022, arXiv:2107.06499; operators/dedup.substring_dedup): every
+    token run >= 8 tokens occurring twice anywhere in the corpus is
+    located, merged into maximal spans, and scrubbed from the rebuilt
+    text. The fixture word-soup rarely repeats 8-gram runs naturally,
+    so the query plants both duplication modes the operator must
+    catch: a corpus-wide shared passage appended to every third
+    document (cross-document dups — the license-block/boilerplate
+    case) and the document's own first 10 tokens re-appended to every
+    fifth (intra-document repetition). The oracle replays gram
+    marking, island merge, and the order-preserving scrub in DuckDB —
+    the scrub_md5 column value-hashes the rebuilt text."""
+    from data_lake_demo_spark.operators.dedup import substring_dedup, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_SUBSTR_PHRASE)),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.array_join(F.slice(tokens("text"), 1, 10), " "),
+            ),
+        ).alias("text"),
+    )
+    return (
+        substring_dedup(planted, min_len=8)
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.md5(F.col("text_scrub").cast("binary")).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTR_PHRASE = (
+    "large language models memorize repeated passages unless "
+    "deduplicated carefully at scale"
+)
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w0
+  FROM documents),
+base AS (
+  SELECT doc_id, concat_ws(' ', text,
+    CASE WHEN doc_id % 3 = 0 THEN '{_SUBSTR_PHRASE}' END,
+    CASE WHEN doc_id % 5 = 0 THEN array_to_string(w0[1:10], ' ') END
+  ) AS text2
+  FROM d0),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text2), '\\s+') AS t FROM base),
+tok_rows AS (
+  SELECT doc_id, pos, t[pos + 1] AS tok
+  FROM (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM toks)),
+grams AS (
+  SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS dg
+  FROM (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t
+        FROM toks WHERE len(t) >= 8)),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY dg) AS n_occ FROM grams)
+  WHERE n_occ >= 2),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM (
+    SELECT doc_id, pos,
+      MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 7 AS prev_end
+    FROM marked)),
+spans AS (
+  SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, g),
+covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id),
+scrub AS (
+  SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.pos) AS text_scrub
+  FROM tok_rows tr LEFT JOIN covered c
+    ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.doc_id IS NULL GROUP BY tr.doc_id),
+tot AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT t.doc_id,
+  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  md5(coalesce(sc.text_scrub, '')) AS scrub_md5
+FROM tot t
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN scrub sc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Statistical quality scoring: LM perplexity + DSIR (oracle-checked)
 # --------------------------------------------------------------------------
@@ -2417,6 +2520,7 @@ QUERIES = {
     "doc_normalize_scrub": doc_normalize_scrub,
     "doc_scrub_boilerplate": doc_scrub_boilerplate,
     "doc_paragraph_dedup": doc_paragraph_dedup,
+    "doc_substring_dedup": doc_substring_dedup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2488,6 +2592,7 @@ ORACLE = {
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "doc_substring_dedup": SUBSTRING_DEDUP_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
     "doc_lm_perplexity": bigram_lm_oracle_sql(),
     "doc_dsir_weights": dsir_oracle_sql("lang = 'en'"),

@@ -1436,3 +1436,48 @@ def test_dialect_split_literal_delimiter(spark):
     ]
     for sql, want in cases:
         assert spark.sql(translate(sql)).collect()[0].s == want, sql
+
+
+def test_substring_dedup_spans_and_scrub(spark):
+    """Exact-substring span dedup (Lee et al. 2022 semantics at 8-gram
+    granularity): cross-doc shared runs, intra-doc repetition, span
+    merging, and the all-occurrences scrub."""
+    from data_lake_demo_spark.operators.dedup import substring_dedup
+
+    run = "a b c d e f g h i j"  # 10-token shared run
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 x3 " + run + " y1 y2"),
+            (1, "z1 " + run + " z2 z3 z4 z5"),
+            (2, "only unique tokens here nothing repeats at all twelve w l"),
+            # intra-document repeat of an 8-token run, separated by "t"
+            (3, "r1 r2 r3 r4 r5 r6 r7 r8 t r1 r2 r3 r4 r5 r6 r7 r8"),
+            (4, "short doc"),  # shorter than min_len: never marked
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in substring_dedup(docs, min_len=8).collect()
+    }
+    assert (got[0].n_spans, got[0].dup_tokens, got[0].text_scrub) == (
+        1, 10, "x1 x2 x3 y1 y2")
+    assert (got[1].n_spans, got[1].dup_tokens, got[1].text_scrub) == (
+        1, 10, "z1 z2 z3 z4 z5")
+    assert got[2].n_spans == 0 and got[2].text_scrub.startswith("only")
+    # both copies of the intra-doc run are scrubbed; spans don't merge
+    # across the separator token
+    assert (got[3].n_spans, got[3].dup_tokens, got[3].text_scrub) == (
+        2, 16, "t")
+    assert (got[4].n_spans, got[4].n_tokens, got[4].text_scrub) == (
+        0, 2, "short doc")
+    # xxhash64 digest (the production path) marks identical spans
+    got_xx = {
+        r.doc_id: r
+        for r in substring_dedup(
+            docs, min_len=8, base_hash="xxhash64"
+        ).collect()
+    }
+    assert {i: (g.n_spans, g.dup_tokens) for i, g in got.items()} == {
+        i: (g.n_spans, g.dup_tokens) for i, g in got_xx.items()
+    }
