@@ -13,6 +13,12 @@ transactional layer instead of a metastore.
 
 Grammar (case-insensitive keywords; one statement per call):
 
+    CREATE TABLE [IF NOT EXISTS] t (col type, ...) [USING acid]
+        [PARTITIONED BY (...)] [LOCATION '...'] [TBLPROPERTIES (...)]
+    CREATE TABLE [IF NOT EXISTS] t [USING acid] [PARTITIONED BY (...)]
+        [LOCATION '...'] [TBLPROPERTIES (...)] AS SELECT ...
+    INSERT INTO t [(c1, c2, ...)] VALUES (...), (...) | SELECT ...
+    INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
@@ -277,22 +283,10 @@ class AcidSql:
         is required unless the catalog is an AcidCatalog (whose root
         derives ``<root>/<name>``) — external-table semantics: DROP
         TABLE unregisters, never deletes data."""
-        import os
-
         from data_lake_demo_spark.tableformat import AcidTable
 
         if_not_exists, name, cols, part, loc, props = m.groups()
-        if loc:
-            path = str(_parse_literal(loc))
-        elif hasattr(self._tables, "store"):  # AcidCatalog: derive
-            path = os.path.join(
-                os.path.dirname(self._tables.store.path), name
-            )
-        else:
-            raise ValueError(
-                f"CREATE TABLE {name!r} needs LOCATION '<path>' (no "
-                "AcidCatalog root to derive one from)"
-            )
+        path = self._target_path(name, loc)
         t = AcidTable(self.spark, path)
         if t.latest_version() >= 0:
             if if_not_exists:
@@ -310,6 +304,138 @@ class AcidSql:
         self._register(name, path)
         self._handles[path] = t
         return self._version_df(v)
+
+    def _target_path(self, name: str, loc: str | None) -> str:
+        """CREATE-target path: explicit LOCATION, else derived from the
+        AcidCatalog root (external-table semantics either way)."""
+        import os
+
+        if loc:
+            return str(_parse_literal(loc))
+        if hasattr(self._tables, "store"):  # AcidCatalog: derive
+            return os.path.join(
+                os.path.dirname(self._tables.store.path), name
+            )
+        raise ValueError(
+            f"CREATE TABLE {name!r} needs LOCATION '<path>' (no "
+            "AcidCatalog root to derive one from)"
+        )
+
+    def _create_table_as(self, m) -> DataFrame:
+        """CTAS: run the query, land its result as version 0, persist
+        PARTITIONED BY both as the initial layout and as the
+        ``partition_spec`` default for later appends."""
+        from data_lake_demo_spark.tableformat import AcidTable
+
+        if_not_exists, name, part, loc, props, query = m.groups()
+        path = self._target_path(name, loc)
+        t = AcidTable(self.spark, path)
+        if t.latest_version() >= 0:
+            if if_not_exists:
+                self._register(name, path)
+                return self._version_df(t.latest_version())
+            raise ValueError(f"table at {path!r} already exists")
+        q = query.strip()
+        if q.startswith("(") and q.endswith(")"):
+            q = q[1:-1]
+        df = self.spark.sql(self._rewrite_time_travel(q))
+        spec = (
+            [p.strip() for p in _split_top(part, ",") if p.strip()]
+            if part and part.strip()
+            else None
+        )
+        v = t.append(df, partition_by=spec)
+        updates = _parse_props(props, values=True) if props else {}
+        if spec:
+            updates["partition_spec"] = spec
+        if updates:
+            v = t.set_properties(updates)
+        self._register(name, path)
+        self._handles[path] = t
+        return self._version_df(v)
+
+    # ---- INSERT --------------------------------------------------------
+
+    def _auto_cols(self, t) -> set[str]:
+        """Columns the engine assigns (identity) or computes when
+        omitted (generated) — INSERT may leave them out."""
+        props = t.properties()
+        out = set()
+        for k in props:
+            if k.startswith(t._IDENTITY_PREFIX):
+                out.add(k[len(t._IDENTITY_PREFIX):])
+            elif k.startswith(t._GENERATED_PREFIX):
+                out.add(k[len(t._GENERATED_PREFIX):])
+        return out
+
+    def _align_for_write(self, t, df: DataFrame, cols) -> DataFrame:
+        """Map an INSERT source onto the target's logical schema:
+        positional when no column list is given (full width, or full
+        width minus the engine-assigned columns), by-name with one
+        (unnamed target columns land NULL, Spark-SQL style); every
+        landed column is cast to the declared type."""
+        from pyspark.sql import functions as F
+
+        target = t.snapshot().schema
+        tnames = [f.name for f in target]
+        auto = self._auto_cols(t)
+        if cols is None:
+            writable = [n for n in tnames if n not in auto]
+            if len(df.columns) == len(tnames):
+                cols = tnames
+            elif len(df.columns) == len(writable):
+                cols = writable
+            else:
+                raise ValueError(
+                    f"INSERT provides {len(df.columns)} columns; the table "
+                    f"has {len(tnames)} ({len(writable)} writable — "
+                    "identity/generated columns may be omitted)"
+                )
+        else:
+            unknown = [c for c in cols if c not in tnames]
+            if unknown:
+                raise ValueError(f"unknown INSERT columns {unknown}")
+            if len(cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list names {len(cols)} columns but the "
+                    f"query produces {len(df.columns)}"
+                )
+        named = df.select(
+            *[F.col(c).alias(n) for c, n in zip(df.columns, cols)]
+        )
+        by_name = {f.name: f for f in target}
+        out = []
+        for n in tnames:
+            if n in cols:
+                out.append(F.col(n).cast(by_name[n].dataType).alias(n))
+            elif n in auto:
+                continue  # the write path assigns/computes it
+            else:
+                out.append(F.lit(None).cast(by_name[n].dataType).alias(n))
+        return named.select(*out)
+
+    def _insert(self, m) -> DataFrame:
+        kind, tref, cols_s, body = m.groups()
+        t = self.table(tref)
+        cols = (
+            [c.strip() for c in cols_s.split(",")] if cols_s else None
+        )
+        body = body.strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        if re.match(r"VALUES\b", body, re.I):
+            src = self.spark.sql(f"SELECT * FROM ({body})")
+        else:
+            src = self.spark.sql(self._rewrite_time_travel(body))
+        df = self._align_for_write(t, src, cols)
+        if kind.upper() == "OVERWRITE":
+            if cols is not None:
+                raise ValueError(
+                    "INSERT OVERWRITE replaces the whole table — a column "
+                    "list is not supported"
+                )
+            return self._version_df(t.overwrite(df))
+        return self._version_df(t.append(df))
 
     def _register(self, name: str, path: str) -> None:
         t = self._tables
@@ -428,6 +554,29 @@ class AcidSql:
         )
         if m:
             return self._create_table(m)
+
+        m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})"
+            r"(?:\s+USING\s+acid(?:table)?)?"
+            r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+            r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?"
+            r"(?:\s+TBLPROPERTIES\s*\((.+?)\))?"
+            r"\s+AS\s+(\(?\s*(?:SELECT|WITH|FROM|TABLE)\b.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._create_table_as(m)
+
+        m = re.fullmatch(
+            rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_TREF})"
+            rf"(?:\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+            r"\s+(VALUES\s+.+|\(?\s*(?:SELECT|WITH|FROM|TABLE)\b.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._insert(m)
 
         m = re.fullmatch(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})", s, re.I)
         if m:

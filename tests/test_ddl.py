@@ -249,3 +249,91 @@ def test_select_time_travel(spark, tmp_path):
         "LEFT ANTI JOIN tt VERSION AS OF 0 b ON a.k = b.k"
     ).collect()
     assert [r.k for r in got] == [3]
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    """INSERT INTO with VALUES (positional + column list) and SELECT
+    sources; INSERT OVERWRITE replaces; casts to declared types."""
+    sql = AcidSql(spark, {})
+    p = str(tmp_path / "ins")
+    sql.sql(
+        f"CREATE TABLE ins (k BIGINT, s STRING, v DOUBLE) "
+        f"LOCATION '{p}'"
+    )
+    sql._tables = {"ins": p}
+    sql.sql("INSERT INTO ins VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    # column list: unnamed column lands NULL, order independent
+    sql.sql("INSERT INTO ins (s, k) VALUES ('c', 3)")
+    got = {
+        r.k: (r.s, r.v)
+        for r in AcidTable(spark, p).snapshot().collect()
+    }
+    assert got == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("c", None)}
+    # INSERT INTO ... SELECT
+    spark.createDataFrame([(4, "d", 4.5)], "k long, s string, v double"
+                          ).createOrReplaceTempView("ins_src")
+    sql.sql("INSERT INTO ins SELECT * FROM ins_src")
+    assert AcidTable(spark, p).snapshot().count() == 4
+    # int literal cast to declared DOUBLE
+    sql.sql("INSERT INTO ins VALUES (5, 'e', 9)")
+    assert (
+        AcidTable(spark, p).snapshot().filter("k = 5").first().v == 9.0
+    )
+    # INSERT OVERWRITE replaces the whole table atomically
+    sql.sql("INSERT OVERWRITE ins VALUES (10, 'z', 0.5)")
+    t = AcidTable(spark, p)
+    assert [(r.k, r.s) for r in t.snapshot().collect()] == [(10, "z")]
+    # and history preserves the pre-overwrite state
+    assert t.snapshot(t.latest_version() - 1).count() == 5
+    # wrong arity is a clear error
+    with pytest.raises(ValueError, match="INSERT provides"):
+        sql.sql("INSERT INTO ins VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="column list"):
+        sql.sql("INSERT OVERWRITE ins (k) VALUES (1)")
+
+
+def test_insert_into_identity_table(spark, tmp_path):
+    """INSERT omitting the identity column gets engine-assigned ids;
+    supplying it explicitly is rejected (GENERATED ALWAYS)."""
+    p = str(tmp_path / "idt")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.set_identity_column("id", start=100)
+    sql = AcidSql(spark, {"idt": p})
+    sql.sql("INSERT INTO idt VALUES ('b'), ('c')")
+    got = {r.s: r.id for r in AcidTable(spark, p).snapshot().collect()}
+    assert got["a"] == 1
+    assert len({got["b"], got["c"]}) == 2 and min(got["b"], got["c"]) >= 100
+    with pytest.raises(Exception, match="GENERATED ALWAYS|identity"):
+        sql.sql("INSERT INTO idt (id, s) VALUES (7, 'x')")
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """CTAS lands the query result as version 0, applies PARTITIONED
+    BY to the initial layout AND persists it for later appends."""
+    import os
+
+    spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "x", 30)],
+        "k long, g string, v long",
+    ).createOrReplaceTempView("ctas_src")
+    p = str(tmp_path / "ct")
+    sql = AcidSql(spark, {})
+    sql.sql(
+        f"CREATE TABLE ct USING acid PARTITIONED BY (g) LOCATION '{p}' "
+        f"TBLPROPERTIES ('owner' = 'me') "
+        f"AS SELECT k, g, v FROM ctas_src"
+    )
+    t = AcidTable(spark, p)
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3]
+    assert t.properties()["owner"] == "me"
+    assert t.properties()["partition_spec"] == ["g"]
+    # IF NOT EXISTS on an existing table: no-op, still registered
+    sql2 = AcidSql(spark, {})
+    sql2.sql(
+        f"CREATE TABLE IF NOT EXISTS ct LOCATION '{p}' "
+        f"AS SELECT * FROM ctas_src"
+    )
+    assert AcidTable(spark, p).snapshot().count() == 3
+    with pytest.raises(ValueError, match="already exists"):
+        sql2.sql(f"CREATE TABLE ct LOCATION '{p}' AS SELECT * FROM ctas_src")
