@@ -19,6 +19,7 @@ Grammar (case-insensitive keywords; one statement per call):
         [LOCATION '...'] [TBLPROPERTIES (...)] AS SELECT ...
     INSERT INTO t [(c1, c2, ...)] VALUES (...), (...) | SELECT ...
     INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
+    ALTER TABLE t ADD COLUMNS (a type, b type, ...)
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
@@ -596,6 +597,23 @@ class AcidSql:
             return self._version_df(-1)
 
         m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ADD\s+COLUMNS?\s*"
+            r"\(([^()]+(?:\([^()]*\)[^()]*)*)\)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            cols = {}
+            for item in _split_top(m.group(2), ","):
+                cm = re.fullmatch(
+                    rf"\s*({_IDENT})\s+(.+?)\s*", item, re.S
+                )
+                if not cm:
+                    raise ValueError(f"bad column definition {item.strip()!r}")
+                cols[cm.group(1)] = cm.group(2)
+            return self._version_df(self.table(m.group(1)).add_columns(cols))
+
+        m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+RENAME\s+COLUMN\s+({_IDENT})"
             rf"\s+TO\s+({_IDENT})",
             s,
@@ -788,8 +806,13 @@ class AcidSql:
             r"(\d+|'(?:[^']|'')*')",
             re.I,
         )
+        # a match STARTING inside a string literal is data, not syntax
+        # (the TIMESTAMP form's own quoted operand starts outside)
+        lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", s)]
 
         def sub(m):
+            if any(a <= m.start() < b for a, b in lit_spans):
+                return m.group(0)
             ref, kind, at = m.group(1), m.group(2).upper(), m.group(3)
             try:
                 t = self.table(ref)

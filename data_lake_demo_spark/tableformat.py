@@ -1281,9 +1281,21 @@ class AcidTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
-        return self._logicalize(
-            self._apply_dvs(df, files, self._resolve_state(as_of)[4]), colmap
-        )
+        df = self._apply_dvs(df, files, self._resolve_state(as_of)[4])
+        # the committed schema may be WIDER than every footer (a
+        # metadata-only add_columns): surface those columns as typed
+        # nulls (after the DV mask — _metadata must bind to the scan)
+        declared = T.StructType.fromJson(json.loads(schema))
+        missing = [f for f in declared.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            )
+        return self._logicalize(df, colmap)
 
     def _apply_dvs(
         self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
@@ -1906,6 +1918,53 @@ class AcidTable:
         if self._IDENTITY_PREFIX + name in self.properties():
             updates[self._IDENTITY_PREFIX + name] = None
         return self.set_properties(updates)
+
+    def add_columns(
+        self, columns: dict[str, str], *, max_retries: int = 5
+    ) -> int:
+        """Metadata-only additive schema evolution — Delta's ``ALTER
+        TABLE ... ADD COLUMNS`` (no data rewrite): commit a widened
+        schema; every existing file reads the new columns as typed
+        nulls. Both readers already resolve additive evolution at
+        read time — ``snapshot`` widens the merged scan from the
+        committed schema, and the DSv2 executor read pads columns a
+        file predates (acid_source._read_parquet_rows) — so the new
+        column is immediately visible at every surface, and the next
+        write may populate it. ``columns`` maps name -> Spark DDL
+        type string (``{"note": "string"}``)."""
+        for name in columns:
+            if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+                raise ValueError(f"invalid column name {name!r}")
+        added = T.StructType.fromDDL(
+            ", ".join(f"{n} {t}" for n, t in columns.items())
+        )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            _, schema, _, _, _ = self._resolve_state(
+                base if base >= 0 else None
+            )
+            if schema is None:
+                raise ValueError(
+                    f"table {self.path} has no commits (append a first "
+                    "snapshot before evolving the schema)"
+                )
+            view = self._logical_view(base)
+            taken = set(view.values()) | set(view.keys())
+            clash = [n for n in columns if n in taken]
+            if clash:
+                raise ValueError(f"columns already exist: {clash}")
+            cur = T.StructType.fromJson(json.loads(schema))
+            widened = T.StructType(
+                cur.fields
+                + [f for f in added.fields if f.name not in cur.names]
+            )
+            try:
+                return self._try_commit(
+                    base + 1, "add_columns", [], [], widened.json()
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"add_columns lost {max_retries} commit races")
 
     # ---- metadata tables (Iceberg .files / DESCRIBE HISTORY / DETAIL) ---
 

@@ -337,3 +337,24 @@ def test_create_table_as_select(spark, tmp_path):
     assert AcidTable(spark, p).snapshot().count() == 3
     with pytest.raises(ValueError, match="already exists"):
         sql2.sql(f"CREATE TABLE ct LOCATION '{p}' AS SELECT * FROM ctas_src")
+
+
+def test_time_travel_rewrite_skips_string_literals(spark, tmp_path):
+    """`t VERSION AS OF n` inside a string literal is data, not
+    syntax — the rewriter must leave it alone."""
+    p = str(tmp_path / "tt")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    sql = AcidSql(spark, {"tt": p})
+    row = sql.sql(
+        "SELECT 'tt VERSION AS OF 0' AS lit, count(*) AS n "
+        "FROM tt VERSION AS OF 1"
+    ).first()
+    assert row.lit == "tt VERSION AS OF 0" and row.n == 2
+    # and the real syntax still rewrites in the same statement
+    row = sql.sql(
+        "SELECT 'tt VERSION AS OF 1' AS lit, count(*) AS n "
+        "FROM tt VERSION AS OF 0"
+    ).first()
+    assert row.lit == "tt VERSION AS OF 1" and row.n == 1

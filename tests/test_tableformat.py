@@ -1845,3 +1845,61 @@ def test_rebase_conformance_inmemory_store_and_race(spark, tmp_path):
     br2.append(spark.createDataFrame([(4, 40)], "k long, v long").coalesce(1))
     t.cherry_pick("c", br2.latest_version(), log_store=st2)
     assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3, 4]
+
+
+def test_add_columns_metadata_only_evolution(spark, tmp_path):
+    """add_columns widens the schema with NO data rewrite: existing
+    rows read typed nulls immediately, time travel shows the
+    pre-evolution shape, the next write populates the column, and
+    column mapping composes (rename the added column)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    files_before = sorted(t._resolve(None)[0])
+    v = t.add_columns({"score": "double", "tags": "array<string>"})
+    # metadata-only: same data files
+    assert sorted(t._resolve(None)[0]) == files_before
+    got = t.snapshot().orderBy("k").collect()
+    assert [r.score for r in got] == [None, None]
+    assert [r.tags for r in got] == [None, None]
+    assert dict(t.snapshot().dtypes)["score"] == "double"
+    # time travel: the pre-evolution version has the narrow schema
+    assert "score" not in t.snapshot(v - 1).columns
+    # next write populates; old files still pad with null
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.5, ["x"])],
+            "k long, s string, score double, tags array<string>",
+        )
+    )
+    got = {r.k: r.score for r in t.snapshot().collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+    # rename the added column (colmap over an evolved column)
+    t.rename_column("score", "quality")
+    assert {r.k: r.quality for r in t.snapshot().collect()} == got
+    # name collisions rejected
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"quality": "double"})
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"k": "long"})
+
+
+def test_add_columns_dsv2_and_ddl(spark, tmp_path):
+    """ALTER TABLE ... ADD COLUMNS through the SQL surface; the DSv2
+    reader sees the widened schema with padded nulls."""
+    from data_lake_demo_spark.ddl import AcidSql
+    from data_lake_demo_spark.streaming.acid_source import register
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    sql = AcidSql(spark, {"t": p})
+    sql.sql("ALTER TABLE t ADD COLUMNS (note STRING, amt DECIMAL(10,2))")
+    df = spark.read.format("acidtable").option("path", p).load()
+    assert [f for f in df.columns] == ["k", "v", "note", "amt"]
+    row = df.first()
+    assert row.note is None and row.amt is None
+    # populate via INSERT with the engine filling unnamed columns
+    sql.sql("INSERT INTO t (k, v, note) VALUES (2, 20, 'hi')")
+    got = {r.k: r.note for r in AcidTable(spark, p).snapshot().collect()}
+    assert got == {1: None, 2: "hi"}
