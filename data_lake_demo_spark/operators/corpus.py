@@ -233,6 +233,79 @@ def token_budget_mix(
     return flagged.withColumn("kept", kept)
 
 
+def temperature_mix(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    n_target: int = 1000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_q: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source mixing — the multilingual/multi-source
+    rebalancing of mT5/XLM-R (Xue et al. 2021, arXiv:2010.11934 §3.1):
+    sample source ``s`` with probability proportional to ``n_s^alpha``
+    so low-resource sources are boosted and head sources damped
+    (alpha=1 is natural frequency, alpha=0 uniform). Differs from
+    ``token_budget_mix``: there the caller DECLARES the mix, here the
+    mix is DERIVED from corpus counts by the temperature rule.
+
+    Per-source quota = ``n_target * w_s div sum(w)`` with the weight
+    ``w_s = floor(n_s^alpha * weight_q + 0.5)`` held in fixed-point —
+    integer arithmetic end to end after the one pow() so the math is
+    engine-reproducible. Document election is deterministic: the
+    per-source ``row_number`` over ``(md5('temp:' || id), id)`` takes
+    the quota's worth of hash-shuffled documents, stable across
+    reruns and engines.
+
+    Scale shape: pass 1 is the per-source count (map-side partial
+    agg → rows = #sources, broadcast back with the weight/quota
+    columns); pass 2 elects documents. The election here is a
+    per-source sort window (exact quotas); at petabyte scale swap it
+    for the threshold form used by ``token_budget_mix`` (keep iff
+    ``hash_bucket < quota/n_s``, map-only, approximate quotas) — the
+    quota derivation is shared.
+
+    Returns one row per source: (group_col, n_docs, w_q, quota,
+    n_sampled) where ``n_sampled = min(quota, n_docs)``.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "w_q",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+            * F.lit(int(weight_q))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    tot = counts.agg(F.sum("w_q").alias("tot_w"))
+    quotas = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "quota", F.expr(f"CAST({int(n_target)} AS BIGINT) * w_q div tot_w")
+    )
+    wnd = W.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit("temp:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    elected = (
+        df.select(group_col, id_col)
+        .withColumn("rn", F.row_number().over(wnd))
+        .join(F.broadcast(quotas.select(group_col, "quota")), group_col)
+        .filter(F.col("rn") <= F.col("quota"))
+    )
+    sampled = elected.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return quotas.join(sampled, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "w_q",
+        "quota",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 def quality_filter_funnel(
     df: DataFrame,
     text_col: str = "text",

@@ -67,6 +67,33 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_pos: int = 5,
+    k_neg: int = 15,
+) -> DataFrame:
+    """Hard-negative candidates for dense-retrieval training — the
+    index-mined negatives of DPR (Karpukhin et al. 2020,
+    arXiv:2004.04906) and the ANCE family: for each query, rank the
+    corpus by cosine and keep the band ``(k_pos, k_neg]`` — documents
+    close enough to be confusable but below the presumed-relevant
+    top-``k_pos``. Output: (qid, nid, cos_sim, rk).
+
+    This exact scorer is the correctness baseline; at corpus scale
+    swap in the persisted ANN index (operators/ann_index.py) for the
+    ranking and keep the SAME band selection — the band logic (one
+    rank window per query) is scorer-agnostic.
+    """
+    ranked = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k_neg
+    )
+    return ranked.filter(F.col("rk") > k_pos)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

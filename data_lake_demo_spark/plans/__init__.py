@@ -27,6 +27,12 @@ WINDOW = [
     # Lee et al. suffix-array family), full oracle incl. rebuilt-text
     # md5 (evicts events_hll_daily_users — rows-only by design, and
     # its exact twin events_hll_daily_users_exact is r5-green)
+    "doc_temperature_mix",  # NEW: mT5 n^alpha source rebalancing,
+    # full oracle (evicts approx_stats — rows-only by design; its
+    # exact twins exact_percentiles / orders_table_profile stay in)
+    "emb_hard_negatives",  # NEW: DPR-style hard-negative band mining,
+    # full oracle (evicts emb_norms — r4-green trivial map query,
+    # parity-reproved every pytest run)
     "q2_min_cost_supplier",  # NEW: completes the numbered TPC-H sweep
     # (no partsupp in the fixtures — supply relation derived from
     # lineitem; correlated-min shape; evicts events_tumbling_hourly,
@@ -83,7 +89,6 @@ WINDOW = [
     # -- last driver row is ROUND 3 -----------------------------------
     "bloom_semi_join_orders",
     "orders_table_profile",
-    "approx_stats",
     "q22_idle_rich_customers",
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_exact_dedup",
@@ -95,7 +100,6 @@ WINDOW = [
     "doc_winnowing_overlap",
     "doc_decontaminate",
     # -- round 4: embedding family ------------------------------------
-    "emb_norms",
     "knn_brute_force",
     "emb_lsh_ann",
     "emb_near_dups",

@@ -635,6 +635,78 @@ WHERE rk <= 5 ORDER BY qid, rk
 """
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for dense-retrieval training (operators/
+    similarity.hard_negative_mining — the DPR/ANCE index-mined
+    negatives): for the first 8 vectors, the cosine rank band (3, 10]
+    — confusable-but-not-top neighbors. Full oracle: the scorer is
+    the exact brute-force ranker."""
+    from data_lake_demo_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hard_negative_mining(emb, queries, k_pos=3, k_neg=10).orderBy(
+        "qid", "rk"
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+     c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+     scored AS (
+       SELECT qid, nid,
+              floor((list_sum(list_transform(list_zip(qe, ne),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                    * {COS_Q} + 0.5) / {COS_Q} AS cos_sim
+       FROM c CROSS JOIN q WHERE nid <> qid)
+SELECT qid, nid, cos_sim, rk FROM (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM scored) t
+WHERE rk > 3 AND rk <= 10 ORDER BY qid, rk
+"""
+
+
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (operators/corpus.
+    temperature_mix — the mT5/XLM-R n^alpha sampling rule): per-source
+    quotas derived from corpus counts at alpha=0.3, documents elected
+    deterministically. Fixed-point weights keep the whole derivation
+    value-hash oracle-able."""
+    from data_lake_demo_spark.operators.corpus import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=0.3, n_target=200).orderBy("source")
+
+
+TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+        CAST(floor(pow(CAST(n_docs AS DOUBLE), CAST(0.3 AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS w_q
+      FROM counts),
+tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS tot_w FROM w),
+q AS (SELECT source, n_docs, w_q,
+        CAST((CAST(200 AS BIGINT) * w_q) // tot_w AS BIGINT) AS quota
+      FROM w, tot),
+el AS (
+  SELECT d.source,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents d),
+samp AS (
+  SELECT el.source, count(*) AS n_sampled
+  FROM el JOIN q USING (source) WHERE rn <= quota GROUP BY el.source)
+SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.w_q, q.quota,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM q LEFT JOIN samp s USING (source) ORDER BY source
+"""
+
+
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization roundtrip audit: quantize every
     embedding (operators/quantize.py), dequantize, and report per-label
@@ -2521,6 +2593,8 @@ QUERIES = {
     "doc_scrub_boilerplate": doc_scrub_boilerplate,
     "doc_paragraph_dedup": doc_paragraph_dedup,
     "doc_substring_dedup": doc_substring_dedup,
+    "doc_temperature_mix": doc_temperature_mix,
+    "emb_hard_negatives": emb_hard_negatives,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2593,6 +2667,8 @@ ORACLE = {
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,
     "doc_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "doc_substring_dedup": SUBSTRING_DEDUP_SQL,
+    "doc_temperature_mix": TEMPERATURE_MIX_SQL,
+    "emb_hard_negatives": HARD_NEGATIVES_SQL,
     "doc_pii_scrub": PII_SCRUB_SQL,
     "doc_lm_perplexity": bigram_lm_oracle_sql(),
     "doc_dsir_weights": dsir_oracle_sql("lang = 'en'"),

@@ -1481,3 +1481,49 @@ def test_substring_dedup_spans_and_scrub(spark):
     assert {i: (g.n_spans, g.dup_tokens) for i, g in got.items()} == {
         i: (g.n_spans, g.dup_tokens) for i, g in got_xx.items()
     }
+
+
+def test_hard_negative_mining_band(spark):
+    """The (k_pos, k_neg] band excludes the top-k_pos and the query
+    itself, and agrees with the brute-force ranking."""
+    from data_lake_demo_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_mining,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0], "l") for i in range(12)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    q = emb.filter("vec_id = 0")
+    neg = hard_negative_mining(emb, q, k_pos=2, k_neg=5).collect()
+    assert [r.rk for r in neg] == [3, 4, 5]
+    top = brute_force_topk(emb, q, k=5).collect()
+    assert {r.nid for r in neg} == {r.nid for r in top if r.rk > 2}
+    assert all(r.nid != 0 for r in neg)
+
+
+def test_temperature_mix_quotas(spark):
+    """alpha=0 is uniform quotas, alpha=1 is proportional; elected
+    counts are min(quota, n_docs) and deterministic."""
+    from data_lake_demo_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "a") for i in range(80)] + [(100 + i, "b") for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1: proportional — quota_a/quota_b ~ 80/16
+    r1 = {r.source: r for r in temperature_mix(
+        docs, alpha=1.0, n_target=48).collect()}
+    assert r1["a"].quota == 40 and r1["b"].quota == 8
+    assert r1["a"].n_sampled == 40 and r1["b"].n_sampled == 8
+    # alpha=0: uniform weights — equal quotas despite 5x size skew
+    r0 = {r.source: r for r in temperature_mix(
+        docs, alpha=0.0, n_target=20).collect()}
+    assert r0["a"].quota == r0["b"].quota == 10
+    # quota larger than the source: n_sampled caps at n_docs
+    rc = {r.source: r for r in temperature_mix(
+        docs, alpha=0.0, n_target=200).collect()}
+    assert rc["b"].n_sampled == 16 <= rc["b"].quota + 1
+    # deterministic across invocations
+    again = {r.source: r.n_sampled for r in temperature_mix(
+        docs, alpha=1.0, n_target=48).collect()}
+    assert again == {s: r.n_sampled for s, r in r1.items()}
