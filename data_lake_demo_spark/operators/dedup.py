@@ -815,9 +815,15 @@ def substring_dedup(
     prev_end = F.max("pos").over(wl.rowsBetween(W.unboundedPreceding, -1)) + (
         k - 1
     )
+    # a gram at prev_end + 1 starts a covered range that TOUCHES the
+    # previous one — same maximal contiguous duplicated region, so the
+    # island only breaks on a real gap (pos > prev_end + 1); pinned by
+    # the brute-force hypothesis property (test_properties.py)
     islands = marked.withColumn(
         "__new",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
     ).withColumn("__isl", F.sum("__new").over(wl))
     spans = islands.groupBy(id_col, "__isl").agg(
         F.min("pos").alias("span_start"),

@@ -2016,7 +2016,7 @@ marked AS (
   WHERE n_occ >= 2),
 isl AS (
   SELECT doc_id, pos,
-    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
       OVER (PARTITION BY doc_id ORDER BY pos) AS g
   FROM (
     SELECT doc_id, pos,

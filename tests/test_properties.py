@@ -474,3 +474,63 @@ def test_d2_rank_orders_like_true_distances():
         fast = _d2_rank(X, C)
         assert (true_d2.argmin(1) == fast.argmin(1)).all()
         assert (np.argsort(true_d2, axis=1) == np.argsort(fast, axis=1)).all()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(3, 5),
+)
+def test_substring_dedup_matches_bruteforce(spark, token_lists, k):
+    """substring_dedup ≡ the direct Python formulation on arbitrary
+    small-vocabulary corpora (small vocab forces heavy natural k-gram
+    collisions — the adversarial case): same covered positions, same
+    span counts, same rebuilt text."""
+    from data_lake_demo_spark.operators.dedup import substring_dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+
+    # brute force: mark every k-gram occurring >= 2 times corpus-wide
+    from collections import Counter
+
+    grams = Counter()
+    for _, text in docs:
+        t = text.split()
+        for p in range(len(t) - k + 1):
+            grams[" ".join(t[p : p + k])] += 1
+    expect = {}
+    for i, text in docs:
+        t = text.split()
+        covered = set()
+        marked = [
+            p
+            for p in range(len(t) - k + 1)
+            if grams[" ".join(t[p : p + k])] >= 2
+        ]
+        for p in marked:
+            covered.update(range(p, p + k))
+        # span count = islands of consecutive marked gram starts with
+        # gap > k-1 → equivalently islands of the covered set
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        scrub = " ".join(
+            tok for p, tok in enumerate(t) if p not in covered
+        )
+        expect[i] = (spans, len(covered), len(t), scrub)
+
+    out = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.n_tokens, r.text_scrub)
+        for r in substring_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_len=k,
+        ).collect()
+    }
+    assert out == expect
