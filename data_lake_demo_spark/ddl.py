@@ -37,8 +37,11 @@ Grammar (case-insensitive keywords; one statement per call):
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(4, k), ...)
+    DESCRIBE [TABLE] t
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
+    SHOW CREATE TABLE t
     SHOW TBLPROPERTIES t
 
 ``conj`` is a conjunction (AND) of simple predicates — the same
@@ -770,6 +773,60 @@ class AcidSql:
             paths = self.table(m.group(1)).vacuum(**kw)
             return self.spark.createDataFrame(
                 [(p,) for p in paths], "path string"
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+SET\s+PARTITION\s+SPEC\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)",
+            s,
+            re.I,
+        )
+        if m:
+            # Iceberg-style partition evolution: the spec applies to
+            # FUTURE writes only — existing files keep their layout,
+            # and manifest-stats pruning works on both generations
+            # (it never looked at the spec, only at footer ranges).
+            # An empty spec () reverts to unpartitioned appends.
+            spec = [p.strip() for p in _split_top(m.group(2), ",") if p.strip()]
+            return self._version_df(
+                self.table(m.group(1)).set_properties(
+                    {"partition_spec": spec or None}
+                )
+            )
+
+        m = re.fullmatch(
+            rf"DESCRIBE\s+(?:TABLE\s+)?(?:EXTENDED\s+)?({_TREF})", s, re.I
+        )
+        if m and not re.match(r"(?i)DESCRIBE\s+(HISTORY|DETAIL)\b", s):
+            t = self.table(m.group(1))
+            rows = [(n, ty, "") for n, ty in t.snapshot().dtypes]
+            spec = t.properties().get("partition_spec") or []
+            rows += [("# partition " + str(i), p, "") for i, p in enumerate(spec)]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
+
+        m = re.fullmatch(rf"SHOW\s+CREATE\s+TABLE\s+({_TREF})", s, re.I)
+        if m:
+            t = self.table(m.group(1))
+            name = m.group(1)
+            cols = ",\n  ".join(f"{n} {ty}" for n, ty in t.snapshot().dtypes)
+            out = f"CREATE TABLE {name} (\n  {cols}\n) USING acid"
+            spec = t.properties().get("partition_spec")
+            if spec:
+                out += "\nPARTITIONED BY (" + ", ".join(spec) + ")"
+            out += f"\nLOCATION '{t.path}'"
+            shown = {
+                k: v
+                for k, v in sorted(t.properties().items())
+                if k != "partition_spec" and not isinstance(v, (dict, list))
+            }
+            if shown:
+                out += "\nTBLPROPERTIES (" + ", ".join(
+                    f"'{k}' = '{v}'" for k, v in shown.items()
+                ) + ")"
+            return self.spark.createDataFrame(
+                [(out,)], "createtab_stmt string"
             )
 
         m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_TREF})", s, re.I)

@@ -358,3 +358,38 @@ def test_time_travel_rewrite_skips_string_literals(spark, tmp_path):
         "FROM tt VERSION AS OF 0"
     ).first()
     assert row.lit == "tt VERSION AS OF 1" and row.n == 1
+
+
+def test_describe_show_create_and_partition_evolution(spark, tmp_path):
+    """DESCRIBE TABLE, SHOW CREATE TABLE, and SET PARTITION SPEC
+    (Iceberg-style evolution: future writes only)."""
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, "2024-06-01", "a")],
+                              "k long, d string, v string")
+    )
+    sql = AcidSql(spark, {"t": p})
+    desc = {r.col_name: r.data_type for r in sql.sql("DESCRIBE t").collect()}
+    assert desc == {"k": "bigint", "d": "string", "v": "string"}
+    # evolve the partition spec; DESCRIBE shows it, appends use it
+    sql.sql("ALTER TABLE t SET PARTITION SPEC (truncate(4, d))")
+    assert t.properties()["partition_spec"] == ["truncate(4, d)"]
+    desc = {r.col_name: r.data_type for r in sql.sql("DESCRIBE t").collect()}
+    assert desc["# partition 0"] == "truncate(4, d)"
+    stmt = sql.sql("SHOW CREATE TABLE t").first().createtab_stmt
+    assert "k bigint" in stmt and "PARTITIONED BY (truncate(4, d))" in stmt
+    assert f"LOCATION '{p}'" in stmt
+    # the emitted statement round-trips through CREATE TABLE
+    p2 = str(tmp_path / "t2")
+    stmt2 = stmt.replace(f"'{p}'", f"'{p2}'").replace(
+        "CREATE TABLE t ", "CREATE TABLE t2 "
+    )
+    sql2 = AcidSql(spark, {})
+    sql2.sql(stmt2)
+    t2 = AcidTable(spark, p2)
+    assert t2.properties()["partition_spec"] == ["truncate(4, d)"]
+    assert [f for f in t2.snapshot().columns] == ["k", "d", "v"]
+    # clearing the spec reverts to unpartitioned appends
+    sql.sql("ALTER TABLE t SET PARTITION SPEC ()")
+    assert "partition_spec" not in t.properties()
