@@ -34,6 +34,7 @@ Grammar (case-insensitive keywords; one statement per call):
         [WHEN MATCHED [AND cond] THEN DELETE]
         [WHEN MATCHED THEN UPDATE SET *]
         [WHEN NOT MATCHED THEN INSERT *]
+    COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET] [PATTERN = '*.parquet']
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
@@ -733,6 +734,25 @@ class AcidSql:
         )
         if m:
             return self._merge(m)
+
+        m = re.fullmatch(
+            rf"COPY\s+INTO\s+({_TREF})\s+FROM\s+('(?:[^']|'')*')"
+            r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?"
+            r"(?:\s+PATTERN\s*=\s*('(?:[^']|'')*'))?",
+            s,
+            re.I,
+        )
+        if m:
+            v, n = self.table(m.group(1)).copy_into(
+                str(_parse_literal(m.group(2))),
+                fileformat=(m.group(3) or "parquet").lower(),
+                pattern=(
+                    str(_parse_literal(m.group(4))) if m.group(4) else None
+                ),
+            )
+            return self.spark.createDataFrame(
+                [(v, n)], "version long, files_loaded long"
+            )
 
         m = re.fullmatch(
             rf"RESTORE\s+TABLE\s+({_TREF})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",

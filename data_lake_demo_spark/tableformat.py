@@ -1199,6 +1199,87 @@ class AcidTable:
                 continue
         raise CommitConflict(f"overwrite lost {max_retries} commit races")
 
+    def copy_into(
+        self,
+        src: str,
+        *,
+        fileformat: str = "parquet",
+        pattern: str | None = None,
+        max_retries: int = 10,
+    ) -> tuple[int, int]:
+        """Delta-style ``COPY INTO``: idempotent bulk load from a
+        directory of files. Each SOURCE FILE is loaded at most once —
+        the set of loaded basenames rides in a table property keyed by
+        the source directory, updated in the SAME commit as the data,
+        so a rerun (or a concurrent duplicate run: the loser's commit
+        conflicts, and its retry sees the winner's ledger) skips
+        already-loaded files. Returns ``(version, n_files_loaded)``
+        (``n_files_loaded == 0`` means everything was already in).
+
+        The ledger grows one basename per loaded file and is rewritten
+        on each copy_into commit — fine for the thousands-of-files
+        batch-drop case this verb serves; a firehose of tiny files
+        belongs on the streaming source instead (the ledger would not:
+        at millions of entries you would bucket it, which is exactly
+        the txn-ledger design the streaming sink already uses).
+
+        Identity tables are rejected (use ``append``, which assigns);
+        generated columns and CHECK constraints are enforced like any
+        append. Schema may widen additively (mergeSchema semantics).
+        """
+        import fnmatch
+        import hashlib
+
+        if any(
+            k.startswith(self._IDENTITY_PREFIX) for k in self.properties()
+        ):
+            raise ValueError(
+                "COPY INTO an identity-column table is not supported — "
+                "use append(), which assigns identity values"
+            )
+        names = sorted(
+            n
+            for n in os.listdir(src)
+            if os.path.isfile(os.path.join(src, n))
+            and not n.startswith((".", "_"))
+            and (pattern is None or fnmatch.fnmatch(n, pattern))
+        )
+        key = (
+            "copyinto."
+            + hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            _, _, _, props, _ = self._resolve_state(
+                base if base >= 0 else None
+            )
+            loaded = set(props.get(key) or [])
+            new = [n for n in names if n not in loaded]
+            if not new:
+                return base, 0
+            df = self.spark.read.format(fileformat).load(
+                [os.path.join(src, n) for n in new]
+            )
+            df = self._apply_generated(df)
+            self._enforce_constraints(df)
+            colmap = self._colmap()
+            add, schema = self._stage_actions(
+                self._physicalize(df, colmap),
+                partition_by=self._phys_partition_by(None, colmap),
+            )
+            newprops = dict(props)
+            newprops[key] = sorted(loaded | set(new))
+            try:
+                return (
+                    self._try_commit(
+                        base + 1, "copyinto", add, [], schema, props=newprops
+                    ),
+                    len(new),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"copy_into lost {max_retries} commit races")
+
     def commit_staged(
         self,
         add: list[dict],

@@ -1903,3 +1903,82 @@ def test_add_columns_dsv2_and_ddl(spark, tmp_path):
     sql.sql("INSERT INTO t (k, v, note) VALUES (2, 20, 'hi')")
     got = {r.k: r.note for r in AcidTable(spark, p).snapshot().collect()}
     assert got == {1: None, 2: "hi"}
+
+
+def test_copy_into_idempotent_bulk_load(spark, tmp_path):
+    """COPY INTO loads each source file exactly once: rerun is a
+    no-op, new files load incrementally, a concurrent duplicate run
+    cannot double-load, constraints are enforced."""
+    src = tmp_path / "landing"
+    src.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "k long, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob as g, shutil
+        part = g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    drop("a.parquet", [(1, "a"), (2, "b")])
+    drop("b.parquet", [(3, "c")])
+    t = AcidTable(spark, str(tmp_path / "t"))
+    v, n = t.copy_into(str(src), pattern="*.parquet")
+    assert n == 2 and t.snapshot().count() == 3
+    # rerun: nothing new
+    v2, n2 = t.copy_into(str(src))
+    assert n2 == 0 and v2 == v and t.snapshot().count() == 3
+    # incremental: only the new file loads
+    drop("c.parquet", [(4, "d")])
+    _, n3 = t.copy_into(str(src))
+    assert n3 == 1
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3, 4]
+    # concurrent duplicate runs: exactly one loads the new file
+    drop("d.parquet", [(5, "e")])
+    out = []
+    th = [
+        threading.Thread(target=lambda: out.append(t.copy_into(str(src))))
+        for _ in range(2)
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert sorted(n for _, n in out) == [0, 1]
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 3, 4, 5]
+    # constraints enforced on the loaded batch
+    t.set_check_constraint("pos", "k < 100")
+    drop("bad.parquet", [(999, "x")])
+    with pytest.raises(ValueError):
+        t.copy_into(str(src))
+    # identity tables are rejected with a clear error
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t2.set_identity_column("id")
+    with pytest.raises(ValueError, match="identity"):
+        t2.copy_into(str(src))
+
+
+def test_copy_into_sql_surface(spark, tmp_path):
+    """COPY INTO through AcidSql with FILEFORMAT and PATTERN."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "st"))
+    import glob as g, shutil
+    shutil.copy(
+        g.glob(str(tmp_path / "st" / "part-*.parquet"))[0],
+        str(src / "x.parquet"),
+    )
+    (src / "skip.json").write_text('{"k": 9}')
+    p = str(tmp_path / "t")
+    sql = AcidSql(spark, {"t": p})
+    row = sql.sql(
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET "
+        f"PATTERN = '*.parquet'"
+    ).first()
+    assert row.files_loaded == 1
+    assert AcidTable(spark, p).snapshot().count() == 1
+    row = sql.sql(f"COPY INTO t FROM '{src}' PATTERN = '*.parquet'").first()
+    assert row.files_loaded == 0
