@@ -39,6 +39,10 @@ Grammar (case-insensitive keywords; one statement per call):
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
     ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(4, k), ...)
+    GRANT SELECT [(c1, ...)] ON t TO principal
+        [WITH ROW FILTER (expr)] [WITH MASK (col [USING] md5|null|last4, ...)]
+    REVOKE SELECT ON t FROM principal
+    SHOW GRANTS [ON t] [FOR principal]
     DESCRIBE [TABLE] t
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
@@ -239,10 +243,22 @@ class AcidSql:
     handle persist across statements in a session.
     """
 
-    def __init__(self, spark: SparkSession, tables=None):
+    def __init__(self, spark: SparkSession, tables=None, rbac=None):
         self.spark = spark
         self._tables = tables
         self._handles: dict[str, object] = {}
+        self._rbac = rbac
+
+    @property
+    def rbac(self):
+        """The grants registry behind GRANT/REVOKE (lazily created —
+        pass a shared ``rbac.Rbac`` to compose with Python-API
+        grants)."""
+        if self._rbac is None:
+            from data_lake_demo_spark.rbac import Rbac
+
+            self._rbac = Rbac(self.spark)
+        return self._rbac
 
     # ---- resolution ----------------------------------------------------
 
@@ -868,6 +884,85 @@ class AcidSql:
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in sorted(props.items())],
                 "key string, value string",
+            )
+
+        m = re.fullmatch(
+            rf"GRANT\s+SELECT"
+            rf"(?:\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+            rf"\s+ON\s+({_IDENT})\s+TO\s+({_IDENT})"
+            r"(?:\s+WITH\s+ROW\s+FILTER\s*\(((?:[^()]|\([^()]*\))+)\))?"
+            r"(?:\s+WITH\s+MASK\s*\(([^)]+)\))?",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            # Lake-Formation-shaped governance DDL over the grants
+            # registry (rbac.Rbac): column list restricts projection,
+            # ROW FILTER is a SQL boolean over the table, MASK maps
+            # columns to md5/null/last4. Enforcement stays deny-by-
+            # default at rbac.sql query time (secured views).
+            cols_s, tname, principal, rowf, masks = m.groups()
+            masked = None
+            if masks:
+                masked = {}
+                for item in _split_top(masks, ","):
+                    mm = re.fullmatch(
+                        rf"\s*({_IDENT})\s+(?:USING\s+)?({_IDENT})\s*", item, re.I
+                    )
+                    if not mm:
+                        raise ValueError(f"bad MASK entry {item.strip()!r}")
+                    masked[mm.group(1)] = mm.group(2).lower()
+            self.rbac.grant(
+                principal,
+                tname,
+                row_filter=rowf.strip() if rowf else None,
+                columns=(
+                    [c.strip() for c in cols_s.split(",")] if cols_s else None
+                ),
+                masked=masked,
+            )
+            return self.spark.createDataFrame(
+                [(principal, tname)], "principal string, table string"
+            )
+
+        m = re.fullmatch(
+            rf"REVOKE\s+SELECT\s+ON\s+({_IDENT})\s+FROM\s+({_IDENT})", s, re.I
+        )
+        if m:
+            tname, principal = m.group(1), m.group(2)
+            if self.rbac.grants.pop((principal, tname), None) is None:
+                raise ValueError(
+                    f"no grant on {tname!r} for principal {principal!r}"
+                )
+            return self.spark.createDataFrame(
+                [(principal, tname)], "principal string, table string"
+            )
+
+        m = re.fullmatch(
+            rf"SHOW\s+GRANTS(?:\s+ON\s+({_IDENT}))?(?:\s+FOR\s+({_IDENT}))?",
+            s,
+            re.I,
+        )
+        if m:
+            tname, principal = m.groups()
+            rows = [
+                (
+                    p,
+                    t,
+                    g.row_filter,
+                    ",".join(g.columns) if g.columns else None,
+                    ",".join(f"{c}:{fn}" for c, fn in sorted(g.masked.items()))
+                    if g.masked
+                    else None,
+                )
+                for (p, t), g in sorted(self.rbac.grants.items())
+                if (tname is None or t == tname)
+                and (principal is None or p == principal)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "principal string, table string, row_filter string, "
+                "columns string, masked string",
             )
 
         # not a table-format statement: plain Spark SQL, with Delta's

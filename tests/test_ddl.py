@@ -393,3 +393,40 @@ def test_describe_show_create_and_partition_evolution(spark, tmp_path):
     # clearing the spec reverts to unpartitioned appends
     sql.sql("ALTER TABLE t SET PARTITION SPEC ()")
     assert "partition_spec" not in t.properties()
+
+
+def test_grant_revoke_show_grants(spark, tmp_path):
+    """Governance DDL over the rbac registry: GRANT with row filter,
+    column list and masks, SHOW GRANTS, REVOKE, and enforcement via
+    rbac.sql secured views (20-vs-80 shape)."""
+    rows = [(i, "EU" if i < 20 else "US", f"555-000{i % 10}") for i in range(100)]
+    spark.createDataFrame(rows, "id long, region string, phone string"
+                          ).createOrReplaceTempView("accounts")
+    sql = AcidSql(spark, {})
+    sql.sql(
+        "GRANT SELECT ON accounts TO analyst_eu "
+        "WITH ROW FILTER (region = 'EU') "
+        "WITH MASK (phone USING last4)"
+    )
+    sql.sql("GRANT SELECT (id, region) ON accounts TO analyst_us "
+            "WITH ROW FILTER (region = 'US')")
+    g = {(r.principal): r for r in sql.sql("SHOW GRANTS ON accounts").collect()}
+    assert g["analyst_eu"].row_filter == "region = 'EU'"
+    assert g["analyst_eu"].masked == "phone:last4"
+    assert g["analyst_us"].columns == "id,region"
+    # enforcement through the registry the DDL filled
+    eu = sql.rbac.sql("analyst_eu", "SELECT * FROM accounts")
+    assert eu.count() == 20
+    assert eu.first().phone.isdigit() and len(eu.first().phone) == 4
+    us = sql.rbac.sql("analyst_us", "SELECT * FROM accounts")
+    assert us.count() == 80 and "phone" not in us.columns
+    # deny-by-default for unknown principals
+    with pytest.raises(PermissionError):
+        sql.rbac.sql("intern", "SELECT * FROM accounts")
+    # revoke removes the grant
+    sql.sql("REVOKE SELECT ON accounts FROM analyst_us")
+    assert sql.sql("SHOW GRANTS FOR analyst_us").count() == 0
+    with pytest.raises(PermissionError):
+        sql.rbac.sql("analyst_us", "SELECT * FROM accounts")
+    with pytest.raises(ValueError, match="no grant"):
+        sql.sql("REVOKE SELECT ON accounts FROM analyst_us")
