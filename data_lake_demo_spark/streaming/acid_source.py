@@ -493,7 +493,22 @@ class _AcidStreamReader(DataSourceStreamReader):
         self._max_commits = int(mct) if mct is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
-        self._pos: int | None = None
+        # file-granular admission control (Delta's maxFilesPerTrigger
+        # proper): offsets carry (version, file-index-within-commit)
+        # so one oversized commit can span several micro-batches. The
+        # add list of a committed version is immutable, so the split
+        # replans identically after any restart. Not meaningful for
+        # CDF (the atomic unit there is a commit's row diff).
+        mft = options.get("maxfilespertrigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_files is not None and self._cdf:
+            raise ValueError(
+                "maxFilesPerTrigger is not supported with readChangeFeed "
+                "(a change commit is atomic); use maxCommitsPerTrigger"
+            )
+        self._pos: tuple[int, int] | None = None
 
     def initialOffset(self) -> dict:
         start = self._options.get("startingversion")
@@ -523,28 +538,59 @@ class _AcidStreamReader(DataSourceStreamReader):
                     break
         else:
             v = int(start) if start is not None else 0
-        self._pos = v
-        return {"version": v}
+        self._pos = (v, 0)
+        return {"version": v, "file": 0}
 
     def latestOffset(self) -> dict:
-        latest = _table(self._options).latest_version() + 1
-        if self._max_commits is None or self._pos is None:
-            return {"version": latest}
-        return {"version": min(latest, self._pos + self._max_commits)}
+        t = _table(self._options)
+        latest_next = t.latest_version() + 1
+        uncapped = self._max_commits is None and self._max_files is None
+        if uncapped or self._pos is None:
+            return {"version": latest_next, "file": 0}
+        v, i = self._pos
+        files_left = self._max_files
+        commits_left = self._max_commits
+        while v < latest_next:
+            c = t._read_commit(v)
+            if c.remove or c.dv or c.op in _CHANGE_OPS:
+                # change commits are skipped (or error) whole at
+                # partition time — never split; they count against
+                # the commit cap like any other
+                v, i = v + 1, 0
+            else:
+                n_rest = len(c.add) - i
+                if files_left is not None and n_rest > files_left:
+                    i += files_left
+                    files_left = 0
+                    break
+                if files_left is not None:
+                    files_left -= n_rest
+                v, i = v + 1, 0
+            if commits_left is not None:
+                commits_left -= 1
+                if commits_left == 0:
+                    break
+            if files_left == 0:
+                break
+        return {"version": v, "file": i}
 
     def partitions(self, start: dict, end: dict):
         t = _table(self._options)
-        self._pos = end["version"]
+        # offsets written by pre-file-granular checkpoints lack "file"
+        v0, i0 = start["version"], int(start.get("file", 0))
+        v1, i1 = end["version"], int(end.get("file", 0))
+        self._pos = (v1, i1)
         if self._cdf:
             # one planner pass folds live-set + deletion-vector state
             # across the batch's commit range (rewrite commits diff
             # their touched pair sets; MOR delete commits emit the
             # newly-masked rows; pure-layout rewrites diff to empty)
-            return _cdf_partitions(
-                t, start["version"], end["version"]
-            ) or [_FilePartition("")]
+            return _cdf_partitions(t, v0, v1) or [_FilePartition("")]
         parts = []
-        for v in range(start["version"], end["version"]):
+        # (v, file) offset semantics: commits < v fully consumed, plus
+        # the first `file` files of commit v — so v1 joins the range
+        # only when the batch takes a prefix of it (i1 > 0)
+        for v in range(v0, v1 + (1 if i1 > 0 else 0)):
             c = t._read_commit(v)
             if c.remove or c.dv or c.op in _CHANGE_OPS:
                 if not self._skip_changes:
@@ -558,8 +604,11 @@ class _AcidStreamReader(DataSourceStreamReader):
                         "AcidTable.changes() in batch."
                     )
                 continue
+            lo = i0 if v == v0 else 0
+            hi = i1 if (v == v1 and i1 > 0) else len(c.add)
             parts.extend(
-                _FilePartition(os.path.join(t.path, a["path"])) for a in c.add
+                _FilePartition(os.path.join(t.path, a["path"]))
+                for a in c.add[lo:hi]
             )
         # Spark requires ≥1 partition per planned batch; an empty range
         # (or all-skipped commits) still needs a no-op partition

@@ -1374,21 +1374,23 @@ def test_acid_stream_max_commits_per_trigger(spark, tmp_path):
         t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
 
     r = _AcidStreamReader({"path": p, "maxcommitspertrigger": "2"}, ["k"])
-    assert r.initialOffset() == {"version": 0}
-    assert r.latestOffset() == {"version": 2}  # capped at +2
-    r.partitions({"version": 0}, {"version": 2})
-    assert r.latestOffset() == {"version": 4}
+    assert r.initialOffset() == {"version": 0, "file": 0}
+    assert r.latestOffset() == {"version": 2, "file": 0}  # capped at +2
+    r.partitions({"version": 0}, {"version": 2})  # pre-file-offset shape ok
+    assert r.latestOffset() == {"version": 4, "file": 0}
     r.partitions({"version": 2}, {"version": 4})
-    assert r.latestOffset() == {"version": 5}  # backlog drained: clamp
+    # backlog drained: clamp
+    assert r.latestOffset() == {"version": 5, "file": 0}
     r.partitions({"version": 4}, {"version": 5})
-    assert r.latestOffset() == {"version": 5}  # caught up: no movement
+    # caught up: no movement
+    assert r.latestOffset() == {"version": 5, "file": 0}
 
     # restart shape: no initialOffset call → first batch uncapped,
     # position re-learned from the planned range
     r2 = _AcidStreamReader({"path": p, "maxcommitspertrigger": "2"}, ["k"])
-    assert r2.latestOffset() == {"version": 5}
+    assert r2.latestOffset() == {"version": 5, "file": 0}
     r2.partitions({"version": 3}, {"version": 5})
-    assert r2.latestOffset() == {"version": 5}
+    assert r2.latestOffset() == {"version": 5, "file": 0}
 
     import pytest as _pytest
 
@@ -1503,13 +1505,13 @@ def test_acid_stream_starting_timestamp(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "k long"))
 
     r = _AcidStreamReader({"path": p, "startingtimestamp": str(cut)}, ["k"])
-    assert r.initialOffset() == {"version": 1}
+    assert r.initialOffset() == {"version": 1, "file": 0}
     r0 = _AcidStreamReader({"path": p, "startingtimestamp": "0"}, ["k"])
-    assert r0.initialOffset() == {"version": 0}
+    assert r0.initialOffset() == {"version": 0, "file": 0}
     future = _AcidStreamReader(
         {"path": p, "startingtimestamp": str(_time.time() + 3600)}, ["k"]
     )
-    assert future.initialOffset() == {"version": 2}  # tail: nothing yet
+    assert future.initialOffset() == {"version": 2, "file": 0}  # tail: nothing yet
     with pytest.raises(ValueError):
         _AcidStreamReader(
             {"path": p, "startingversion": "0", "startingtimestamp": "0"},
@@ -1634,3 +1636,78 @@ def test_acid_dsv2_writer_identity_with_column_mapping(spark, tmp_path):
         spark.createDataFrame([(9, "x")], "row_id long, s string").write.format(
             "acidtable"
         ).mode("append").option("path", p).save()
+
+
+def test_acid_stream_max_files_per_trigger(spark, tmp_path):
+    """File-granular admission control: one oversized commit spans
+    several micro-batches via (version, file) offsets; an end-to-end
+    drain delivers everything exactly once."""
+    from data_lake_demo_spark.streaming.acid_source import (
+        _AcidStreamReader,
+        read_table_stream,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    # commit 0: 5 files; commit 1: 1 file; commit 2: 2 files
+    from pyspark.sql import functions as F
+    t.append(
+        spark.createDataFrame([(i,) for i in range(5)], "k long")
+        .repartitionByRange(5, F.col("k"))
+    )
+    t.append(spark.createDataFrame([(10,)], "k long").coalesce(1))
+    t.append(
+        spark.createDataFrame([(20,), (21,)], "k long")
+        .repartitionByRange(2, F.col("k"))
+    )
+    n_files_0 = len(t._read_commit(0).add)
+    assert n_files_0 == 5  # the oversized commit really has 5 files
+
+    r = _AcidStreamReader({"path": p, "maxfilespertrigger": "2"}, ["k"])
+    assert r.initialOffset() == {"version": 0, "file": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 0, "file": 2}  # mid-commit offset
+    parts = r.partitions({"version": 0, "file": 0}, o1)
+    assert len(parts) == 2
+    o2 = r.latestOffset()
+    assert o2 == {"version": 0, "file": 4}
+    r.partitions(o1, o2)
+    o3 = r.latestOffset()  # finishes commit 0 (1 file) + commit 1
+    assert o3 == {"version": 2, "file": 0}
+    assert len(r.partitions(o2, o3)) == 2
+    o4 = r.latestOffset()
+    assert o4 == {"version": 3, "file": 0}
+    assert len(r.partitions(o3, o4)) == 2
+    assert r.latestOffset() == o4  # caught up
+
+    # both caps together: commit cap stops the walk first
+    rb = _AcidStreamReader(
+        {"path": p, "maxfilespertrigger": "9", "maxcommitspertrigger": "1"},
+        ["k"],
+    )
+    rb.initialOffset()
+    assert rb.latestOffset() == {"version": 1, "file": 0}
+
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        _AcidStreamReader({"path": p, "maxfilespertrigger": "0"}, ["k"])
+    with pytest.raises(ValueError, match="readChangeFeed"):
+        _AcidStreamReader(
+            {"path": p, "maxfilespertrigger": "2", "readchangefeed": "true"},
+            ["k"],
+        )
+
+    # end-to-end: availableNow drain under the file cap sees all rows
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_table_stream(spark, p, maxFilesPerTrigger=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4, 10, 20, 21,
+    ]
