@@ -571,6 +571,49 @@ class AcidTable:
                 total -= len(_unpack_dv(dvs[p]))
         return total
 
+    def column_min_max(
+        self, col: str, as_of: int | None = None
+    ) -> tuple:
+        """MIN/MAX of a column from the manifest alone (the Iceberg
+        lower_bounds/upper_bounds answer): per-file [min, max] stats
+        ride the log, so for stat-bearing files the answer costs one
+        log resolution and ZERO data reads. Files that can't prove
+        their extremum are scanned — but ONLY those files: a file with
+        no stats for the column (non-scalar type, pre-upgrade commit,
+        or the truncated-string guard), or one carrying a deletion
+        vector (the masked row could BE the extremum, so its stats
+        are bounds, not answers). NULLs are ignored (SQL MIN/MAX
+        semantics); returns (None, None) when no rows carry a value.
+        DATE stats ride as ISO strings; the scan fallback normalizes
+        through the same encoding so the two sources compare."""
+        live, _, _, _, dvs = self._resolve_state(as_of)
+        colmap = self._colmap(as_of)
+        phys = {lg: ph for ph, lg in colmap.items() if lg}.get(col, col)
+        vals: list = []
+        rescan: list[str] = []
+        for p, stats in live.items():
+            rng = stats.get(phys)
+            if p in dvs or rng is None:
+                rescan.append(p)
+            else:
+                vals.extend(rng)
+        if rescan:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, p) for p in rescan]
+            )
+            if phys in df.columns:
+                row = (
+                    self._apply_dvs(df, rescan, dvs)
+                    .agg(F.min(phys), F.max(phys))
+                    .first()
+                )
+                vals.extend(
+                    _norm_stat_value(v) for v in row if v is not None
+                )
+        if not vals:
+            return None, None
+        return min(vals), max(vals)
+
     def _resolve_actions(
         self, as_of: int | None = None
     ) -> tuple[dict[str, dict], str | None]:

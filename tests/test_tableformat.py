@@ -1982,3 +1982,31 @@ def test_copy_into_sql_surface(spark, tmp_path):
     assert AcidTable(spark, p).snapshot().count() == 1
     row = sql.sql(f"COPY INTO t FROM '{src}' PATTERN = '*.parquet'").first()
     assert row.files_loaded == 0
+
+
+def test_column_min_max_metadata_only(spark, tmp_path):
+    """column_min_max answers from manifest stats without scanning
+    stat-bearing files, rescans ONLY DV-masked or stat-less files,
+    and tracks deletes/renames."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(5, "m"), (1, "a")], "k long, s string").coalesce(1))
+    t.append(spark.createDataFrame(
+        [(9, "z"), (3, "q")], "k long, s string").coalesce(1))
+    assert t.column_min_max("k") == (1, 9)
+    assert t.column_min_max("s") == ("a", "z")
+    # CoW delete of the max row: stats of the rewritten file are exact
+    t.delete([("k", "=", 9)])
+    assert t.column_min_max("k") == (1, 5)
+    # MOR delete: the masked file must be rescanned (stats are bounds)
+    t.delete([("k", "=", 5)], mode="merge_on_read")
+    assert t.column_min_max("k") == (1, 3)
+    # time travel sees the old extremum
+    assert t.column_min_max("k", as_of=1)[1] == 9
+    # column mapping: logical name resolves to physical stats
+    t.rename_column("k", "key")
+    assert t.column_min_max("key") == (1, 3)
+    # unknown/stat-less column: (None, None) on empty value set
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(None,)], "x double").coalesce(1))
+    assert t2.column_min_max("x") == (None, None)
