@@ -33,6 +33,10 @@ WINDOW = [
     "emb_hard_negatives",  # NEW: DPR-style hard-negative band mining,
     # full oracle (evicts emb_norms — r4-green trivial map query,
     # parity-reproved every pytest run)
+    "events_scd2_point_in_time",  # NEW: SCD2 point-in-time feature
+    # enrichment, full oracle (evicts doc_exact_dedup — r4-green, and
+    # the exact-dedup election is re-proven via the paragraph and
+    # substring families in-window)
     "q2_min_cost_supplier",  # NEW: completes the numbered TPC-H sweep
     # (no partsupp in the fixtures — supply relation derived from
     # lineitem; correlated-min shape; evicts events_tumbling_hourly,
@@ -91,7 +95,6 @@ WINDOW = [
     "orders_table_profile",
     "q22_idle_rich_customers",
     # -- last driver row is ROUND 4: dedup family ---------------------
-    "doc_exact_dedup",
     "doc_dedup_components",
     "doc_dedup_components_bigstar",
     "doc_minhash_near_dups",

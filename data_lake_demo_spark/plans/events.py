@@ -219,6 +219,73 @@ ORDER BY p.user_id, p.event_id
 """
 
 
+def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2-interval) enrichment — the feature-store
+    idiom that prevents training-data leakage: an SCD2 dimension is
+    derived from the event stream itself (every ``signup`` bumps the
+    user's tier; ``valid_from``/``valid_to`` intervals via a lead
+    window, the same shape operators/upsert.scd2_apply maintains on
+    tables), and each purchase joins the tier THAT WAS VALID at its
+    event time — never a later one. Interval join per user; purchases
+    before any signup surface with tier 0, not dropped.
+
+    Scale shape: the dimension is the signup slice (small vs the
+    stream); the join shuffles both sides once on user_id and the
+    interval predicate evaluates inside the sort-merge join. At a
+    1000-executor scale the dimension side is broadcastable."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id")
+        .withColumn("tier", F.row_number().over(wd))
+        .withColumn("valid_to", F.lead("ts").over(wd))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "tier",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = purch.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce("tier", F.lit(0)).cast("long").alias("tier"),
+    ).orderBy("user_id", "event_id")
+
+
+SCD2_PIT_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS vf, event_id,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS tier,
+         lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vt
+  FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, p.pts AS purchase_ts,
+       CAST(coalesce(s.tier, 0) AS BIGINT) AS tier
+FROM p LEFT JOIN s
+  ON p.user_id = s.user_id AND s.vf <= p.pts
+     AND (s.vt IS NULL OR p.pts < s.vt)
+ORDER BY p.user_id, p.event_id
+"""
+
+
 def events_daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: daily stats computed by
     COMPOSING the hourly rollup's decomposable partials (count /
@@ -554,6 +621,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_daily_funnel": events_daily_funnel,
     "events_asof_last_view": events_asof_last_view,
+    "events_scd2_point_in_time": events_scd2_point_in_time,
 }
 
 ORACLE = {
@@ -570,4 +638,5 @@ ORACLE = {
     "events_json_extract": JSON_EXTRACT_SQL,
     "events_daily_funnel": DAILY_FUNNEL_SQL,
     "events_asof_last_view": ASOF_SQL,
+    "events_scd2_point_in_time": SCD2_PIT_SQL,
 }
