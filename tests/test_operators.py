@@ -1527,3 +1527,110 @@ def test_temperature_mix_quotas(spark):
     again = {r.source: r.n_sampled for r in temperature_mix(
         docs, alpha=1.0, n_target=48).collect()}
     assert again == {s: r.n_sampled for s, r in r1.items()}
+
+
+def test_bmp_wav_codec_roundtrip():
+    """Pure-numpy codecs are pixel/sample-exact round trips, and the
+    encoded bytes are the standard container layouts (magic, header
+    fields, 4-byte BMP row padding)."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (12, 17), (9, 16)]:  # odd widths pad
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        b = encode_bmp(img)
+        assert b[:2] == b"BM"
+        row_len = (w * 3 + 3) & ~3
+        assert len(b) == 14 + 40 + row_len * h
+        np.testing.assert_array_equal(decode_bmp(b), img)
+    # top-down BMP variant (negative height) also decodes
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(img))
+    import struct as _s
+
+    _s.pack_into("<i", b, 22, -4)  # declare top-down
+    rows = decode_bmp(bytes(b))
+    np.testing.assert_array_equal(rows, img[::-1])
+
+    samples = (rng.integers(-30000, 30000, 777)).astype(np.int16)
+    wb = encode_wav(samples, rate=16000)
+    assert wb[:4] == b"RIFF" and wb[8:12] == b"WAVE"
+    out, rate = decode_wav(wb)
+    assert rate == 16000
+    np.testing.assert_array_equal(out, samples)
+
+    # nearest-neighbor resize: corners map to corners, dtype preserved
+    big = resize_nearest(img, 12, 8)
+    assert big.shape == (8, 12, 3) and big.dtype == np.uint8
+    np.testing.assert_array_equal(big[0, 0], img[0, 0])
+
+
+def test_real_media_image_stats_and_audio_features(spark):
+    """END-TO-END real decode: BMP gradient images decode pixel-exact
+    (channel means match the closed-form gradient average), WAV tones
+    decode sample-exact (zero-crossing frequency estimate lands within
+    1% of the synthesized tone's frequency; RMS near 12000/sqrt(2))."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.multimodal import (
+        audio_features,
+        image_stats,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, n=24)
+    imgs = {r.media_id: r for r in image_stats(media).collect()}
+    assert len(imgs) == 12  # even ids
+    for mid, r in imgs.items():
+        w, h = 16 + mid % 7, 12 + mid % 5
+        assert (r.width, r.height) == (w, h)
+        # mean of x*255//(w-1) over x in [0,w)
+        exp_r = sum(x * 255 // (w - 1) for x in range(w)) / w
+        exp_g = sum(y * 255 // (h - 1) for y in range(h)) / h
+        assert abs(r.mean_r - exp_r) < 1e-9
+        assert abs(r.mean_g - exp_g) < 1e-9
+        assert abs(r.mean_b - (mid % 256)) < 1e-9
+
+    auds = {r.media_id: r for r in audio_features(media).collect()}
+    assert len(auds) == 12  # odd ids
+    for mid, r in auds.items():
+        freq = 440.0 * (1 + mid % 5)
+        assert r.sample_rate == 8000
+        assert abs(r.est_freq_hz - freq) / freq < 0.01
+        assert abs(r.rms - 12000 / np.sqrt(2)) / (12000 / np.sqrt(2)) < 0.01
+        assert 11900 <= r.peak <= 12000
+
+
+def test_resize_images_real_bmp_path(spark):
+    """codec='bmp' resize re-encodes REAL BMPs at the target size whose
+    decoded pixels equal resize_nearest of the decoded original."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+        resize_nearest,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, n=12)
+    orig = {
+        r.media_id: decode_bmp(bytes(r.payload))
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    out = resize_images(media, width=10, height=8, codec="bmp").collect()
+    assert len(out) == len(orig) == 6
+    for r in out:
+        assert (r.width, r.height) == (10, 8)
+        src = orig[r.media_id]
+        assert (r.orig_height, r.orig_width) == src.shape[:2]
+        got = decode_bmp(bytes(r.payload))
+        np.testing.assert_array_equal(got, resize_nearest(src, 10, 8))
