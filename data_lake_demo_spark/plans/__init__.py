@@ -73,6 +73,12 @@ WINDOW = [
     "doc_dsir_weights",  # CHANGED: feature bucket switched to the
     # radix hash (new bucket values; oracle updated in lockstep —
     # evicts q1_pricing_summary, r4-green, parity-reproved)
+    "media_image_stats_real",  # NEW: real BMP encode→decode round
+    # trip value-hashed against a SQL-rebuilt pixel grid (evicts
+    # countmin_event_type_freq, r4-green, parity-reproved)
+    "media_audio_features_real",  # NEW: real WAV encode→decode +
+    # DSP features, SQL re-synthesizes the identical int16 samples
+    # (evicts events_daily_retention, r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -108,9 +114,6 @@ WINDOW = [
     "emb_near_dups",
     "emb_label_centroid_sim",
     "emb_quantize_int8",
-    # -- round 4: events family ---------------------------------------
-    "countmin_event_type_freq",
-    "events_daily_retention",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

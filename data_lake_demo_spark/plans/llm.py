@@ -2077,6 +2077,127 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def media_image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end to end: executor-side BMP *encode* of
+    deterministic gradient images (synthetic_media_real), then the
+    image_stats mapInPandas stage *decodes* each 24-bit BMP container
+    pixel-exact (row padding, bottom-up BGR layout) and computes
+    per-channel means + median integer luma. The oracle rebuilds the
+    same pixel grid arithmetically in SQL — so a value-hash match
+    proves the encode→decode round trip byte-for-byte: any header,
+    padding, or channel-order bug shifts the decoded pixels and the
+    hash. Means over integer pixels sum exactly in doubles (< 2^53),
+    so quantization is belt-and-braces only."""
+    from data_lake_demo_spark.operators.multimodal import (
+        image_stats,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, n=24)
+    return (
+        image_stats(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            quantize(F.col("mean_r"), COS_Q).alias("mean_r"),
+            quantize(F.col("mean_g"), COS_Q).alias("mean_g"),
+            quantize(F.col("mean_b"), COS_Q).alias("mean_b"),
+            quantize(F.col("luma_p50"), COS_Q).alias("luma_p50"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# gradient images: r = x*255 // (w-1), g = y*255 // (h-1), b = id%256;
+# rebuilt as a bounded range() grid (DuckDB range() takes no lateral
+# column args, so over-generate to max dims and filter)
+MEDIA_IMAGE_STATS_REAL_SQL = f"""
+WITH m AS (
+  SELECT range * 2 AS media_id,
+         16 + (range * 2) % 7 AS w, 12 + (range * 2) % 5 AS h
+  FROM range(12)),
+px AS (
+  SELECT media_id, w, h,
+         (xs.range * 255) // (w - 1) AS r,
+         (ys.range * 255) // (h - 1) AS g,
+         media_id % 256 AS b
+  FROM m, range(22) xs, range(16) ys
+  WHERE xs.range < w AND ys.range < h)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       floor(avg(r) * {COS_Q} + 0.5) / {COS_Q} AS mean_r,
+       floor(avg(g) * {COS_Q} + 0.5) / {COS_Q} AS mean_g,
+       floor(avg(b) * {COS_Q} + 0.5) / {COS_Q} AS mean_b,
+       floor(median((r * 299 + g * 587 + b * 114) // 1000) * {COS_Q} + 0.5)
+         / {COS_Q} AS luma_p50
+FROM px GROUP BY media_id, w, h ORDER BY media_id
+"""
+
+
+def media_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end to end: executor-side PCM16 WAV *encode*
+    of synthesized sine tones, then the audio_features mapInPandas
+    stage walks the RIFF chunks, *decodes* sample-exact, and computes
+    RMS / peak / robust zero-crossing count (sign changes over nonzero
+    samples) / the zero-crossing frequency estimate. The oracle
+    re-synthesizes the identical int16 samples in SQL (same IEEE
+    expression order; trunc matches numpy's astype toward-zero cast)
+    and recomputes every feature — sample sums of s² stay < 2^53 so
+    both sides aggregate exactly."""
+    from data_lake_demo_spark.operators.multimodal import (
+        audio_features,
+        synthetic_media_real,
+    )
+
+    media = synthetic_media_real(spark, n=24)
+    return (
+        audio_features(media)
+        .select(
+            "media_id",
+            "n_samples",
+            "sample_rate",
+            quantize(F.col("rms"), COS_Q).alias("rms"),
+            "peak",
+            "zero_crossings",
+            quantize(F.col("est_freq_hz"), COS_Q).alias("est_freq_hz"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# tone: trunc(sin(2π·440(1+id%5)·k/8000)·12000) as int16 — the SQL
+# multiplies in the same left-assoc IEEE order numpy does, so the
+# samples are bit-identical; max 5000 samples (625 ms) bounds range()
+MEDIA_AUDIO_FEATURES_REAL_SQL = f"""
+WITH m AS (
+  SELECT range * 2 + 1 AS media_id,
+         250 + ((range * 2 + 1) % 4) * 125 AS ms,
+         440.0 * (1 + (range * 2 + 1) % 5) AS freq
+  FROM range(12)),
+smp AS (
+  SELECT media_id, k.range AS k,
+         CAST(trunc(sin(2 * pi() * freq * (k.range / 8000.0)) * 12000)
+              AS BIGINT) AS s
+  FROM m, range(5000) k WHERE k.range < 8000 * ms // 1000),
+nz AS (
+  SELECT media_id, k, sign(s) AS sg,
+         lag(sign(s)) OVER (PARTITION BY media_id ORDER BY k) AS prev
+  FROM smp WHERE s != 0),
+zc AS (
+  SELECT media_id, sum(CASE WHEN prev IS NOT NULL AND sg != prev
+                            THEN 1 ELSE 0 END) AS zero_crossings
+  FROM nz GROUP BY media_id)
+SELECT s.media_id, count(*) AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+       floor(sqrt(avg(CAST(s * s AS DOUBLE))) * {COS_Q} + 0.5) / {COS_Q} AS rms,
+       CAST(max(abs(s)) AS INTEGER) AS peak,
+       CAST(z.zero_crossings AS BIGINT) AS zero_crossings,
+       floor(z.zero_crossings * 8000 / (2.0 * count(*)) * {COS_Q} + 0.5)
+         / {COS_Q} AS est_freq_hz
+FROM smp s JOIN zc z USING (media_id)
+GROUP BY s.media_id, z.zero_crossings ORDER BY s.media_id
+"""
+
+
 def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling end to end: JVM-side frame plan (sequence
     + posexplode over duration metadata — no payload touched while
@@ -2570,6 +2691,8 @@ FROM chars c JOIN ent USING (media_id) ORDER BY media_id
 
 QUERIES = {
     "media_feature_stats": media_feature_stats,
+    "media_image_stats_real": media_image_stats_real,
+    "media_audio_features_real": media_audio_features_real,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -2673,6 +2796,8 @@ ORACLE = {
     "doc_lm_perplexity": bigram_lm_oracle_sql(),
     "doc_dsir_weights": dsir_oracle_sql("lang = 'en'"),
     "media_feature_stats": MEDIA_FEATURES_SQL,
+    "media_image_stats_real": MEDIA_IMAGE_STATS_REAL_SQL,
+    "media_audio_features_real": MEDIA_AUDIO_FEATURES_REAL_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

@@ -275,6 +275,10 @@ def test_no_python_udf_across_entire_query_registry(spark):
     # media_frame_features is the frame-sample decode kernel (same
     # multimodal tier as media_feature_stats)
     arrow_ok = {"media_feature_stats", "media_frame_features",
+                # real-codec tier: BMP/WAV encode AND decode are
+                # Arrow kernels by design (payload bytes never leave
+                # the Python worker batch)
+                "media_image_stats_real", "media_audio_features_real",
                 "emb_pq_ann", "emb_ivfpq_ann", "emb_ivf_ann",
                 "emb_sq_ann",  # SQ8 prep runs in the same Arrow tier
                 "doc_bpe_vocab_tokens",  # real-BPE apply kernel
