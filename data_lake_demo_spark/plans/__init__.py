@@ -79,6 +79,10 @@ WINDOW = [
     "media_audio_features_real",  # NEW: real WAV encode→decode +
     # DSP features, SQL re-synthesizes the identical int16 samples
     # (evicts events_daily_retention, r4-green, parity-reproved)
+    "media_video_frames_real",  # NEW: real AVI container round trip —
+    # multi-frame encode→decode with per-frame stats, oracle rebuilds
+    # every pixel grid (evicts emb_quantize_int8 — r4-green trivial
+    # map query, parity-reproved every pytest run)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -113,7 +117,6 @@ WINDOW = [
     "emb_lsh_ann",
     "emb_near_dups",
     "emb_label_centroid_sim",
-    "emb_quantize_int8",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

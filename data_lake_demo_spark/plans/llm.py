@@ -2198,6 +2198,68 @@ GROUP BY s.media_id, z.zero_crossings ORDER BY s.media_id
 """
 
 
+def media_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end to end: executor-side uncompressed-DIB AVI
+    *encode* of multi-frame gradient videos, then video_frame_stats
+    walks the RIFF/hdrl/movi chunks, *decodes* every '00db' frame
+    pixel-exact, and emits one stats row per frame — the payload is
+    parsed once per video in the Arrow tier, never duplicated by a
+    plan-side explode. The oracle rebuilds the per-frame pixel grids
+    arithmetically, so a hash match proves the whole container round
+    trip (headers, frame chunking, bottom-up BGR rows, padding)."""
+    from data_lake_demo_spark.operators.multimodal import (
+        synthetic_video_real,
+        video_frame_stats,
+    )
+
+    media = synthetic_video_real(spark, n=12)
+    return (
+        video_frame_stats(media)
+        .select(
+            "media_id",
+            "frame_idx",
+            "fps",
+            "width",
+            "height",
+            quantize(F.col("mean_r"), COS_Q).alias("mean_r"),
+            quantize(F.col("mean_g"), COS_Q).alias("mean_g"),
+            quantize(F.col("mean_b"), COS_Q).alias("mean_b"),
+            quantize(F.col("luma_p50"), COS_Q).alias("luma_p50"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+# frame f of video id: r/g gradients over (8 + id%5) × (6 + id%3),
+# blue = (id·17 + f·29) % 256, 2 + id%4 frames at 4 fps
+MEDIA_VIDEO_FRAMES_REAL_SQL = f"""
+WITH m AS (
+  SELECT range AS media_id, 8 + range % 5 AS w, 6 + range % 3 AS h,
+         2 + range % 4 AS nf
+  FROM range(12)),
+fr AS (
+  SELECT media_id, w, h, fs.range AS frame_idx,
+         (media_id * 17 + fs.range * 29) % 256 AS b
+  FROM m, range(5) fs WHERE fs.range < nf),
+px AS (
+  SELECT media_id, frame_idx, w, h, b,
+         (xs.range * 255) // (w - 1) AS r,
+         (ys.range * 255) // (h - 1) AS g
+  FROM fr, range(12) xs, range(8) ys
+  WHERE xs.range < w AND ys.range < h)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS fps,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       floor(avg(r) * {COS_Q} + 0.5) / {COS_Q} AS mean_r,
+       floor(avg(g) * {COS_Q} + 0.5) / {COS_Q} AS mean_g,
+       floor(avg(b) * {COS_Q} + 0.5) / {COS_Q} AS mean_b,
+       floor(median((r * 299 + g * 587 + b * 114) // 1000) * {COS_Q} + 0.5)
+         / {COS_Q} AS luma_p50
+FROM px GROUP BY media_id, frame_idx, w, h, b
+ORDER BY media_id, frame_idx
+"""
+
+
 def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling end to end: JVM-side frame plan (sequence
     + posexplode over duration metadata — no payload touched while
@@ -2693,6 +2755,7 @@ QUERIES = {
     "media_feature_stats": media_feature_stats,
     "media_image_stats_real": media_image_stats_real,
     "media_audio_features_real": media_audio_features_real,
+    "media_video_frames_real": media_video_frames_real,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -2798,6 +2861,7 @@ ORACLE = {
     "media_feature_stats": MEDIA_FEATURES_SQL,
     "media_image_stats_real": MEDIA_IMAGE_STATS_REAL_SQL,
     "media_audio_features_real": MEDIA_AUDIO_FEATURES_REAL_SQL,
+    "media_video_frames_real": MEDIA_VIDEO_FRAMES_REAL_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

@@ -1634,3 +1634,38 @@ def test_resize_images_real_bmp_path(spark):
         assert (r.orig_height, r.orig_width) == src.shape[:2]
         got = decode_bmp(bytes(r.payload))
         np.testing.assert_array_equal(got, resize_nearest(src, 10, 8))
+
+
+def test_avi_codec_roundtrip_and_video_frame_stats(spark):
+    """AVI container round trip is frame/pixel-exact, and the real
+    video decode stage emits one stats row per frame whose channel
+    means match the closed-form gradient values."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        synthetic_video_real,
+        video_frame_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (7, 11, 3), dtype=np.uint8) for _ in range(4)]
+    b = encode_avi(frames, fps=4)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    got, fps = decode_avi(b)
+    assert fps == 4 and len(got) == 4
+    for a, g in zip(frames, got):
+        np.testing.assert_array_equal(a, g)
+
+    media = synthetic_video_real(spark, n=8)
+    rows = video_frame_stats(media).collect()
+    # frame fan-out: sum over ids of (2 + id%4)
+    assert len(rows) == sum(2 + i % 4 for i in range(8))
+    for r in rows:
+        w, h = 8 + r.media_id % 5, 6 + r.media_id % 3
+        assert (r.width, r.height, r.fps) == (w, h, 4)
+        exp_b = (r.media_id * 17 + r.frame_idx * 29) % 256
+        assert abs(r.mean_b - exp_b) < 1e-9
+        exp_r = sum(x * 255 // (w - 1) for x in range(w)) / w
+        assert abs(r.mean_r - exp_r) < 1e-9
