@@ -2,21 +2,22 @@
 linear interpolation over missing buckets.
 
 The TimescaleDB ``time_bucket_gapfill`` / ``locf()`` / ``interpolate()``
-family re-expressed relationally: the caller brings an already
+family re-expressed relationally. The caller brings an already
 bucketed frame (one row per key x bucket that HAS data); ``gap_fill``
-derives each key's [min, max] bucket span, explodes the dense grid
-JVM-side (``sequence`` + ``explode`` — no Python in the loop),
-left-joins the observed rows back, and computes carry-forward /
-interpolated values with two ordered windows per key.
+emits every missing bucket BETWEEN consecutive observed rows by
+exploding a JVM-side ``sequence(bucket, next_bucket - step)`` on each
+observed row — the observed row *is* the carry-forward source, so
+LOCF needs no second window and the interpolation endpoints (this
+row, ``lead`` row) ride along for free.
 
-Scale notes (100 TB): the grid is O(keys x span/step) *small* rows —
-payload columns are never duplicated, only (key, bucket) pairs are
-generated. The left join shuffles on (key, bucket), the same key both
-sides already aggregated on. The two windows are a single sort per
-key partition; skew equals key skew of the input, which bucketing has
-already collapsed to one row per (key, bucket). Spans are bounded by
-wall-clock time (10 years of hours = 87.6k rows/key), so the fan-out
-is fixed by the schema, not the data volume.
+Scale notes (100 TB): ONE scan of the bucketed input (no self-join,
+no span-table rescan — an earlier formulation derived per-key spans
+with a groupBy + join, which re-computed the upstream aggregation
+twice), one window (the ``lead``), one explode producing only
+(key, bucket)-sized rows. Shuffle = the single window sort per key;
+skew equals key skew, already collapsed to one row per (key, bucket).
+Fan-out is bounded by wall-clock span / step, fixed by the schema,
+not data volume.
 """
 
 from __future__ import annotations
@@ -39,53 +40,49 @@ def gap_fill(
     Returns the input columns (null on generated gap rows) plus:
 
     - ``is_gap`` — true on generated rows;
-    - ``locf_<value>`` — last observed carried forward;
+    - ``locf_<value>`` — last observed value carried forward;
     - ``interp_<value>`` — linear interpolation between the previous
       and next observed values on the bucket-epoch axis (equals the
-      observed value on non-gap rows; falls back to LOCF after the
-      last observation, which by construction never happens because
-      the span ends at an observed bucket).
+      observed value on non-gap rows; gaps always lie strictly between
+      two observations, so both endpoints exist).
     """
-    spans = buckets.groupBy(*keys).agg(
-        F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
-    )
-    grid = spans.select(
+    w = W.partitionBy(*keys).orderBy(bucket)
+    payload = [c for c in buckets.columns if c not in (*keys, bucket)]
+    nxt_b = F.lead(bucket).over(w)
+    nxt_v = F.lead(value).over(w)
+    run = buckets.select(
         *keys,
+        *payload,
+        F.col(bucket).alias("__obs"),
+        nxt_b.alias("__nxt_b"),
+        nxt_v.alias("__nxt_v"),
+    ).select(
+        "*",
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}"))
+            F.sequence(
+                F.col("__obs"),
+                F.coalesce(
+                    F.col("__nxt_b") - F.expr(f"interval {step}"),
+                    F.col("__obs"),
+                ),
+                F.expr(f"interval {step}"),
+            )
         ).alias(bucket),
     )
-    filled = grid.join(buckets, [*keys, bucket], "left")
-
-    v = F.col(value)
-    back = (
-        W.partitionBy(*keys)
-        .orderBy(bucket)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    fwd = (
-        W.partitionBy(*keys)
-        .orderBy(bucket)
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    observed_at = F.when(v.isNotNull(), F.col(bucket))
-    pv = F.last(v, ignorenulls=True).over(back)
-    pt = F.last(observed_at, ignorenulls=True).over(back)
-    nv = F.first(v, ignorenulls=True).over(fwd)
-    nt = F.first(observed_at, ignorenulls=True).over(fwd)
+    gap = F.col(bucket) != F.col("__obs")
     x, px, nx = (
         F.unix_timestamp(F.col(bucket)),
-        F.unix_timestamp(pt),
-        F.unix_timestamp(nt),
+        F.unix_timestamp(F.col("__obs")),
+        F.unix_timestamp(F.col("__nxt_b")),
     )
-    interp = (
-        F.when(v.isNotNull(), v)
-        .when(nv.isNull(), pv)
-        .otherwise(pv + (nv - pv) * (x - px) / (nx - px))
-    )
-    return filled.select(
-        "*",
-        v.isNull().alias("is_gap"),
+    pv, nv = F.col(value), F.col("__nxt_v")
+    interp = F.when(~gap, pv).otherwise(pv + (nv - pv) * (x - px) / (nx - px))
+    return run.select(
+        *keys,
+        bucket,
+        # original payload columns are null on generated rows
+        *[F.when(~gap, F.col(c)).alias(c) for c in payload],
+        gap.alias("is_gap"),
         pv.alias(f"locf_{value}"),
         interp.alias(f"interp_{value}"),
     )

@@ -83,6 +83,9 @@ WINDOW = [
     # multi-frame encode→decode with per-frame stats, oracle rebuilds
     # every pixel grid (evicts emb_quantize_int8 — r4-green trivial
     # map query, parity-reproved every pytest run)
+    "events_gap_fill",  # NEW: time-series gap fill + LOCF + linear
+    # interpolation (time_bucket_gapfill family), full oracle (evicts
+    # emb_label_centroid_sim — r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -116,7 +119,6 @@ WINDOW = [
     "knn_brute_force",
     "emb_lsh_ann",
     "emb_near_dups",
-    "emb_label_centroid_sim",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import quantize
 from data_lake_demo_spark.operators.asof import asof_join
+from data_lake_demo_spark.operators.timeseries import gap_fill
 from data_lake_demo_spark.plans.relational import _sql_qsum, qsum
 from data_lake_demo_spark.sources.testdata import load_table
 
@@ -606,8 +607,78 @@ ORDER BY event_type, hour
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF + linear interpolation (the
+    TimescaleDB ``time_bucket_gapfill``/``locf``/``interpolate``
+    family): hourly value sums for a sparse event slice (5% of users,
+    two event types — sparse at every SF), densified to every hour of
+    each type's span, with carry-forward and epoch-axis interpolation
+    across the gaps. The grid explode is JVM-side ``sequence``; output
+    is O(keys x span) small rows; bucket sums use the integer-quantized
+    fold so values hash across engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup")
+        & (F.col("user_id") % 20 == 0)
+    )
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), "total_value"))
+    filled = gap_fill(b, ["event_type"], "bucket", "total_value", step="1 hour")
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+        quantize(F.col("locf_total_value"), 1_000_000).alias("locf_value"),
+        quantize(F.col("interp_total_value"), 1_000_000).alias("interp_value"),
+    ).orderBy("event_type", "bucket")
+
+
+GAP_FILL_SQL = f"""
+WITH f AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n, {_sql_qsum('value', 'total_value')}
+  FROM events
+  WHERE event_type IN ('purchase', 'signup') AND user_id % 20 = 0
+  GROUP BY 1, 2),
+s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM f GROUP BY 1),
+g AS (SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM s),
+j AS (SELECT g.event_type, g.bucket, f.n, f.total_value
+      FROM g LEFT JOIN f
+        ON f.event_type = g.event_type AND f.bucket = g.bucket),
+w AS (SELECT *,
+  last_value(total_value IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+  last_value(CASE WHEN total_value IS NOT NULL THEN bucket END IGNORE NULLS)
+    OVER (PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+  first_value(total_value IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+  first_value(CASE WHEN total_value IS NOT NULL THEN bucket END IGNORE NULLS)
+    OVER (PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT event_type, bucket,
+  CAST(coalesce(n, 0) AS BIGINT) AS n,
+  CAST(total_value IS NULL AS INTEGER) AS is_gap,
+  floor(pv * 1000000 + 0.5) / 1000000 AS locf_value,
+  floor(CASE WHEN total_value IS NOT NULL THEN total_value
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+                               / (epoch(nt) - epoch(pt)) END
+        * 1000000 + 0.5) / 1000000 AS interp_value
+FROM w ORDER BY event_type, bucket
+"""
+
+
 QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
+    "events_gap_fill": events_gap_fill,
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
@@ -626,6 +697,7 @@ QUERIES = {
 
 ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
+    "events_gap_fill": GAP_FILL_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_hll_daily_users_exact": HLL_EXACT_SQL,

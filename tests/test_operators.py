@@ -1669,3 +1669,33 @@ def test_avi_codec_roundtrip_and_video_frame_stats(spark):
         assert abs(r.mean_b - exp_b) < 1e-9
         exp_r = sum(x * 255 // (w - 1) for x in range(w)) / w
         assert abs(r.mean_r - exp_r) < 1e-9
+
+
+def test_gap_fill_locf_and_interpolation(spark):
+    """Dense grid, LOCF, and epoch-axis linear interpolation against a
+    hand-computed 2-key series with interior gaps."""
+    from datetime import datetime
+
+    from data_lake_demo_spark.operators.timeseries import gap_fill
+
+    h = lambda i: datetime(2024, 1, 1, i)
+    rows = [
+        ("a", h(0), 10.0),
+        ("a", h(3), 40.0),   # gap at 1, 2: interp 20, 30
+        ("a", h(4), 0.0),
+        ("b", h(2), 5.0),
+        ("b", h(5), -4.0),   # gap at 3, 4: interp 2, -1
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = {
+        (r.k, r.bucket.hour): r
+        for r in gap_fill(df, ["k"], "bucket", "v").collect()
+    }
+    assert len(out) == 5 + 4  # a spans 0..4, b spans 2..5
+    assert not out[("a", 0)].is_gap and out[("a", 1)].is_gap
+    assert out[("a", 1)].locf_v == 10.0 and out[("a", 2)].locf_v == 10.0
+    assert out[("a", 1)].interp_v == 20.0 and out[("a", 2)].interp_v == 30.0
+    assert out[("a", 3)].interp_v == 40.0  # observed rows pass through
+    assert out[("b", 3)].interp_v == 2.0 and out[("b", 4)].interp_v == -1.0
+    assert out[("b", 4)].locf_v == 5.0 and out[("b", 5)].locf_v == -4.0
+    assert out[("b", 4)].v is None and out[("b", 5)].v == -4.0
