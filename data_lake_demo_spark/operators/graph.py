@@ -1,0 +1,93 @@
+"""Distributed graph analytics over edge DataFrames.
+
+Connected components live in ``operators.dedup`` (large-star /
+small-star); this module adds iterative score propagation — PageRank —
+in INTEGER fixed point, so every iteration is order-independent and
+value-hashes across engines (float PageRank sums in shuffle order and
+never replays exactly).
+
+Scale design (100 TB of edges): one iteration = one join of scores to
+edges on ``src`` plus one aggregate on ``dst`` — both shuffles keyed
+by node id, the same keys every iteration. The edge list (often an
+expensive candidate-generation join, e.g. LSH buckets) is persisted
+inside the operator so the unrolled iterations read a materialized
+edge set instead of replaying its lineage ``iterations`` times; at
+cluster scale you would checkpoint it to the lake instead. Spark's
+ContextCleaner unpersists it once the result's lineage is garbage
+collected. Dangling nodes (no out-edges) keep the teleport mass only —
+the standard simplification; on the symmetric similarity graphs this
+module targets, every edge-connected node has out-degree ≥ 1.
+
+The node count is ONE driver scalar (``nodes.count()``) — a bounded
+action, same class as the enumerated bounded collects in
+ann_index/similarity — which turns s₀ and the teleport base into plan
+literals instead of a crossJoin that would re-derive the node set
+every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    total_mass: int = 10**12,
+    persist: bool = True,
+) -> DataFrame:
+    """PageRank over directed ``(src, dst)`` edges in integer fixed
+    point: node scores are BIGINT shares of ``total_mass``;
+
+        s₀        = total_mass div N
+        base      = ((100 - damping_pct) · s₀) div 100
+        sₜ₊₁(v)   = base + Σ_{u→v} (damping_pct · sₜ(u)) div (100 · deg(u))
+
+    Every operation is integer division/sum of positives, so the
+    result is exactly reproducible in any engine regardless of
+    shuffle order. Returns ``(node, deg, rank)`` — ``deg`` is
+    out-degree (0 for dangling sink nodes), ``rank`` the fixed-point
+    score after ``iterations`` rounds.
+    """
+    if persist:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if persist:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = nodes.count()  # bounded driver scalar (see module doc)
+    s0 = total_mass // n_nodes
+    base = ((100 - damping_pct) * s0) // 100
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+
+    scores = nodes.select("node", F.lit(s0).cast("bigint").alias("s"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(scores.select(F.col("node").alias("src"), "s"), "src")
+            .join(outdeg.select(F.col("node").alias("src"), "deg"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({damping_pct} * s) div (100 * deg)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        scores = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(base).cast("bigint") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                "s"
+            ),
+        )
+    return scores.join(outdeg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
+        F.col("s").alias("rank"),
+    )

@@ -89,6 +89,9 @@ WINDOW = [
     "emb_kmeans_portable",  # NEW: distributed Lloyd iteration from
     # literal LCG centroids — first value-hash row for the k-means
     # step itself (evicts emb_near_dups — r4-green, parity-reproved)
+    "emb_graph_pagerank",  # NEW: integer-fixed-point PageRank over
+    # the LSH similarity graph, 3 unrolled iterations value-hashed
+    # (evicts emb_lsh_ann — r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -120,7 +123,6 @@ WINDOW = [
     "doc_decontaminate",
     # -- round 4: embedding family ------------------------------------
     "knn_brute_force",
-    "emb_lsh_ann",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1565,6 +1565,87 @@ FROM assigned GROUP BY cell ORDER BY cell
 """
 
 
+def emb_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH similarity graph — the
+    data-curation signal "how representative is this vector of its
+    semantic neighborhood". Edges are the seed-42 sign-LSH bucket
+    co-membership pairs (the emb_near_dups candidate family, both
+    directions); operators/graph.pagerank_fixed_point then runs 3
+    Lloyd-style propagation rounds in INTEGER fixed point (bigint
+    shares of 10^12), so the iterative distributed computation itself
+    value-hashes: the oracle replays all 3 unrolled iterations with
+    the same integer division, immune to float summation order."""
+    from data_lake_demo_spark.operators.graph import pagerank_fixed_point
+    from data_lake_demo_spark.operators.similarity import lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signatures(emb, vec_col="embedding", n_planes=8, seed=42).select(
+        F.col("vec_id").alias("id"), "lsh_bucket"
+    )
+    a, b = sig.alias("a").hint("merge"), sig.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    pr = pagerank_fixed_point(edges, iterations=3)
+    return pr.orderBy(F.desc("rank"), "node").limit(100)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration integer-fixed-point PageRank over the same
+    seed-42 LSH bucket graph (keep in lockstep with
+    pagerank_fixed_point: s0 = 10^12 div N, base = 15% of s0, inflow
+    terms (85*s) div (100*deg) — all positive-integer division, so //
+    here equals Spark's div)."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    step = """
+it{t} AS (
+  SELECT s0.node, s0.s0,
+         (15 * s0.s0) // 100 + coalesce(fl.inflow, 0) AS s
+  FROM s0 LEFT JOIN (
+    SELECT e.dst AS node, sum((85 * p.s) // (100 * d.deg)) AS inflow
+    FROM edges e JOIN it{p} p ON e.src = p.node
+                 JOIN deg d ON e.src = d.node
+    GROUP BY 1) fl USING (node))"""
+    return (
+        f"""
+WITH ev AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+b AS (SELECT vec_id, {bucket} AS bucket FROM ev),
+edges AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+s0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n_nodes AS s0
+       FROM nodes, nn),
+it0 AS (SELECT node, s0, s0 AS s FROM s0),"""
+        + step.format(t=1, p=0)
+        + ","
+        + step.format(t=2, p=1)
+        + ","
+        + step.format(t=3, p=2)
+        + """
+SELECT i.node, coalesce(d.deg, 0) AS deg, CAST(i.s AS BIGINT) AS rank
+FROM it3 i LEFT JOIN deg d USING (node)
+ORDER BY rank DESC, node LIMIT 100
+"""
+    )
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -2871,6 +2952,7 @@ QUERIES = {
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
     "emb_kmeans_portable": emb_kmeans_portable,
+    "emb_graph_pagerank": emb_graph_pagerank,
     "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
@@ -2915,6 +2997,7 @@ ORACLE = {
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
+    "emb_graph_pagerank": _pagerank_oracle(),
     "emb_ann_recall_at_k": _ann_recall_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,

@@ -1725,3 +1725,23 @@ def test_lloyd_step_assignment_update_and_tiebreak(spark):
     assert abs(rows[1].c0 - 0.3) < 1e-6 and abs(rows[1].c1 - 0.9) < 1e-6
     # cell 0: (1,0) d2=0 and (r,r) d2=(1-r)^2+r^2
     assert abs(rows[0].inertia - ((1 - r) ** 2 + r * r)) < 1e-6
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """3 integer-fixed-point iterations on a 3-node graph (1<->2 plus
+    3->1) against exact hand-computed bigint scores."""
+    from data_lake_demo_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r.node: (r.deg, r.rank)
+        for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+    # s0 = 10^12 // 3; base = (15*s0)//100; inflow (85*s)//(100*deg)
+    assert got == {
+        1: (1, 580541666662),
+        2: (1, 369458333329),
+        3: (1, 49999999999),
+    }
