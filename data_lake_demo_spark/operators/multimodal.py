@@ -431,6 +431,52 @@ def video_frame_stats(df: DataFrame) -> DataFrame:
     )
 
 
+SCENE_CUTS_SCHEMA = (
+    "media_id long, pair_idx int, mad double, max_abs_diff int, is_cut boolean"
+)
+
+
+def video_scene_cuts(df: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: mean absolute
+    pixel difference between consecutive frames; ``is_cut`` flags
+    pairs whose MAD exceeds ``threshold`` — the standard
+    scene-segmentation primitive a video training-data pipeline uses
+    to split footage into clips. Each payload is decoded ONCE in the
+    Arrow tier and emits one small row per consecutive frame pair;
+    the MAD is an exact integer sum divided once in double, so it
+    value-hashes against an arithmetic oracle."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("media_id", "pair_idx", "mad", "max_abs_diff", "is_cut")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _ = decode_avi(bytes(payload))
+                for i in range(len(frames) - 1):
+                    d = np.abs(
+                        frames[i + 1].astype(np.int64)
+                        - frames[i].astype(np.int64)
+                    )
+                    # exact integer sum, ONE double division (the
+                    # oracle replays the same two operands)
+                    mad = int(d.sum()) / float(d.size)
+                    out["media_id"].append(int(mid))
+                    out["pair_idx"].append(i)
+                    out["mad"].append(mad)
+                    out["max_abs_diff"].append(int(d.max()))
+                    out["is_cut"].append(mad > threshold)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(op, schema=SCENE_CUTS_SCHEMA)
+    )
+
+
 IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, mean_r double, mean_g double, "
     "mean_b double, luma_p50 double"

@@ -92,6 +92,9 @@ WINDOW = [
     "emb_graph_pagerank",  # NEW: integer-fixed-point PageRank over
     # the LSH similarity graph, 3 unrolled iterations value-hashed
     # (evicts emb_lsh_ann — r4-green, parity-reproved)
+    "media_video_scene_cuts",  # NEW: shot-boundary MAD over the real
+    # AVI decode, arithmetic oracle (evicts knn_brute_force —
+    # r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -121,8 +124,6 @@ WINDOW = [
     "doc_ngram_jaccard_dups",
     "doc_winnowing_overlap",
     "doc_decontaminate",
-    # -- round 4: embedding family ------------------------------------
-    "knn_brute_force",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

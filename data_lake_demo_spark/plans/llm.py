@@ -2406,6 +2406,55 @@ ORDER BY media_id, frame_idx
 """
 
 
+def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on REAL decoded video: consecutive-frame
+    mean-absolute-difference over the AVI round trip
+    (operators/multimodal.video_scene_cuts) — the scene-segmentation
+    primitive that splits raw footage into training clips. The
+    synthetic videos advance only the blue channel per frame, so the
+    oracle derives every pair's MAD arithmetically: a hash match
+    proves the decode is pixel-exact AND the temporal pairing/diff
+    kernel is right."""
+    from data_lake_demo_spark.operators.multimodal import (
+        synthetic_video_real,
+        video_scene_cuts,
+    )
+
+    media = synthetic_video_real(spark, n=12)
+    return (
+        video_scene_cuts(media, threshold=40.0)
+        .select(
+            "media_id",
+            "pair_idx",
+            quantize(F.col("mad"), COS_Q).alias("mad"),
+            "max_abs_diff",
+            "is_cut",
+        )
+        .orderBy("media_id", "pair_idx")
+    )
+
+
+# blue(f) = (id*17 + f*29) % 256 is the only channel that moves, so
+# MAD = (|Δblue| * w * h) / (w * h * 3) — same two division operands
+# as the kernel's int(d.sum()) / d.size
+MEDIA_VIDEO_SCENE_CUTS_SQL = f"""
+WITH m AS (
+  SELECT range AS media_id, 8 + range % 5 AS w, 6 + range % 3 AS h,
+         2 + range % 4 AS nf
+  FROM range(12)),
+p AS (
+  SELECT media_id, w, h, fs.range AS pair_idx,
+         abs(((media_id * 17 + (fs.range + 1) * 29) % 256)
+             - ((media_id * 17 + fs.range * 29) % 256)) AS ab
+  FROM m, range(5) fs WHERE fs.range < nf - 1)
+SELECT media_id, CAST(pair_idx AS INTEGER) AS pair_idx,
+       floor((ab * w * h) / (w * h * 3) * {COS_Q} + 0.5) / {COS_Q} AS mad,
+       CAST(ab AS INTEGER) AS max_abs_diff,
+       (ab * w * h) / (w * h * 3) > 40.0 AS is_cut
+FROM p ORDER BY media_id, pair_idx
+"""
+
+
 def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling end to end: JVM-side frame plan (sequence
     + posexplode over duration metadata — no payload touched while
@@ -2902,6 +2951,7 @@ QUERIES = {
     "media_image_stats_real": media_image_stats_real,
     "media_audio_features_real": media_audio_features_real,
     "media_video_frames_real": media_video_frames_real,
+    "media_video_scene_cuts": media_video_scene_cuts,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3012,6 +3062,7 @@ ORACLE = {
     "media_image_stats_real": MEDIA_IMAGE_STATS_REAL_SQL,
     "media_audio_features_real": MEDIA_AUDIO_FEATURES_REAL_SQL,
     "media_video_frames_real": MEDIA_VIDEO_FRAMES_REAL_SQL,
+    "media_video_scene_cuts": MEDIA_VIDEO_SCENE_CUTS_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

@@ -279,7 +279,7 @@ def test_no_python_udf_across_entire_query_registry(spark):
                 # Arrow kernels by design (payload bytes never leave
                 # the Python worker batch)
                 "media_image_stats_real", "media_audio_features_real",
-                "media_video_frames_real",
+                "media_video_frames_real", "media_video_scene_cuts",
                 "emb_pq_ann", "emb_ivfpq_ann", "emb_ivf_ann",
                 "emb_sq_ann",  # SQ8 prep runs in the same Arrow tier
                 "doc_bpe_vocab_tokens",  # real-BPE apply kernel
