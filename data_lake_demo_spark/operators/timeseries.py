@@ -86,3 +86,92 @@ def gap_fill(
         pv.alias(f"locf_{value}"),
         interp.alias(f"interp_{value}"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    n_out: int,
+    x_unit_seconds: int = 1,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    parallel variant: each series is split into ``n_out`` equal-count
+    buckets; the first/last buckets keep their first/last points, and
+    every interior bucket keeps the point forming the largest triangle
+    with the NEIGHBOR BUCKET AVERAGES (the sequential previous-selected
+    anchor is replaced by the previous bucket's centroid, which removes
+    the cross-bucket dependency chain — every bucket elects in
+    parallel, the property that makes LTTB distributable).
+
+    Exactness: ``y_col`` must be integral (pre-quantize doubles);
+    the triangle area is compared with denominators cleared —
+    ``|(Sxa − na·x)(Syb − nb·y) − (Sxb − nb·x)(Sya − na·y)|`` where
+    (S, n) are neighbor-bucket sums/counts — so the argmax is pure
+    BIGINT arithmetic and replays exactly in any engine. ``x`` is
+    made relative to each series' start AND divided by
+    ``x_unit_seconds`` (pick the series' native resolution, e.g. 3600
+    for hourly points) to keep the products far from BIGINT overflow:
+    the score is bounded by ~(2·n_bucket·x_span)·(2·n_bucket·y_max),
+    which must stay under 2^63. Ties break on earliest point.
+
+    Scale: one window rank per series, one bucket aggregate, one
+    broadcast-sized join of bucket stats back to points — no
+    quadratic stage; n_out bounds the output per key.
+    """
+    w = W.partitionBy(*keys).orderBy(x_col)
+    wk = W.partitionBy(*keys)
+    pts = df.select(
+        *keys,
+        F.col(x_col),
+        F.col(y_col).cast("bigint").alias("__y"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+        # floor(diff/unit), NOT a bare cast: Spark casts double->long by
+        # truncation but DuckDB by rounding; floor is identical in both
+        F.floor(
+            (
+                F.unix_timestamp(F.col(x_col))
+                - F.min(F.unix_timestamp(F.col(x_col))).over(wk)
+            )
+            / F.lit(float(x_unit_seconds))
+        ).cast("bigint").alias("__xi"),
+    ).withColumn("__bkt", F.expr(f"((__rn - 1) * {n_out}) div __n"))
+    bagg = pts.groupBy(*keys, "__bkt").agg(
+        F.sum("__xi").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    wb = W.partitionBy(*keys).orderBy("__bkt")
+    nb = bagg.select(
+        *keys,
+        "__bkt",
+        F.lag("sx").over(wb).alias("sxa"),
+        F.lag("sy").over(wb).alias("sya"),
+        F.lag("cnt").over(wb).alias("na"),
+        F.lead("sx").over(wb).alias("sxb"),
+        F.lead("sy").over(wb).alias("syb"),
+        F.lead("cnt").over(wb).alias("nb"),
+    )
+    j = pts.join(nb, [*keys, "__bkt"])
+    score = F.abs(
+        (F.col("sxa") - F.col("na") * F.col("__xi"))
+        * (F.col("syb") - F.col("nb") * F.col("__y"))
+        - (F.col("sxb") - F.col("nb") * F.col("__xi"))
+        * (F.col("sya") - F.col("na") * F.col("__y"))
+    )
+    # coalesce: an interior bucket can lack a neighbor when the series
+    # is shorter than n_out — it then keeps its earliest point (and
+    # Spark/DuckDB disagree on null ordering, so never sort on null)
+    primary = (
+        F.when(F.col("__bkt") == 0, F.col("__rn"))
+        .when(F.col("__bkt") == n_out - 1, -F.col("__rn"))
+        .otherwise(-F.coalesce(score, F.lit(0)))
+    )
+    we = W.partitionBy(*keys, "__bkt").orderBy(primary, "__rn")
+    return (
+        j.withColumn("__pick", F.row_number().over(we))
+        .filter(F.col("__pick") == 1)
+        .select(*keys, F.col("__bkt").alias("bkt"), x_col, F.col("__y").alias(y_col))
+    )

@@ -95,6 +95,10 @@ WINDOW = [
     "media_video_scene_cuts",  # NEW: shot-boundary MAD over the real
     # AVI decode, arithmetic oracle (evicts knn_brute_force —
     # r4-green, parity-reproved)
+    "events_lttb_downsample",  # NEW: parallel LTTB downsampling with
+    # exact-integer triangle election, full oracle (evicts
+    # doc_minhash_near_dups — rows-only by design; its portable twin
+    # doc_minhash_dups_portable stays in-window)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -119,7 +123,6 @@ WINDOW = [
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_dedup_components",
     "doc_dedup_components_bigstar",
-    "doc_minhash_near_dups",
     "doc_simhash_buckets",
     "doc_ngram_jaccard_dups",
     "doc_winnowing_overlap",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import quantize
 from data_lake_demo_spark.operators.asof import asof_join
-from data_lake_demo_spark.operators.timeseries import gap_fill
+from data_lake_demo_spark.operators.timeseries import gap_fill, lttb_downsample
 from data_lake_demo_spark.plans.relational import _sql_qsum, qsum
 from data_lake_demo_spark.sources.testdata import load_table
 
@@ -676,9 +676,74 @@ FROM w ORDER BY event_type, bucket
 """
 
 
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson's largest-triangle-three-buckets,
+    the dashboard/visualization standard) of each event type's hourly
+    value series to 24 representative points, via the parallel
+    neighbor-centroid variant in operators/timeseries.lttb_downsample.
+    y is the INTEGER milli-unit hourly sum and x the hour index, so the
+    triangle-area argmax is exact BIGINT arithmetic that value-hashes;
+    the oracle replays the same election in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("total_milli")
+    )
+    return lttb_downsample(
+        hourly, ["event_type"], "hour", "total_milli", n_out=24,
+        x_unit_seconds=3600,
+    ).orderBy("event_type", "bkt")
+
+
+LTTB_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, hour, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(floor((CAST(epoch(hour) AS BIGINT)
+                     - min(CAST(epoch(hour) AS BIGINT))
+                         OVER (PARTITION BY event_type))
+                    / CAST(3600 AS DOUBLE)) AS BIGINT) AS xi
+  FROM h),
+p2 AS (SELECT *, ((rn - 1) * 24) // n AS bkt FROM p),
+b AS (SELECT event_type, bkt,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM p2 GROUP BY 1, 2),
+nbr AS (SELECT event_type, bkt,
+               lag(sx) OVER w AS sxa, lag(sy) OVER w AS sya,
+               lag(cnt) OVER w AS na,
+               lead(sx) OVER w AS sxb, lead(sy) OVER w AS syb,
+               lead(cnt) OVER w AS nb
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+j AS (SELECT p2.*, nbr.sxa, nbr.sya, nbr.na, nbr.sxb, nbr.syb, nbr.nb
+      FROM p2 JOIN nbr USING (event_type, bkt)),
+sc AS (SELECT *,
+              abs((sxa - na * xi) * (syb - nb * y)
+                  - (sxb - nb * xi) * (sya - na * y)) AS score
+       FROM j),
+pick AS (SELECT *, row_number() OVER (
+           PARTITION BY event_type, bkt
+           ORDER BY CASE WHEN bkt = 0 THEN rn
+                         WHEN bkt = 23 THEN -rn
+                         ELSE -coalesce(score, 0) END, rn) AS pk
+         FROM sc)
+SELECT event_type, CAST(bkt AS BIGINT) AS bkt, hour, y AS total_milli
+FROM pick WHERE pk = 1 ORDER BY event_type, bkt
+"""
+
+
 QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
     "events_gap_fill": events_gap_fill,
+    "events_lttb_downsample": events_lttb_downsample,
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
     "events_hll_daily_users": events_hll_daily_users,
@@ -698,6 +763,7 @@ QUERIES = {
 ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
     "events_gap_fill": GAP_FILL_SQL,
+    "events_lttb_downsample": LTTB_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_hll_daily_users_exact": HLL_EXACT_SQL,

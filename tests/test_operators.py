@@ -1745,3 +1745,26 @@ def test_pagerank_fixed_point_hand_computed(spark):
         2: (1, 369458333329),
         3: (1, 49999999999),
     }
+
+
+def test_lttb_downsample_keeps_ends_and_spike(spark):
+    """Parallel LTTB: first/last points fixed, the interior bucket
+    elects its spike (largest triangle vs neighbor centroids)."""
+    from datetime import datetime
+
+    from data_lake_demo_spark.operators.timeseries import lttb_downsample
+
+    rows = [
+        ("a", datetime(2024, 1, 1, i), 100 if i == 4 else 0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k string, hour timestamp, y long")
+    out = lttb_downsample(
+        df, ["k"], "hour", "y", n_out=4, x_unit_seconds=3600
+    ).collect()
+    assert len(out) == 4
+    picked = sorted(r.hour.hour for r in out)
+    # bucket 0 -> first (h0); bucket 1 (h3..h5) -> spike h4;
+    # bucket 3 -> last (h11)
+    assert picked[0] == 0 and picked[-1] == 11 and 4 in picked
+    assert {r.y for r in out if r.hour.hour == 4} == {100}
