@@ -532,3 +532,37 @@ def sample_k_per_group(
         df.withColumn("samp_rank", F.row_number().over(w))
         .filter(F.col("samp_rank") <= k)
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    threshold_weight: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional Bernoulli (Poisson) sampling — the
+    distributable form of weighted sampling: each row is kept
+    independently with probability ``p = min(1, w / threshold_weight)``
+    against a DETERMINISTIC uniform (the portable md5-radix hash of
+    ``id_col``), so the sample is reproducible run-to-run, engine-to-
+    engine, and needs ONE map-side pass with no shuffle, no sort, no
+    global state — unlike exact-k reservoir schemes whose u^(1/w) keys
+    need a global top-k and whose pow() last-ulp differences don't
+    replay across engines. Emits the Horvitz-Thompson inverse weight
+    ``ht_weight = 1/p`` so downstream aggregates stay unbiased
+    (Σ f(x)/p estimates the population sum).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in [0,1): 7 md5 hex chars / 16^7 — exact in double (28 bits)
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    ) / F.lit(float(16**7))
+    p = F.least(F.lit(1.0), w.cast("double") / F.lit(float(threshold_weight)))
+    return (
+        df.withColumn("p_include", p)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("p_include"))
+        .withColumn("ht_weight", F.lit(1.0) / F.col("p_include"))
+        .drop("__u")
+    )

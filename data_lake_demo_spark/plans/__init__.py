@@ -99,6 +99,10 @@ WINDOW = [
     # exact-integer triangle election, full oracle (evicts
     # doc_minhash_near_dups — rows-only by design; its portable twin
     # doc_minhash_dups_portable stays in-window)
+    "doc_weighted_sample",  # NEW: weight-proportional Bernoulli
+    # sampling + Horvitz-Thompson weights, full oracle (evicts
+    # doc_simhash_buckets — rows-only by design; its portable twin
+    # stays in-window)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -123,7 +127,6 @@ WINDOW = [
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_dedup_components",
     "doc_dedup_components_bigstar",
-    "doc_simhash_buckets",
     "doc_ngram_jaccard_dups",
     "doc_winnowing_overlap",
     "doc_decontaminate",

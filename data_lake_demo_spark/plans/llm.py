@@ -2406,6 +2406,45 @@ ORDER BY media_id, frame_idx
 """
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling with Horvitz-Thompson
+    inverse weights (operators/corpus.weighted_bernoulli_sample):
+    p = min(1, n_chars/3000) against the deterministic md5-radix
+    uniform — the one-pass, shuffle-free weighted-sampling primitive
+    a 100 TB curation pipeline uses where exact-k reservoir schemes
+    (u^(1/w) keys) would need a global top-k and non-portable pow().
+    Fully value-hashed: inclusion decisions are exact double
+    comparisons of integer-derived operands."""
+    from data_lake_demo_spark.operators.corpus import weighted_bernoulli_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_bernoulli_sample(docs, "n_chars", 3000)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            quantize(F.col("p_include"), COS_Q).alias("p_q"),
+            quantize(F.col("ht_weight"), COS_Q).alias("ht_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         LEAST(CAST(1 AS DOUBLE), n_chars / CAST(3000 AS DOUBLE)) AS p,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           / CAST(268435456 AS DOUBLE) AS u
+  FROM documents)
+SELECT doc_id, source, n_chars,
+       floor(p * {COS_Q} + 0.5) / {COS_Q} AS p_q,
+       floor((CAST(1 AS DOUBLE) / p) * {COS_Q} + 0.5) / {COS_Q} AS ht_q
+FROM s WHERE u < p ORDER BY doc_id
+"""
+
+
 def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection on REAL decoded video: consecutive-frame
     mean-absolute-difference over the AVI round trip
@@ -2952,6 +2991,7 @@ QUERIES = {
     "media_audio_features_real": media_audio_features_real,
     "media_video_frames_real": media_video_frames_real,
     "media_video_scene_cuts": media_video_scene_cuts,
+    "doc_weighted_sample": doc_weighted_sample,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3063,6 +3103,7 @@ ORACLE = {
     "media_audio_features_real": MEDIA_AUDIO_FEATURES_REAL_SQL,
     "media_video_frames_real": MEDIA_VIDEO_FRAMES_REAL_SQL,
     "media_video_scene_cuts": MEDIA_VIDEO_SCENE_CUTS_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

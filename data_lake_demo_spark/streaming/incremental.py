@@ -251,3 +251,156 @@ class MaterializedAggregate:
             (F.col("value_q") / float(SCALE) / F.col("n")).alias("avg"),
             *extra,
         )
+
+
+class IncrementalDedupIndex:
+    """Exact-dedup signature index over a document AcidTable,
+    maintained O(churn) from the change feed — "dedup 100 TB once,
+    then absorb each increment for the cost of the increment".
+
+    The index is its own AcidTable of ``(digest, canonical)`` rows:
+    one row per distinct md5(text), ``canonical`` the doc that owns
+    the signature. Maintenance per sync:
+
+    * inserted rows whose digest is NOT indexed register it
+      (canonical = min inserted doc_id — first-seen-wins, min within
+      the registering batch for determinism);
+    * inserted duplicates of an indexed digest change nothing (the
+      duplicate report is a join, not state);
+    * a delete that hits a CANONICAL owner marks the digest dirty;
+      dirty digests re-elect min(live doc_id) from the base snapshot
+      PINNED at the synced version, restricted to the dirty set via a
+      broadcast semi join (manifest-pruned — O(dirty), never
+      O(table)); digests with no surviving owner retire;
+    * everything lands in ONE ``merge_apply`` commit whose
+      ``txn=(app, base_version)`` ledger entry makes replayed or
+      concurrent syncs of the same base version no-ops (the
+      MaterializedAggregate exactly-once recipe).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: AcidTable,
+        index_path: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        app: str = "dedup-index",
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.index = AcidTable(spark, index_path)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.app = app
+
+    def _digest(self) -> F.Column:
+        return F.md5(F.col(self.text_col)).alias("digest")
+
+    def _current(self) -> DataFrame:
+        if self.index.latest_version() < 0:
+            id_type = next(
+                f.dataType
+                for f in self.base.snapshot().schema.fields
+                if f.name == self.id_col
+            )
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("digest", T.StringType()),
+                        T.StructField("canonical", id_type),
+                    ]
+                ),
+            )
+        return self.index.snapshot()
+
+    def synced_version(self) -> int | None:
+        return self.index.last_txn_batch(self.app)
+
+    def sync(self) -> int:
+        """Fold base changes since the last sync into the index in one
+        atomic commit; returns the index version."""
+        target = self.base.latest_version()
+        last = self.synced_version()
+        since = -1 if last is None else last
+        if target <= since:
+            return self.index.latest_version()
+        feed = self.base.changes(since, target).select(
+            F.col(self.id_col).alias("doc_id"),
+            self._digest(),
+            "_change_type",
+        )
+        current = self._current()
+        deletes = feed.filter(F.col("_change_type") == "delete")
+        inserts = feed.filter(F.col("_change_type") == "insert")
+        # dirty: a delete removed the digest's canonical owner
+        dirty = (
+            deletes.join(
+                current,
+                (deletes["digest"] == current["digest"])
+                & (deletes["doc_id"] == current["canonical"]),
+                "left_semi",
+            )
+            .select("digest")
+            .distinct()
+        )
+        base_pin = self.base.snapshot(as_of=target).select(
+            F.col(self.id_col).alias("doc_id"), self._digest()
+        )
+        reelected = (
+            base_pin.join(F.broadcast(dirty), "digest", "left_semi")
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("canonical"))
+            .withColumn("_retire", F.lit(False))
+        )
+        retired = (
+            dirty.join(reelected.select("digest"), "digest", "left_anti")
+            .withColumn("canonical", F.lit(None).cast(current.schema["canonical"].dataType))
+            .withColumn("_retire", F.lit(True))
+        )
+        novel = (
+            inserts.groupBy("digest")
+            .agg(F.min("doc_id").alias("canonical"))
+            .join(current.select("digest"), "digest", "left_anti")
+            .join(dirty, "digest", "left_anti")
+            .withColumn("_retire", F.lit(False))
+        )
+        updates = novel.unionByName(reelected).unionByName(retired)
+        if updates.limit(1).count() == 0:
+            # layout-only churn or pure-duplicate inserts: advance the
+            # watermark with a data-free ledger commit
+            return self.index.commit_staged(
+                [], current.schema.json(), txn=(self.app, target)
+            )
+        return self.index.merge_apply(
+            updates.select("digest", "canonical", "_retire"),
+            ["digest"],
+            "_retire",
+            txn=(self.app, target),
+        )
+
+    def dup_report(self, docs: DataFrame) -> DataFrame:
+        """Flag rows of ``docs`` whose text duplicates an indexed
+        signature owned by ANOTHER doc: ``(doc_id, dup_of)``. A plain
+        join against the (small) index — at scale, broadcast or
+        bucket-join territory, never a self-join of the corpus."""
+        d = docs.select(F.col(self.id_col).alias("doc_id"), self._digest())
+        idx = self._current()
+        return (
+            d.join(idx, "digest")
+            .filter(F.col("doc_id") != F.col("canonical"))
+            .select("doc_id", F.col("canonical").alias("dup_of"), "digest")
+        )
+
+    def foreach_batch_sink(self):
+        """``writeStream.foreachBatch`` adapter (see
+        MaterializedAggregate.foreach_batch_sink — same exactly-once
+        argument: the batch content is ignored, ``sync`` re-reads the
+        feed against the index's own ledger)."""
+
+        def sink(_batch_df: DataFrame, _batch_id: int) -> None:
+            self.sync()
+
+        return sink
