@@ -248,6 +248,10 @@ class AcidSql:
         self._tables = tables
         self._handles: dict[str, object] = {}
         self._rbac = rbac
+        # name -> {mv, base_path, group_cols, value_col, minmax};
+        # registrations are session-scoped, the materialization itself
+        # is a durable AcidTable
+        self._mvs: dict[str, dict] = {}
 
     @property
     def rbac(self):
@@ -562,6 +566,34 @@ class AcidSql:
 
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";").strip()
+
+        m = re.fullmatch(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+            r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?"
+            r"\s+AS\s+SELECT\s+(.+?)\s+FROM\s+"
+            rf"({_TREF})\s+GROUP\s+BY\s+(.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._create_mv(m)
+
+        m = re.fullmatch(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.I
+        )
+        if m:
+            info = self._mv_of(m.group(1))
+            return self._version_df(info["mv"].sync())
+
+        m = re.fullmatch(rf"DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})", s, re.I)
+        if m:
+            self._mv_of(m.group(1))  # raises if unknown
+            del self._mvs[m.group(1)]
+            return self._version_df(-1)
+
+        rewritten = self._mv_rewrite(s)
+        if rewritten is not None:
+            return rewritten
 
         m = re.fullmatch(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})"
@@ -971,6 +1003,177 @@ class AcidSql:
         # (rewritten to a temp view; unknown names pass through so
         # ordinary Spark SQL keeps working unchanged)
         return self.spark.sql(self._rewrite_time_travel(s))
+
+    # ---- materialized views ---------------------------------------------
+    #
+    # CREATE MATERIALIZED VIEW mv [LOCATION '...'] AS
+    #   SELECT k, count(*) AS n, sum(v) AS total FROM base GROUP BY k
+    # registers an incrementally-maintained MaterializedAggregate
+    # (streaming/incremental.py) and materializes it immediately;
+    # REFRESH folds base changes at O(churn). Any later aggregate
+    # SELECT over the same base with the same GROUP BY keys is
+    # TRANSPARENTLY served from the materialization — but only while
+    # the MV's txn-ledger watermark equals the base head; a stale MV
+    # falls back to computing from the live base snapshot with the
+    # SAME quantized-sum semantics, so results never depend on which
+    # path served them (the classic warehouse MV-rewrite contract,
+    # minus any staleness window).
+
+    _MV_AGG_DEFAULTS = {
+        "count": "n",
+        "sum": "total",
+        "avg": "avg",
+        "min": "value_min",
+        "max": "value_max",
+    }
+
+    def _mv_of(self, name: str) -> dict:
+        if name not in self._mvs:
+            raise ValueError(f"materialized view {name!r} not registered")
+        return self._mvs[name]
+
+    def _parse_mv_select(self, sel: str, group_cols: list[str]):
+        """Validate an MV-shaped select list; returns
+        (items, value_col, minmax) where items are (kind, out_alias)
+        with kind one of the agg names or ('key', col)."""
+        item_pat = re.compile(
+            rf"(?is)\s*(?:(count|sum|avg|min|max)\s*\(\s*(\*|{_IDENT})\s*\)"
+            rf"|({_IDENT}))(?:\s+AS\s+({_IDENT}))?\s*"
+        )
+        items: list[tuple[str, str, str]] = []
+        value_col: str | None = None
+        minmax = False
+        for raw in _split_top(sel, ","):
+            m = item_pat.fullmatch(raw)
+            if not m:
+                raise ValueError(f"not MV-shaped: {raw.strip()!r}")
+            fn, arg, ident, alias = m.groups()
+            if ident is not None:
+                if ident not in group_cols:
+                    raise ValueError(f"{ident!r} is not a grouping column")
+                items.append(("key", ident, alias or ident))
+                continue
+            fn = fn.lower()
+            if fn == "count":
+                if arg != "*":
+                    raise ValueError("only count(*) is maintainable")
+            else:
+                if arg == "*":
+                    raise ValueError(f"{fn}(*) is not an aggregate")
+                if value_col is None:
+                    value_col = arg
+                elif value_col != arg:
+                    raise ValueError(
+                        f"one value column per MV: {value_col!r} vs {arg!r}"
+                    )
+                if fn in ("min", "max"):
+                    minmax = True
+            items.append((fn, arg, alias or self._MV_AGG_DEFAULTS[fn]))
+        return items, value_col, minmax
+
+    def _create_mv(self, m) -> DataFrame:
+        from data_lake_demo_spark.streaming.incremental import (
+            MaterializedAggregate,
+        )
+
+        name, loc, sel, tref, grp = m.groups()
+        if name in self._mvs:
+            raise ValueError(f"materialized view {name!r} already exists")
+        base = self.table(tref)
+        base_path = self._path_of(tref)
+        group_cols = [g.strip() for g in _split_top(grp, ",")]
+        if any(not re.fullmatch(_IDENT, g) for g in group_cols):
+            raise ValueError("GROUP BY must list plain columns")
+        items, value_col, minmax = self._parse_mv_select(sel, group_cols)
+        if value_col is None:
+            raise ValueError(
+                "an MV needs one sum/avg/min/max value column "
+                "(count-only rollups: sum a literal 1 column instead)"
+            )
+        path = (
+            str(_parse_literal(loc))
+            if loc
+            else base_path.rstrip("/") + f"_mv_{name}"
+        )
+        mv = MaterializedAggregate(
+            self.spark,
+            base,
+            path,
+            group_cols,
+            value_col,
+            minmax=minmax,
+            app=f"mv-{name}",
+        )
+        v = mv.sync()
+        self._mvs[name] = {
+            "mv": mv,
+            "base_path": base_path,
+            "group_cols": group_cols,
+            "value_col": value_col,
+            "minmax": minmax,
+        }
+        return self._version_df(v)
+
+    def _mv_rewrite(self, s: str) -> DataFrame | None:
+        """Serve a matching aggregate SELECT from a registered MV (or
+        from the base with identical semantics when stale); None when
+        the statement isn't an MV-shaped aggregate over a known base."""
+        from pyspark.sql import functions as F
+
+        from data_lake_demo_spark.streaming import incremental
+
+        m = re.fullmatch(
+            rf"(?is)SELECT\s+(.+?)\s+FROM\s+({_TREF})\s+GROUP\s+BY\s+(.+)", s
+        )
+        if not m:
+            return None
+        sel, tref, grp = m.groups()
+        try:
+            base_path = self._path_of(tref)
+        except ValueError:
+            return None
+        group_cols = [g.strip() for g in _split_top(grp, ",")]
+        if any(not re.fullmatch(_IDENT, g) for g in group_cols):
+            return None
+        for info in self._mvs.values():
+            if info["base_path"] != base_path:
+                continue
+            if sorted(group_cols) != sorted(info["group_cols"]):
+                continue
+            try:
+                items, value_col, minmax = self._parse_mv_select(
+                    sel, group_cols
+                )
+            except ValueError:
+                continue
+            if value_col is not None and value_col != info["value_col"]:
+                continue
+            if minmax and not info["minmax"]:
+                continue
+            mv = info["mv"]
+            if mv.synced_version() == mv.base.latest_version():
+                src = mv.view()
+            else:
+                # stale: same quantized semantics, computed live
+                agg = mv._full_agg(mv.base.snapshot())
+                scale = float(incremental.SCALE)
+                extra = (
+                    ["value_min", "value_max"] if info["minmax"] else []
+                )
+                src = agg.select(
+                    *info["group_cols"],
+                    "n",
+                    (F.col("value_q") / scale).alias("total"),
+                    (F.col("value_q") / scale / F.col("n")).alias("avg"),
+                    *extra,
+                )
+            cols = [
+                F.col(arg if kind == "key" else self._MV_AGG_DEFAULTS[kind])
+                .alias(alias)
+                for kind, arg, alias in items
+            ]
+            return src.select(*cols)
+        return None
 
     def _rewrite_time_travel(self, s: str) -> str:
         pat = re.compile(
