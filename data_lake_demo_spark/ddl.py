@@ -591,6 +591,27 @@ class AcidSql:
             del self._mvs[m.group(1)]
             return self._version_df(-1)
 
+        if re.fullmatch(r"SHOW\s+MATERIALIZED\s+VIEWS", s, re.I):
+            rows = [
+                (
+                    name,
+                    info["base_path"],
+                    ",".join(info["group_cols"]),
+                    info["value_col"],
+                    info["minmax"],
+                    info["mv"].synced_version(),
+                    info["mv"].synced_version()
+                    == info["mv"].base.latest_version(),
+                )
+                for name, info in sorted(self._mvs.items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, base_path string, group_cols string, "
+                "value_col string, minmax boolean, synced_version long, "
+                "fresh boolean",
+            )
+
         rewritten = self._mv_rewrite(s)
         if rewritten is not None:
             return rewritten

@@ -131,3 +131,18 @@ def test_mv_rewrite_acid_path_reference(spark, tmp_path):
     )
     assert _served_from_mv(out)
     assert [tuple(r) for r in out.collect()] == [("x", 2.0)]
+
+
+def test_show_materialized_views_freshness(spark, tmp_path):
+    sql, t = _mk(spark, tmp_path)
+    sql.sql(
+        "CREATE MATERIALIZED VIEW mlist AS "
+        "SELECT k, count(*) AS n, sum(v) AS total FROM t GROUP BY k"
+    )
+    row = sql.sql("SHOW MATERIALIZED VIEWS").collect()[0]
+    assert row.name == "mlist" and row.fresh and row.group_cols == "k"
+    t.append(spark.createDataFrame([("c", 1.0)], "k string, v double"))
+    row = sql.sql("SHOW MATERIALIZED VIEWS").collect()[0]
+    assert not row.fresh
+    sql.sql("REFRESH MATERIALIZED VIEW mlist")
+    assert sql.sql("SHOW MATERIALIZED VIEWS").collect()[0].fresh
