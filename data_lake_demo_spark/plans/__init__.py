@@ -103,6 +103,10 @@ WINDOW = [
     # sampling + Horvitz-Thompson weights, full oracle (evicts
     # doc_simhash_buckets — rows-only by design; its portable twin
     # stays in-window)
+    "doc_inverted_index",  # NEW: posting-list construction with
+    # value-hashed sorted lists, full oracle (evicts
+    # doc_dedup_components_bigstar — r4-green variant of the
+    # in-window doc_dedup_components)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -126,7 +130,6 @@ WINDOW = [
     "q22_idle_rich_customers",
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_dedup_components",
-    "doc_dedup_components_bigstar",
     "doc_ngram_jaccard_dups",
     "doc_winnowing_overlap",
     "doc_decontaminate",

@@ -2406,6 +2406,52 @@ ORDER BY media_id, frame_idx
 """
 
 
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction — the physical structure behind
+    lexical retrieval (what doc_bm25_retrieval recomputes implicitly):
+    one row per high-df term with document frequency, collection
+    frequency, and the doc_id:tf posting list SORTED by doc_id and
+    serialized to one string, so the entire list value-hashes. Two
+    keyed aggregates (term×doc tf, then term); the list is built with
+    sort_array over collected structs, deterministic regardless of
+    shuffle order — at 100 TB this is the one-pass distributed index
+    build, with the term key naturally skew-prone and the df floor
+    doubling as the stopword-scale cutoff a real build shards
+    separately."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+        .orderBy("term")
+    )
+
+
+DOC_INVERTED_INDEX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term HAVING count(*) >= 10 ORDER BY term
+"""
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional Bernoulli sampling with Horvitz-Thompson
     inverse weights (operators/corpus.weighted_bernoulli_sample):
@@ -2992,6 +3038,7 @@ QUERIES = {
     "media_video_frames_real": media_video_frames_real,
     "media_video_scene_cuts": media_video_scene_cuts,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_inverted_index": doc_inverted_index,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3104,6 +3151,7 @@ ORACLE = {
     "media_video_frames_real": MEDIA_VIDEO_FRAMES_REAL_SQL,
     "media_video_scene_cuts": MEDIA_VIDEO_SCENE_CUTS_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),
