@@ -107,6 +107,9 @@ WINDOW = [
     # value-hashed sorted lists, full oracle (evicts
     # doc_dedup_components_bigstar — r4-green variant of the
     # in-window doc_dedup_components)
+    "lineitem_transit_overlaps",  # NEW: grid-bucketized interval
+    # overlap join, full oracle vs the naive non-equi self-join
+    # (evicts doc_winnowing_overlap — r4-green, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -131,7 +134,6 @@ WINDOW = [
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_dedup_components",
     "doc_ngram_jaccard_dups",
-    "doc_winnowing_overlap",
     "doc_decontaminate",
 ]
 assert len(WINDOW) == 50, len(WINDOW)

@@ -1907,6 +1907,71 @@ ORDER BY s_suppkey
 # relational slots. Queries changed since the last driver-checked round
 # go FIRST so the fixes get a fresh CORRECTNESS row; the remainder keep
 # their round-1 green rows.
+def lineitem_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key interval OVERLAP join via grid bucketization
+    (operators/intervals.interval_overlap_join): per supplier, count
+    heavy-lineitem pairs whose derived transit windows [shipdate,
+    shipdate + 1 + (orderkey·7 + linenumber) % 21 days] overlap, plus
+    the total overlap days. The grid meets candidates in a plain
+    (supplier, day-cell) equi-join and elects each pair exactly once
+    in the cell of the later start — the scalable replacement for the
+    O(n² per key) non-equi self-join the oracle (safely, at oracle
+    scale) runs directly."""
+    from data_lake_demo_spark.operators.intervals import interval_overlap_join
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    ship = F.col("l_shipdate").cast("date")
+    iv = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        ship.alias("s"),
+        F.date_add(
+            ship,
+            (
+                1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 21
+            ).cast("int"),
+        ).alias("e"),
+    )
+    a = iv.select("l_suppkey", F.col("id").alias("id_a"),
+                  F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = iv.select("l_suppkey", F.col("id").alias("id_b"),
+                  F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    pairs = interval_overlap_join(
+        a, b, ["l_suppkey"], ("s_a", "e_a"), ("s_b", "e_b"), bucket_days=30
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.datediff(
+                    F.least(F.col("e_a"), F.col("e_b")),
+                    F.greatest(F.col("s_a"), F.col("s_b")),
+                )
+                + 1
+            ).cast("bigint").alias("total_overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+TRANSIT_OVERLAPS_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS id,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST(1 + (l_orderkey * 7 + l_linenumber) % 21 AS INTEGER) AS e
+  FROM lineitem WHERE l_quantity > 45)
+SELECT a.l_suppkey AS l_suppkey, count(*) AS n_pairs,
+       CAST(sum(datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1)
+            AS BIGINT) AS total_overlap_days
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey AND a.id < b.id
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1 ORDER BY l_suppkey
+"""
+
+
 QUERIES = {
     # Round-4 rotation: llm (34) + events (11) take the first 45 slots
     # of the driver's 50-entry correctness window, so only the FIRST
@@ -1922,6 +1987,7 @@ QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_excess_suppliers": q20_excess_suppliers,
+    "lineitem_transit_overlaps": lineitem_transit_overlaps,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "group_count_ordinal": group_count_ordinal,
@@ -1977,6 +2043,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,
     "group_count_ordinal": GROUP_COUNT_SQL,

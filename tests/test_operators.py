@@ -1768,3 +1768,31 @@ def test_lttb_downsample_keeps_ends_and_spike(spark):
     # bucket 3 -> last (h11)
     assert picked[0] == 0 and picked[-1] == 11 and 4 in picked
     assert {r.y for r in out if r.hour.hour == 4} == {100}
+
+
+def test_interval_overlap_join_dedupes_across_cells(spark):
+    """An interval spanning many grid cells pairs with each overlapper
+    EXACTLY once (elected in the later-start cell), and disjoint
+    intervals never pair."""
+    from datetime import date
+
+    from data_lake_demo_spark.operators.intervals import interval_overlap_join
+
+    def d(n):
+        return date(2024, 1, 1 + n)
+
+    a = spark.createDataFrame(
+        [("k", 1, d(0), d(10)), ("k", 2, d(4), d(5)), ("k", 3, d(20), d(21))],
+        "key string, id_a int, s_a date, e_a date",
+    )
+    b = spark.createDataFrame(
+        [("k", 1, d(0), d(10)), ("k", 2, d(4), d(5)), ("k", 3, d(20), d(21)),
+         ("k", 4, d(9), d(25))],
+        "key string, id_b int, s_b date, e_b date",
+    )
+    out = interval_overlap_join(
+        a, b, ["key"], ("s_a", "e_a"), ("s_b", "e_b"), bucket_days=2
+    ).select("id_a", "id_b")
+    pairs = sorted((r.id_a, r.id_b) for r in out.collect())
+    # 1 overlaps 1,2,4; 2 overlaps 1,2; 3 overlaps 3,4 — each ONCE
+    assert pairs == [(1, 1), (1, 2), (1, 4), (2, 1), (2, 2), (3, 3), (3, 4)]
