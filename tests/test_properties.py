@@ -534,3 +534,120 @@ def test_substring_dedup_matches_bruteforce(spark, token_lists, k):
         ).collect()
     }
     assert out == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gap_fill_matches_python_reference(spark, obs):
+    """gap_fill == a per-key brute-force densify/LOCF/interpolate over
+    arbitrary sparse integer series."""
+    from datetime import datetime, timedelta
+
+    from data_lake_demo_spark.operators.timeseries import gap_fill
+
+    t0 = datetime(2024, 1, 1)
+    dedup = {(k, h): float(v) for k, h, v in obs}
+    rows = [(str(k), t0 + timedelta(hours=h), v) for (k, h), v in dedup.items()]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    got = {
+        (r.k, r.bucket): (r.is_gap, r.locf_v, r.interp_v)
+        for r in gap_fill(df, ["k"], "bucket", "v").collect()
+    }
+
+    expected = {}
+    for key in {k for k, _ in dedup}:
+        series = sorted(
+            (h, v) for (k, h), v in dedup.items() if k == key
+        )
+        hours = [h for h, _ in series]
+        for h in range(hours[0], hours[-1] + 1):
+            present = dict(series)
+            prev = max(x for x in hours if x <= h)
+            if h in present:
+                expected[(str(key), t0 + timedelta(hours=h))] = (
+                    False, present[prev], present[h]
+                )
+            else:
+                nxt = min(x for x in hours if x > h)
+                pv, nv = present[prev], present[nxt]
+                interp = pv + (nv - pv) * (h - prev) / (nxt - prev)
+                expected[(str(key), t0 + timedelta(hours=h))] = (
+                    True, pv, interp
+                )
+    assert got.keys() == expected.keys()
+    for kk, (g_gap, g_locf, g_int) in got.items():
+        e_gap, e_locf, e_int = expected[kk]
+        assert g_gap == e_gap and g_locf == e_locf
+        assert abs(g_int - e_int) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=2, max_size=40),
+    st.integers(2, 6),
+)
+def test_lttb_matches_python_reference(spark, ys, n_out):
+    """Parallel LTTB == a Python brute force of the same election rule
+    (first/last fixed, interior argmax of the denominator-cleared
+    triangle score vs neighbor-bucket sums, ties -> earliest)."""
+    from datetime import datetime, timedelta
+
+    from data_lake_demo_spark.operators.timeseries import lttb_downsample
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(hours=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, x timestamp, y long")
+    got = sorted(
+        (r.bkt, r.x.hour + 24 * (r.x.day - 1), r.y)
+        for r in lttb_downsample(
+            df, ["k"], "x", "y", n_out=n_out, x_unit_seconds=3600
+        ).collect()
+    )
+
+    n = len(ys)
+    pts = [(i, ys[i]) for i in range(n)]  # xi = hour index
+    buckets = {}
+    for rn, (xi, y) in enumerate(pts, start=1):
+        buckets.setdefault((rn - 1) * n_out // n, []).append((rn, xi, y))
+    bkts = sorted(buckets)
+    sums = {
+        b: (
+            sum(x for _, x, _ in buckets[b]),
+            sum(y for _, _, y in buckets[b]),
+            len(buckets[b]),
+        )
+        for b in bkts
+    }
+    expected = []
+    for pos, b in enumerate(bkts):
+        rows_b = buckets[b]
+        if b == 0:
+            pick = rows_b[0]
+        elif b == n_out - 1:
+            pick = rows_b[-1]
+        else:
+            prev = sums[bkts[pos - 1]] if pos > 0 else None
+            nxt = sums[bkts[pos + 1]] if pos + 1 < len(bkts) else None
+            if prev is None or nxt is None:
+                pick = rows_b[0]
+            else:
+                sxa, sya, na = prev
+                sxb, syb, nb = nxt
+                pick = min(
+                    rows_b,
+                    key=lambda r: (
+                        -abs(
+                            (sxa - na * r[1]) * (syb - nb * r[2])
+                            - (sxb - nb * r[1]) * (sya - na * r[2])
+                        ),
+                        r[0],
+                    ),
+                )
+        expected.append((b, pick[1], pick[2]))
+    assert got == sorted(expected)
