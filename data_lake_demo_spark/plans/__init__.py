@@ -110,6 +110,11 @@ WINDOW = [
     "lineitem_transit_overlaps",  # NEW: grid-bucketized interval
     # overlap join, full oracle vs the naive non-equi self-join
     # (evicts doc_winnowing_overlap — r4-green, parity-reproved)
+    "doc_dedup_index_incremental",  # NEW: the IncrementalDedupIndex
+    # engine path — multi-phase AcidTable (insert/insert/delete) with
+    # CDF-driven sync + canonical re-election, value-hashed against a
+    # SQL replica of the first-seen semantics (evicts
+    # doc_decontaminate — r4-green dedup-family, parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -134,7 +139,6 @@ WINDOW = [
     # -- last driver row is ROUND 4: dedup family ---------------------
     "doc_dedup_components",
     "doc_ngram_jaccard_dups",
-    "doc_decontaminate",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -2406,6 +2406,78 @@ ORDER BY media_id, frame_idx
 """
 
 
+def doc_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL ENGINE PATH under a value-hash oracle: an
+    AcidTable is built from the documents fixture in three synced
+    phases — insert even doc_ids, insert odd doc_ids, DELETE doc_id <
+    100 — with streaming/incremental.IncrementalDedupIndex folding
+    each phase's change feed (novel registration, then canonical
+    re-election from the pinned snapshot for digests whose first-seen
+    owner was deleted). The final dup_report value-hashes against SQL
+    that replicates the full multi-phase semantics: canonical =
+    first-seen min-even if it survived, else min live. A green row
+    here certifies CDF diffing, merge_apply, the txn ledger, and the
+    dirty re-election join end-to-end, not just relational algebra."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.streaming.incremental import IncrementalDedupIndex
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    # key the index on a 25-char text prefix: the fixture has no
+    # byte-exact dup texts at small SFs, but prefix collisions exist
+    # at every SF (21/23/237 dup digests at sf0.001/0.01/0.1), so the
+    # registration → duplicate-insert → re-election machinery all
+    # actually fires
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 25).alias("text")
+    )
+    root = tempfile.mkdtemp(prefix="dedup_idx_query_")
+    try:
+        base = AcidTable(spark, root + "/docs")
+        idx = IncrementalDedupIndex(spark, base, root + "/idx")
+        base.append(docs.filter(F.col("doc_id") % 2 == 0))
+        idx.sync()
+        base.append(docs.filter(F.col("doc_id") % 2 == 1))
+        idx.sync()
+        base.delete([("doc_id", "<", 100)])
+        idx.sync()
+        out = (
+            idx.dup_report(base.snapshot())
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out or [], "doc_id long, dup_of long, digest string"
+    )
+
+
+DOC_DEDUP_INDEX_SQL = """
+WITH d AS (SELECT doc_id, md5(substr(text, 1, 25)) AS digest FROM documents),
+first_seen AS (
+  SELECT digest,
+         min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS c_even,
+         min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS c_odd,
+         min(CASE WHEN doc_id >= 100 THEN doc_id END) AS c_live
+  FROM d GROUP BY digest),
+canon AS (
+  SELECT digest,
+         CASE WHEN c_even IS NULL THEN c_odd ELSE c_even END AS c0,
+         c_live
+  FROM first_seen),
+final AS (
+  SELECT digest,
+         CASE WHEN c0 >= 100 THEN c0 ELSE c_live END AS canonical
+  FROM canon WHERE c_live IS NOT NULL)
+SELECT d.doc_id, f.canonical AS dup_of, d.digest
+FROM d JOIN final f USING (digest)
+WHERE d.doc_id >= 100 AND d.doc_id != f.canonical
+ORDER BY d.doc_id
+"""
+
+
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list construction — the physical structure behind
     lexical retrieval (what doc_bm25_retrieval recomputes implicitly):
@@ -3039,6 +3111,7 @@ QUERIES = {
     "media_video_scene_cuts": media_video_scene_cuts,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_inverted_index": doc_inverted_index,
+    "doc_dedup_index_incremental": doc_dedup_index_incremental,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3152,6 +3225,7 @@ ORACLE = {
     "media_video_scene_cuts": MEDIA_VIDEO_SCENE_CUTS_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
+    "doc_dedup_index_incremental": DOC_DEDUP_INDEX_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

@@ -149,6 +149,17 @@ class MaterializedAggregate:
         if not self.minmax:
             # value-identical churn can't move count/sum state
             delta = delta.filter((F.col("dn") != 0) | (F.col("dvq") != 0))
+        # materialize the aggregated delta ONCE — it is re-consumed by
+        # the emptiness check, the dirty-group probe, and every action
+        # merge_apply fires; without persist each re-runs the change
+        # feed's exceptAll shuffles. O(churned groups) rows.
+        delta = delta.persist()
+        try:
+            return self._sync_apply(delta, target)
+        finally:
+            delta.unpersist()
+
+    def _sync_apply(self, delta: DataFrame, target: int) -> int:
         if delta.limit(1).count() == 0:
             # Pure-layout churn (compact/Z-order) or a net-zero feed:
             # advance the watermark with a data-free commit instead of
@@ -367,19 +378,28 @@ class IncrementalDedupIndex:
             .join(dirty, "digest", "left_anti")
             .withColumn("_retire", F.lit(False))
         )
-        updates = novel.unionByName(reelected).unionByName(retired)
-        if updates.limit(1).count() == 0:
-            # layout-only churn or pure-duplicate inserts: advance the
-            # watermark with a data-free ledger commit
-            return self.index.commit_staged(
-                [], current.schema.json(), txn=(self.app, target)
+        # materialize the delta ONCE: downstream merge_apply fires
+        # several actions (constraint check, file pruning, staging
+        # write) and each would otherwise re-run the exceptAll change
+        # feed + re-election joins from scratch. The delta is O(churn)
+        # rows — persisting it is the cheap side of that trade at any
+        # scale.
+        updates = novel.unionByName(reelected).unionByName(retired).persist()
+        try:
+            if updates.count() == 0:
+                # layout-only churn or pure-duplicate inserts: advance
+                # the watermark with a data-free ledger commit
+                return self.index.commit_staged(
+                    [], current.schema.json(), txn=(self.app, target)
+                )
+            return self.index.merge_apply(
+                updates.select("digest", "canonical", "_retire"),
+                ["digest"],
+                "_retire",
+                txn=(self.app, target),
             )
-        return self.index.merge_apply(
-            updates.select("digest", "canonical", "_retire"),
-            ["digest"],
-            "_retire",
-            txn=(self.app, target),
-        )
+        finally:
+            updates.unpersist()
 
     def dup_report(self, docs: DataFrame) -> DataFrame:
         """Flag rows of ``docs`` whose text duplicates an indexed
