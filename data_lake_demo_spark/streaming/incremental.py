@@ -338,15 +338,27 @@ class IncrementalDedupIndex:
         since = -1 if last is None else last
         if target <= since:
             return self.index.latest_version()
-        feed = self.base.changes(since, target).select(
-            F.col(self.id_col).alias("doc_id"),
-            self._digest(),
-            "_change_type",
+        # materialize the O(churn) feed ONCE: everything below (the
+        # dirty probe, the delta, and every action merge_apply fires)
+        # re-consumes it, and each re-run would repeat the change
+        # feed's exceptAll shuffles.
+        feed = (
+            self.base.changes(since, target)
+            .select(
+                F.col(self.id_col).alias("doc_id"),
+                self._digest(),
+                "_change_type",
+            )
+            .persist()
         )
         current = self._current()
         deletes = feed.filter(F.col("_change_type") == "delete")
         inserts = feed.filter(F.col("_change_type") == "insert")
-        # dirty: a delete removed the digest's canonical owner
+        # dirty: a delete removed the digest's canonical owner. Probe
+        # its emptiness EAGERLY — on the insert-only path (the common
+        # sync at scale) this lets us skip the re-election branch
+        # entirely, whose pinned-snapshot scan is the ONE stage here
+        # that is O(table) rather than O(churn).
         dirty = (
             deletes.join(
                 current,
@@ -356,35 +368,39 @@ class IncrementalDedupIndex:
             )
             .select("digest")
             .distinct()
-        )
-        base_pin = self.base.snapshot(as_of=target).select(
-            F.col(self.id_col).alias("doc_id"), self._digest()
-        )
-        reelected = (
-            base_pin.join(F.broadcast(dirty), "digest", "left_semi")
-            .groupBy("digest")
-            .agg(F.min("doc_id").alias("canonical"))
-            .withColumn("_retire", F.lit(False))
-        )
-        retired = (
-            dirty.join(reelected.select("digest"), "digest", "left_anti")
-            .withColumn("canonical", F.lit(None).cast(current.schema["canonical"].dataType))
-            .withColumn("_retire", F.lit(True))
+            .persist()
         )
         novel = (
             inserts.groupBy("digest")
             .agg(F.min("doc_id").alias("canonical"))
             .join(current.select("digest"), "digest", "left_anti")
-            .join(dirty, "digest", "left_anti")
             .withColumn("_retire", F.lit(False))
         )
-        # materialize the delta ONCE: downstream merge_apply fires
-        # several actions (constraint check, file pruning, staging
-        # write) and each would otherwise re-run the exceptAll change
-        # feed + re-election joins from scratch. The delta is O(churn)
-        # rows — persisting it is the cheap side of that trade at any
-        # scale.
-        updates = novel.unionByName(reelected).unionByName(retired).persist()
+        if dirty.count() > 0:
+            base_pin = self.base.snapshot(as_of=target).select(
+                F.col(self.id_col).alias("doc_id"), self._digest()
+            )
+            reelected = (
+                base_pin.join(F.broadcast(dirty), "digest", "left_semi")
+                .groupBy("digest")
+                .agg(F.min("doc_id").alias("canonical"))
+                .withColumn("_retire", F.lit(False))
+            )
+            retired = (
+                dirty.join(reelected.select("digest"), "digest", "left_anti")
+                .withColumn(
+                    "canonical",
+                    F.lit(None).cast(current.schema["canonical"].dataType),
+                )
+                .withColumn("_retire", F.lit(True))
+            )
+            novel = novel.join(dirty, "digest", "left_anti")
+            delta = novel.unionByName(reelected).unionByName(retired)
+        else:
+            delta = novel
+        # materialize the delta too: merge_apply fires several actions
+        # (constraint check, file pruning, staging write) over it.
+        updates = delta.persist()
         try:
             if updates.count() == 0:
                 # layout-only churn or pure-duplicate inserts: advance
@@ -400,6 +416,8 @@ class IncrementalDedupIndex:
             )
         finally:
             updates.unpersist()
+            dirty.unpersist()
+            feed.unpersist()
 
     def dup_report(self, docs: DataFrame) -> DataFrame:
         """Flag rows of ``docs`` whose text duplicates an indexed
