@@ -566,3 +566,58 @@ def weighted_bernoulli_sample(
         .withColumn("ht_weight", F.lit(1.0) / F.col("p_include"))
         .drop("__u")
     )
+
+
+def shard_assign_snake(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Token-balanced shard assignment by snake (boustrophedon)
+    ordering: rank documents by token count descending and deal them
+    out ``0,1,..,k-1,k-1,..,1,0,0,1,..`` so every shard receives one
+    document from each size band — the classic near-LPT balancer for
+    training-shard writers, deterministic (unlike hashing) and within
+    a top-document of optimal when sizes are heavy-tailed.
+
+    The exact GLOBAL rank is computed distributed, not via a
+    single-partition ``Window.orderBy``: (1) per-token-count group
+    sizes (one shuffle, vocabulary-of-sizes rows), (2) a cumulative
+    offset over that tiny table (window over the size table, not the
+    corpus), broadcast back, (3) within-group ``row_number``
+    partitioned by token count — parallel across groups. rank =
+    offset + within-group position. No stage funnels the corpus
+    through one task.
+    """
+    from pyspark.sql import Window as W
+
+    toks = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else whitespace_token_count(text_col)
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
+    sizes = d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("g"))
+    w = W.orderBy(F.col("n_tokens").desc())
+    offsets = sizes.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("g").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("n_tokens", "offset")
+    wg = W.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = (
+        d.withColumn("pos", F.row_number().over(wg))
+        .join(F.broadcast(offsets), "n_tokens")
+        .withColumn("rank", (F.col("offset") + F.col("pos") - 1).cast("long"))
+    )
+    r = F.pmod(F.col("rank"), F.lit(2 * n_shards))
+    shard = F.when(r < n_shards, r).otherwise(2 * n_shards - 1 - r)
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        shard.cast("long").alias("shard"),
+    )

@@ -139,3 +139,78 @@ def compression_signals(df, id_col: str = "doc_id", text_col: str = "text"):
             schema="id long, raw_bytes long, compressed_bytes long, ratio double",
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram PMI collocation mining — the phrase-induction signal
+    behind tokenizer merge rules and word2vec-style phrase joining
+    (Mikolov et al. 2013): score adjacent token pairs by pointwise
+    mutual information, ``ln((c_ab / B) / ((c_a / N) * (c_b / N)))``
+    where ``N`` is the corpus token count and ``B`` the bigram count.
+
+    Scale shape: bigrams come from ``zip_with(slice, slice)`` on the
+    per-document token array (pure JVM lambda functions, no Python and
+    no self-join); one shuffle each for the bigram and unigram counts;
+    the ``min_count`` filter lands BEFORE the unigram joins so the
+    join probe side is the (small) surviving-collocation set, not the
+    full bigram table; the two unigram joins key on the word — a
+    vocabulary-sized shuffle join that never involves the corpus
+    itself. Totals ride in via a broadcast single-row crossJoin, not a
+    driver collect. PMI is fixed-point quantized so the value-hash is
+    engine-portable (ln on exact integer ratios)."""
+    toks = df.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr")
+    )
+    uni = (
+        toks.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.size("arr") - 1),
+                F.slice(F.col("arr"), 2, F.size("arr") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("n_tokens"))
+    btotal = bigrams.agg(F.count(F.lit(1)).cast("double").alias("n_bigrams"))
+    scored = (
+        bcnt.join(uni.withColumnRenamed("c", "c_a"), bcnt["w1"] == uni["w"])
+        .drop("w")
+        .join(
+            uni.withColumnRenamed("c", "c_b").withColumnRenamed("w", "w_"),
+            F.col("w2") == F.col("w_"),
+        )
+        .drop("w_")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btotal))
+        .withColumn(
+            "pmi",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bigrams"))
+                    / (
+                        (F.col("c_a") / F.col("n_tokens"))
+                        * (F.col("c_b") / F.col("n_tokens"))
+                    )
+                )
+                * scale
+                + F.lit(0.5)
+            )
+            / float(scale),
+        )
+    )
+    return scored.select("w1", "w2", "c_ab", "pmi")

@@ -2478,6 +2478,82 @@ ORDER BY d.doc_id
 """
 
 
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocation mining (operators/textops.py
+    pmi_collocations) — the phrase-induction score behind tokenizer
+    merge rules and word2vec phrase joining: top-20 adjacent token
+    pairs by pointwise mutual information, min bigram count 5. Bigram
+    pairing is ``zip_with(slice, slice)`` on the token array — pure
+    JVM lambdas, no self-join; totals ride in as broadcast single-row
+    crossJoins; the min-count filter precedes the vocabulary joins so
+    the probe side is collocations, not the corpus."""
+    from data_lake_demo_spark.operators.textops import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pmi_collocations(docs, min_count=5)
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+DOC_PMI_SQL = r"""
+WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+uni AS (SELECT unnest(arr) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS n_tokens FROM ucnt),
+idx AS (SELECT arr, unnest(generate_series(1, array_length(arr)-1)) AS i FROM toks),
+big AS (SELECT arr[i] AS w1, arr[i+1] AS w2 FROM idx),
+btot AS (SELECT count(*)::DOUBLE AS n_bigrams FROM big),
+bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1,2 HAVING count(*) >= 5)
+SELECT b.w1, b.w2, b.c_ab,
+       floor(ln((b.c_ab / t2.n_bigrams) / ((a.c / t.n_tokens) * (c2.c / t.n_tokens))) * 1000000 + 0.5) / 1000000 AS pmi
+FROM bcnt b JOIN ucnt a ON b.w1 = a.w JOIN ucnt c2 ON b.w2 = c2.w, tot t, btot t2
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+def doc_shard_assign_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment (operators/corpus.py
+    shard_assign_snake): rank documents by token count descending and
+    snake-deal them across 8 shards, then report per-shard doc count,
+    token total, and a doc_id checksum that pins the exact membership.
+    The global rank is computed DISTRIBUTED — per-size group offsets
+    (window over the tiny size table) + within-group row_number
+    partitioned by size — never a single-partition Window.orderBy over
+    the corpus. Shards land within one document's tokens of each
+    other."""
+    from data_lake_demo_spark.operators.corpus import shard_assign_snake
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assign_snake(docs, n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("doc_id").alias("docid_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+DOC_SHARD_SNAKE_SQL = r"""
+WITH d AS (SELECT doc_id,
+                  array_length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+ranked AS (SELECT doc_id, n_tokens,
+                  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rank
+           FROM d),
+assign AS (SELECT doc_id, n_tokens,
+                  CASE WHEN rank % 16 < 8 THEN rank % 16 ELSE 15 - (rank % 16) END AS shard
+           FROM ranked)
+SELECT shard, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS tokens, sum(doc_id)::BIGINT AS docid_sum
+FROM assign GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list construction — the physical structure behind
     lexical retrieval (what doc_bm25_retrieval recomputes implicitly):
@@ -3112,6 +3188,8 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_inverted_index": doc_inverted_index,
     "doc_dedup_index_incremental": doc_dedup_index_incremental,
+    "doc_pmi_collocations": doc_pmi_collocations,
+    "doc_shard_assign_snake": doc_shard_assign_snake,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3226,6 +3304,8 @@ ORACLE = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
     "doc_dedup_index_incremental": DOC_DEDUP_INDEX_SQL,
+    "doc_pmi_collocations": DOC_PMI_SQL,
+    "doc_shard_assign_snake": DOC_SHARD_SNAKE_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

