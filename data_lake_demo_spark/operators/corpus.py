@@ -574,6 +574,7 @@ def shard_assign_snake(
     text_col: str = "text",
     n_shards: int = 8,
     tokens_col: str | None = None,
+    id_bucket_width: int | None = None,
 ) -> DataFrame:
     """Token-balanced shard assignment by snake (boustrophedon)
     ordering: rank documents by token count descending and deal them
@@ -590,7 +591,16 @@ def shard_assign_snake(
     partitioned by token count — parallel across groups. rank =
     offset + within-group position. No stage funnels the corpus
     through one task.
-    """
+
+    ``id_bucket_width`` guards the degenerate skew case where a huge
+    share of documents has the SAME token count (then the within-group
+    window itself funnels): ranking keys become
+    ``(n_tokens, floor(doc_id / width))`` — the bucket preserves
+    doc_id order inside a size group, so the rank is unchanged, but no
+    window partition exceeds ``width`` rows. Use with DENSE ids (the
+    offsets table grows to one row per non-empty bucket — for sparse
+    hash-like ids leave it unset, the size-only offsets table stays
+    vocabulary-sized)."""
     from pyspark.sql import Window as W
 
     toks = (
@@ -599,19 +609,28 @@ def shard_assign_snake(
         else whitespace_token_count(text_col)
     )
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
-    sizes = d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("g"))
-    w = W.orderBy(F.col("n_tokens").desc())
+    if id_bucket_width:
+        d = d.withColumn(
+            "_bkt", F.floor(F.col("doc_id") / F.lit(id_bucket_width))
+        )
+        grp = ["n_tokens", "_bkt"]
+        order = [F.col("n_tokens").desc(), F.col("_bkt").asc()]
+    else:
+        grp = ["n_tokens"]
+        order = [F.col("n_tokens").desc()]
+    sizes = d.groupBy(*grp).agg(F.count(F.lit(1)).alias("g"))
+    w = W.orderBy(*order)
     offsets = sizes.withColumn(
         "offset",
         F.coalesce(
             F.sum("g").over(w.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ),
-    ).select("n_tokens", "offset")
-    wg = W.partitionBy("n_tokens").orderBy("doc_id")
+    ).select(*grp, "offset")
+    wg = W.partitionBy(*grp).orderBy("doc_id")
     ranked = (
         d.withColumn("pos", F.row_number().over(wg))
-        .join(F.broadcast(offsets), "n_tokens")
+        .join(F.broadcast(offsets), grp)
         .withColumn("rank", (F.col("offset") + F.col("pos") - 1).cast("long"))
     )
     r = F.pmod(F.col("rank"), F.lit(2 * n_shards))

@@ -1852,3 +1852,22 @@ def test_shard_assign_snake_balance_and_coverage(spark):
     # shard 0 holds the outlier; the other three are within one mid-size doc
     rest = [v for k, v in per.items() if k != 0]
     assert max(rest) - min(rest) <= 100
+
+
+def test_shard_assign_snake_bucketed_rank_identical(spark):
+    """id_bucket_width changes only the PARALLELISM of the ranking
+    (bounded window partitions), never the rank: per-doc assignments
+    are identical on an all-same-size corpus (the skew worst case)."""
+    from data_lake_demo_spark.operators.corpus import shard_assign_snake
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(1000)], "doc_id long, text string"
+    )
+    a = shard_assign_snake(docs, n_shards=4)
+    b = shard_assign_snake(docs, n_shards=4, id_bucket_width=64)
+    diff = (
+        a.join(b.withColumnRenamed("shard", "shard_b"), ["doc_id"])
+        .filter("shard != shard_b")
+        .count()
+    )
+    assert diff == 0
