@@ -91,3 +91,79 @@ def pagerank_fixed_point(
         F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
         F.col("s").alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts — the clustering-coefficient
+    numerator, a graph-shaped curation signal (a vector whose
+    neighborhood closes into triangles sits in a dense semantic
+    cluster; a bridge node does not).
+
+    Node-iterator++ (Schank/Wagner; the MapReduce form is Cohen 2009,
+    Suri & Vassilvitskii 2011): canonicalize the undirected edge set,
+    then ORIENT every edge from its lower-(degree, id) endpoint to the
+    higher one. Every wedge is enumerated at its lowest-degree apex,
+    so the per-node wedge fan-out is bounded by the oriented
+    out-degree — O(m^(3/2)) candidate wedges total regardless of skew
+    (a billion-follower hub generates NO wedges at the hub). One
+    self-join builds wedges, one semi-ish join against the oriented
+    edge set closes them; all three shuffles key on node ids. Each
+    triangle {a,b,c} is found exactly once (at its minimum-key apex)
+    and credited to all three corners via explode."""
+    # the canonical edge set is consumed three times (degrees,
+    # orientation, closure); persist it so an expensive upstream
+    # candidate-generation join (LSH buckets) runs once — same policy
+    # as pagerank_fixed_point, ContextCleaner reclaims it
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
+    ).select(
+        F.col("x.a").alias("apex"),
+        F.col("x.b").alias("c1"),
+        F.col("y.b").alias("c2"),
+    )
+    closing = oriented.select(
+        F.col("a").alias("c1"), F.col("b").alias("c2")
+    ).unionAll(
+        # the closing edge's orientation between c1/c2 is unknown
+        oriented.select(F.col("b").alias("c1"), F.col("a").alias("c2"))
+    )
+    tris = wedges.join(closing, ["c1", "c2"])
+    return (
+        tris.select(
+            F.explode(F.array("apex", "c1", "c2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -1646,6 +1646,70 @@ ORDER BY rank DESC, node LIMIT 100
     )
 
 
+def emb_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_count)
+    over the UNION of two sign-LSH bucket graphs (seeds 42 and 137) —
+    overlapping cliques, so closure is non-trivial. The operator is
+    node-iterator++: every edge oriented low-(degree,id) → high, every
+    wedge enumerated at its lowest-degree apex (O(m^1.5) candidates,
+    hub-proof), one join closes wedges against the oriented edge set.
+    Top-20 nodes by triangle participation, the clustering-coefficient
+    numerator used as a density/bridge curation signal."""
+    from data_lake_demo_spark.operators.graph import triangle_count
+    from data_lake_demo_spark.operators.similarity import lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def edges_for(seed: int) -> DataFrame:
+        sig = lsh_signatures(
+            emb, vec_col="embedding", n_planes=8, seed=seed
+        ).select(F.col("vec_id").alias("id"), "lsh_bucket")
+        a, b = sig.alias("a"), sig.alias("b")
+        return a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+
+    edges = edges_for(42).unionAll(edges_for(137))
+    return (
+        triangle_count(edges)
+        .orderBy(F.desc("triangles"), "node")
+        .limit(20)
+    )
+
+
+def _triangles_oracle() -> str:
+    """Exact triangle enumeration over the same seed-42 ∪ seed-137
+    bucket graph: canonical a<b<c edge triples — algorithm-independent
+    ground truth for the oriented-wedge operator."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    def bucket_sql(seed: int) -> str:
+        planes = random_hyperplanes(64, 8, seed)
+        return " + ".join(
+            f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b1 AS (SELECT vec_id, {bucket_sql(42)} AS bucket FROM ev),
+b2 AS (SELECT vec_id, {bucket_sql(137)} AS bucket FROM ev),
+e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a.vec_id u, b.vec_id v FROM b1 a JOIN b1 b ON a.bucket=b.bucket AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT a.vec_id u, b.vec_id v FROM b2 a JOIN b2 b ON a.bucket=b.bucket AND a.vec_id < b.vec_id)),
+tri AS (
+  SELECT e1.u a, e1.v b, e2.v c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pernode AS (SELECT unnest([a,b,c]) AS node FROM tri)
+SELECT node, count(*) AS triangles FROM pernode GROUP BY 1
+ORDER BY triangles DESC, node LIMIT 20
+"""
+
+
 def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
     exact cosine verification (operators/similarity.py
@@ -3241,6 +3305,7 @@ QUERIES = {
     "emb_sq_ann_portable": emb_sq_ann_portable,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
+    "emb_graph_triangles": emb_graph_triangles,
     "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
     "emb_ivf_ann": emb_ivf_ann,
@@ -3286,6 +3351,7 @@ ORACLE = {
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
     "emb_graph_pagerank": _pagerank_oracle(),
+    "emb_graph_triangles": _triangles_oracle(),
     "emb_ann_recall_at_k": _ann_recall_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),
     "doc_scrub_boilerplate": SCRUB_BOILERPLATE_SQL,

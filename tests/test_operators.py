@@ -1871,3 +1871,15 @@ def test_shard_assign_snake_bucketed_rank_identical(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 has 4 triangles (3 per node); a pendant vertex has none;
+    duplicate/reversed/self edges don't change the count."""
+    from data_lake_demo_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(0, 0), (3, 4), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # node 4 (pendant): absent
