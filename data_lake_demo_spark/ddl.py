@@ -22,6 +22,7 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t ADD COLUMNS (a type, b type, ...)
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
+    ALTER TABLE t ALTER COLUMN a [SET DATA] TYPE wider_type
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
@@ -702,6 +703,17 @@ class AcidSql:
         )
         if m:
             return self._version_df(self.table(m.group(1)).drop_column(m.group(2)))
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)",
+            s,
+            re.I,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).widen_column(m.group(2), m.group(3))
+            )
 
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+SET\s+TBLPROPERTIES\s*\((.+)\)",

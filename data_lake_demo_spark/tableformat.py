@@ -586,7 +586,7 @@ class AcidTable:
         semantics); returns (None, None) when no rows carry a value.
         DATE stats ride as ISO strings; the scan fallback normalizes
         through the same encoding so the two sources compare."""
-        live, _, _, _, dvs = self._resolve_state(as_of)
+        live, schema_json, _, _, dvs = self._resolve_state(as_of)
         colmap = self._colmap(as_of)
         phys = {lg: ph for ph, lg in colmap.items() if lg}.get(col, col)
         vals: list = []
@@ -598,9 +598,7 @@ class AcidTable:
             else:
                 vals.extend(rng)
         if rescan:
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, p) for p in rescan]
-            )
+            df = self._read_files(rescan, schema_json)
             if phys in df.columns:
                 row = (
                     self._apply_dvs(df, rescan, dvs)
@@ -720,11 +718,18 @@ class AcidTable:
             lo = hi = None
             ok = True
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
+                # .statistics / .min / .max can raise (pyarrow has no
+                # stats decoder for some logical types, e.g. DECIMAL):
+                # treat exactly like absent stats
+                try:
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = _norm_stat_value(st.min), _norm_stat_value(st.max)
+                except Exception:
                     ok = False
                     break
-                mn, mx = _norm_stat_value(st.min), _norm_stat_value(st.max)
                 # only JSON-primitive stats survive: binary isn't
                 # serializable, and datetime (timestamp columns)
                 # would crash the commit's json.dump AND compare
@@ -756,7 +761,10 @@ class AcidTable:
             # strings), powering is_null / is_not_null pruning
             nulls, nulls_ok = 0, md.num_row_groups > 0
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
+                try:
+                    st = md.row_group(rg).column(ci).statistics
+                except Exception:
+                    st = None
                 if st is None or st.null_count is None:
                     nulls_ok = False
                     break
@@ -1382,6 +1390,29 @@ class AcidTable:
             )
         return best
 
+    def _read_files(
+        self, rel_paths: Sequence[str], schema_json: str | None
+    ) -> DataFrame:
+        """Scan data files under the COMMITTED schema. With a schema,
+        the parquet reader resolves the whole evolution surface at
+        scan time: a column a file predates reads as nulls (additive
+        evolution) and a column whose footer type is NARROWER than the
+        declared type up-casts in the vectorized reader (type
+        widening — int→long, float→double, decimal precision growth),
+        which ``mergeSchema`` cannot do (mixed int/long footers refuse
+        to merge). Fields are forced nullable for the read: a
+        not-null declared field still reads null from a file that
+        predates it. Without a schema (bootstrap paths) fall back to
+        footer merging."""
+        paths = [os.path.join(self.path, p) for p in rel_paths]
+        if schema_json is None:
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        declared = T.StructType.fromJson(json.loads(schema_json))
+        readable = T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata) for f in declared.fields]
+        )
+        return self.spark.read.schema(readable).parquet(*paths)
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """Read the table as of a version (default: latest). The file
         list is pinned at call time — later commits don't leak in.
@@ -1398,27 +1429,11 @@ class AcidTable:
                 ),
                 colmap,
             )
-        # mergeSchema: additive schema evolution across commits — an
-        # append with new columns widens the table; older files read
-        # the missing columns as null (the Delta/Iceberg add-column
-        # semantics, resolved at read time from parquet footers)
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        # committed-schema scan: additive evolution (older files read
+        # missing columns as typed nulls) AND type widening resolve in
+        # the parquet reader itself — see _read_files
+        df = self._read_files(files, schema)
         df = self._apply_dvs(df, files, self._resolve_state(as_of)[4])
-        # the committed schema may be WIDER than every footer (a
-        # metadata-only add_columns): surface those columns as typed
-        # nulls (after the DV mask — _metadata must bind to the scan)
-        declared = T.StructType.fromJson(json.loads(schema))
-        missing = [f for f in declared.fields if f.name not in df.columns]
-        if missing:
-            df = df.select(
-                "*",
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in missing
-                ],
-            )
         return self._logicalize(df, colmap)
 
     def _apply_dvs(
@@ -1501,9 +1516,7 @@ class AcidTable:
                 colmap,
             )
         df = self._apply_dvs(
-            self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in kept]
-            ),
+            self._read_files(kept, schema),
             kept,
             self._resolve_state(as_of)[4],
         )
@@ -1548,9 +1561,7 @@ class AcidTable:
             if not touched:
                 return base  # provably nothing to delete: no commit
             dvs = self._resolve_state(base)[4]
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
+            raw = self._read_files(touched, schema_json)
             if mode == "merge_on_read":
                 hits = (
                     self._with_dv_coords(raw, touched, dvs)
@@ -1642,9 +1653,7 @@ class AcidTable:
             if not touched:
                 return base  # provably nothing to update: no commit
             dvs = self._resolve_state(base)[4]
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
+            raw = self._read_files(touched, schema_json)
             masked = self._logicalize(
                 self._apply_dvs(raw, touched, dvs), colmap
             )
@@ -1764,28 +1773,33 @@ class AcidTable:
         if schema_json is None:
             raise ValueError(f"table {self.path} has no commits")
 
-        def read(paths: list[str], dvs: dict[str, str]) -> DataFrame:
+        def read(
+            paths: list[str], dvs: dict[str, str], side_schema: str | None
+        ) -> DataFrame:
             if not paths:
                 return self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema_json))
                 )
+            # each side reads under ITS OWN committed schema (the old
+            # side may predate an add-column or a type widening)
             return self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, p) for p in paths]
-                ),
+                self._read_files(paths, side_schema or schema_json),
                 paths,
                 dvs,
             )
 
-        a, r = read(added, dv_new), read(removed, dv_old)
+        a = read(added, dv_new, schema_new)
+        r = read(removed, dv_old, schema_old)
         all_cols = list(dict.fromkeys(a.columns + r.columns))
+        # target type per column is the NEW side's (widenings cast the
+        # old side up, so exceptAll compares in one type)
         types = {f.name: f.dataType for f in a.schema.fields}
         types.update({f.name: f.dataType for f in r.schema.fields if f.name not in types})
 
         def align(df: DataFrame) -> DataFrame:
             return df.select(
                 *[
-                    F.col(c) if c in df.columns
+                    F.col(c).cast(types[c]).alias(c) if c in df.columns
                     else F.lit(None).cast(types[c]).alias(c)
                     for c in all_cols
                 ]
@@ -2089,6 +2103,79 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_columns lost {max_retries} commit races")
+
+    # safe up-cast lattice for metadata-only type widening (the Delta
+    # "type widening" / Iceberg "promote" set this repo supports; every
+    # pair is loss-free AND readable by the vectorized parquet reader
+    # when the footer holds the narrower type — see _read_files)
+    _WIDEN = {
+        "byte": {"short", "integer", "long"},
+        "short": {"integer", "long"},
+        "integer": {"long"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type: str, *, max_retries: int = 5) -> int:
+        """Metadata-only type widening — ``ALTER TABLE .. ALTER COLUMN
+        .. TYPE`` (no data rewrite): commit the schema with the column
+        promoted to a wider type; existing files keep their narrow
+        footers and every reader up-casts at scan time (the committed
+        schema drives the parquet read — _read_files). Allowed
+        promotions: byte→short/int/long, short→int/long, int→long,
+        float→double, decimal(p,s)→decimal(p',s) with p' ≥ p. Anything
+        else (narrowing, cross-family, scale changes) raises — those
+        need a rewrite, not metadata. Time travel is honored: versions
+        before the widening read (and type) as they were committed."""
+        target = T.StructType.fromDDL(f"x {new_type}").fields[0].dataType
+        view = self._logical_view()
+        if name not in view.values():
+            raise ValueError(f"no column {name!r} (have {sorted(view.values())})")
+        phys = next(p for p, l in view.items() if l == name)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            _, schema, _, _, _ = self._resolve_state(base if base >= 0 else None)
+            if schema is None:
+                raise ValueError(f"table {self.path} has no commits")
+            cur = T.StructType.fromJson(json.loads(schema))
+            old = next((f.dataType for f in cur.fields if f.name == phys), None)
+            if old is None:
+                raise ValueError(f"no physical column {phys!r} in schema")
+            if old == target:
+                return base  # idempotent
+            ok = target.typeName() in self._WIDEN.get(old.typeName(), set())
+            if (
+                isinstance(old, T.DecimalType)
+                and isinstance(target, T.DecimalType)
+                and target.scale == old.scale
+                and target.precision >= old.precision
+            ):
+                ok = True
+            if not ok:
+                raise ValueError(
+                    f"cannot widen {name!r} from {old.simpleString()} to "
+                    f"{target.simpleString()}: only loss-free promotions "
+                    "(byte/short/int up the integral chain, float->double, "
+                    "decimal precision growth at the same scale) are "
+                    "metadata-only; anything else needs a rewrite"
+                )
+            widened = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        target if f.name == phys else f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in cur.fields
+                ]
+            )
+            try:
+                return self._try_commit(
+                    base + 1, "widen_column", [], [], widened.json()
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"widen_column lost {max_retries} commit races")
 
     # ---- metadata tables (Iceberg .files / DESCRIBE HISTORY / DETAIL) ---
 
@@ -2758,11 +2845,7 @@ class AcidTable:
             touched = self._touched_files(live, updates, keys)
             if touched:
                 target = self._apply_dvs(
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in touched]
-                    ),
-                    touched,
-                    dvs,
+                    self._read_files(touched, schema_json), touched, dvs
                 )
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
@@ -2822,16 +2905,12 @@ class AcidTable:
                     return base
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
-            live, _, _, _, dvs = self._resolve_state(base)
+            live, schema_json, _, _, dvs = self._resolve_state(base)
             touched = self._touched_files(live, key_set, keys)
             if not touched:
                 return base  # no file can contain a matching key
             remaining = self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in touched]
-                ),
-                touched,
-                dvs,
+                self._read_files(touched, schema_json), touched, dvs
             ).join(key_set, on=keys, how="left_anti")
             # join strategy stays Catalyst's call: AQE broadcasts a
             # small tombstone batch and shuffle-joins a huge one —
@@ -2945,11 +3024,7 @@ class AcidTable:
                 return base  # nothing in scope: no commit
             _, table_schema, _, _, dvs = self._resolve_state(base)
             rows = self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in touched]
-                ),
-                touched,
-                dvs,
+                self._read_files(touched, table_schema), touched, dvs
             )
             add, schema = self._stage_actions(rows.repartition(n_files))
             try:
@@ -3104,11 +3179,7 @@ class AcidTable:
             add = []
             if touched:
                 rows = self._apply_dvs(
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in touched]
-                    ),
-                    touched,
-                    dvs,
+                    self._read_files(touched, schema_json), touched, dvs
                 )
                 if dropped:
                     rows = rows.drop(*dropped)
