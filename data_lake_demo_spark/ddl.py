@@ -35,7 +35,8 @@ Grammar (case-insensitive keywords; one statement per call):
         [WHEN MATCHED [AND cond] THEN DELETE]
         [WHEN MATCHED THEN UPDATE SET *]
         [WHEN NOT MATCHED THEN INSERT *]
-    COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET] [PATTERN = '*.parquet']
+    COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
+        [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
@@ -819,17 +820,25 @@ class AcidSql:
         m = re.fullmatch(
             rf"COPY\s+INTO\s+({_TREF})\s+FROM\s+('(?:[^']|'')*')"
             r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?"
-            r"(?:\s+PATTERN\s*=\s*('(?:[^']|'')*'))?",
+            r"(?:\s+PATTERN\s*=\s*('(?:[^']|'')*'))?"
+            r"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?",
             s,
-            re.I,
+            re.I | re.S,
         )
         if m:
+            opts = None
+            if m.group(5):
+                opts = {
+                    str(k): str(v)
+                    for k, v in _parse_props(m.group(5), values=True).items()
+                }
             v, n = self.table(m.group(1)).copy_into(
                 str(_parse_literal(m.group(2))),
                 fileformat=(m.group(3) or "parquet").lower(),
                 pattern=(
                     str(_parse_literal(m.group(4))) if m.group(4) else None
                 ),
+                options=opts,
             )
             return self.spark.createDataFrame(
                 [(v, n)], "version long, files_loaded long"

@@ -115,6 +115,16 @@ WINDOW = [
     # CDF-driven sync + canonical re-election, value-hashed against a
     # SQL replica of the first-seen semantics (evicts
     # doc_decontaminate — r4-green dedup-family, parity-reproved)
+    "doc_pmi_collocations",  # NEW: bigram PMI phrase mining, full
+    # oracle (evicts doc_dedup_components — r4-green; its bigstar
+    # twin and the dedup-index query keep the CC family exercised)
+    "doc_shard_assign_snake",  # NEW: token-balanced snake sharding
+    # with distributed exact global rank, full oracle (evicts
+    # doc_ngram_jaccard_dups — r4-green, parity-reproved)
+    "emb_graph_triangles",  # NEW: degree-oriented wedge triangle
+    # counting over the seed-42∪137 LSH graph, exact-enumeration
+    # oracle (evicts orders_table_profile — r3-green,
+    # parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
     "doc_bpe_vocab_tokens",
     "emb_sq_ann",
@@ -134,11 +144,7 @@ WINDOW = [
     "q21_waiting_suppliers",
     # -- last driver row is ROUND 3 -----------------------------------
     "bloom_semi_join_orders",
-    "orders_table_profile",
     "q22_idle_rich_customers",
-    # -- last driver row is ROUND 4: dedup family ---------------------
-    "doc_dedup_components",
-    "doc_ngram_jaccard_dups",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Remaining r4-green entries (media_feature_stats, the doc_token_stats/

@@ -1256,6 +1256,7 @@ class AcidTable:
         *,
         fileformat: str = "parquet",
         pattern: str | None = None,
+        options: dict[str, str] | None = None,
         max_retries: int = 10,
     ) -> tuple[int, int]:
         """Delta-style ``COPY INTO``: idempotent bulk load from a
@@ -1308,9 +1309,31 @@ class AcidTable:
             new = [n for n in names if n not in loaded]
             if not new:
                 return base, 0
-            df = self.spark.read.format(fileformat).load(
-                [os.path.join(src, n) for n in new]
+            reader = self.spark.read.format(fileformat).options(
+                **(options or {})
             )
+            # schema-less formats (csv/json/text) read under the
+            # table's LOGICAL schema when one exists — types line up
+            # with the target instead of being re-inferred per batch
+            # (Delta COPY INTO's behavior); parquet self-describes
+            if fileformat in ("csv", "json", "text"):
+                _, schema_json, _, _, _ = self._resolve_state(
+                    base if base >= 0 else None
+                )
+                if schema_json is not None:
+                    colmap = self._colmap()
+                    phys = T.StructType.fromJson(json.loads(schema_json))
+                    logical = T.StructType(
+                        [
+                            T.StructField(
+                                colmap.get(f.name, f.name), f.dataType, True
+                            )
+                            for f in phys.fields
+                            if colmap.get(f.name, f.name) != ""
+                        ]
+                    )
+                    reader = reader.schema(logical)
+            df = reader.load([os.path.join(src, n) for n in new])
             df = self._apply_generated(df)
             self._enforce_constraints(df)
             colmap = self._colmap()

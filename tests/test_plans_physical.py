@@ -42,6 +42,10 @@ def test_query_build_time_stays_bounded(spark):
         # rounds eagerly during construction (~2-3 s at sf0.001 —
         # execution cost, not expression-building cost)
         "emb_semantic_dedup",
+        # runs the full multi-phase AcidTable build + three CDF syncs
+        # eagerly and returns a collected result (~6 s at sf0.001 —
+        # engine execution, not expression building)
+        "doc_dedup_index_incremental",
     }
     qs = {n: f for n, f in entry.queries().items() if n not in exempt}
     for fn in qs.values():  # warmup: JVM JIT / analysis-path one-timers

@@ -2108,3 +2108,52 @@ def test_widen_column_rename_decimal_and_ddl(spark, tmp_path):
         .collect()
     )
     assert got == [0, 1]
+
+
+def test_copy_into_csv_json_with_format_options(spark, tmp_path):
+    """COPY INTO loads schema-less formats under the table's logical
+    schema (types line up with the target, not per-batch inference),
+    honors FORMAT_OPTIONS (csv header), applies the rename colmap, and
+    stays idempotent per source file."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.ddl import AcidSql
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,one\n2,two\n")
+    (src / "b.json").write_text('{"k": 3, "v": "three"}\n')
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(0, "zero")], "k long, v string")
+    )
+    sql = AcidSql(spark, {"t": p})
+    out = sql.sql(
+        "COPY INTO t FROM '%s' FILEFORMAT = CSV PATTERN = '*.csv' "
+        "FORMAT_OPTIONS ('header' = 'true')" % src
+    ).first()
+    assert out.files_loaded == 1
+    out2 = sql.sql(
+        "COPY INTO t FROM '%s' FILEFORMAT = JSON PATTERN = '*.json'" % src
+    ).first()
+    assert out2.files_loaded == 1
+    snap = t.snapshot()
+    assert dict(snap.dtypes) == {"k": "bigint", "v": "string"}
+    assert sorted((r.k, r.v) for r in snap.collect()) == [
+        (0, "zero"), (1, "one"), (2, "two"), (3, "three")
+    ]
+    # reruns load nothing (per-format ledgers keyed by source dir)
+    assert sql.sql(
+        "COPY INTO t FROM '%s' FILEFORMAT = CSV PATTERN = '*.csv' "
+        "FORMAT_OPTIONS ('header' = 'true')" % src
+    ).first().files_loaded == 0
+    # rename then load more CSV: reader schema follows the LOGICAL name
+    t.rename_column("v", "label")
+    (src / "c.csv").write_text("k,label\n9,nine\n")
+    assert sql.sql(
+        "COPY INTO t FROM '%s' FILEFORMAT = CSV PATTERN = 'c.csv' "
+        "FORMAT_OPTIONS ('header' = 'true')" % src
+    ).first().files_loaded == 1
+    assert {r.k: r.label for r in t.snapshot().collect()}[9] == "nine"
