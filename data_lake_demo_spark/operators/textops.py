@@ -214,3 +214,18 @@ def pmi_collocations(
         )
     )
     return scored.select("w1", "w2", "c_ab", "pmi")
+
+
+def subword_count(text: Column, chunk: int = 4) -> Column:
+    """Deterministic subword-unit count: each whitespace token
+    contributes ``ceil(len(token) / chunk)`` units — the fixed-width
+    greedy-merge tokenizer proxy (a BPE with all merges up to length
+    ``chunk``). Gives a real chars-per-token fertility signal on any
+    corpus, including ones with no punctuation for the regex splitter
+    to bite on. Pure array-lambda arithmetic, zero shuffle."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(float(chunk))).cast("long"),
+    )

@@ -491,9 +491,10 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_oracle() -> str:
-    """Generate the DuckDB CASE expression mirroring operators.textops
-    .language_id exactly (same marker order, same arithmetic)."""
+def _lang_case_sql() -> str:
+    """The DuckDB CASE expression mirroring operators.textops
+    .language_id exactly (same marker order, same arithmetic) —
+    shared by the lang-id confusion and tokenizer-fertility oracles."""
 
     def score(markers: list[str]) -> str:
         padded = "concat(' ', text, ' ')"
@@ -511,10 +512,113 @@ def _lang_id_oracle() -> str:
         ]
         conds.append(f"{scores[lang]} > 0")
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(whens) + " ELSE 'unk' END"
+    return "CASE " + " ".join(whens) + " ELSE 'unk' END"
+
+
+def _lang_id_oracle() -> str:
     return f"""
-SELECT lang, {case} AS lang_guess, count(*) AS n
+SELECT lang, {_lang_case_sql()} AS lang_guess, count(*) AS n
 FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess
+"""
+
+
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per detected language — subword units per
+    whitespace word, the standard multilingual tokenizer-efficiency
+    report (a language whose fertility is 2× pays 2× the context
+    budget). Subword units are the fixed-width greedy-merge proxy
+    (operators/textops.subword_count: ceil(len/4) per word — a BPE
+    with every merge up to length 4); language is the marker-density
+    heuristic. All integer sums (zero float accumulation), one
+    groupBy; the per-language ratio is quantized at the end."""
+    from data_lake_demo_spark.operators.textops import subword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        language_id(docs)
+        .select(
+            "lang_guess",
+            toks.alias("t"),
+            subword_count(F.col("text")).alias("s"),
+        )
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("tokens"),
+            F.sum("s").alias("subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.floor(F.col("subwords") / F.col("tokens") * 1000000 + F.lit(0.5))
+            / 1000000.0,
+        )
+        .orderBy("lang_guess")
+    )
+
+
+def _fertility_oracle() -> str:
+    return rf"""
+WITH d AS (
+  SELECT {_lang_case_sql()} AS lang_guess,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS t,
+         list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> ceil(length(w) / 4.0)))::BIGINT AS s
+  FROM documents)
+SELECT lang_guess, count(*) AS n_docs, sum(t)::BIGINT AS tokens, sum(s)::BIGINT AS subwords,
+       floor(sum(s)::DOUBLE / sum(t) * 1000000 + 0.5) / 1000000 AS fertility
+FROM d GROUP BY 1 ORDER BY lang_guess
+"""
+
+
+def doc_source_quality_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed per-source quality — the curation rule
+    for many small sources: a source's mean quality score shrinks
+    toward the corpus mean with pseudo-count strength k=20, so a
+    5-document source can't win (or lose) the mix on noise. The
+    per-doc score (average token length) is fixed-point quantized to
+    an INTEGER before any aggregation, so every sum is exact integer
+    arithmetic and the value hash is immune to float summation order —
+    the one float division per group is deterministic. Corpus totals
+    ride in as a broadcast single-row crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    nonspace = F.length(F.regexp_replace("text", " ", ""))
+    q = F.floor((nonspace / toks) * 1000000 + F.lit(0.5)).cast("long")
+    per = docs.select("source", q.alias("q"))
+    gstats = per.agg(F.sum("q").alias("gq"), F.count(F.lit(1)).alias("gn"))
+    return (
+        per.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("q").alias("sq"))
+        .crossJoin(F.broadcast(gstats))
+        .withColumn(
+            "mean_q",
+            F.floor(F.col("sq") / F.col("n_docs") + F.lit(0.5)).cast("long"),
+        )
+        .withColumn(
+            "smoothed_q",
+            F.floor(
+                (F.col("sq") + F.lit(20) * (F.col("gq") / F.col("gn")))
+                / (F.col("n_docs") + F.lit(20))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("source", "n_docs", "mean_q", "smoothed_q")
+        .orderBy("source")
+    )
+
+
+DOC_SOURCE_QUALITY_EB_SQL = r"""
+WITH per AS (
+  SELECT source,
+         floor(length(replace(text, ' ', ''))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')) * 1000000 + 0.5)::BIGINT AS q
+  FROM documents),
+g AS (SELECT sum(q)::BIGINT AS gq, count(*)::BIGINT AS gn FROM per)
+SELECT source, count(*) AS n_docs,
+       floor(sum(q)::DOUBLE / count(*) + 0.5)::BIGINT AS mean_q,
+       floor((sum(q) + 20 * (gq::DOUBLE / gn)) / (count(*) + 20) + 0.5)::BIGINT AS smoothed_q
+FROM per, g GROUP BY source, gq, gn ORDER BY source
 """
 
 
@@ -3254,6 +3358,8 @@ QUERIES = {
     "doc_dedup_index_incremental": doc_dedup_index_incremental,
     "doc_pmi_collocations": doc_pmi_collocations,
     "doc_shard_assign_snake": doc_shard_assign_snake,
+    "doc_tokenizer_fertility": doc_tokenizer_fertility,
+    "doc_source_quality_eb": doc_source_quality_eb,
     "media_frame_features": media_frame_features,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_dedup_components": doc_dedup_components,
@@ -3372,6 +3478,8 @@ ORACLE = {
     "doc_dedup_index_incremental": DOC_DEDUP_INDEX_SQL,
     "doc_pmi_collocations": DOC_PMI_SQL,
     "doc_shard_assign_snake": DOC_SHARD_SNAKE_SQL,
+    "doc_tokenizer_fertility": _fertility_oracle(),
+    "doc_source_quality_eb": DOC_SOURCE_QUALITY_EB_SQL,
     "media_frame_features": MEDIA_FRAMES_SQL,
     "emb_near_dups": _near_dup_oracle(),
     "emb_semantic_dedup": _semantic_dedup_oracle(),

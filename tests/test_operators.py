@@ -1883,3 +1883,17 @@ def test_triangle_count_hand_computed(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.triangles for r in triangle_count(df).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # node 4 (pendant): absent
+
+
+def test_subword_count_and_fertility_arithmetic(spark):
+    """ceil(len/4) per word: 'abcd'=1, 'abcde'=2, 'a'=1; empirical
+    Bayes shrinkage pulls a tiny source toward the global mean."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.textops import subword_count
+
+    df = spark.createDataFrame(
+        [("abcd abcde a",), ("abcdefgh",)], "text string"
+    )
+    got = [r.s for r in df.select(subword_count(F.col("text")).alias("s")).collect()]
+    assert got == [4, 2]
