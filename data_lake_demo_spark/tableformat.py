@@ -461,7 +461,7 @@ class AcidTable:
 
     _PROTOCOL_KEY = "protocol"
     SUPPORTED_READER_FEATURES = frozenset(
-        {"columnMapping", "deletionVectors"}
+        {"columnMapping", "deletionVectors", "typeWidening"}
     )
     SUPPORTED_WRITER_FEATURES = frozenset(
         {"identityColumns", "generatedColumns", "checkConstraints"}
@@ -2156,7 +2156,9 @@ class AcidTable:
         phys = next(p for p, l in view.items() if l == name)
         for _ in range(max_retries):
             base = self.latest_version()
-            _, schema, _, _, _ = self._resolve_state(base if base >= 0 else None)
+            _, schema, _, props, _ = self._resolve_state(
+                base if base >= 0 else None
+            )
             if schema is None:
                 raise ValueError(f"table {self.path} has no commits")
             cur = T.StructType.fromJson(json.loads(schema))
@@ -2192,9 +2194,25 @@ class AcidTable:
                     for f in cur.fields
                 ]
             )
+            # widened tables REQUIRE readers that resolve the committed
+            # schema against narrower footers — a footer-merging reader
+            # would crash (or mistype) on mixed int/long files. Stamp
+            # the reader feature so old engine builds fail fast by name
+            # instead (the Delta table-features contract).
+            newprops = dict(props)
+            proto = dict(newprops.get(self._PROTOCOL_KEY) or {})
+            proto["reader_features"] = sorted(
+                set(proto.get("reader_features") or []) | {"typeWidening"}
+            )
+            newprops[self._PROTOCOL_KEY] = proto
             try:
                 return self._try_commit(
-                    base + 1, "widen_column", [], [], widened.json()
+                    base + 1,
+                    "widen_column",
+                    [],
+                    [],
+                    widened.json(),
+                    props=newprops,
                 )
             except CommitConflict:
                 continue

@@ -2157,3 +2157,22 @@ def test_copy_into_csv_json_with_format_options(spark, tmp_path):
         "FORMAT_OPTIONS ('header' = 'true')" % src
     ).first().files_loaded == 1
     assert {r.k: r.label for r in t.snapshot().collect()}[9] == "nine"
+
+
+def test_widen_column_stamps_reader_feature(spark, tmp_path):
+    """A widening commit stamps the typeWidening reader feature — an
+    engine build without it must fail fast by name, not misread mixed
+    footers."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(2).select(F.col("id").cast("int").alias("k")))
+    assert "typeWidening" not in t.protocol()["reader_features"]
+    t.widen_column("k", "bigint")
+    assert "typeWidening" in t.protocol()["reader_features"]
+    # the stamp survives subsequent commits
+    t.append(spark.range(2, 4).select(F.col("id").alias("k")))
+    assert "typeWidening" in t.protocol()["reader_features"]
+    assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 2, 3]
