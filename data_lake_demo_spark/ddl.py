@@ -48,6 +48,7 @@ Grammar (case-insensitive keywords; one statement per call):
     DESCRIBE [TABLE] t
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
+    SHOW PARTITIONS t
     SHOW CREATE TABLE t
     SHOW TBLPROPERTIES t
 
@@ -915,6 +916,10 @@ class AcidSql:
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string"
             )
+
+        m = re.fullmatch(rf"SHOW\s+PARTITIONS\s+({_TREF})", s, re.I)
+        if m:
+            return self.table(m.group(1)).partitions()
 
         m = re.fullmatch(rf"SHOW\s+CREATE\s+TABLE\s+({_TREF})", s, re.I)
         if m:

@@ -2250,6 +2250,81 @@ class AcidTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def partitions(self, as_of: int | None = None) -> DataFrame:
+        """Iceberg's ``.partitions`` metadata table, derived from
+        manifest stats: one row per partition value tuple of the
+        DECLARED spec with file/record/size/masked-row totals. This
+        table stores no per-file partition tuple (Iceberg does), so
+        the value is RECOVERED from footer stats: a file belongs to a
+        partition when the transform of its [min, max] bounds agrees
+        (range-clustered writes make that the common case — each file
+        holds one value); a file whose bounds straddle values reports
+        partition NULL (honest "mixed" bucket, never a wrong value).
+        ``bucket(n, col)`` transforms are hash-valued and can never be
+        recovered from value bounds — their component is always NULL.
+        Log + stat metadata only; zero data reads."""
+        spec = self.properties(as_of).get("partition_spec") or []
+        colmap = self._colmap(as_of)
+        rev = {lg: ph for ph, lg in colmap.items() if lg}
+
+        def part_value(stats: dict, one: str):
+            m = self._TRANSFORM_RE.match(one)
+            kind, col = (
+                (m.group(1).lower(), m.group(2).strip()) if m else (None, one)
+            )
+            if kind == "bucket":
+                return None  # hash transform: unrecoverable from bounds
+            if kind == "truncate":
+                w_s, col = col.split(",", 1)
+                width, col = int(w_s), col.strip()
+            phys = rev.get(col, col)
+            rng = stats.get(phys)
+            if rng is None:
+                return None
+
+            def apply(v):
+                if kind is None:
+                    return v
+                if kind == "truncate":
+                    if isinstance(v, int):
+                        return v - (v % width)
+                    return str(v)[:width]
+                s = str(v)  # date/timestamp stats ride as ISO strings
+                cut = {"years": 4, "months": 7, "days": 10, "hours": 13}[kind]
+                return s[:cut]
+
+            lo, hi = apply(rng[0]), apply(rng[1])
+            return str(lo) if lo == hi else None
+
+        live, _, _, _, dvs = self._resolve_state(as_of)
+        agg: dict[tuple, list] = {}
+        for p, stats in sorted(live.items()):
+            key = tuple(part_value(stats, s) for s in spec)
+            row = agg.setdefault(key, [0, 0, 0, 0])
+            row[0] += 1
+            n = stats.get("#rows")
+            row[1] += n[0] if n else 0
+            try:
+                row[2] += os.path.getsize(os.path.join(self.path, p))
+            except OSError:
+                pass
+            row[3] += len(_unpack_dv(dvs[p])) if p in dvs else 0
+        rows = [
+            (
+                json.dumps(dict(zip([str(s) for s in spec], key))),
+                v[0],
+                v[1],
+                v[2],
+                v[3],
+            )
+            for key, v in sorted(agg.items(), key=lambda kv: str(kv[0]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long,"
+            " size_bytes long, masked_rows long",
+        )
+
     def history_df(self) -> DataFrame:
         """DESCRIBE HISTORY as a DataFrame: one row per commit with
         operation, timestamp, add/remove/vector action counts, and the

@@ -2176,3 +2176,47 @@ def test_widen_column_stamps_reader_feature(spark, tmp_path):
     t.append(spark.range(2, 4).select(F.col("id").alias("k")))
     assert "typeWidening" in t.protocol()["reader_features"]
     assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 2, 3]
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """partitions() recovers partition values from manifest stats:
+    plain column and days() transform resolve per file; a file whose
+    bounds straddle values lands in the honest NULL bucket; totals
+    reconcile with the table; SHOW PARTITIONS routes through AcidSql."""
+    import json as _json
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.ddl import AcidSql
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    df = spark.createDataFrame(
+        [(i % 2, "r%d" % i, date(2024, 1, 1 + i % 3)) for i in range(30)],
+        "region int, s string, d date",
+    )
+    t.append(df, partition_by=["region", "days(d)"])
+    t.set_properties({"partition_spec": ["region", "days(d)"]})
+    parts = {
+        _json.loads(r.partition)["region"]: (r.file_count, r.record_count)
+        for r in t.partitions().collect()
+        if _json.loads(r.partition)["region"] is not None
+    }
+    # range clustering gives one value per file: every region resolves
+    assert set(parts) >= {"0", "1"}
+    total = sum(r.record_count for r in t.partitions().collect())
+    assert total == 30
+    # a deliberately mixed append (no partition_by clustering) -> NULL
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([(1, date(2024, 1, 1)), (2, date(2024, 2, 9))],
+                              "region int, d date").coalesce(1),
+        partition_by=[],
+    )
+    t2.set_properties({"partition_spec": ["region"]})
+    rows = t2.partitions().collect()
+    assert len(rows) == 1 and _json.loads(rows[0].partition)["region"] is None
+    sql = AcidSql(spark, {"t": p})
+    assert sql.sql("SHOW PARTITIONS t").count() == len(t.partitions().collect())
