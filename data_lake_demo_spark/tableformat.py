@@ -1084,7 +1084,13 @@ class AcidTable:
                     new_props[self._IDENTITY_PREFIX + c] = {"next": int(top) + 1}
             try:
                 v = self._try_commit(
-                    base + 1, "append", add, [], schema, txn, props=new_props
+                    base + 1,
+                    "append",
+                    add,
+                    [],
+                    self._evolve_schema(schema, base),
+                    txn,
+                    props=new_props,
                 )
             except CommitConflict:
                 continue  # staged files orphan; vacuum sweeps them
@@ -1197,7 +1203,14 @@ class AcidTable:
                 if last is not None and txn[1] <= last:
                     return base
             try:
-                v = self._try_commit(base + 1, "append", add, [], schema, txn)
+                v = self._try_commit(
+                    base + 1,
+                    "append",
+                    add,
+                    [],
+                    self._evolve_schema(schema, base),
+                    txn,
+                )
             except CommitConflict:
                 continue
             if (
@@ -1346,13 +1359,71 @@ class AcidTable:
             try:
                 return (
                     self._try_commit(
-                        base + 1, "copyinto", add, [], schema, props=newprops
+                        base + 1,
+                        "copyinto",
+                        add,
+                        [],
+                        self._evolve_schema(schema, base),
+                        props=newprops,
                     ),
                     len(new),
                 )
             except CommitConflict:
                 continue
         raise CommitConflict(f"copy_into lost {max_retries} commit races")
+
+    @classmethod
+    def _promotable(cls, a: T.DataType, b: T.DataType) -> bool:
+        """True when values of ``a`` read losslessly as ``b`` (equal,
+        or one step set of the widening lattice)."""
+        if a == b:
+            return True
+        if (
+            isinstance(a, T.DecimalType)
+            and isinstance(b, T.DecimalType)
+            and b.scale == a.scale
+            and b.precision >= a.precision
+        ):
+            return True
+        return b.typeName() in cls._WIDEN.get(a.typeName(), set())
+
+    def _evolve_schema(self, staged_json: str, base: int) -> str:
+        """Append-path schema evolution: the commit's schema is the
+        field-wise WIDENING of the committed schema with the staged
+        batch's. An append may add columns (additive evolution) and
+        may carry narrower-footer data for a widened column, but can
+        never NARROW or DROP the committed schema — without this, a
+        batch written before an add_columns/widen_column landed would
+        silently revert the evolution for every later reader (the
+        latest commit's schema wins in _resolve_state). Incompatible
+        same-name types (string vs int) are rejected by name."""
+        if base < 0:
+            return staged_json
+        _, cur_json, _, _, _ = self._resolve_state(base)
+        if cur_json is None or cur_json == staged_json:
+            return staged_json
+        cur = T.StructType.fromJson(json.loads(cur_json))
+        staged = T.StructType.fromJson(json.loads(staged_json))
+        staged_by_name = {f.name: f for f in staged.fields}
+        out = []
+        for f in cur.fields:
+            s = staged_by_name.pop(f.name, None)
+            if s is None or self._promotable(s.dataType, f.dataType):
+                out.append(f)  # batch narrower or absent: committed wins
+            elif self._promotable(f.dataType, s.dataType):
+                # batch wider: loss-free auto-widen (mergeSchema shape)
+                out.append(
+                    T.StructField(f.name, s.dataType, f.nullable, f.metadata)
+                )
+            else:
+                raise ValueError(
+                    f"append schema conflict on {f.name!r}: table has "
+                    f"{f.dataType.simpleString()}, batch has "
+                    f"{s.dataType.simpleString()} — neither reads as the "
+                    "other; cast the batch or evolve the schema explicitly"
+                )
+        out += [staged_by_name[f.name] for f in staged.fields if f.name in staged_by_name]
+        return T.StructType(out).json()
 
     def commit_staged(
         self,
@@ -1385,7 +1456,11 @@ class AcidTable:
                     "overwrite" if overwrite else "append",
                     add,
                     remove,
-                    schema_json,
+                    # an overwrite REPLACES the schema; an append may
+                    # only widen it (see _evolve_schema)
+                    schema_json
+                    if overwrite
+                    else self._evolve_schema(schema_json, base),
                     txn,
                 )
             except CommitConflict:
@@ -2131,10 +2206,16 @@ class AcidTable:
     # "type widening" / Iceberg "promote" set this repo supports; every
     # pair is loss-free AND readable by the vectorized parquet reader
     # when the footer holds the narrower type — see _read_files)
+    # every pair is VALUE-PRESERVING and READABLE by the vectorized
+    # parquet reader when the footer holds the narrower type:
+    # integrals up the chain, integrals into double (they fit the
+    # 53-bit mantissa exactly), float→double. NOT long→double (lossy
+    # past 2^53) and NOT anything→float (the reader has no
+    # int*→float upcast; empirically verified).
     _WIDEN = {
-        "byte": {"short", "integer", "long"},
-        "short": {"integer", "long"},
-        "integer": {"long"},
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
         "float": {"double"},
     }
 

@@ -2220,3 +2220,43 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert len(rows) == 1 and _json.loads(rows[0].partition)["region"] is None
     sql = AcidSql(spark, {"t": p})
     assert sql.sql("SHOW PARTITIONS t").count() == len(t.partitions().collect())
+
+
+def test_append_never_narrows_schema(spark, tmp_path):
+    """The append-path schema is the field-wise widening of committed
+    and staged: a batch written without an added column (or with the
+    pre-widening type) can no longer revert the evolution; a WIDER
+    batch auto-widens loss-free; incompatible types are rejected by
+    name."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(2).select(F.col("id").alias("k")))
+    t.add_columns({"note": "string"})
+    t.append(spark.range(2, 4).select(F.col("id").alias("k")))  # no note
+    assert dict(t.snapshot().dtypes) == {"k": "bigint", "note": "string"}
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.range(2).select(F.col("id").cast("int").alias("k")))
+    t2.widen_column("k", "bigint")
+    t2.append(spark.range(2, 4).select(F.col("id").cast("int").alias("k")))
+    assert dict(t2.snapshot().dtypes) == {"k": "bigint"}
+    assert sorted(r.k for r in t2.snapshot().collect()) == [0, 1, 2, 3]
+    # wider batch: auto-widen int->long (the mergeSchema shape)
+    t3 = AcidTable(spark, str(tmp_path / "t3"))
+    t3.append(spark.range(2).select(F.col("id").cast("int").alias("k")))
+    t3.append(spark.range(2, 4).select(F.col("id").alias("k")))
+    assert dict(t3.snapshot().dtypes) == {"k": "bigint"}
+    # incompatible: long batch into a string column
+    t3.add_columns({"s": "string"})
+    with _pytest.raises(ValueError, match="schema conflict"):
+        t3.append(
+            spark.range(2).select(F.col("id").alias("k"), F.col("id").alias("s"))
+        )
+    # lossy long->double is NOT silently widened either
+    with _pytest.raises(ValueError, match="schema conflict"):
+        t3.append(
+            spark.range(2).select(F.col("id").cast("double").alias("k"))
+        )
