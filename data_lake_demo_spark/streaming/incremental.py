@@ -301,7 +301,10 @@ class IncrementalDedupIndex:
     ) -> None:
         self.spark = spark
         self.base = base
-        self.index = AcidTable(spark, index_path)
+        # bloom stats on the digest: merge_apply's manifest pruning has
+        # a bloom tier for hash-like keys (md5 ranges are uniformly
+        # wide, so min/max pruning never fires on a digest index)
+        self.index = AcidTable(spark, index_path, bloom_cols=["digest"])
         self.id_col = id_col
         self.text_col = text_col
         self.app = app

@@ -317,6 +317,11 @@ class AcidTable:
     the format depends only on put-if-absent / list / read.
     """
 
+    # merge pruning collects the batch's distinct key values for the
+    # bloom tier only below this bound — a CDC-sized batch qualifies,
+    # a bulk backfill falls back to range pruning alone
+    _BLOOM_PRUNE_MAX_KEYS = 10_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -2901,11 +2906,35 @@ class AcidTable:
         is disjoint from the update batch's range for that column — it
         provably contains no matchable row. Files without stats for a
         key column are conservatively touched. One tiny driver agg on
-        the update side; no data file is opened."""
+        the update side; no data file is opened.
+
+        When a key column carries per-file BLOOM stats (``bloom_cols``
+        at table construction) and the batch's distinct key set is
+        small (≤ ``_BLOOM_PRUNE_MAX_KEYS``), a second tier tests every
+        batch value against each file's bloom: a file where ALL batch
+        values provably miss is skipped. This is what makes merges
+        keyed on hash-like columns (digests, uuids) prune at all —
+        their [min, max] ranges are uniformly wide and the range tier
+        never fires."""
         aggs = []
         for k in keys:
             aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
         row = updates.agg(*aggs).first()
+        bloom_keys = [
+            k
+            for k in keys
+            if any(f"#bloom:{k}" in st for st in live.values())
+        ]
+        batch_vals: dict[str, list] = {}
+        if bloom_keys:
+            cap = self._BLOOM_PRUNE_MAX_KEYS
+            for k in bloom_keys:
+                vals = [
+                    r[0]
+                    for r in updates.select(k).distinct().limit(cap + 1).collect()
+                ]
+                if len(vals) <= cap:  # bounded driver collect only
+                    batch_vals[k] = vals
         touched = []
         for path, stats in live.items():
             skip = False
@@ -2921,6 +2950,15 @@ class AcidTable:
                         break
                 except TypeError:
                     continue  # incomparable types: keep the file
+                bloom = stats.get(f"#bloom:{k}")
+                vals = batch_vals.get(k)
+                if bloom is not None and vals and all(
+                    not _bloom_may_contain(bloom, v)
+                    for v in vals
+                    if v is not None
+                ):
+                    skip = True  # every batch key provably absent
+                    break
             if not skip:
                 touched.append(path)
         return sorted(touched)

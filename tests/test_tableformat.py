@@ -2260,3 +2260,39 @@ def test_append_never_narrows_schema(spark, tmp_path):
         t3.append(
             spark.range(2).select(F.col("id").cast("double").alias("k"))
         )
+
+
+def test_merge_bloom_pruning_on_hash_keys(spark, tmp_path):
+    """Merge pruning's bloom tier: on a digest-keyed table whose
+    min/max ranges are uniformly wide (md5), a small update batch
+    rewrites only the files whose blooms may contain its keys — not
+    the whole table — and the merge result is exact."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"), bloom_cols=["digest"])
+    base = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        F.col("id").alias("v"),
+    ).repartition(8)
+    t.append(base)
+    live_before, _, _, _, _ = t._resolve_state(None)
+    assert len(live_before) >= 4
+    # batch of 3 keys: bloom tier should prune most files
+    batch = spark.createDataFrame(
+        [(i,) for i in (0, 7, 11)], "id long"
+    ).select(
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        (F.col("id") + 100000).alias("v"),
+    )
+    touched = t._touched_files(live_before, batch, ["digest"])
+    assert 0 < len(touched) < len(live_before)
+    t.merge(batch, ["digest"])
+    got = {r.digest: r.v for r in t.snapshot().collect()}
+    import hashlib
+
+    for i in (0, 7, 11):
+        d = hashlib.md5(str(i).encode()).hexdigest()
+        assert got[d] == i + 100000
+    assert len(got) == 2000
