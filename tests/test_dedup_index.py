@@ -162,3 +162,32 @@ def test_dirty_and_reinserted_same_feed(spark, tmp_path):
 
     canon = {r.digest: r.canonical for r in idx._current().collect()}
     assert canon[hashlib.md5(b"alpha").hexdigest()] == 9
+
+
+def test_dedup_index_bloom_opt_in(spark, tmp_path):
+    """bloom=True writes digest blooms; the merge pruning bloom tier
+    then skips index files a small batch provably misses, and the
+    index converges identically either way."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.streaming.incremental import IncrementalDedupIndex
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.md5((F.col("id") % 350).cast("string")).alias("text"),
+    )
+    base = AcidTable(spark, str(tmp_path / "docs"))
+    idx = IncrementalDedupIndex(spark, base, str(tmp_path / "idx"), bloom=True)
+    base.append(docs.repartition(8))
+    idx.sync()
+    live, _, _, _, _ = idx.index._resolve_state(None)
+    assert any("#bloom:digest" in st for st in live.values())
+    base.append(
+        spark.range(400, 410).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("text"),
+        )
+    )
+    idx.sync()
+    assert idx.index.snapshot().count() == 360
