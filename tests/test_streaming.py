@@ -1711,3 +1711,24 @@ def test_acid_stream_max_files_per_trigger(spark, tmp_path):
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [
         0, 1, 2, 3, 4, 10, 20, 21,
     ]
+
+
+def test_dsv2_narrow_append_keeps_evolved_schema(spark, tmp_path):
+    """df.write.format('acidtable') with a batch missing an added
+    column commits the field-wise widened schema (commit_staged path),
+    so the DSv2 writer can't revert add_columns either."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.range(2).select(F.col("id").alias("k")))
+    t.add_columns({"note": "string"})
+    spark.range(2, 4).select(F.col("id").alias("k")).write.format(
+        "acidtable"
+    ).mode("append").option("path", p).save()
+    assert dict(t.snapshot().dtypes) == {"k": "bigint", "note": "string"}
+    assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 2, 3]
