@@ -964,12 +964,25 @@ class AnnIndex:
         rerank_corpus: DataFrame | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ADC top-k against the STORED codes — no training, no
         encoding. With ``rerank_corpus`` (the float originals; the
         index stores only m-byte codes) candidates are re-ranked by
         exact cosine; without it, ADC order is returned directly with
-        the (approximate) ADC inner product as the score."""
+        the (approximate) ADC inner product as the score.
+
+        ``allowed_ids`` is FILTERED vector search (the
+        Milvus/pgvector capability FAISS itself lacks): a one-column
+        DataFrame of permitted vector ids — the caller evaluates any
+        metadata predicate against its own tables and passes the id
+        set. It applies as a PRE-filter (semi-join on the codes scan
+        before any scoring), so the result is the exact top-k *within*
+        the allowed set — post-filtering the unfiltered top-k would
+        silently return fewer than k under selective predicates. The
+        semi-join keys on the vector id, broadcast when small; at a
+        selective predicate this also SHRINKS the ADC stage instead of
+        adding to it."""
         model = self.model
         if model.by_residual and nprobe is None:
             # adc_candidates folds the per-probe `bias` column for
@@ -986,8 +999,15 @@ class AnnIndex:
             F.col(id_col).alias("qid"),
             to_double_array(F.col(vec_col)).alias("qvec"),
         )
+        allowed = None
+        if allowed_ids is not None:
+            allowed = allowed_ids.select(
+                F.col(allowed_ids.columns[0]).alias("nid")
+            ).distinct()
         if self.flat:
-            return self._query_flat(q, k=k, nprobe=nprobe or 4)
+            return self._query_flat(
+                q, k=k, nprobe=nprobe or 4, allowed=allowed
+            )
         if self.sq:
             prepped = prep_sq_queries(
                 q, model, nprobe=nprobe if model.coarse is not None else None
@@ -1017,6 +1037,8 @@ class AnnIndex:
             codes = self.codes_table.scan([("cell", "in", cells)])
         else:
             codes = self.codes_table.snapshot()
+        if allowed is not None:
+            codes = codes.join(F.broadcast(allowed), "nid", "left_semi")
         scan = sq_candidates if self.sq else adc_candidates
         cands = scan(codes, prepped, model, k=k, rerank=rerank)
         if rerank_corpus is not None:
@@ -1034,7 +1056,14 @@ class AnnIndex:
             .select("qid", "nid", "adc_score", F.col("rk0").alias("rk"))
         )
 
-    def _query_flat(self, q: DataFrame, *, k: int, nprobe: int) -> DataFrame:
+    def _query_flat(
+        self,
+        q: DataFrame,
+        *,
+        k: int,
+        nprobe: int,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
         """IVF-FLAT search: probe-cell ranking in the Arrow tier (same
         L2-over-unit metric as assignment), manifest-pruned scan of the
         probed cells' files, exact cosine against the STORED unit
@@ -1049,6 +1078,8 @@ class AnnIndex:
         self._cached_prepped = prepped
         cells = sorted(r[0] for r in prepped.select("cell").distinct().collect())
         inv = self.codes_table.scan([("cell", "in", cells)])
+        if allowed is not None:
+            inv = inv.join(F.broadcast(allowed), "nid", "left_semi")
         scored = (
             inv.join(F.broadcast(prepped), "cell")
             .filter(F.col("nid") != F.col("qid"))

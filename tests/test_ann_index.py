@@ -598,3 +598,37 @@ def test_ephemeral_opq_matches_persisted_opq(spark, tmp_path):
         map(tuple, idx.query(queries, k=5, nprobe=8, rerank_corpus=emb).collect())
     )
     assert ephemeral == persisted
+
+
+def test_filtered_vector_search_prefilter(spark, tmp_path):
+    """allowed_ids is a PRE-filter: the result is the exact top-k
+    WITHIN the allowed set (flat index, full probe sweep == exact),
+    never a post-filtered subset of the unfiltered top-k; and every
+    returned neighbor is allowed. Verified against brute force over
+    the filtered corpus."""
+    from data_lake_demo_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    AnnIndex.build(emb, str(tmp_path / "idx"), nlist=8, flat=True)
+    idx = AnnIndex.load(spark, str(tmp_path / "idx"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    allowed = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 3)).select(
+        "vec_id"
+    )
+    got = idx.query(queries, k=5, nprobe=8, allowed_ids=allowed)  # nlist probes: exact
+    rows = got.collect()
+    allowed_set = {r.vec_id for r in allowed.collect()}
+    assert rows and all(r.nid in allowed_set for r in rows)
+    want = brute_force_topk(
+        emb.join(allowed, "vec_id", "left_semi"), queries, k=5
+    )
+    want_rows = {(r[0], r[1], r[3]) for r in want.collect()}
+    got_rows = {(r.qid, r.nid, r.rk) for r in rows}
+    assert got_rows == want_rows
+    # PQ path honors the filter too (membership, not exact ranks)
+    AnnIndex.build(emb, str(tmp_path / "idx2"), nlist=8)
+    idx2 = AnnIndex.load(spark, str(tmp_path / "idx2"))
+    got2 = idx2.query(
+        queries, k=5, nprobe=8, rerank_corpus=emb, allowed_ids=allowed
+    ).collect()
+    assert got2 and all(r.nid in allowed_set for r in got2)
