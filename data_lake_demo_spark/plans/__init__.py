@@ -126,9 +126,16 @@ WINDOW = [
     # oracle (evicts orders_table_profile — r3-green,
     # parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
-    "doc_bpe_vocab_tokens",
-    "emb_sq_ann",
-    "doc_compression_signals",
+    "doc_bpe_vocab_tokens",  # rows-only by design (vocab training is
+    # the k-means-like tier); its tokenize twin doc_bpe_token_counts
+    # is hash-green
+    "doc_tokenizer_fertility",  # NEW: per-language subword fertility,
+    # full oracle (takes emb_sq_ann's slot — rows-only by design, its
+    # portable twin emb_sq_ann_portable is in-window with a full hash)
+    "doc_source_quality_eb",  # NEW: empirical-Bayes per-source
+    # quality, full oracle (takes doc_compression_signals' slot —
+    # rows-only FOREVER by design: DuckDB has no zlib; a hash-green
+    # row beats a rows-only first)
     # -- stalest: last driver row is ROUND 1 (r5 verdict item #1) -----
     "global_count",
     "distinct_counts",
