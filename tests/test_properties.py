@@ -651,3 +651,93 @@ def test_lttb_matches_python_reference(spark, ys, n_out):
                 )
         expected.append((b, pick[1], pick[2]))
     assert got == sorted(expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented wedge counting equals brute-force triangle
+    enumeration on arbitrary graphs (self-loops and duplicate /
+    reversed edges included in the input)."""
+    from itertools import combinations
+
+    from data_lake_demo_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    st.integers(2, 5),
+)
+def test_shard_assign_snake_matches_bruteforce(spark, sizes, k):
+    """The distributed global rank + snake deal equals the sequential
+    reference (sort by tokens desc then doc_id; deal 0..k-1,k-1..0)."""
+    from data_lake_demo_spark.operators.corpus import shard_assign_snake
+
+    rows = [(i, "w " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.shard for r in shard_assign_snake(df, n_shards=k).collect()}
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    want = {}
+    for rank, i in enumerate(order):
+        r = rank % (2 * k)
+        want[i] = r if r < k else 2 * k - 1 - r
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pmi_matches_bruteforce(spark, docs):
+    """PMI counts and scores equal a pure-Python computation over the
+    same corpus (min_count=1 so every bigram participates)."""
+    import math
+    from collections import Counter
+
+    from data_lake_demo_spark.operators.textops import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(" ".join(toks),) for toks in docs], "text string"
+    )
+    got = {
+        (r.w1, r.w2): (r.c_ab, r.pmi)
+        for r in pmi_collocations(df, min_count=1).collect()
+    }
+    uni = Counter(w for toks in docs for w in toks)
+    big = Counter(
+        (a, b) for toks in docs for a, b in zip(toks, toks[1:])
+    )
+    n, bt = sum(uni.values()), sum(big.values())
+    want = {}
+    for (a, b), c in big.items():
+        pmi = math.log((c / bt) / ((uni[a] / n) * (uni[b] / n)))
+        want[(a, b)] = (c, math.floor(pmi * 1_000_000 + 0.5) / 1_000_000)
+    assert set(got) == set(want)
+    for k2, (c, p) in want.items():
+        assert got[k2][0] == c
+        assert abs(got[k2][1] - p) < 2e-6
