@@ -740,12 +740,78 @@ FROM pick WHERE pk = 1 ORDER BY event_type, bkt
 """
 
 
+def events_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention from KMV (bottom-k) sketches
+    (operators/kmv.py) — the sketch family HLL can't cover: KMV
+    supports set INTERSECTION estimates via shared minima, so
+    "how many of yesterday's users returned" is answered from two
+    64-long sketches instead of a user-level self-join. The sketch
+    build is the two-tier salted min-k (no per-day window funnel);
+    estimates are single IEEE divisions on exactly-representable
+    integers, so every value hashes across engines. Compare
+    events_daily_retention (exact twin, user-level join)."""
+    from data_lake_demo_spark.operators.kmv import (
+        kmv_distinct_est,
+        kmv_intersect_est,
+        kmv_sketch,
+    )
+
+    K = 32
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    sk = kmv_sketch(ev, "user_id", ["day"], k=K)
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.expr("b.day = a.day + INTERVAL 1 DAY"))
+        .select(
+            F.col("a.day").alias("day"),
+            kmv_distinct_est(F.col("a.kmv"), F.col("a.n_keys"), K).alias(
+                "users_est"
+            ),
+            kmv_intersect_est(F.col("a.kmv"), F.col("b.kmv"), K).alias(
+                "retained_est"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_KMV_RETENTION_SQL = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR))::VARCHAR, 1, 14)) AS BIGINT) AS h
+  FROM events),
+ranked AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM h),
+sk AS (SELECT day, list_sort(list(h)) AS kmv, count(*) AS n_keys
+       FROM ranked WHERE r <= 32 GROUP BY day),
+pairs AS (
+  SELECT a.day, a.kmv AS ka, a.n_keys AS na, b.kmv AS kb
+  FROM sk a JOIN sk b ON b.day = a.day + INTERVAL 1 DAY),
+est AS (
+  SELECT day,
+         CASE WHEN na < 32 THEN na
+              ELSE floor(CAST(31 * 72057594037927936 AS DOUBLE) / ka[32])::BIGINT END AS users_est,
+         list_sort(list_distinct(ka || kb)) AS u, ka, kb
+  FROM pairs)
+SELECT day, users_est,
+       floor(
+         len(list_filter(u[1:32], x -> list_contains(ka, x) AND list_contains(kb, x)))
+         * (CASE WHEN len(u) >= 32
+                 THEN CAST(31 * 72057594037927936 AS DOUBLE) / u[32]
+                 ELSE CAST(len(u) AS DOUBLE) END)
+         / least(len(u), 32))::BIGINT AS retained_est
+FROM est ORDER BY day
+"""
+
+
 QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
     "events_gap_fill": events_gap_fill,
     "events_lttb_downsample": events_lttb_downsample,
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
+    "events_kmv_retention": events_kmv_retention,
     "events_hll_daily_users": events_hll_daily_users,
     "events_hll_daily_users_exact": events_hll_daily_users_exact,
     "events_histogram_quantiles": events_histogram_quantiles,
@@ -766,6 +832,7 @@ ORACLE = {
     "events_lttb_downsample": LTTB_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
+    "events_kmv_retention": EVENTS_KMV_RETENTION_SQL,
     "events_hll_daily_users_exact": HLL_EXACT_SQL,
     "events_histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "events_rolling_7d_active": ROLLING_7D_SQL,
@@ -778,3 +845,4 @@ ORACLE = {
     "events_asof_last_view": ASOF_SQL,
     "events_scd2_point_in_time": SCD2_PIT_SQL,
 }
+

@@ -1897,3 +1897,51 @@ def test_subword_count_and_fertility_arithmetic(spark):
     )
     got = [r.s for r in df.select(subword_count(F.col("text")).alias("s")).collect()]
     assert got == [4, 2]
+
+
+def test_kmv_sketch_exact_when_unsaturated_and_salt_invariant(spark):
+    """Below k the estimate IS the exact distinct count; the two-tier
+    salted build returns the same sketch for any n_salts; saturated
+    estimates land within 35% of truth at k=64; intersection of
+    disjoint sets estimates (near) zero."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.kmv import (
+        kmv_distinct_est,
+        kmv_intersect_est,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", i % 40) for i in range(400)]
+        + [("g2", 1000 + (i % 500)) for i in range(1000)],
+        "g string, uid long",
+    )
+    for salts in (1, 8, 64):
+        sk = kmv_sketch(df, "uid", ["g"], k=64, n_salts=salts)
+        rows = {
+            r.g: (list(r.kmv), r.n_keys)
+            for r in sk.collect()
+        }
+        if salts == 1:
+            base = rows
+        assert rows == base
+    est = {
+        r.g: r.est
+        for r in kmv_sketch(df, "uid", ["g"], k=64)
+        .select("g", kmv_distinct_est(F.col("kmv"), F.col("n_keys"), 64).alias("est"))
+        .collect()
+    }
+    assert est["g1"] == 40  # unsaturated: exact
+    assert abs(est["g2"] - 500) / 500 < 0.35  # saturated: estimate
+    # disjoint groups share no minima
+    sk = kmv_sketch(df, "uid", ["g"], k=64)
+    a = sk.filter("g = 'g1'").select(F.col("kmv").alias("ka"))
+    b = sk.filter("g = 'g2'").select(F.col("kmv").alias("kb"))
+    inter = (
+        a.crossJoin(b)
+        .select(kmv_intersect_est(F.col("ka"), F.col("kb"), 64).alias("i"))
+        .first()
+        .i
+    )
+    assert inter == 0
