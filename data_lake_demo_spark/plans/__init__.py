@@ -126,9 +126,10 @@ WINDOW = [
     # oracle (evicts orders_table_profile — r3-green,
     # parity-reproved)
     # -- never driver-proven (added after the r5 window froze) --------
-    "doc_bpe_vocab_tokens",  # rows-only by design (vocab training is
-    # the k-means-like tier); its tokenize twin doc_bpe_token_counts
-    # is hash-green
+    "events_kmv_retention",  # NEW: KMV bottom-k sketch retention,
+    # full oracle (takes doc_bpe_vocab_tokens' slot — rows-only by
+    # design, its tokenize twin doc_bpe_token_counts is hash-green;
+    # a hash row for the new sketch family beats a rows-only first)
     "doc_tokenizer_fertility",  # NEW: per-language subword fertility,
     # full oracle (takes emb_sq_ann's slot — rows-only by design, its
     # portable twin emb_sq_ann_portable is in-window with a full hash)
