@@ -163,9 +163,16 @@ def pmi_collocations(
     itself. Totals ride in via a broadcast single-row crossJoin, not a
     driver collect. PMI is fixed-point quantized so the value-hash is
     engine-portable (ln on exact integer ratios)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # four consumers (unigram counts, bigram counts, and the two
+    # single-row totals) would each re-scan + re-split the corpus;
+    # persist the token arrays once (ContextCleaner reclaims it when
+    # the result's lineage is collected — same policy as the graph
+    # operators)
     toks = df.select(
         F.split(F.trim(F.col(text_col)), r"\s+").alias("arr")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     uni = (
         toks.select(F.explode("arr").alias("w"))
         .groupBy("w")
