@@ -782,15 +782,21 @@ def substring_dedup(
     """
     from pyspark.sql import Window as W
 
+    from pyspark.storagelevel import StorageLevel
+
     k = min_len
     toks_df = spread_small_input(
         df.select(F.col(id_col), tokens(text_col).alias("__t")), id_col
     )
+    # the exploded tokens feed BOTH the gram pipeline and the text
+    # rebuild; persist closes the double-compute (lineage recompute of
+    # the explode — CPU, not shuffle), same policy as the graph/PMI
+    # operators. ContextCleaner reclaims it.
     tok_rows = toks_df.select(
         F.col(id_col),
         F.size("__t").alias("__nt"),
         F.posexplode("__t").alias("pos", "tok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     wl = W.partitionBy(id_col).orderBy("pos")
     gram = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", i).over(wl) for i in range(1, k)]
