@@ -29,9 +29,10 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t CREATE TAG name [AS OF VERSION n]
     ALTER TABLE t CREATE BRANCH name
-    DELETE FROM t [WHERE conj]
+    DELETE FROM t [WHERE conj]        -- no WHERE = truncate (all rows)
     UPDATE t SET a = expr [, b = expr ...] [WHERE conj]
-    MERGE INTO t [AS] a USING (<subquery>|view) [AS] b ON a.k = b.k
+    MERGE [WITH SCHEMA EVOLUTION] INTO t [AS] a
+        USING (<subquery>|view) [AS] b ON a.k = b.k
         [WHEN MATCHED [AND cond] THEN DELETE]
         [WHEN MATCHED THEN UPDATE SET *]
         [WHEN NOT MATCHED THEN INSERT *]
@@ -246,7 +247,14 @@ class AcidSql:
     handle persist across statements in a session.
     """
 
-    def __init__(self, spark: SparkSession, tables=None, rbac=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables=None,
+        rbac=None,
+        *,
+        mv_auto_rewrite: bool = False,
+    ):
         self.spark = spark
         self._tables = tables
         self._handles: dict[str, object] = {}
@@ -255,6 +263,12 @@ class AcidSql:
         # registrations are session-scoped, the materialization itself
         # is a durable AcidTable
         self._mvs: dict[str, dict] = {}
+        # MV transparent rewrite serves QUANTIZED sum/avg (1/SCALE
+        # resolution — the price of O(churn) incremental maintenance),
+        # so the identical SELECT can differ in low-order digits from
+        # a live computation. A caller must OPT IN: per statement with
+        # a SELECT /*+ MV */ hint, or session-wide here.
+        self.mv_auto_rewrite = mv_auto_rewrite
 
     @property
     def rbac(self):
@@ -490,10 +504,15 @@ class AcidSql:
 
         Column-level ``UPDATE SET c = expr`` is deliberately out of
         scope (use UPDATE, or the Python API): the table verbs are
-        full-row, which is what a CDC feed carries."""
+        full-row, which is what a CDC feed carries.
+
+        ``MERGE WITH SCHEMA EVOLUTION INTO ...`` (Delta's clause)
+        widens the table with the source's NEW columns in the same
+        commit (auto_evolve on the table verbs)."""
         from pyspark.sql import functions as F
 
-        tref, talias, src, salias, on, whens = m.groups()
+        evolve_kw, tref, talias, src, salias, on, whens = m.groups()
+        auto_evolve = evolve_kw is not None
         t = self.table(tref)
         keys = []
         aliases = {a for a in (talias, salias) if a}
@@ -549,13 +568,27 @@ class AcidSql:
         if has_update and has_insert and delete_cond is not None:
             # source-only columns (e.g. the CDC flag) feed the DELETE
             # condition but never land: project down to target columns
+            # — under WITH SCHEMA EVOLUTION, only the columns the
+            # DELETE condition references are flag-like; other new
+            # source columns are exactly what the clause evolves in
             tcols = set(t.snapshot().columns)
+            cond_cols = set(re.findall(rf"\b{_IDENT}\b", delete_cond))
+            keep = [
+                c
+                for c in src_df.columns
+                if c in tcols
+                or (auto_evolve and c not in cond_cols)
+            ]
             df = src_df.withColumn("__mrg_del", F.expr(delete_cond)).select(
-                *[c for c in src_df.columns if c in tcols], "__mrg_del"
+                *keep, "__mrg_del"
             )
-            return self._version_df(t.merge_apply(df, keys, "__mrg_del"))
+            return self._version_df(
+                t.merge_apply(df, keys, "__mrg_del", auto_evolve=auto_evolve)
+            )
         if has_update and has_insert and not has_plain_delete:
-            return self._version_df(t.merge(src_df, keys))
+            return self._version_df(
+                t.merge(src_df, keys, auto_evolve=auto_evolve)
+            )
         if has_plain_delete and not (has_update or has_insert):
             return self._version_df(
                 t.merge_delete(src_df.select(*keys), keys)
@@ -788,8 +821,13 @@ class AcidSql:
             rf"DELETE\s+FROM\s+({_TREF})(?:\s+WHERE\s+(.+))?", s, re.I | re.S
         )
         if m:
-            filters = _parse_where(m.group(2)) if m.group(2) else ()
-            return self._version_df(self.table(m.group(1)).delete(filters))
+            t = self.table(m.group(1))
+            if m.group(2) is None:
+                # DELETE FROM t without WHERE = truncate: one
+                # metadata-only commit removing every live file
+                # (AcidTable.delete rejects empty filters by design)
+                return self._version_df(t.truncate())
+            return self._version_df(t.delete(_parse_where(m.group(2))))
 
         m = re.fullmatch(
             rf"UPDATE\s+({_TREF})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
@@ -809,7 +847,8 @@ class AcidSql:
             )
 
         m = re.fullmatch(
-            rf"MERGE\s+INTO\s+({_TREF})(?:\s+AS)?(?:\s+({_IDENT}))?"
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+            rf"INTO\s+({_TREF})(?:\s+AS)?(?:\s+({_IDENT}))?"
             rf"\s+USING\s+(\(.*\)|{_TREF})(?:\s+AS)?(?:\s+({_IDENT}))?"
             r"\s+ON\s+(.+?)\s+(WHEN\s+.+)",
             s,
@@ -1164,11 +1203,23 @@ class AcidSql:
     def _mv_rewrite(self, s: str) -> DataFrame | None:
         """Serve a matching aggregate SELECT from a registered MV (or
         from the base with identical semantics when stale); None when
-        the statement isn't an MV-shaped aggregate over a known base."""
+        the statement isn't an MV-shaped aggregate over a known base,
+        or when the caller hasn't opted in. The rewrite changes
+        sum/avg semantics to the MV's quantized fold
+        (``floor(v*SCALE+0.5)/SCALE``), so it never fires implicitly:
+        the statement carries a ``SELECT /*+ MV */`` hint, or the
+        session set ``mv_auto_rewrite=True``. Either path serves the
+        SAME semantics whether the MV is fresh or stale — results
+        never depend on which store answered."""
         from pyspark.sql import functions as F
 
         from data_lake_demo_spark.streaming import incremental
 
+        hint = re.match(r"(?is)^SELECT\s+/\*\+\s*MV(?:_REWRITE)?\s*\*/\s*", s)
+        if hint:
+            s = "SELECT " + s[hint.end():]
+        elif not self.mv_auto_rewrite:
+            return None
         m = re.fullmatch(
             rf"(?is)SELECT\s+(.+?)\s+FROM\s+({_TREF})\s+GROUP\s+BY\s+(.+)", s
         )

@@ -54,6 +54,7 @@ def merge_upsert(
     keys: Sequence[str],
     *,
     dedupe_order: str | None = None,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """UPSERT (\"when matched update, when not matched insert\"):
     updated rows replace matched target rows; unmatched target rows
@@ -62,6 +63,12 @@ def merge_upsert(
     ``updates`` must be unique per key (checked, like SQL MERGE's
     multiple-match error) unless ``dedupe_order`` names a column whose
     per-key maximum picks the winning row.
+
+    ``allow_missing_columns=True`` is the schema-auto-evolution shape
+    (Delta's ``merge.schema.autoMerge``): a NEW source column widens
+    the output schema (pre-existing target rows read it as NULL) and a
+    source missing a target column fills NULL for its rows — full-row
+    replace semantics, not column-wise ``UPDATE SET *``.
     """
     keys = list(keys)
     if dedupe_order is not None:
@@ -69,7 +76,9 @@ def merge_upsert(
     else:
         _assert_unique_keys(updates, keys, "update")
     untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
-    return untouched.unionByName(updates)
+    return untouched.unionByName(
+        updates, allowMissingColumns=allow_missing_columns
+    )
 
 
 def merge_apply(
@@ -79,6 +88,7 @@ def merge_apply(
     delete_col: str,
     *,
     dedupe_order: str | None = None,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """The full SQL MERGE shape in one rewrite: rows of ``updates``
     with ``delete_col`` true DELETE their matched target rows (WHEN
@@ -86,6 +96,7 @@ def merge_apply(
     unmatched). A delete row matching nothing is a no-op, like MERGE.
     Same one-shuffle anti-join + union plan as :func:`merge_upsert`;
     the ``delete_col`` never lands in the output.
+    ``allow_missing_columns`` as in :func:`merge_upsert`.
     """
     keys = list(keys)
     if dedupe_order is not None:
@@ -94,7 +105,9 @@ def merge_apply(
         _assert_unique_keys(updates, keys, "update")
     untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     survivors = updates.filter(~F.col(delete_col)).drop(delete_col)
-    return untouched.unionByName(survivors)
+    return untouched.unionByName(
+        survivors, allowMissingColumns=allow_missing_columns
+    )
 
 
 def scd2_apply(

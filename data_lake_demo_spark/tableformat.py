@@ -219,12 +219,25 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
             continue
         bloom = stats.get(f"#bloom:{col}")
         if bloom is not None:
-            # probe with the RAW value's str() — the build side hashed
-            # cast-to-string, not the date-normalized stat form
-            if op == "=" and not _bloom_may_contain(bloom, val):
+            # probe with the RAW value's str() — sound only when that
+            # equals the build side's Spark cast-to-string. Blooms are
+            # built for integral/string columns only (_bloom_stats),
+            # so gate the probe to int/str values too: a bool is an
+            # int subclass but strs as "True" vs Spark's "true", and a
+            # float probe against an int column has no bloom match —
+            # either would turn a bloom miss into a wrong prune.
+            def _probe_ok(v):
+                return isinstance(v, (int, str)) and not isinstance(v, bool)
+
+            if (
+                op == "="
+                and _probe_ok(val)
+                and not _bloom_may_contain(bloom, val)
+            ):
                 return False
             if op == "in" and all(
-                not _bloom_may_contain(bloom, v) for v in val
+                _probe_ok(v) and not _bloom_may_contain(bloom, v)
+                for v in val
             ):
                 return False
         rng = stats.get(col)
@@ -883,6 +896,20 @@ class AcidTable:
         for col in self.bloom_cols:
             if col not in df.columns:
                 continue
+            # integral/string columns ONLY: for these, Spark's
+            # cast-to-string (build side) and Python str(val) (probe
+            # side, _bloom_positions_py) agree on canonical form.
+            # Booleans ("true" vs "True"), doubles probed with int
+            # literals ("5.0" vs "5"), decimals and timestamps all
+            # diverge — a diverging form makes the bloom probe a FALSE
+            # negative, which wrongly prunes a matching file. Skipping
+            # the bloom for such columns is only a lost optimization.
+            if not isinstance(
+                df.schema[col].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.StringType),
+            ):
+                continue
             h = F.md5(F.col(col).cast("string"))
             h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
             h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(
@@ -1110,9 +1137,14 @@ class AcidTable:
             return v
         raise CommitConflict(f"append lost {max_retries} commit races")
 
-    def _apply_generated(self, df: DataFrame) -> DataFrame:
+    def _apply_generated(
+        self, df: DataFrame, *, check_df: DataFrame | None = None
+    ) -> DataFrame:
         """Compute missing generated columns; validate supplied ones.
-        Zero plan overhead when the table declares none."""
+        Zero plan overhead when the table declares none. ``check_df``
+        restricts the validation to a subset of ``df`` (merge_apply
+        validates only surviving upserts — delete rows never land, so
+        their generated values don't matter)."""
         for key, expr in self.properties().items():
             if not key.startswith(self._GENERATED_PREFIX):
                 continue
@@ -1120,7 +1152,9 @@ class AcidTable:
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
             else:
-                self._check_generated(df, {key: expr})
+                self._check_generated(
+                    df if check_df is None else check_df, {key: expr}
+                )
         return df
 
     def _check_generated(self, df: DataFrame, props: dict | None = None) -> None:
@@ -1624,6 +1658,28 @@ class AcidTable:
             self._resolve_state(as_of)[4],
         )
         return self._logicalize(df.filter(pred) if filters else df, colmap)
+
+    def truncate(self, *, max_retries: int = 5) -> int:
+        """Remove every live row in ONE metadata-only commit (no data
+        file written or rewritten — the live set empties, the
+        committed schema stays for future reads and writes). This is
+        the ``DELETE FROM t`` (no WHERE) statement's target: at any
+        scale it is O(manifest), where a predicate delete would
+        pointlessly rewrite nothing into nothing."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, schema_json, _, _, _ = self._resolve_state(base)
+            if not live:
+                return base  # already empty: no commit
+            try:
+                return self._try_commit(
+                    base + 1, "delete", [], sorted(live), schema_json, None
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"truncate lost {max_retries} commit races")
 
     def delete(
         self, filters, *, mode: str = "copy_on_write", max_retries: int = 5
@@ -2952,8 +3008,15 @@ class AcidTable:
                     continue  # incomparable types: keep the file
                 bloom = stats.get(f"#bloom:{k}")
                 vals = batch_vals.get(k)
+                # int/str batch values only: blooms hash Spark's
+                # cast-to-string, and only int/str Python values are
+                # guaranteed the same canonical form via str() — a
+                # float/bool/Decimal batch key would probe a diverging
+                # form and wrongly prune a matching file
                 if bloom is not None and vals and all(
-                    not _bloom_may_contain(bloom, v)
+                    isinstance(v, (int, str))
+                    and not isinstance(v, bool)
+                    and not _bloom_may_contain(bloom, v)
                     for v in vals
                     if v is not None
                 ):
@@ -2971,6 +3034,7 @@ class AcidTable:
         dedupe_order: str | None = None,
         txn: tuple[str, int] | None = None,
         partition_by: Sequence[str] | None = None,
+        auto_evolve: bool = False,
         max_retries: int = 5,
     ) -> int:
         """MERGE INTO (upsert) with snapshot-isolated copy-on-write and
@@ -2991,9 +3055,18 @@ class AcidTable:
         (same watermark contract as ``append``) — the streaming CDC
         shape: ``foreach_batch_merge_sink`` upserts each micro-batch
         and a post-failure replay is a no-op instead of a second
-        rewrite."""
+        rewrite.
+
+        ``auto_evolve=True`` is Delta's ``WITH SCHEMA EVOLUTION`` /
+        ``merge.schema.autoMerge``: a batch carrying NEW columns
+        widens the table schema in the SAME commit (untouched rows
+        read the new column as NULL), and a batch missing committed
+        columns fills NULL on its rows — full-row replace semantics.
+        Without it, a column-set mismatch raises instead of silently
+        evolving."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
+        updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         colmap = self._colmap()
         updates = self._physicalize(updates, colmap)
@@ -3012,12 +3085,13 @@ class AcidTable:
             live, schema_json, _, _, dvs = self._resolve_state(base)
             touched = self._touched_files(live, updates, keys)
             if touched:
+                # committed-schema read, NOT bare spark.read.parquet:
+                # heterogeneous touched footers (a widen/add_columns that
+                # predates some files) must up-cast/pad at scan time or
+                # the rewrite narrows the table back and strands wider
+                # live files (unreadable snapshot)
                 target = self._apply_dvs(
-                    self.spark.read.parquet(
-                        *[os.path.join(self.path, f) for f in touched]
-                    ),
-                    touched,
-                    dvs,
+                    self._read_files(touched, schema_json), touched, dvs
                 )
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
@@ -3028,12 +3102,23 @@ class AcidTable:
             if dropped:  # the rewrite materializes column drops
                 target = target.drop(*dropped)
             merged = merge_upsert(
-                target, updates, keys, dedupe_order=dedupe_order
+                target,
+                updates,
+                keys,
+                dedupe_order=dedupe_order,
+                allow_missing_columns=auto_evolve,
             )
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
                 return self._try_commit(
-                    base + 1, "merge", add, touched, schema, txn
+                    base + 1,
+                    "merge",
+                    add,
+                    touched,
+                    # same widening guard as append: a narrow update
+                    # batch must not revert add_columns/widen_column
+                    self._evolve_schema(schema, base),
+                    txn,
                 )
             except CommitConflict:
                 continue
@@ -3048,6 +3133,7 @@ class AcidTable:
         dedupe_order: str | None = None,
         txn: tuple[str, int] | None = None,
         partition_by: Sequence[str] | None = None,
+        auto_evolve: bool = False,
         max_retries: int = 5,
     ) -> int:
         """Full MERGE (WHEN MATCHED AND <delete_col> THEN DELETE /
@@ -3064,6 +3150,9 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_apply
 
         # delete rows never land; only surviving upserts are validated
+        updates = self._apply_generated(
+            updates, check_df=updates.filter(~F.col(delete_col))
+        )
         self._enforce_constraints(updates.filter(~F.col(delete_col)))
         colmap = self._colmap()
         updates = self._physicalize(updates, colmap)
@@ -3093,12 +3182,23 @@ class AcidTable:
             if dropped:  # the rewrite materializes column drops
                 target = target.drop(*dropped)
             merged = merge_apply(
-                target, updates, keys, delete_col, dedupe_order=dedupe_order
+                target,
+                updates,
+                keys,
+                delete_col,
+                dedupe_order=dedupe_order,
+                allow_missing_columns=auto_evolve,
             )
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
                 return self._try_commit(
-                    base + 1, "merge", add, touched, schema, txn
+                    base + 1,
+                    "merge",
+                    add,
+                    touched,
+                    # same widening guard as append/merge
+                    self._evolve_schema(schema, base),
+                    txn,
                 )
             except CommitConflict:
                 continue

@@ -430,3 +430,52 @@ def test_grant_revoke_show_grants(spark, tmp_path):
         sql.rbac.sql("analyst_us", "SELECT * FROM accounts")
     with pytest.raises(ValueError, match="no grant"):
         sql.sql("REVOKE SELECT ON accounts FROM analyst_us")
+
+
+def test_delete_without_where_truncates(spark, tmp_path):
+    """DELETE FROM t with no WHERE routes to truncate() — the grammar
+    advertises the optional WHERE, so the WHERE-less form must work
+    (regression for ADVICE r6 low)."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    sql.sql("DELETE FROM t")
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert dict(snap.dtypes) == {"k": "int", "s": "string"}
+
+
+def test_merge_with_schema_evolution_sql(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION INTO widens the target with the
+    source's new columns; without the clause source-only columns are
+    projected away (the CDC-flag contract) and the schema stays; the
+    flag column referenced by the DELETE condition never lands."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    spark.createDataFrame(
+        [(2, "b2", 7, False), (3, "c", 9, True)],
+        "k int, s string, extra int, is_del boolean",
+    ).createOrReplaceTempView("src_wide")
+    sql.sql(
+        "MERGE INTO t USING src_wide AS s ON t.k = s.k "
+        "WHEN MATCHED AND is_del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert "extra" not in t.snapshot().columns  # projected away, no evolve
+    sql.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING src_wide AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND is_del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    snap = t.snapshot()
+    assert "is_del" not in snap.columns and "extra" in snap.columns
+    got = {r.k: (r.s, r.extra) for r in snap.collect()}
+    assert got == {1: ("a", None), 2: ("b2", 7)}

@@ -14,7 +14,7 @@ from data_lake_demo_spark.tableformat import AcidTable
 
 
 def _mk(spark, tmp_path):
-    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")}, mv_auto_rewrite=True)
     t = sql.table("t")
     t.append(
         spark.createDataFrame(
@@ -121,7 +121,7 @@ def test_mv_rewrite_acid_path_reference(spark, tmp_path):
     path = str(tmp_path / "raw")
     t = AcidTable(spark, path)
     t.append(spark.createDataFrame([("x", 2.0)], "k string, v double"))
-    sql = AcidSql(spark)
+    sql = AcidSql(spark, mv_auto_rewrite=True)
     sql.sql(
         f"CREATE MATERIALIZED VIEW pm AS SELECT k, count(*) AS n, "
         f"sum(v) AS total FROM acid.`{path}` GROUP BY k"
@@ -146,3 +146,36 @@ def test_show_materialized_views_freshness(spark, tmp_path):
     assert not row.fresh
     sql.sql("REFRESH MATERIALIZED VIEW mlist")
     assert sql.sql("SHOW MATERIALIZED VIEWS").collect()[0].fresh
+
+
+def test_mv_rewrite_requires_opt_in(spark, tmp_path):
+    """The rewrite changes sum/avg to quantized semantics, so by
+    default the identical SELECT is NOT silently redirected: it takes
+    a SELECT /*+ MV */ hint, or a session built with
+    mv_auto_rewrite=True (regression for ADVICE r6 low)."""
+    from pyspark.errors import AnalysisException
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [("a", 1.5), ("b", 4.0)], "k string, v double"
+        )
+    )
+    sql.sql(
+        "CREATE MATERIALIZED VIEW opt AS "
+        "SELECT k, count(*) AS n, sum(v) AS total FROM t GROUP BY k"
+    )
+    # default: falls through to plain spark.sql ('t' unknown there)
+    with pytest.raises(AnalysisException):
+        sql.sql("SELECT k, count(*) AS n, sum(v) AS total FROM t GROUP BY k")
+    # the hint opts a single statement in
+    out = sql.sql(
+        "SELECT /*+ MV */ k, count(*) AS n, sum(v) AS total "
+        "FROM t GROUP BY k"
+    )
+    assert _served_from_mv(out)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", 1, 1.5),
+        ("b", 1, 4.0),
+    ]

@@ -2296,3 +2296,195 @@ def test_merge_bloom_pruning_on_hash_keys(spark, tmp_path):
         d = hashlib.md5(str(i).encode()).hexdigest()
         assert got[d] == i + 100000
     assert len(got) == 2000
+
+
+def test_merge_preserves_widened_and_added_schema(spark, tmp_path):
+    """Regression (ADVICE r6 high): merge() must read touched files
+    under the COMMITTED schema and commit the evolved schema — an
+    int-typed update batch after widen_column used to narrow the
+    committed schema back while a bigint-footer file stayed live,
+    leaving the snapshot unreadable; after add_columns, a rewrite of
+    heterogeneous footers silently dropped the added column's data."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(0, 1), (1, 2)], "k int, v int")
+    )
+    t.widen_column("v", "bigint")
+    big = 1 << 40
+    t.append(spark.createDataFrame([(10, big)], "k int, v bigint"))
+    # int-typed batch whose key range touches only the narrow file
+    t.merge(spark.createDataFrame([(0, 7)], "k int, v int"), ["k"])
+    snap = t.snapshot()  # must not raise FAILED_READ_FILE
+    assert dict(snap.dtypes)["v"] == "bigint"
+    assert {r.k: r.v for r in snap.collect()} == {0: 7, 1: 2, 10: big}
+
+    # add_columns then merge touching a mix of pre/post files keeps
+    # the added column's data for the post-evolution rows
+    t.add_columns({"note": "string"})
+    t.append(
+        spark.createDataFrame(
+            [(20, 5, "kept")], "k int, v bigint, note string"
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, 99, None), (20, 6, "kept")],
+            "k int, v bigint, note string",
+        ),
+        ["k"],
+    )
+    got = {r.k: (r.v, r.note) for r in t.snapshot().collect()}
+    assert got[20] == (6, "kept")
+    assert got[1] == (99, None)
+    assert dict(t.snapshot().dtypes)["note"] == "string"
+
+    # merge_apply takes the same guard
+    t.merge_apply(
+        spark.createDataFrame(
+            [(0, 0, None, True), (30, 8, "new", False)],
+            "k int, v bigint, note string, __del boolean",
+        ),
+        ["k"],
+        "__del",
+    )
+    got = {r.k: (r.v, r.note) for r in t.snapshot().collect()}
+    assert 0 not in got and got[30] == (8, "new")
+    assert dict(t.snapshot().dtypes)["v"] == "bigint"
+
+
+def test_merge_enforces_generated_columns(spark, tmp_path):
+    """Regression (ADVICE r6 medium): MERGE batches are held to the
+    same GENERATED ALWAYS contract as append/update — a wrong supplied
+    value raises, an omitted column is computed, and merge_apply
+    validates only surviving (non-delete) rows."""
+    import pytest as _pytest
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10, 20)], "k int, v int, dbl int"))
+    t.set_generated_column("dbl", "v * 2")
+    with _pytest.raises(ValueError, match="generated"):
+        t.merge(
+            spark.createDataFrame([(1, 5, 99)], "k int, v int, dbl int"),
+            ["k"],
+        )
+    # omitted generated column is computed on the merge batch
+    t.merge(spark.createDataFrame([(2, 7)], "k int, v int"), ["k"])
+    got = {r.k: r.dbl for r in t.snapshot().collect()}
+    assert got == {1: 20, 2: 14}
+    # merge_apply: delete rows are exempt, surviving rows validated
+    t.merge_apply(
+        spark.createDataFrame(
+            [(1, 0, 777, True), (3, 4, 8, False)],
+            "k int, v int, dbl int, __del boolean",
+        ),
+        ["k"],
+        "__del",
+    )
+    got = {r.k: r.dbl for r in t.snapshot().collect()}
+    assert got == {2: 14, 3: 8}
+    with _pytest.raises(ValueError, match="generated"):
+        t.merge_apply(
+            spark.createDataFrame(
+                [(3, 4, 999, False)], "k int, v int, dbl int, __del boolean"
+            ),
+            ["k"],
+            "__del",
+        )
+
+
+def test_bloom_skips_unsafe_types_build_and_probe(spark, tmp_path):
+    """Regression (ADVICE r6 medium): bloom canonical forms — the
+    build side hashes Spark cast-to-string, the probe side str(val).
+    Boolean/double/decimal columns get NO bloom (build-side gate), and
+    a probe value that isn't int/str never prunes (probe-side gate),
+    so a diverging form can't silently drop matching rows."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(
+        spark, str(tmp_path / "t"), bloom_cols=["flag", "price", "name"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(True, 5.0, "a"), (False, 7.5, "b")],
+            "flag boolean, price double, name string",
+        )
+    )
+    live, _, _, _, _ = t._resolve_state(None)
+    stats = next(iter(live.values()))
+    # unsafe columns carry no bloom entry; the string column does
+    assert "#bloom:flag" not in stats and "#bloom:price" not in stats
+    assert "#bloom:name" in stats
+    # scan() with an = filter on the boolean/double columns returns
+    # the matching rows (no wrong prune possible — no bloom built)
+    assert t.scan([("flag", "=", True)]).count() == 1
+    assert t.scan([("price", "=", 5.0)]).count() == 1
+    # an int-keyed bloom still prunes AND never false-negatives when
+    # probed with the same int values
+    t2 = AcidTable(spark, str(tmp_path / "t2"), bloom_cols=["k"])
+    t2.append(spark.createDataFrame([(5, "x")], "k int, s string"))
+    assert t2.scan([("k", "=", 5)]).count() == 1
+    assert t2.scan([("k", "=", 6)]).count() == 0
+
+
+def test_merge_auto_evolve_new_columns(spark, tmp_path):
+    """merge/merge_apply with auto_evolve=True widen the table with
+    the batch's NEW columns in the same commit (Delta autoMerge);
+    without the flag a column-set mismatch raises."""
+    import pytest as _pytest
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    wider = spark.createDataFrame(
+        [(2, "b2", 7), (3, "c", 9)], "k int, s string, extra int"
+    )
+    with _pytest.raises(Exception):
+        t.merge(wider, ["k"])
+    t.merge(wider, ["k"], auto_evolve=True)
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["extra"] == "int"
+    got = {r.k: (r.s, r.extra) for r in snap.collect()}
+    assert got == {1: ("a", None), 2: ("b2", 7), 3: ("c", 9)}
+    # merge_apply evolves too, and a later plain read stays wide
+    t.merge_apply(
+        spark.createDataFrame(
+            [(1, "a", None, "tagged", False), (3, "c", 9, None, True)],
+            "k int, s string, extra int, note string, __del boolean",
+        ),
+        ["k"],
+        "__del",
+        auto_evolve=True,
+    )
+    snap = t.snapshot()
+    got = {r.k: (r.extra, r.note) for r in snap.collect()}
+    assert got == {1: (None, "tagged"), 2: (7, None)}
+
+
+def test_truncate_metadata_only(spark, tmp_path):
+    """truncate(): one metadata commit empties the table, keeps the
+    schema, and is idempotent; CDF reports the removed rows."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    v = t.latest_version()
+    files_before = set((tmp_path / "t").rglob("*.parquet"))
+    t.truncate()
+    # no data file written; snapshot empty with the original schema
+    assert set((tmp_path / "t").rglob("*.parquet")) == files_before
+    snap = t.snapshot()
+    assert snap.count() == 0 and dict(snap.dtypes) == {"k": "int", "s": "string"}
+    assert sorted(
+        (r.k, r._change_type) for r in t.changes(v).collect()
+    ) == [(1, "delete"), (2, "delete")]
+    v2 = t.latest_version()
+    assert t.truncate() == v2  # already empty: no new commit
+    t.append(spark.createDataFrame([(9, "z")], "k int, s string"))
+    assert [tuple(r) for r in t.snapshot().collect()] == [(9, "z")]
