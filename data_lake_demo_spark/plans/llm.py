@@ -1512,6 +1512,118 @@ FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
 
 
+def emb_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-FLAT rung of the portable family — the last ANN index mode
+    without a value-hash row: LITERAL coarse centroids (the
+    portable_ivfpq_model LCG stream) through the REAL IVF-FLAT stages
+    — encode_flat's cell assignment (ann_index.py), prep_flat_queries'
+    L2-ranked probe explode, and the same exact-cosine probe-join scan
+    algebra as AnnIndex._query_flat (stored unit vectors, no rerank —
+    the stored vectors ARE exact). The DuckDB twin regenerates the
+    centroids from integer arithmetic and replays assignment, probe
+    ranking, the cell-membership restriction, and the cosine top-k.
+    Scores quantized at 1e-6 BEFORE ranking (nid tie-break) so
+    cross-engine float-fold noise can't flip an order."""
+    from data_lake_demo_spark.operators.ann_index import (
+        encode_flat,
+        portable_ivfpq_model,
+        prep_flat_queries,
+    )
+    from data_lake_demo_spark.functions.vector import (
+        cosine,
+        quantize,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # only the coarse stream is used; the PQ books ride along unused
+    model = portable_ivfpq_model(dim=64, m=8, ksub=16, nlist=8)
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    inv = encode_flat(corpus, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    prepped = prep_flat_queries(q, model, nprobe=2)
+    scored = (
+        inv.join(F.broadcast(prepped), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_q"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_q").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", "nid", "cos_q")
+        .orderBy("qid", "rk")
+    )
+
+
+def _ivf_flat_portable_oracle(
+    *, dim: int = 64, nlist: int = 8, nprobe: int = 2, k: int = 5
+) -> str:
+    """DuckDB replica of the portable IVF-FLAT pipeline: the literal
+    coarse-centroid LCG (lockstep with portable_ivfpq_model), argmin
+    cell assignment, top-nprobe probe ranking, cell-membership
+    restriction, and the exact cosine fold over re-derived unit
+    vectors (lockstep with functions/vector.cosine — dot over the
+    stored unit vectors divided by both norms)."""
+    return f"""
+WITH cents AS (
+  SELECT c.range AS c, d.range AS d,
+         (((c.range * 8191 + d.range * 127 + 7) * 1103515245 + 12345) % 2039)
+           / CAST(2039 AS DOUBLE) - 0.5 AS w
+  FROM range({nlist}) c, range({dim}) d),
+base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+celld AS (
+  SELECT vec_id, ct.c AS c,
+         sum((u[ct.d + 1] - ct.w) * (u[ct.d + 1] - ct.w)) AS d2
+  FROM unitv CROSS JOIN cents ct GROUP BY vec_id, ct.c),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM celld) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM celld WHERE vec_id < 10) WHERE rn <= {nprobe}),
+scores AS (
+  SELECT pr.qid, cl.vec_id AS nid,
+         list_sum([uq.u[i] * un.u[i] FOR i IN range(1, {dim + 1})])
+           / (sqrt(list_sum([x * x FOR x IN uq.u]))
+              * sqrt(list_sum([x * x FOR x IN un.u]))) AS cs
+  FROM probes pr
+  JOIN cells cl ON cl.cell = pr.cell
+  JOIN unitv uq ON uq.vec_id = pr.qid
+  JOIN unitv un ON un.vec_id = cl.vec_id
+  WHERE cl.vec_id != pr.qid),
+ranked AS (
+  SELECT qid, nid,
+         floor(cs * CAST(1000000 AS DOUBLE) + 0.5)
+           / CAST(1000000 AS DOUBLE) AS cos_q,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(cs * CAST(1000000 AS DOUBLE) + 0.5)
+                      / CAST(1000000 AS DOUBLE) DESC, nid) AS rk
+  FROM scores)
+SELECT qid, rk, nid, cos_q
+FROM ranked WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 def _portable_sq_topk(emb: DataFrame, queries: DataFrame, *, k: int) -> DataFrame:
     """(qid, rk0, nid, adc_score) — the literal-range SQ8 pipeline's
     top-k, shared by emb_sq_ann_portable and the recall evaluation."""
@@ -3408,6 +3520,7 @@ QUERIES = {
     "doc_quality_model_scores_frozen": doc_quality_model_scores_frozen,
     "emb_pq_ann_portable": emb_pq_ann_portable,
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
+    "emb_ivf_ann_portable": emb_ivf_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
@@ -3454,6 +3567,7 @@ ORACLE = {
     "doc_quality_model_scores_frozen": QUALITY_FROZEN_SQL,
     "emb_pq_ann_portable": _pq_portable_oracle(),
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
+    "emb_ivf_ann_portable": _ivf_flat_portable_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
     "emb_graph_pagerank": _pagerank_oracle(),
