@@ -93,15 +93,54 @@ def infer_and_register(
     path: str,
     partition_cols: list[str],
 ) -> T.StructType:
-    """The crawler loop: infer, then create/refresh the table under an
-    UPDATE_IN_DATABASE-style policy (new columns adopted; existing
-    column types pinned by the inferred schema)."""
+    """The crawler loop: infer, then create/refresh the table under
+    the full UPDATE_IN_DATABASE policy (reference stack.py:189-192 —
+    update behavior UPDATE_IN_DATABASE, delete behavior
+    DEPRECATE_IN_DATABASE):
+
+    * a NEW upstream column is adopted (old rows read it as NULL);
+    * a column present in both keeps the freshly inferred type;
+    * a column that DISAPPEARS upstream is deprecated, not dropped:
+      it stays in the registered schema (rows lacking it read NULL —
+      the JSON reader pads missing keys) and is flagged in the
+      ``deprecated.columns`` table property, so downstream queries
+      keep compiling while :func:`deprecated_columns` lets operators
+      audit what the source no longer sends."""
     inferred = infer_schema(spark, path)
     data_fields = [f for f in inferred.fields if f.name not in partition_cols]
+    deprecated: list[str] = []
+    if spark.catalog.tableExists(f"{db}.{table}"):
+        inferred_names = {f.name for f in data_fields}
+        prior = [
+            f
+            for f in spark.table(f"{db}.{table}").schema.fields
+            if f.name not in partition_cols and f.name not in inferred_names
+        ]
+        deprecated = [f.name for f in prior]
+        data_fields = data_fields + prior  # retain, never drop
     register_json_table(
         spark, db, table, path, T.StructType(data_fields), partition_cols
     )
-    return inferred
+    if deprecated:
+        cols = ",".join(sorted(deprecated))
+        spark.sql(
+            f"ALTER TABLE {db}.{table} SET TBLPROPERTIES "
+            f"('deprecated.columns' = '{cols}')"
+        )
+    return T.StructType(data_fields)
+
+
+def deprecated_columns(spark: SparkSession, db: str, table: str) -> list[str]:
+    """Columns the crawler has DEPRECATED (absent from the latest
+    upstream inference but retained in the schema) — the audit half
+    of the DEPRECATE_IN_DATABASE policy."""
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {db}.{table} ('deprecated.columns')"
+    ).collect()
+    val = rows[0].value if rows else ""
+    if not val or val.startswith("Table") :  # "Table ... does not have property"
+        return []
+    return val.split(",")
 
 
 def register_acid_table(

@@ -2688,16 +2688,22 @@ ORDER BY media_id, frame_idx
 
 def doc_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL ENGINE PATH under a value-hash oracle: an
-    AcidTable is built from the documents fixture in three synced
-    phases — insert even doc_ids, insert odd doc_ids, DELETE doc_id <
-    100 — with streaming/incremental.IncrementalDedupIndex folding
-    each phase's change feed (novel registration, then canonical
-    re-election from the pinned snapshot for digests whose first-seen
-    owner was deleted). The final dup_report value-hashes against SQL
-    that replicates the full multi-phase semantics: canonical =
-    first-seen min-even if it survived, else min live. A green row
-    here certifies CDF diffing, merge_apply, the txn ledger, and the
-    dirty re-election join end-to-end, not just relational algebra."""
+    AcidTable is built from the documents fixture in three commits —
+    insert even doc_ids, insert odd doc_ids, DELETE doc_id < 100 —
+    with streaming/incremental.IncrementalDedupIndex folding the
+    change feeds (novel registration, then canonical re-election from
+    the pinned snapshot for digests whose first-seen owner was
+    deleted). TWO syncs, not three: the CDF is an endpoint NET diff,
+    so one sync spanning the insert-odd and delete commits sees odd
+    doc_ids < 100 net out entirely and the final report is provably
+    identical to syncing each commit (the oracle below is unchanged)
+    — while the mixed insert+delete feed exercises the dirty
+    re-election and the registration path in ONE merge_apply. The
+    final dup_report value-hashes against SQL that replicates the
+    full multi-phase semantics: canonical = first-seen min-even if it
+    survived, else min live. A green row here certifies CDF diffing,
+    merge_apply, the txn ledger, and the dirty re-election join
+    end-to-end, not just relational algebra."""
     import shutil
     import tempfile
 
@@ -2719,14 +2725,26 @@ def doc_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.append(docs.filter(F.col("doc_id") % 2 == 0))
         idx.sync()
         base.append(docs.filter(F.col("doc_id") % 2 == 1))
-        idx.sync()
         base.delete([("doc_id", "<", 100)])
         idx.sync()
+        # bounded materialization: the report is O(duplicate rows) —
+        # 237 at sf0.1 — but a pathological all-dups corpus would be
+        # O(table); cap it so the driver can never OOM here (a
+        # production flow writes the report to a sink instead of
+        # collecting — this query collects only because its temp
+        # AcidTable dies in the finally below)
+        cap = 200_000
         out = (
             idx.dup_report(base.snapshot())
             .orderBy("doc_id")
+            .limit(cap + 1)
             .collect()
         )
+        if len(out) > cap:
+            raise RuntimeError(
+                f"dup report exceeds the {cap}-row driver-side bound; "
+                "write it to a sink instead of collecting"
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(

@@ -242,3 +242,51 @@ def test_acid_catalog_durable_mapping_and_time_travel(spark, tmp_path):
     assert cat2.attach_all(as_of=v_one_table) == ["zone_a"]
     with pytest.raises(ValueError):
         cat2.attach("zone_b")
+
+
+def test_schema_evolution_deprecate_on_delete(spark, tmp_path):
+    """D4, delete half (reference stack.py:189-192 DEPRECATE_IN_
+    DATABASE): a column that disappears upstream stays queryable as
+    NULL and is flagged in deprecated.columns rather than dropped;
+    when it reappears the flag clears."""
+    import gzip
+    import os
+
+    from data_lake_demo_spark import catalog as cat
+
+    part = os.path.join(str(tmp_path), "raw", "source=s1",
+                        "ingestion_date=2024-01-01")
+    os.makedirs(part)
+    raw = os.path.join(str(tmp_path), "raw")
+    with gzip.open(os.path.join(part, "a.json.gz"), "wt") as f:
+        f.write(json.dumps({"id": "r1", "value": 1, "legacy_flag": "x"}) + "\n")
+    cat.ensure_database(spark, "depr_db")
+    cat.infer_and_register(
+        spark, "depr_db", "raw", raw, ["source", "ingestion_date"]
+    )
+    assert "legacy_flag" in spark.table("depr_db.raw").columns
+    assert cat.deprecated_columns(spark, "depr_db", "raw") == []
+
+    # upstream stops sending legacy_flag (old file aged out)
+    os.remove(os.path.join(part, "a.json.gz"))
+    with gzip.open(os.path.join(part, "b.json.gz"), "wt") as f:
+        f.write(json.dumps({"id": "r2", "value": 2}) + "\n")
+    cat.infer_and_register(
+        spark, "depr_db", "raw", raw, ["source", "ingestion_date"]
+    )
+    tbl = spark.table("depr_db.raw")
+    assert "legacy_flag" in tbl.columns  # retained, not dropped
+    rows = tbl.collect()
+    assert [r.legacy_flag for r in rows] == [None]
+    assert [r.value for r in rows] == [2]
+    assert cat.deprecated_columns(spark, "depr_db", "raw") == ["legacy_flag"]
+
+    # the column comes back: adopted again, flag cleared
+    with gzip.open(os.path.join(part, "c.json.gz"), "wt") as f:
+        f.write(json.dumps({"id": "r3", "value": 3, "legacy_flag": "y"}) + "\n")
+    cat.infer_and_register(
+        spark, "depr_db", "raw", raw, ["source", "ingestion_date"]
+    )
+    assert cat.deprecated_columns(spark, "depr_db", "raw") == []
+    got = {r.id: r.legacy_flag for r in spark.table("depr_db.raw").collect()}
+    assert got == {"r2": None, "r3": "y"}
