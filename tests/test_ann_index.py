@@ -632,3 +632,89 @@ def test_filtered_vector_search_prefilter(spark, tmp_path):
         queries, k=5, nprobe=8, rerank_corpus=emb, allowed_ids=allowed
     ).collect()
     assert got2 and all(r.nid in allowed_set for r in got2)
+
+
+def test_cdf_stream_restart_matches_from_scratch_encode(spark, tmp_path):
+    """The production shape end to end (r6 verdict item 6): the
+    embeddings AcidTable is tailed as a CDF stream, each micro-batch
+    feeds AnnIndex.apply_changes under the txn ledger, the stream
+    CRASHES mid-drain after the sink work of one batch (checkpoint
+    uncommitted — the worst replay window), restarts from the same
+    checkpoint, and the maintained codes table ends BYTE-IDENTICAL to
+    a from-scratch encode of the final corpus under the same stored
+    quantizers."""
+    from data_lake_demo_spark.operators.ann_index import encode_pq
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+    from data_lake_demo_spark.functions.vector import to_double_array
+
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    table = AcidTable(spark, str(tmp_path / "emb"))
+    table.overwrite(emb)
+    idx = AnnIndex.build(table.snapshot(), str(tmp_path / "idx"), nlist=8)
+    idx.codes_table.merge_delete(
+        table.snapshot().select(F.col("vec_id").alias("nid")), ["nid"]
+    )
+    # several upstream commits so the backlog spans micro-batches
+    table.merge_delete(
+        spark.range(5, 15).select(F.col("id").alias("vec_id")), ["vec_id"]
+    )
+    table.append(
+        _emb(spark)
+        .filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70))
+        .withColumn("vec_id", F.col("vec_id") + 940)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    state = {"applied": 0, "crash_after": 1}
+
+    def sink(df, bid):
+        idx.apply_changes(df, txn_app="cdfr", batch_id=bid)
+        state["applied"] += 1
+        if state["applied"] == state["crash_after"]:
+            raise RuntimeError("injected crash after sink, before commit")
+
+    def drain():
+        q = (
+            read_table_stream(
+                spark,
+                str(tmp_path / "emb"),
+                readChangeFeed="true",
+                maxCommitsPerTrigger="1",
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        drain()
+    # restart: batch 0 is redelivered with the SAME id; the txn
+    # watermark makes the replay a no-op and the drain completes
+    state["crash_after"] = -1
+    drain()
+
+    live_ids = {r.vec_id for r in table.snapshot().select("vec_id").collect()}
+    assert live_ids == ({i for i in range(60) if not 5 <= i < 15}
+                        | set(range(1000, 1010)))
+    # from-scratch encode of the FINAL corpus under the same stored
+    # quantizers must equal the stream-maintained codes exactly
+    corpus = table.snapshot().select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    expected = {
+        (r.nid, r.cell, bytes(r.codes))
+        for r in encode_pq(corpus, idx.model).collect()
+    }
+    got = {
+        (r.nid, r.cell, bytes(r.codes))
+        for r in idx.codes_table.snapshot().select(
+            "nid", "cell", "codes"
+        ).collect()
+    }
+    assert got == expected
