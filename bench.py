@@ -98,6 +98,16 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = entrymod.queries()
+    # optional subset (comma-separated names) — the 10x-scale probe
+    # runs only the lock-heaviest queries this way
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"error: unknown queries {unknown}", file=sys.stderr)
+            sys.exit(2)
+        queries = {n: queries[n] for n in names}
 
     # warm the JVM once so timings measure the queries, not one-time
     # process costs: parquet footers and whole-stage-codegen compilation
