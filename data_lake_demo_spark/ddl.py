@@ -18,6 +18,7 @@ Grammar (case-insensitive keywords; one statement per call):
     CREATE TABLE [IF NOT EXISTS] t [USING acid] [PARTITIONED BY (...)]
         [LOCATION '...'] [TBLPROPERTIES (...)] AS SELECT ...
     INSERT INTO t [(c1, c2, ...)] VALUES (...), (...) | SELECT ...
+    INSERT INTO t REPLACE WHERE conj VALUES ... | SELECT ...
     INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
     ALTER TABLE t ADD COLUMNS (a type, b type, ...)
     ALTER TABLE t RENAME COLUMN a TO b
@@ -479,6 +480,25 @@ class AcidSql:
             return self._version_df(t.overwrite(df))
         return self._version_df(t.append(df))
 
+    def _insert_replace_where(self, m) -> DataFrame:
+        """``INSERT INTO t REPLACE WHERE <conj> VALUES ...|SELECT ...``
+        (the Databricks/Delta replaceWhere statement): atomically
+        replace exactly the predicate's rows with the source —
+        AcidTable.overwrite_where, which validates that every incoming
+        row satisfies the predicate and bounds the rewrite to the
+        files the manifest can't prove unmatched."""
+        tref, where, body = m.groups()
+        t = self.table(tref)
+        body = body.strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        if re.match(r"VALUES\b", body, re.I):
+            src = self.spark.sql(f"SELECT * FROM ({body})")
+        else:
+            src = self.spark.sql(self._rewrite_time_travel(body))
+        df = self._align_for_write(t, src, None)
+        return self._version_df(t.overwrite_where(df, _parse_where(where)))
+
     def _register(self, name: str, path: str) -> None:
         t = self._tables
         if t is None:
@@ -677,6 +697,16 @@ class AcidSql:
         )
         if m:
             return self._create_table_as(m)
+
+        m = re.fullmatch(
+            rf"INSERT\s+INTO\s+(?:TABLE\s+)?({_TREF})"
+            r"\s+REPLACE\s+WHERE\s+(.+?)"
+            r"\s+(VALUES\s+.+|\(?\s*(?:SELECT|WITH|FROM|TABLE)\b.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._insert_replace_where(m)
 
         m = re.fullmatch(
             rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_TREF})"

@@ -35,6 +35,10 @@ WINDOW = [
     # the REAL IVF-FLAT stages (encode_flat cell assignment, L2 probe
     # ranking, exact-cosine probe-join scan) — closes the last ANN
     # family without a value-hash row (r6 verdict item 3)
+    "emb_filtered_ann_portable",  # NEW: filtered vector search (the
+    # RAG allowed-set shape) through the portable-SQ8 stages, full
+    # oracle (evicts doc_exact_dedup — r4-green; the election is
+    # re-proven by the in-window dedup families)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -91,7 +95,6 @@ WINDOW = [
     "emb_near_dups",  # r4-green literal-hyperplane LSH pairs
     "emb_lsh_ann",  # r4-green literal-hyperplane ANN
     "knn_brute_force",  # r4-green exact top-k baseline
-    "doc_exact_dedup",  # r4-green first-seen election
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

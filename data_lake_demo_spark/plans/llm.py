@@ -1670,9 +1670,11 @@ def emb_sq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rk")
 
 
-def _sq_portable_ctes(*, dim: int = 64) -> str:
+def _sq_portable_ctes(*, dim: int = 64, codes_where: str = "") -> str:
     """CTE block through ``ranked`` — shared by the SQ-portable ANN
-    oracle and the SQ recall-evaluation oracle."""
+    oracle, the SQ recall-evaluation oracle, and the filtered-search
+    oracle (``codes_where`` restricts the candidate corpus — the
+    pre-filtered vector-search shape)."""
     delta = "(CAST(2 AS DOUBLE) / CAST(255 AS DOUBLE))"
     return f"""
 WITH base AS (
@@ -1687,7 +1689,7 @@ codes AS (
          [LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
             CAST(floor((x + 1.0) / {delta} + 0.5) AS BIGINT))) FOR x IN u]
            AS cd
-  FROM unitv),
+  FROM unitv {codes_where}),
 qprep AS (
   SELECT vec_id AS qid, u, -list_sum(u) AS bias
   FROM unitv WHERE vec_id < 10),
@@ -1714,6 +1716,35 @@ SELECT qid, rk, nid,
 FROM ranked WHERE rk <= {k} ORDER BY qid, rk
 """
     )
+
+
+def emb_filtered_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search under a value-hash oracle — the
+    "semantic search over MY documents" shape every RAG deployment
+    needs (metadata predicate restricts the candidate set; top-k is
+    exact WITHIN the allowed set, so a heavily-filtered query can't
+    silently return fewer-than-k good hits the way post-filtering a
+    fixed candidate list does). Composes the allowed-set restriction
+    (vec_id % 3 = 0 here — stand-in for any pushed-down metadata
+    predicate) with the REAL portable-SQ8 stages (encode_sq /
+    prep_sq_queries / sq_candidates); AnnIndex.query(allowed_ids=...)
+    runs the same pre-filter semantics against the persisted index
+    (tests/test_ann_index.py::test_filtered_vector_search_prefilter).
+    Pre-filter-then-rank is exactly equivalent to ranking the encoded
+    allowed subset, which is what the oracle replays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 3 == 0)
+    cands = _portable_sq_topk(
+        allowed, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return cands.select(
+        "qid",
+        F.col("rk0").alias("rk"),
+        "nid",
+        (F.floor(F.col("adc_score") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "adc_q"
+        ),
+    ).orderBy("qid", "rk")
 
 
 def emb_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3540,6 +3571,7 @@ QUERIES = {
     "emb_ivfpq_ann_portable": emb_ivfpq_ann_portable,
     "emb_ivf_ann_portable": emb_ivf_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
+    "emb_filtered_ann_portable": emb_filtered_ann_portable,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
     "emb_graph_triangles": emb_graph_triangles,
@@ -3587,6 +3619,15 @@ ORACLE = {
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_ivf_ann_portable": _ivf_flat_portable_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
+    "emb_filtered_ann_portable": _sq_portable_ctes(
+        codes_where="WHERE vec_id % 3 = 0"
+    )
+    + """
+SELECT qid, rk, nid,
+       floor(adc_score * CAST(1000000 AS DOUBLE) + 0.5)
+         / CAST(1000000 AS DOUBLE) AS adc_q
+FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+""",
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
     "emb_graph_pagerank": _pagerank_oracle(),
     "emb_graph_triangles": _triangles_oracle(),

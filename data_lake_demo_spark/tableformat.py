@@ -1302,6 +1302,82 @@ class AcidTable:
                 continue
         raise CommitConflict(f"overwrite lost {max_retries} commit races")
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        filters,
+        *,
+        partition_by: Sequence[str] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Delta's ``replaceWhere``: atomically replace exactly the
+        rows matching ``filters`` (same ``(col, op, value)`` triples
+        as ``scan``/``delete``) with ``df`` — the idempotent
+        partition/date-range re-ingestion shape (recompute one day,
+        swap it in, never touch the rest). One commit: files whose
+        stats CAN hold a matching row are rewritten with their
+        matching rows dropped, provably-unmatched files carry over by
+        path, and the new data lands beside them.
+
+        Delta's safety contract is enforced: every incoming row must
+        itself satisfy the predicate (otherwise the "replace" would
+        smuggle rows into ranges it didn't clear — rejected, like
+        Delta's replaceWhere validation). Empty filters are rejected;
+        use ``overwrite`` for a full-table replace.
+
+        At 100 TB this is what nightly backfills should use: cost is
+        O(replaced range) — manifest pruning bounds the rewrite to
+        the partition being recomputed, not the table."""
+        if not filters:
+            raise ValueError(
+                "overwrite_where requires at least one filter "
+                "(use overwrite() to replace the whole table)"
+            )
+        df = self._apply_generated(df)
+        self._enforce_constraints(df)
+        # replaceWhere contract: new rows must match the predicate
+        logical_pred = _filters_to_predicate(filters)
+        bad = df.filter(~logical_pred | logical_pred.isNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"replaceWhere violation: incoming row {bad[0].asDict()!r} "
+                f"does not satisfy {filters!r}"
+            )
+        colmap = self._colmap()
+        phys_filters = self._phys_filters(filters, colmap)
+        pred = _filters_to_predicate(phys_filters)
+        add_new, schema = self._stage_actions(
+            self._physicalize(df, colmap),
+            partition_by=self._phys_partition_by(partition_by, colmap),
+        )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:  # first commit: nothing to replace
+                try:
+                    return self._try_commit(0, "overwrite", add_new, [], schema)
+                except CommitConflict:
+                    continue
+            touched, _, schema_json = self._pruned_live(phys_filters, base)
+            dvs = self._resolve_state(base)[4]
+            add = list(add_new)
+            if touched:
+                remainder = self._apply_dvs(
+                    self._read_files(touched, schema_json), touched, dvs
+                ).filter(~pred | pred.isNull())
+                add_rem, _ = self._stage_actions(remainder)
+                add = add_rem + add
+            try:
+                return self._try_commit(
+                    base + 1,
+                    "overwrite",
+                    add,
+                    touched,
+                    self._evolve_schema(schema, base),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"overwrite_where lost {max_retries} commit races")
+
     def copy_into(
         self,
         src: str,

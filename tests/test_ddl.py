@@ -479,3 +479,29 @@ def test_merge_with_schema_evolution_sql(spark, tmp_path):
     assert "is_del" not in snap.columns and "extra" in snap.columns
     got = {r.k: (r.s, r.extra) for r in snap.collect()}
     assert got == {1: ("a", None), 2: ("b2", 7)}
+
+
+def test_insert_replace_where_sql(spark, tmp_path):
+    """INSERT INTO t REPLACE WHERE <conj> routes to overwrite_where:
+    the predicate's rows swap for the source atomically; an
+    out-of-range source row is rejected."""
+    import pytest as _pytest
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 10), (3, "d2", 30)], "k int, day string, v int"
+        )
+    )
+    sql.sql(
+        "INSERT INTO t REPLACE WHERE day = 'd1' "
+        "VALUES (1, 'd1', 11), (5, 'd1', 50)"
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 11, 5: 50, 3: 30}
+    with _pytest.raises(ValueError, match="replaceWhere"):
+        sql.sql(
+            "INSERT INTO t REPLACE WHERE day = 'd1' VALUES (9, 'd9', 90)"
+        )

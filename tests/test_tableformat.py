@@ -2488,3 +2488,81 @@ def test_truncate_metadata_only(spark, tmp_path):
     assert t.truncate() == v2  # already empty: no new commit
     t.append(spark.createDataFrame([(9, "z")], "k int, s string"))
     assert [tuple(r) for r in t.snapshot().collect()] == [(9, "z")]
+
+
+def test_overwrite_where_replaces_predicate_range(spark, tmp_path):
+    """Delta replaceWhere: one commit swaps exactly the predicate's
+    rows for the new batch; unmatched files carry over BY PATH (no
+    rewrite); incoming rows outside the predicate are rejected; CDF
+    shows the swap; empty filters rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    # two partition-clustered files: day 1 and day 2
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d1", 20)], "k int, day string, v int"
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "d2", 30), (4, "d2", 40)], "k int, day string, v int"
+        )
+    )
+    live_before, _, _, _, _ = t._resolve_state(None)
+    v_before = t.latest_version()
+    # recompute day 1
+    t.overwrite_where(
+        spark.createDataFrame(
+            [(1, "d1", 11), (5, "d1", 50)], "k int, day string, v int"
+        ),
+        [("day", "=", "d1")],
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 11, 5: 50, 3: 30, 4: 40}
+    live_after, _, _, _, _ = t._resolve_state(None)
+    # the d2 file carried over untouched (same path, no rewrite)
+    d2_files = [p for p, st in live_before.items() if st.get("day", ["", ""])[0] == "d2"]
+    assert d2_files and all(p in live_after for p in d2_files)
+    # CDF of the swap commit: d1 rows replaced, d2 rows silent
+    ch = sorted(
+        (r.k, r._change_type) for r in t.changes(v_before).collect()
+    )
+    assert ch == [(1, "delete"), (1, "insert"), (2, "delete"), (5, "insert")]
+    # safety contract: incoming rows must satisfy the predicate
+    with _pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            spark.createDataFrame([(9, "d9", 90)], "k int, day string, v int"),
+            [("day", "=", "d1")],
+        )
+    with _pytest.raises(ValueError, match="at least one filter"):
+        t.overwrite_where(
+            spark.createDataFrame([(9, "d1", 90)], "k int, day string, v int"),
+            [],
+        )
+
+
+def test_overwrite_where_respects_dvs_and_schema(spark, tmp_path):
+    """replaceWhere composes with deletion vectors (masked rows stay
+    deleted through the rewrite) and cannot narrow a widened schema."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)],
+            "k int, day string, v int",
+        )
+    )
+    t.delete([("k", "=", 2)], mode="merge_on_read")  # DV, no rewrite
+    t.widen_column("v", "bigint")
+    t.overwrite_where(
+        spark.createDataFrame([(7, "d2", 1 << 40)], "k int, day string, v bigint"),
+        [("day", "=", "d2")],
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 10, 7: 1 << 40}  # 2 stays deleted, 3 replaced
+    assert dict(t.snapshot().dtypes)["v"] == "bigint"
