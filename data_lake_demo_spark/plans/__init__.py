@@ -39,6 +39,10 @@ WINDOW = [
     # RAG allowed-set shape) through the portable-SQ8 stages, full
     # oracle (evicts doc_exact_dedup — r4-green; the election is
     # re-proven by the in-window dedup families)
+    "emb_mmr_rerank",  # NEW: MMR diversity re-ranking, 4 unrolled
+    # greedy rounds value-hashed end-to-end (evicts knn_brute_force —
+    # r4-green; the exact scorer is embedded in this query's pool
+    # stage AND in emb_ann_recall_at_k, both in-window)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -94,7 +98,6 @@ WINDOW = [
     "doc_ngram_jaccard_dups",  # r4-green exact Jaccard verify tier
     "emb_near_dups",  # r4-green literal-hyperplane LSH pairs
     "emb_lsh_ann",  # r4-green literal-hyperplane ANN
-    "knn_brute_force",  # r4-green exact top-k baseline
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

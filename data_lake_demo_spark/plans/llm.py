@@ -739,6 +739,138 @@ WHERE rk <= 5 ORDER BY qid, rk
 """
 
 
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/mmr.mmr_rerank): exact
+    cosine top-10 pool per query, then 4 greedy MMR picks at
+    lam=0.7 — the RAG diversity stage. The greedy loop is unrolled
+    pure-JVM algebra (qid-keyed joins + window argmax on quantized
+    scores), so the FULL selection value-hashes: the oracle
+    precomputes the pool's pairwise sims and replays all four rounds
+    with the identical double arithmetic (mu is computed as
+    1.0 - 0.7 in double on BOTH sides — the literal 0.3 is a
+    different IEEE754 value)."""
+    from data_lake_demo_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            "nvec",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("rel"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("nid"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    return mmr_rerank(pool, k=4, lam=0.7).orderBy("qid", "pick_rank")
+
+
+def _mmr_oracle(*, n_q: int = 5, pool_n: int = 10, k: int = 4) -> str:
+    """DuckDB replica of the unrolled MMR selection. Pairwise pool
+    sims are precomputed once (psim); each round joins the prior
+    picks and takes greatest() of their quantized sims — the same
+    values Spark's max-aggregate folds. LAM/MU spelled as the exact
+    double expressions the operator uses."""
+    cos = (
+        "floor((list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+        " * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE)"
+    )
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+
+    def mmr_q(rel, max_sim):
+        return (
+            f"floor(({lam} * {rel} - {mu} * {max_sim})"
+            " * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE)"
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_q}),
+c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+scored AS (
+  SELECT qid, nid, {cos.format(a="qe", b="ne")} AS rel
+  FROM c CROSS JOIN q WHERE nid <> qid),
+pool AS (
+  SELECT qid, nid, rel FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+    FROM scored) WHERE rk <= {pool_n}),
+pv AS (SELECT pool.qid, pool.nid, pool.rel, c.ne AS v
+       FROM pool JOIN c ON c.nid = pool.nid),
+psim AS (
+  SELECT a.qid, a.nid AS a, b.nid AS b, {cos.format(a="a.v", b="b.v")} AS sim
+  FROM pv a JOIN pv b ON a.qid = b.qid AND a.nid <> b.nid),
+p1 AS (
+  SELECT qid, nid, rel AS mmr_score FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+    FROM pool) WHERE rn = 1),
+s2 AS (
+  SELECT pv.qid, pv.nid, pv.rel, s1.sim AS max_sim
+  FROM pv
+  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
+  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid),
+p2 AS (
+  SELECT qid, nid, score AS mmr_score FROM (
+    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
+    FROM s2) WHERE rn = 1),
+s3 AS (
+  SELECT pv.qid, pv.nid, pv.rel, greatest(s1.sim, s2p.sim) AS max_sim
+  FROM pv
+  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
+  JOIN p2 ON pv.qid = p2.qid AND pv.nid <> p2.nid
+  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid
+  JOIN psim s2p ON s2p.qid = pv.qid AND s2p.a = pv.nid AND s2p.b = p2.nid),
+p3 AS (
+  SELECT qid, nid, score AS mmr_score FROM (
+    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
+    FROM s3) WHERE rn = 1),
+s4 AS (
+  SELECT pv.qid, pv.nid, pv.rel,
+         greatest(s1.sim, s2p.sim, s3p.sim) AS max_sim
+  FROM pv
+  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
+  JOIN p2 ON pv.qid = p2.qid AND pv.nid <> p2.nid
+  JOIN p3 ON pv.qid = p3.qid AND pv.nid <> p3.nid
+  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid
+  JOIN psim s2p ON s2p.qid = pv.qid AND s2p.a = pv.nid AND s2p.b = p2.nid
+  JOIN psim s3p ON s3p.qid = pv.qid AND s3p.a = pv.nid AND s3p.b = p3.nid),
+p4 AS (
+  SELECT qid, nid, score AS mmr_score FROM (
+    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
+    FROM s4) WHERE rn = 1)
+SELECT qid, 1 AS pick_rank, nid, mmr_score FROM p1
+UNION ALL SELECT qid, 2, nid, mmr_score FROM p2
+UNION ALL SELECT qid, 3, nid, mmr_score FROM p3
+UNION ALL SELECT qid, 4, nid, mmr_score FROM p4
+ORDER BY qid, pick_rank
+"""
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for dense-retrieval training (operators/
     similarity.hard_negative_mining — the DPR/ANCE index-mined
@@ -3572,6 +3704,7 @@ QUERIES = {
     "emb_ivf_ann_portable": emb_ivf_ann_portable,
     "emb_sq_ann_portable": emb_sq_ann_portable,
     "emb_filtered_ann_portable": emb_filtered_ann_portable,
+    "emb_mmr_rerank": emb_mmr_rerank,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
     "emb_graph_triangles": emb_graph_triangles,
@@ -3618,6 +3751,7 @@ ORACLE = {
     "emb_pq_ann_portable": _pq_portable_oracle(),
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_ivf_ann_portable": _ivf_flat_portable_oracle(),
+    "emb_mmr_rerank": _mmr_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_filtered_ann_portable": _sq_portable_ctes(
         codes_where="WHERE vec_id % 3 = 0"

@@ -1945,3 +1945,71 @@ def test_kmv_sketch_exact_when_unsaturated_and_salt_invariant(spark):
         .i
     )
     assert inter == 0
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """operators/mmr.mmr_rerank vs a literal Python greedy reference
+    with the same quantization — pick order and scores must agree
+    exactly, including tie-breaks (deterministic seeded pools)."""
+    import math
+    import random
+
+    from data_lake_demo_spark.operators.mmr import mmr_rerank
+
+    rng = random.Random(42)
+    rows = []
+    vecs = {}
+    for qid in range(3):
+        for nid in range(8):
+            v = [rng.uniform(-1, 1) for _ in range(6)]
+            vecs[(qid, nid)] = v
+            rows.append((qid, nid, v))
+
+    def q6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return q6(dot / (na * nb))
+
+    # rel = cosine to a fixed per-query anchor, quantized
+    anchors = {qid: vecs[(qid, 0)] for qid in range(3)}
+    data = [
+        (qid, nid, cos(anchors[qid], v), v) for qid, nid, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "qid int, nid int, rel double, nvec array<double>"
+    )
+    lam, k = 0.7, 4
+    mu = 1.0 - lam
+    expected = []
+    for qid in range(3):
+        pool = [(nid, rel, v) for q2, nid, rel, v in data if q2 == qid]
+        picked = []
+        # pick 1: argmax rel, nid tie-break
+        pool.sort(key=lambda t: (-t[1], t[0]))
+        picked.append((pool[0][0], pool[0][1]))
+        chosen = {pool[0][0]}
+        for i in range(2, k + 1):
+            best = None
+            for nid, rel, v in pool:
+                if nid in chosen:
+                    continue
+                mx = max(cos(v, vecs[(qid, p)]) for p, _ in picked)
+                score = q6(lam * rel - mu * mx)
+                cand = (-score, nid)
+                if best is None or cand < best[0]:
+                    best = (cand, nid, score)
+            picked.append((best[1], best[2]))
+            chosen.add(best[1])
+        for rank, (nid, score) in enumerate(picked, 1):
+            expected.append((qid, rank, nid, score))
+
+    got = sorted(
+        tuple(r) for r in mmr_rerank(df, k=k, lam=lam).collect()
+    )
+    assert got == sorted(expected)
