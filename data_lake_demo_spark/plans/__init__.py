@@ -43,6 +43,11 @@ WINDOW = [
     # greedy rounds value-hashed end-to-end (evicts knn_brute_force —
     # r4-green; the exact scorer is embedded in this query's pool
     # stage AND in emb_ann_recall_at_k, both in-window)
+    "doc_lsh_recall_eval",  # NEW: measured banding recall vs the
+    # exact shared-gram Jaccard truth set (1.0 at J>=0.5 — the dedup
+    # twin of emb_ann_recall_at_k), full oracle (evicts emb_lsh_ann —
+    # r4-green; LSH algebra is certified by the in-window multiprobe
+    # and minhash-portable queries)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -97,7 +102,6 @@ WINDOW = [
     "doc_decontaminate",  # r4-green containment decontamination
     "doc_ngram_jaccard_dups",  # r4-green exact Jaccard verify tier
     "emb_near_dups",  # r4-green literal-hyperplane LSH pairs
-    "emb_lsh_ann",  # r4-green literal-hyperplane ANN
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

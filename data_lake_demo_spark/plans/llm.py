@@ -234,6 +234,154 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4 ORDER BY id_a, id_b
 """
 
 
+def doc_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of banded MinHash-LSH candidate generation against the
+    exact 3-gram Jaccard truth set at J ≥ 0.5 — the dedup-family twin
+    of emb_ann_recall_at_k: probabilistic tiers should carry a
+    measured, hash-checked quality number, not a hope (the round-4
+    degenerate-family postmortem is exactly what this query would
+    have caught as a recall collapse). Truth is computed EXACTLY via
+    a shared-gram inverted-index join (a pair with J > 0 must share a
+    gram, so the all-pairs work is bounded by gram co-occurrence, not
+    n²); candidates are the portable-LSH banding with no estimator
+    filter, so the number is the BANDING's recall. One output row:
+    (n_truth, n_cand, n_hit, recall_q)."""
+    from data_lake_demo_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        shingles,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("__toks", tokens("text"))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(shingles(F.col("__toks"), 3)).alias("g"),
+        )
+        .cache()
+    )
+    sizes = g.select("id", F.size("g").alias("sz"))
+    ex = g.select("id", F.explode("g").alias("gram"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    truth = (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+    cand = (
+        minhash_lsh_candidates(
+            docs, shingle_n=3, min_jaccard=0.0, portable=True
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            (
+                F.floor(
+                    F.col("n_hit") / F.col("n_truth").cast("double") * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("recall_q"),
+        )
+    )
+
+
+def _lsh_recall_oracle(
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 256,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replica: exact shared-gram truth tier + the portable
+    banding CTEs (lockstep with _minhash_portable_oracle), joined into
+    the single recall row."""
+    from data_lake_demo_spark.operators.dedup import (
+        _MERSENNE_P,
+        _affine_params,
+        md5fold_oracle_expr,
+    )
+
+    values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine_params(num_hashes))
+    )
+    rpb = num_hashes // bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                             FOR i IN range(1, len(t) - 1)])
+    END AS g
+  FROM toks),
+ex AS (SELECT doc_id AS id, unnest(g) AS gram FROM grams),
+sizes AS (SELECT doc_id AS id, len(g) AS sz FROM grams),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id),
+truth AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {threshold}),
+sh AS (SELECT doc_id, unnest(g) AS s FROM grams),
+h AS (SELECT doc_id, {md5fold_oracle_expr('s')} AS h FROM sh),
+mins AS (
+  SELECT doc_id, p.i AS i, min((h * p.a + p.b) % {_MERSENNE_P}) AS m
+  FROM h CROSS JOIN (VALUES {values}) p(i, a, b)
+  GROUP BY doc_id, p.i),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band_id,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+  FROM mins GROUP BY doc_id, i // {rpb}
+  QUALIFY count(*) OVER (PARTITION BY band_id, bh) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+agg AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+                        WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_hit)
+SELECT n_truth, n_cand, n_hit,
+       floor(n_hit / CAST(n_truth AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5)
+         / CAST(1000000 AS DOUBLE) AS recall_q
+FROM agg
+"""
+
+
 def doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: connected components over a deterministic
     similarity graph → one (doc_id, component) row per document, with
@@ -3705,6 +3853,7 @@ QUERIES = {
     "emb_sq_ann_portable": emb_sq_ann_portable,
     "emb_filtered_ann_portable": emb_filtered_ann_portable,
     "emb_mmr_rerank": emb_mmr_rerank,
+    "doc_lsh_recall_eval": doc_lsh_recall_eval,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
     "emb_graph_triangles": emb_graph_triangles,
@@ -3752,6 +3901,7 @@ ORACLE = {
     "emb_ivfpq_ann_portable": _ivfpq_portable_oracle(),
     "emb_ivf_ann_portable": _ivf_flat_portable_oracle(),
     "emb_mmr_rerank": _mmr_oracle(),
+    "doc_lsh_recall_eval": _lsh_recall_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_filtered_ann_portable": _sq_portable_ctes(
         codes_where="WHERE vec_id % 3 = 0"
