@@ -293,6 +293,8 @@ def test_no_python_udf_across_entire_query_registry(spark):
                 # their whole point — same stages, literal params)
                 "emb_pq_ann_portable", "emb_ivfpq_ann_portable",
                 "emb_sq_ann_portable",
+                "emb_ivf_ann_portable",  # flat encode/prep kernels
+                "emb_filtered_ann_portable",  # SQ kernels + pre-filter
                 "emb_ann_recall_at_k"}  # approx side = the SQ kernels
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
