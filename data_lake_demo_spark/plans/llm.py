@@ -243,46 +243,21 @@ def doc_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     have caught as a recall collapse). Truth is computed EXACTLY via
     a shared-gram inverted-index join (a pair with J > 0 must share a
     gram, so the all-pairs work is bounded by gram co-occurrence, not
-    n²); candidates are the portable-LSH banding with no estimator
-    filter, so the number is the BANDING's recall. One output row:
+    n²) with PREFIX FILTERING (operators/dedup.exact_jaccard_join —
+    the 10x corpus exposed a corpus-wide shared gram that blew the
+    naive shared-gram join to ~110 s; prefix filtering bounds every
+    join bucket by gram rarity with zero recall loss); candidates are
+    the portable-LSH banding with no estimator filter, so the number
+    is the BANDING's recall. One output row:
     (n_truth, n_cand, n_hit, recall_q)."""
     from data_lake_demo_spark.operators.dedup import (
+        exact_jaccard_join,
         minhash_lsh_candidates,
-        shingles,
-        tokens,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.withColumn("__toks", tokens("text"))
-        .select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(shingles(F.col("__toks"), 3)).alias("g"),
-        )
-        .cache()
-    )
-    sizes = g.select("id", F.size("g").alias("sz"))
-    ex = g.select("id", F.explode("g").alias("gram"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), "gram")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     truth = (
-        pairs.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .filter(
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-            >= 0.5
-        )
+        exact_jaccard_join(docs, threshold=0.5, n=3)
         .select("id_a", "id_b")
         .cache()
     )

@@ -741,3 +741,94 @@ def test_pmi_matches_bruteforce(spark, docs):
     for k2, (c, p) in want.items():
         assert got[k2][0] == c
         assert abs(got[k2][1] - p) < 2e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["d1", "d2", "d3"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    repl=st.lists(
+        st.tuples(
+            st.integers(min_value=100, max_value=120),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    day=st.sampled_from(["d1", "d2", "d3"]),
+)
+def test_overwrite_where_equals_delete_plus_append(
+    spark, tmp_path_factory, rows, repl, day
+):
+    """replaceWhere ≡ (delete predicate; append batch) observationally
+    — but in ONE commit. Hypothesis drives arbitrary table contents,
+    replaced days, and replacement batches."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    root = tmp_path_factory.mktemp("ow")
+    t = AcidTable(spark, str(root / "t"))
+    df = spark.createDataFrame(rows, "k int, day string, v int")
+    t.append(df)
+    batch = spark.createDataFrame(
+        [(k, day, v) for k, v in repl], "k int, day string, v int"
+    )
+    v0 = t.latest_version()
+    t.overwrite_where(batch, [("day", "=", day)])
+    assert t.latest_version() == v0 + 1  # ONE commit
+    got = sorted(tuple(r) for r in t.snapshot().collect())
+    expected = sorted(
+        [t2 for t2 in rows if t2[1] != day]
+        + [(k, day, v) for k, v in repl]
+    )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "common"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_exact_jaccard_join_matches_naive_all_pairs(spark, texts, threshold):
+    """Prefix filtering must be EXACT: same pair set + jaccards as the
+    naive O(n²) reference for arbitrary corpora (incl. the corpus-wide
+    shared token that blows up a naive shared-gram join)."""
+    from data_lake_demo_spark.operators.dedup import exact_jaccard_join
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in exact_jaccard_join(docs, threshold=threshold, n=3).collect()
+    }
+
+    def grams(t, n=3):
+        toks = t.strip().split()
+        if len(toks) <= n - 1:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            ga, gb = grams(a), grams(texts[j])
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= threshold:
+                expected[(i, j)] = round(jac, 9)
+    assert got == expected
