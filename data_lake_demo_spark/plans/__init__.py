@@ -48,6 +48,11 @@ WINDOW = [
     # twin of emb_ann_recall_at_k), full oracle (evicts emb_lsh_ann —
     # r4-green; LSH algebra is certified by the in-window multiprobe
     # and minhash-portable queries)
+    "doc_rag_pipeline",  # NEW: end-to-end RAG retrieval composition
+    # (quality gate -> embedding join -> exact pool -> MMR -> snippet
+    # rehydration), full oracle (evicts emb_near_dups — r4-green; the
+    # literal-hyperplane family stays certified by the in-window
+    # emb_lsh_multiprobe_ann)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -101,7 +106,6 @@ WINDOW = [
     "doc_winnowing_overlap",  # r4-green winnowing fingerprints
     "doc_decontaminate",  # r4-green containment decontamination
     "doc_ngram_jaccard_dups",  # r4-green exact Jaccard verify tier
-    "emb_near_dups",  # r4-green literal-hyperplane LSH pairs
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

@@ -902,19 +902,21 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(pool, k=4, lam=0.7).orderBy("qid", "pick_rank")
 
 
-def _mmr_oracle(*, n_q: int = 5, pool_n: int = 10, k: int = 4) -> str:
-    """DuckDB replica of the unrolled MMR selection. Pairwise pool
-    sims are precomputed once (psim); each round joins the prior
-    picks and takes greatest() of their quantized sims — the same
-    values Spark's max-aggregate folds. LAM/MU spelled as the exact
-    double expressions the operator uses."""
-    cos = (
-        "floor((list_sum(list_transform(list_zip({a}, {b}),"
-        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
-        " * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE)"
-    )
+_COS_Q_SQL = (
+    "floor((list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    " * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE)"
+)
+
+
+def _mmr_rounds_sql(*, k: int) -> tuple[str, str]:
+    """The unrolled greedy rounds as (CTE fragments, final UNION) —
+    assumes CTEs ``pool`` (qid, nid, rel), ``pv`` (qid, nid, rel, v)
+    and ``psim`` (qid, a, b, sim) are already defined. LAM/MU are the
+    exact double expressions the operator uses (1 - 0.7 computed in
+    double — the literal 0.3 is a different IEEE754 value)."""
     lam = "CAST(0.7 AS DOUBLE)"
     mu = "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
 
@@ -924,12 +926,63 @@ def _mmr_oracle(*, n_q: int = 5, pool_n: int = 10, k: int = 4) -> str:
             " * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE)"
         )
 
+    ctes = [
+        """p1 AS (
+  SELECT qid, nid, rel AS mmr_score FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+    FROM pool) WHERE rn = 1)"""
+    ]
+    for i in range(2, k + 1):
+        prior = list(range(1, i))
+        anti = "\n  ".join(
+            f"JOIN p{j} ON pv.qid = p{j}.qid AND pv.nid <> p{j}.nid"
+            for j in prior
+        )
+        sims = "\n  ".join(
+            f"JOIN psim s{j}p ON s{j}p.qid = pv.qid AND s{j}p.a = pv.nid"
+            f" AND s{j}p.b = p{j}.nid"
+            for j in prior
+        )
+        mx = (
+            f"s{prior[0]}p.sim"
+            if len(prior) == 1
+            else "greatest(" + ", ".join(f"s{j}p.sim" for j in prior) + ")"
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT pv.qid, pv.nid, pv.rel, {mx} AS max_sim
+  FROM pv
+  {anti}
+  {sims})"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT qid, nid, score AS mmr_score FROM (
+    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
+    FROM s{i}) WHERE rn = 1)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT qid, {i} AS pick_rank, nid, mmr_score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(ctes), union
+
+
+def _mmr_oracle(*, n_q: int = 5, pool_n: int = 10, k: int = 4) -> str:
+    """DuckDB replica of the unrolled MMR selection. Pairwise pool
+    sims are precomputed once (psim); each round joins the prior
+    picks and takes greatest() of their quantized sims — the same
+    values Spark's max-aggregate folds."""
+    rounds, union = _mmr_rounds_sql(k=k)
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id < {n_q}),
 c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
 scored AS (
-  SELECT qid, nid, {cos.format(a="qe", b="ne")} AS rel
+  SELECT qid, nid, {_COS_Q_SQL.format(a="qe", b="ne")} AS rel
   FROM c CROSS JOIN q WHERE nid <> qid),
 pool AS (
   SELECT qid, nid, rel FROM (
@@ -939,57 +992,104 @@ pool AS (
 pv AS (SELECT pool.qid, pool.nid, pool.rel, c.ne AS v
        FROM pool JOIN c ON c.nid = pool.nid),
 psim AS (
-  SELECT a.qid, a.nid AS a, b.nid AS b, {cos.format(a="a.v", b="b.v")} AS sim
+  SELECT a.qid, a.nid AS a, b.nid AS b,
+         {_COS_Q_SQL.format(a="a.v", b="b.v")} AS sim
   FROM pv a JOIN pv b ON a.qid = b.qid AND a.nid <> b.nid),
-p1 AS (
-  SELECT qid, nid, rel AS mmr_score FROM (
+{rounds}
+{union}
+ORDER BY qid, pick_rank
+"""
+
+
+def doc_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval pipeline in ONE plan — the shape a
+    production retriever runs per query batch: (1) quality gate the
+    passage corpus (n_chars >= 200 here — stand-in for the model
+    quality scores the engine also provides), (2) join passages to
+    their embeddings, (3) exact cosine retrieval of a top-10
+    candidate pool per query, (4) MMR diversification to the final 3
+    (operators/mmr.mmr_rerank), (5) join the answer snippets back.
+    Every stage is existing oracle-proven machinery composed — and
+    the composition itself value-hashes end-to-end, so a regression
+    at any seam (gate, join, ranking, diversification, rehydration)
+    flips the hash."""
+    from data_lake_demo_spark.operators.mmr import mmr_rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("n_chars") >= 200)
+        .select(
+            F.col("vec_id").alias("nid"),
+            to_double_array(F.col("embedding")).alias("nvec"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        to_double_array(F.col("embedding")).alias("qvec"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            "nvec",
+            quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("rel"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("nid"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    picks = mmr_rerank(pool, k=3, lam=0.7)
+    return (
+        picks.join(
+            docs.select(
+                F.col("doc_id").alias("nid"),
+                F.substring("text", 1, 40).alias("snippet"),
+            ),
+            "nid",
+        )
+        .select("qid", "pick_rank", "nid", "mmr_score", "snippet")
+        .orderBy("qid", "pick_rank")
+    )
+
+
+def _rag_pipeline_oracle(*, n_q: int = 5, pool_n: int = 10, k: int = 3) -> str:
+    """DuckDB replica of the composed RAG pipeline: the MMR rounds
+    generator over a quality-gated passage corpus, wrapped with the
+    snippet rehydration join."""
+    rounds, union = _mmr_rounds_sql(k=k)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_q}),
+c AS (SELECT vec_id AS nid, embedding AS ne
+      FROM embeddings JOIN documents ON doc_id = vec_id
+      WHERE n_chars >= 200),
+scored AS (
+  SELECT qid, nid, {_COS_Q_SQL.format(a="qe", b="ne")} AS rel
+  FROM c CROSS JOIN q WHERE nid <> qid),
+pool AS (
+  SELECT qid, nid, rel FROM (
     SELECT qid, nid, rel,
-           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
-    FROM pool) WHERE rn = 1),
-s2 AS (
-  SELECT pv.qid, pv.nid, pv.rel, s1.sim AS max_sim
-  FROM pv
-  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
-  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid),
-p2 AS (
-  SELECT qid, nid, score AS mmr_score FROM (
-    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
-           row_number() OVER (PARTITION BY qid
-             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
-    FROM s2) WHERE rn = 1),
-s3 AS (
-  SELECT pv.qid, pv.nid, pv.rel, greatest(s1.sim, s2p.sim) AS max_sim
-  FROM pv
-  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
-  JOIN p2 ON pv.qid = p2.qid AND pv.nid <> p2.nid
-  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid
-  JOIN psim s2p ON s2p.qid = pv.qid AND s2p.a = pv.nid AND s2p.b = p2.nid),
-p3 AS (
-  SELECT qid, nid, score AS mmr_score FROM (
-    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
-           row_number() OVER (PARTITION BY qid
-             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
-    FROM s3) WHERE rn = 1),
-s4 AS (
-  SELECT pv.qid, pv.nid, pv.rel,
-         greatest(s1.sim, s2p.sim, s3p.sim) AS max_sim
-  FROM pv
-  JOIN p1 ON pv.qid = p1.qid AND pv.nid <> p1.nid
-  JOIN p2 ON pv.qid = p2.qid AND pv.nid <> p2.nid
-  JOIN p3 ON pv.qid = p3.qid AND pv.nid <> p3.nid
-  JOIN psim s1 ON s1.qid = pv.qid AND s1.a = pv.nid AND s1.b = p1.nid
-  JOIN psim s2p ON s2p.qid = pv.qid AND s2p.a = pv.nid AND s2p.b = p2.nid
-  JOIN psim s3p ON s3p.qid = pv.qid AND s3p.a = pv.nid AND s3p.b = p3.nid),
-p4 AS (
-  SELECT qid, nid, score AS mmr_score FROM (
-    SELECT qid, nid, {mmr_q("rel", "max_sim")} AS score,
-           row_number() OVER (PARTITION BY qid
-             ORDER BY {mmr_q("rel", "max_sim")} DESC, nid) AS rn
-    FROM s4) WHERE rn = 1)
-SELECT qid, 1 AS pick_rank, nid, mmr_score FROM p1
-UNION ALL SELECT qid, 2, nid, mmr_score FROM p2
-UNION ALL SELECT qid, 3, nid, mmr_score FROM p3
-UNION ALL SELECT qid, 4, nid, mmr_score FROM p4
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+    FROM scored) WHERE rk <= {pool_n}),
+pv AS (SELECT pool.qid, pool.nid, pool.rel, c.ne AS v
+       FROM pool JOIN c ON c.nid = pool.nid),
+psim AS (
+  SELECT a.qid, a.nid AS a, b.nid AS b,
+         {_COS_Q_SQL.format(a="a.v", b="b.v")} AS sim
+  FROM pv a JOIN pv b ON a.qid = b.qid AND a.nid <> b.nid),
+{rounds},
+picks AS (
+{union})
+SELECT p.qid, p.pick_rank, p.nid, p.mmr_score,
+       substr(d.text, 1, 40) AS snippet
+FROM picks p JOIN documents d ON d.doc_id = p.nid
 ORDER BY qid, pick_rank
 """
 
@@ -3829,6 +3929,7 @@ QUERIES = {
     "emb_filtered_ann_portable": emb_filtered_ann_portable,
     "emb_mmr_rerank": emb_mmr_rerank,
     "doc_lsh_recall_eval": doc_lsh_recall_eval,
+    "doc_rag_pipeline": doc_rag_pipeline,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
     "emb_graph_triangles": emb_graph_triangles,
@@ -3877,6 +3978,7 @@ ORACLE = {
     "emb_ivf_ann_portable": _ivf_flat_portable_oracle(),
     "emb_mmr_rerank": _mmr_oracle(),
     "doc_lsh_recall_eval": _lsh_recall_oracle(),
+    "doc_rag_pipeline": _rag_pipeline_oracle(),
     "emb_sq_ann_portable": _sq_portable_oracle(),
     "emb_filtered_ann_portable": _sq_portable_ctes(
         codes_where="WHERE vec_id % 3 = 0"
