@@ -3103,7 +3103,7 @@ def doc_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually fires
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 25).alias("text")
-    )
+    ).persist()  # scanned by both parity-split appends
     root = tempfile.mkdtemp(prefix="dedup_idx_query_")
     try:
         base = AcidTable(spark, root + "/docs")

@@ -234,6 +234,10 @@ class MaterializedAggregate:
             self.group_cols,
             "_retire",
             txn=(self.app, target),
+            # delta branches are each grouped on the MV key and
+            # key-disjoint by construction — skip the multiple-match
+            # count job per sync
+            unique_keys=True,
         )
 
     def foreach_batch_sink(self):
@@ -425,6 +429,12 @@ class IncrementalDedupIndex:
                 ["digest"],
                 "_retire",
                 txn=(self.app, target),
+                # the delta is unique per digest BY CONSTRUCTION
+                # (novel/reelected/retired are each one groupBy-digest
+                # or anti-join away from distinct digests, and the
+                # three branches are digest-disjoint) — skip the
+                # multiple-match count job per sync
+                unique_keys=True,
             )
         finally:
             updates.unpersist()

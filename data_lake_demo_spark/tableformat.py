@@ -3210,6 +3210,7 @@ class AcidTable:
         txn: tuple[str, int] | None = None,
         partition_by: Sequence[str] | None = None,
         auto_evolve: bool = False,
+        unique_keys: bool = False,
         max_retries: int = 5,
     ) -> int:
         """Full MERGE (WHEN MATCHED AND <delete_col> THEN DELETE /
@@ -3264,6 +3265,7 @@ class AcidTable:
                 delete_col,
                 dedupe_order=dedupe_order,
                 allow_missing_columns=auto_evolve,
+                unique_keys=unique_keys,
             )
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
