@@ -175,3 +175,83 @@ def lttb_downsample(
         .filter(F.col("__pick") == 1)
         .select(*keys, F.col("__bkt").alias("bkt"), x_col, F.col("__y").alias(y_col))
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    window_us: int,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel``: per user, the deepest level k such
+    that steps[0..k-1] occur in timestamp order with the k-th step
+    within ``window_us`` of the CHAIN's first step. Returns
+    ``(user, funnel_level)`` for every user with at least one step
+    event (level 0 = has step events but never the first step).
+
+    Spark-first shape: ONE shuffle (groupBy user), then a linear fold
+    over each user's time-sorted step events entirely inside codegen
+    (``F.aggregate`` — no UDF, no self-join). The fold keeps, per
+    level j, the LATEST chain-start timestamp of any chain reaching
+    j: a later start is strictly more permissive for the remaining
+    window, so checking only that maximum is complete — equivalent to
+    the existential "∃ ts₁ ≤ … ≤ ts_k with ts_k − ts₁ ≤ T" (which is
+    what the DuckDB oracle spells as k-way joins; the fold is the
+    O(events) single-pass the joins can't afford at scale).
+
+    Events are encoded as ``ts_us * 8 + step_idx`` and sorted as
+    longs, so a later step at the SAME microsecond counts as after an
+    earlier one (ties allowed, matching the oracle's ``>=``);
+    ``shiftright`` decodes exactly where double division would lose
+    precision above 2⁵³."""
+    m = len(steps)
+    if not 1 <= m <= 7:
+        raise ValueError("window_funnel supports 1..7 steps")
+    idx = F.when(F.col(event_col) == steps[0], 1)
+    for j, s in enumerate(steps[1:], start=2):
+        idx = idx.when(F.col(event_col) == s, j)
+    idx = idx.otherwise(0)
+    neg = F.lit(-1).cast("long")
+    ev = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            idx.alias("__k"),
+        )
+        .filter(F.col("__k") > 0)
+        .select(
+            "user",
+            (F.shiftleft(F.col("__us"), 3) + F.col("__k")).alias("__x"),
+        )
+    )
+    evs = ev.groupBy("user").agg(
+        F.sort_array(F.collect_list("__x")).alias("__evs")
+    )
+
+    def fold(acc, x):
+        us = F.shiftright(x, 3)
+        k = x.bitwiseAND(F.lit(7))
+        prev = {j: acc.getField(f"l{j}") for j in range(1, m + 1)}
+        out = []
+        for j in range(1, m + 1):
+            if j == 1:
+                cand = F.when(k == 1, us).otherwise(neg)
+            else:
+                ok = (
+                    (k == j)
+                    & (prev[j - 1] >= 0)
+                    & (us - prev[j - 1] <= F.lit(window_us))
+                )
+                cand = F.when(ok, prev[j - 1]).otherwise(neg)
+            out.append(F.greatest(prev[j], cand).alias(f"l{j}"))
+        return F.struct(*out)
+
+    init = F.struct(*[neg.alias(f"l{j}") for j in range(1, m + 1)])
+    state = F.aggregate(F.col("__evs"), init, fold)
+    level = F.lit(0)
+    for j in range(1, m + 1):
+        level = F.when(state.getField(f"l{j}") >= 0, j).otherwise(level)
+    return evs.select("user", level.alias("funnel_level"))

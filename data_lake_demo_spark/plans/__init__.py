@@ -53,6 +53,11 @@ WINDOW = [
     # rehydration), full oracle (evicts emb_near_dups — r4-green; the
     # literal-hyperplane family stays certified by the in-window
     # emb_lsh_multiprobe_ann)
+    "events_window_funnel",  # NEW: ClickHouse windowFunnel as a
+    # codegen fold, existential k-way-join oracle + hypothesis
+    # reference (evicts doc_ngram_jaccard_dups — r4-green; the exact
+    # Jaccard tier is now ALSO exercised by the in-window
+    # doc_lsh_recall_eval truth computation)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -105,7 +110,6 @@ WINDOW = [
     "events_hourly_anomalies",  # r5-green z-scores
     "doc_winnowing_overlap",  # r4-green winnowing fingerprints
     "doc_decontaminate",  # r4-green containment decontamination
-    "doc_ngram_jaccard_dups",  # r4-green exact Jaccard verify tier
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

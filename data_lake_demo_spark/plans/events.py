@@ -676,6 +676,65 @@ FROM w ORDER BY event_type, bucket
 """
 
 
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel (operators/timeseries.
+    window_funnel): per user, the deepest view→click→purchase level
+    reached with the whole chain inside a 6-hour window of its first
+    step. The operator is a single groupBy(user) + codegen fold over
+    the time-sorted step events (O(events) per user, one shuffle);
+    the ORACLE spells the equivalent existential — k-way self-joins
+    per level — which is the formulation that can't scale but
+    perfectly specifies the semantics. A green row proves the
+    max-chain-start greedy equals the existential on real data."""
+    from data_lake_demo_spark.operators.timeseries import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        window_funnel(
+            ev,
+            user_col="user_id",
+            ts_col="ts",
+            event_col="event_type",
+            steps=["view", "click", "purchase"],
+            window_us=21_600_000_000,
+        )
+        .select(F.col("user").alias("user_id"), "funnel_level")
+        .orderBy("user_id")
+    )
+
+
+WINDOW_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+lvl1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+lvl2 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v JOIN e c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND c.us >= v.us AND c.us - v.us <= 21600000000),
+lvl3 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v
+  JOIN e c ON c.user_id = v.user_id
+  JOIN e p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.us >= v.us AND p.us >= c.us AND p.us - v.us <= 21600000000),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       CASE WHEN l3.user_id IS NOT NULL THEN 3
+            WHEN l2.user_id IS NOT NULL THEN 2
+            WHEN l1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_level
+FROM u
+LEFT JOIN lvl1 l1 ON l1.user_id = u.user_id
+LEFT JOIN lvl2 l2 ON l2.user_id = u.user_id
+LEFT JOIN lvl3 l3 ON l3.user_id = u.user_id
+ORDER BY u.user_id
+"""
+
+
 def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsampling (Steinarsson's largest-triangle-three-buckets,
     the dashboard/visualization standard) of each event type's hourly
@@ -809,6 +868,7 @@ QUERIES = {
     "countmin_event_type_freq": countmin_event_type_freq,
     "events_gap_fill": events_gap_fill,
     "events_lttb_downsample": events_lttb_downsample,
+    "events_window_funnel": events_window_funnel,
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
     "events_kmv_retention": events_kmv_retention,
@@ -830,6 +890,7 @@ ORACLE = {
     "countmin_event_type_freq": COUNTMIN_FREQ_SQL,
     "events_gap_fill": GAP_FILL_SQL,
     "events_lttb_downsample": LTTB_SQL,
+    "events_window_funnel": WINDOW_FUNNEL_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_kmv_retention": EVENTS_KMV_RETENTION_SQL,

@@ -832,3 +832,70 @@ def test_exact_jaccard_join_matches_naive_all_pairs(spark, texts, threshold):
             if jac >= threshold:
                 expected[(i, j)] = round(jac, 9)
     assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=50),  # time (s)
+            st.sampled_from(["s1", "s2", "s3", "other"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    window_s=st.sampled_from([5, 12, 60]),
+)
+def test_window_funnel_matches_existential_reference(spark, events, window_s):
+    """The fold's max-chain-start greedy must equal the existential
+    definition (∃ ts1 <= ts2 <= ts3, ts3 - ts1 <= T) for arbitrary
+    event interleavings, ties, and window edges."""
+    import datetime
+
+    from data_lake_demo_spark.operators.timeseries import window_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=s), et) for u, s, et in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        r.user: r.funnel_level
+        for r in window_funnel(
+            df,
+            user_col="user_id",
+            ts_col="ts",
+            event_col="event_type",
+            steps=["s1", "s2", "s3"],
+            window_us=window_s * 1_000_000,
+        ).collect()
+    }
+
+    steps = {"s1": 1, "s2": 2, "s3": 3}
+    expected = {}
+    by_user = {}
+    for u, s, et in events:
+        if et in steps:
+            by_user.setdefault(u, []).append((s, steps[et]))
+    for u, evs in by_user.items():
+        level = 0
+        # existential: deepest k with a non-decreasing-time chain
+        # s1..sk whose span fits the window
+        seq = sorted(evs)
+        for k in (1, 2, 3):
+            found = False
+            def chains(prefix_end_t, start_t, next_step):
+                if next_step > k:
+                    return True
+                return any(
+                    t >= prefix_end_t
+                    and (start_t is None or t - start_t <= window_s)
+                    and chains(t, start_t if start_t is not None else t, next_step + 1)
+                    for t, st2 in seq
+                    if st2 == next_step
+                )
+            if chains(-1, None, 1):
+                level = k
+        expected[u] = level
+    assert got == expected
