@@ -138,7 +138,10 @@ def deprecated_columns(spark: SparkSession, db: str, table: str) -> list[str]:
         f"SHOW TBLPROPERTIES {db}.{table} ('deprecated.columns')"
     ).collect()
     val = rows[0].value if rows else ""
-    if not val or val.startswith("Table") :  # "Table ... does not have property"
+    # Spark answers a missing property with a prose message instead
+    # of an empty result — match the message, not a prefix a real
+    # column name could share
+    if not val or "does not have property" in val:
         return []
     return val.split(",")
 

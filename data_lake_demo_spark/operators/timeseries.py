@@ -255,3 +255,45 @@ def window_funnel(
     for j in range(1, m + 1):
         level = F.when(state.getField(f"l{j}") >= 0, j).otherwise(level)
     return evs.select("user", level.alias("funnel_level"))
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    order_col: str,
+    *,
+    drift_milli: int,
+    threshold_milli: int,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page 1954) over an
+    already-bucketed series, in pure window algebra: the classic
+    recursion ``S_t = max(0, S_{t-1} + x_t - mu - k)`` equals
+    ``P_t - min(P_0..P_t)`` where ``P`` is the prefix sum of
+    ``x - mu - k`` — so the sequential detector becomes ONE window
+    (prefix sum + running min), no fold, no UDF, and replays exactly
+    in ANSI SQL. All arithmetic is integer milli-units: ``x`` is
+    scaled by 1000, ``mu`` is the per-key quantized mean, ``k`` the
+    drift allowance, ``h`` the alarm threshold. Emits the buckets
+    where the statistic exceeds ``h``: (keys, order, cusum_milli).
+
+    At 100 TB: shuffle = one window partition per key over rows
+    already collapsed to one per (key, bucket)."""
+    w_all = W.partitionBy(*key_cols)
+    w_ord = w_all.orderBy(order_col)
+    milli = F.col("__x_milli")
+    mu = F.floor(F.avg(milli).over(w_all) + F.lit(0.5)).cast("long")
+    y = milli - mu - F.lit(drift_milli)
+    p = F.sum(y).over(w_ord)
+    # P_0 = 0: the running min must include the empty prefix
+    run_min = F.least(F.lit(0).cast("long"), F.min("__p").over(w_ord))
+    return (
+        df.withColumn(
+            "__x_milli",
+            F.floor(F.col(x_col) * 1000 + F.lit(0.5)).cast("long"),
+        )
+        .withColumn("__p", p.cast("long"))
+        .withColumn("cusum_milli", (F.col("__p") - run_min).cast("long"))
+        .filter(F.col("cusum_milli") > threshold_milli)
+        .select(*key_cols, order_col, "cusum_milli")
+    )

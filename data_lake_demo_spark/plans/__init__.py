@@ -58,6 +58,10 @@ WINDOW = [
     # reference (evicts doc_ngram_jaccard_dups — r4-green; the exact
     # Jaccard tier is now ALSO exercised by the in-window
     # doc_lsh_recall_eval truth computation)
+    "events_cusum_alarms",  # NEW: CUSUM change-point detection as
+    # prefix-sum minus running-min window algebra, full oracle
+    # (evicts doc_winnowing_overlap — r4-green; the winnowing family
+    # stays covered by doc_decontaminate in the retained tail)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -108,7 +112,6 @@ WINDOW = [
     "doc_retrieval_join",  # r5-green RAG composition
     "emb_lsh_multiprobe_ann",  # r5-green multi-probe LSH
     "events_hourly_anomalies",  # r5-green z-scores
-    "doc_winnowing_overlap",  # r4-green winnowing fingerprints
     "doc_decontaminate",  # r4-green containment decontamination
 ]
 assert len(WINDOW) == 50, len(WINDOW)

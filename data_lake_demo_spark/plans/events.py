@@ -735,6 +735,65 @@ ORDER BY u.user_id
 """
 
 
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (operators/timeseries.cusum_alarms) over
+    each event type's hourly value series: the sequential recursion
+    S_t = max(0, S_{t-1} + x_t − μ − k) recast as prefix-sum minus
+    running-min — one window, integer milli arithmetic, so the whole
+    detector value-hashes. Alarms = hours where the statistic exceeds
+    h (k and h in milli-units of the hourly sums)."""
+    from data_lake_demo_spark.operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        (F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5))) / 1000.0)
+        .alias("hourly_value")
+    )
+    return cusum_alarms(
+        hourly,
+        ["event_type"],
+        "hourly_value",
+        "hour",
+        drift_milli=2_000,
+        threshold_milli=40_000,
+    ).orderBy("event_type", "hour")
+
+
+CUSUM_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+           / CAST(1000 AS DOUBLE) AS hourly_value
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, hour,
+         CAST(floor(hourly_value * 1000 + 0.5) AS BIGINT) AS x_milli
+  FROM h),
+d AS (
+  SELECT event_type, hour,
+         x_milli
+           - CAST(floor(avg(x_milli) OVER (PARTITION BY event_type) + 0.5)
+                  AS BIGINT)
+           - 2000 AS y
+  FROM m),
+p AS (
+  SELECT event_type, hour,
+         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT)
+           AS pf
+  FROM d),
+s AS (
+  SELECT event_type, hour,
+         pf - least(CAST(0 AS BIGINT),
+                    min(pf) OVER (PARTITION BY event_type ORDER BY hour))
+           AS cusum_milli
+  FROM p)
+SELECT event_type, hour, cusum_milli FROM s
+WHERE cusum_milli > 40000 ORDER BY event_type, hour
+"""
+
+
 def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsampling (Steinarsson's largest-triangle-three-buckets,
     the dashboard/visualization standard) of each event type's hourly
@@ -869,6 +928,7 @@ QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_lttb_downsample": events_lttb_downsample,
     "events_window_funnel": events_window_funnel,
+    "events_cusum_alarms": events_cusum_alarms,
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_daily_retention": events_daily_retention,
     "events_kmv_retention": events_kmv_retention,
@@ -891,6 +951,7 @@ ORACLE = {
     "events_gap_fill": GAP_FILL_SQL,
     "events_lttb_downsample": LTTB_SQL,
     "events_window_funnel": WINDOW_FUNNEL_SQL,
+    "events_cusum_alarms": CUSUM_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "events_daily_retention": RETENTION_SQL,
     "events_kmv_retention": EVENTS_KMV_RETENTION_SQL,
