@@ -167,3 +167,54 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al.
+    2007) with fully DETERMINISTIC semantics: labels start as node
+    ids; each round every node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label; a node with no
+    neighbors keeps its label. ``rounds`` synchronous rounds unrolled
+    — per round ONE node-keyed join (edges × labels), one count
+    aggregate, one window argmax, so the iterative computation
+    value-hashes across engines exactly like the PageRank fixed-point
+    (no randomized visit order — the async variant's nondeterminism
+    is what keeps LPA out of reproducible pipelines).
+
+    ``edges`` are directed (src, dst) pairs — pass both directions
+    for an undirected graph. Returns (node, community).
+
+    Scale: both shuffles key on node ids every round (same keys →
+    AQE reuses partitioning); labels persist per round so round i+1
+    reads a materialized frame instead of replaying i rounds of
+    lineage."""
+    from pyspark.sql import Window as W
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        winner = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__nl"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node", F.coalesce("__nl", "label").alias("label")
+            )
+            .persist()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -62,6 +62,10 @@ WINDOW = [
     # prefix-sum minus running-min window algebra, full oracle
     # (evicts doc_winnowing_overlap — r4-green; the winnowing family
     # stays covered by doc_decontaminate in the retained tail)
+    "emb_graph_communities",  # NEW: synchronous label-propagation
+    # communities, 3 unrolled deterministic rounds value-hashed
+    # (evicts doc_decontaminate — r4-green; winnowing/containment
+    # remains pinned by planted-leak tests)
     # -- never driver-proven in ANY round (r6 verdict item 2) ---------
     "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
     # loop is engine-side); its tokenize twin doc_bpe_token_counts
@@ -112,7 +116,6 @@ WINDOW = [
     "doc_retrieval_join",  # r5-green RAG composition
     "emb_lsh_multiprobe_ann",  # r5-green multi-probe LSH
     "events_hourly_anomalies",  # r5-green z-scores
-    "doc_decontaminate",  # r4-green containment decontamination
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6-green (unchanged since its

@@ -2248,6 +2248,73 @@ ORDER BY rank DESC, node LIMIT 100
     )
 
 
+def emb_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.
+    label_propagation) over the seed-42 LSH similarity graph — the
+    community structure INSIDE connected components that min-label CC
+    can't see (CC answers "same near-dup cluster?"; LPA answers
+    "which dense semantic neighborhood?" — the curation signal for
+    topic-balanced sampling). 3 synchronous rounds, deterministic
+    modal adoption with min-label ties; the oracle replays every
+    round's (count DESC, label ASC) election, so the iterative
+    algorithm itself value-hashes."""
+    from data_lake_demo_spark.operators.graph import label_propagation
+    from data_lake_demo_spark.operators.similarity import lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signatures(emb, vec_col="embedding", n_planes=8, seed=42).select(
+        F.col("vec_id").alias("id"), "lsh_bucket"
+    )
+    a, b = sig.alias("a").hint("merge"), sig.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    return label_propagation(edges, rounds=3).orderBy("node")
+
+
+def _lpa_oracle(*, rounds: int = 3) -> str:
+    """Unrolled synchronous LPA over the same seed-42 LSH graph (keep
+    in lockstep with label_propagation: modal neighbor label, ties to
+    the smallest label, isolated nodes carry their label)."""
+    from data_lake_demo_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8, 42)
+    bucket = " + ".join(
+        f"CAST({_duck_dot('v', _duck_list(p))} > 0 AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    step = """
+l{t} AS (
+  SELECT l.node, coalesce(w.label, l.label) AS label
+  FROM l{p} l
+  LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e.dst AS node, p.label, count(*) AS c,
+             row_number() OVER (PARTITION BY e.dst
+               ORDER BY count(*) DESC, p.label) AS rn
+      FROM edges e JOIN l{p} p ON e.src = p.node
+      GROUP BY e.dst, p.label) WHERE rn = 1) w USING (node))"""
+    chain = ",".join(step.format(t=i, p=i - 1) for i in range(1, rounds + 1))
+    return f"""
+WITH ev AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+b AS (SELECT vec_id, {bucket} AS bucket FROM ev),
+edges AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges)),
+l0 AS (SELECT node, node AS label FROM nodes),
+{chain}
+SELECT node, label AS community FROM l{rounds} ORDER BY node
+"""
+
+
 def emb_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py triangle_count)
     over the UNION of two sign-LSH bucket graphs (seeds 42 and 137) —
@@ -3932,6 +3999,7 @@ QUERIES = {
     "doc_rag_pipeline": doc_rag_pipeline,
     "emb_kmeans_portable": emb_kmeans_portable,
     "emb_graph_pagerank": emb_graph_pagerank,
+    "emb_graph_communities": emb_graph_communities,
     "emb_graph_triangles": emb_graph_triangles,
     "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
@@ -3991,6 +4059,7 @@ FROM ranked WHERE rk <= 5 ORDER BY qid, rk
 """,
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
     "emb_graph_pagerank": _pagerank_oracle(),
+    "emb_graph_communities": _lpa_oracle(),
     "emb_graph_triangles": _triangles_oracle(),
     "emb_ann_recall_at_k": _ann_recall_oracle(),
     "doc_simhash_buckets_portable": _simhash_portable_oracle(),

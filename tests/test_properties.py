@@ -899,3 +899,48 @@ def test_window_funnel_matches_existential_reference(spark, events, window_s):
                 level = k
         expected[u] = level
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edge_pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    rounds=st.sampled_from([1, 2, 3]),
+)
+def test_label_propagation_matches_reference(spark, edge_pairs, rounds):
+    """Synchronous LPA vs a literal Python reference: modal neighbor
+    label, min-label ties, isolated nodes keep theirs — identical
+    after every round count."""
+    from data_lake_demo_spark.operators.graph import label_propagation
+
+    und = sorted({(a, b) for a, b in edge_pairs} | {(b, a) for a, b in edge_pairs})
+    df = spark.createDataFrame(und, "src int, dst int")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+
+    nodes = sorted({n for e in und for n in e})
+    nbrs = {n: [] for n in nodes}
+    for a, b in und:
+        nbrs[b].append(a)  # b's in-neighbors (we pass both directions)
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            if not nbrs[n]:
+                new[n] = labels[n]
+                continue
+            counts = {}
+            for m2 in nbrs[n]:
+                counts[labels[m2]] = counts.get(labels[m2], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        labels = new
+    assert got == labels
