@@ -24,6 +24,7 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
     ALTER TABLE t ALTER COLUMN a [SET DATA] TYPE wider_type
+    ALTER TABLE t ALTER COLUMN a SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
@@ -447,12 +448,17 @@ class AcidSql:
             *[F.col(c).alias(n) for c, n in zip(df.columns, cols)]
         )
         by_name = {f.name: f for f in target}
+        defaulted = {
+            k[len(t._DEFAULT_PREFIX):]
+            for k in t.properties()
+            if k.startswith(t._DEFAULT_PREFIX)
+        }
         out = []
         for n in tnames:
             if n in cols:
                 out.append(F.col(n).cast(by_name[n].dataType).alias(n))
-            elif n in auto:
-                continue  # the write path assigns/computes it
+            elif n in auto or n in defaulted:
+                continue  # the write path assigns/computes/defaults it
             else:
                 out.append(F.lit(None).cast(by_name[n].dataType).alias(n))
         return named.select(*out)
@@ -778,6 +784,30 @@ class AcidSql:
         if m:
             return self._version_df(
                 self.table(m.group(1)).widen_column(m.group(2), m.group(3))
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            r"SET\s+DEFAULT\s+(.+)",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).set_column_default(
+                    m.group(2), m.group(3).strip()
+                )
+            )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            r"DROP\s+DEFAULT",
+            s,
+            re.I,
+        )
+        if m:
+            return self._version_df(
+                self.table(m.group(1)).drop_column_default(m.group(2))
             )
 
         m = re.fullmatch(

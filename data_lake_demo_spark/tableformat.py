@@ -482,7 +482,12 @@ class AcidTable:
         {"columnMapping", "deletionVectors", "typeWidening"}
     )
     SUPPORTED_WRITER_FEATURES = frozenset(
-        {"identityColumns", "generatedColumns", "checkConstraints"}
+        {
+            "identityColumns",
+            "generatedColumns",
+            "checkConstraints",
+            "allowColumnDefaults",
+        }
     )
 
     @classmethod
@@ -539,6 +544,8 @@ class AcidTable:
                 needed_w.add("generatedColumns")
             elif k.startswith(self._CONSTRAINT_PREFIX):
                 needed_w.add("checkConstraints")
+            elif k.startswith(self._DEFAULT_PREFIX):
+                needed_w.add("allowColumnDefaults")
         proto = dict(post.get(self._PROTOCOL_KEY) or {})
         have_r = set(proto.get("reader_features") or [])
         have_w = set(proto.get("writer_features") or [])
@@ -1022,6 +1029,51 @@ class AcidTable:
     def drop_generated_column(self, name: str) -> int:
         return self.set_properties({self._GENERATED_PREFIX + name: None})
 
+    _DEFAULT_PREFIX = "default."
+
+    def set_column_default(self, name: str, expr: str) -> int:
+        """SQL column DEFAULT (Delta's ``allowColumnDefaults``): a
+        write batch that OMITS the column gets ``expr`` materialized
+        at write time; a batch that supplies it (even as NULL) wins.
+        Metadata-only — existing rows are untouched and files that
+        predate the column still read NULL (defaults govern new
+        writes, not history — the Delta/ANSI semantics). The column
+        must already exist in the committed schema (declare it first
+        via append/add_columns), so a default can never smuggle in an
+        undeclared column."""
+        schema = self.snapshot().columns
+        if name not in schema:
+            raise ValueError(
+                f"column {name!r} must exist before a DEFAULT can be "
+                "declared (add_columns first)"
+            )
+        # fail now, not at the next write, if the expression is bad
+        self.spark.sql(f"SELECT {expr}").limit(0).collect()
+        return self.set_properties({self._DEFAULT_PREFIX + name: expr})
+
+    def drop_column_default(self, name: str) -> int:
+        return self.set_properties({self._DEFAULT_PREFIX + name: None})
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """Materialize declared defaults for columns the batch omits.
+        Zero overhead when the table declares none (one properties()
+        read, no snapshot resolution)."""
+        defaults = {
+            k[len(self._DEFAULT_PREFIX):]: v
+            for k, v in self.properties().items()
+            if k.startswith(self._DEFAULT_PREFIX)
+        }
+        missing = {c: e for c, e in defaults.items() if c not in df.columns}
+        if not missing:
+            return df
+        declared = {f.name: f.dataType for f in self.snapshot().schema.fields}
+        for col, expr in missing.items():
+            c = F.expr(expr)
+            if col in declared:
+                c = c.cast(declared[col])
+            df = df.withColumn(col, c)
+        return df
+
     _IDENTITY_PREFIX = "identity."
 
     def set_identity_column(self, name: str, *, start: int = 1) -> int:
@@ -1215,6 +1267,7 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
+        df = self._apply_defaults(df)
         identity = sorted(
             k[len(self._IDENTITY_PREFIX):]
             for k in self.properties()
@@ -1286,6 +1339,7 @@ class AcidTable:
     ) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
+        df = self._apply_defaults(df)
         df = self._apply_generated(df)
         self._enforce_constraints(df)
         colmap = self._colmap()

@@ -2566,3 +2566,55 @@ def test_overwrite_where_respects_dvs_and_schema(spark, tmp_path):
     got = {r.k: r.v for r in t.snapshot().collect()}
     assert got == {1: 10, 7: 1 << 40}  # 2 stays deleted, 3 replaced
     assert dict(t.snapshot().dtypes)["v"] == "bigint"
+
+
+def test_column_defaults(spark, tmp_path):
+    """Column DEFAULT (Delta allowColumnDefaults): a batch omitting
+    the column gets the default materialized at write; a supplied
+    value (even NULL) wins; history is untouched (metadata-only);
+    DROP DEFAULT reverts to NULL fill; the writer feature is
+    stamped."""
+    import pytest as _pytest
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "eu")], "k int, region string")
+    )
+    with _pytest.raises(ValueError, match="must exist"):
+        t.set_column_default("nope", "'x'")
+    t.set_column_default("region", "'unknown'")
+    assert "allowColumnDefaults" in t.protocol()["writer_features"]
+    # narrower batch: default fills
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    # supplied value (incl. NULL) wins
+    t.append(
+        spark.createDataFrame([(3, None)], "k int, region string")
+    )
+    got = {r.k: r.region for r in t.snapshot().collect()}
+    assert got == {1: "eu", 2: "unknown", 3: None}
+    # existing rows untouched (row 1 kept its value, not re-defaulted)
+    t.drop_column_default("region")
+    t.append(spark.createDataFrame([(4,)], "k int"))
+    got = {r.k: r.region for r in t.snapshot().collect()}
+    assert got[4] is None
+
+
+def test_column_default_sql_routes(spark, tmp_path):
+    """ALTER COLUMN SET/DROP DEFAULT + INSERT with a column list that
+    omits the defaulted column."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame([(1, "eu", 5)], "k int, region string, v int")
+    )
+    sql.sql("ALTER TABLE t ALTER COLUMN region SET DEFAULT 'unknown'")
+    sql.sql("INSERT INTO t (k, v) VALUES (2, 7)")
+    got = {r.k: r.region for r in t.snapshot().collect()}
+    assert got == {1: "eu", 2: "unknown"}
+    sql.sql("ALTER TABLE t ALTER COLUMN region DROP DEFAULT")
+    sql.sql("INSERT INTO t (k, v) VALUES (3, 9)")
+    got = {r.k: r.region for r in t.snapshot().collect()}
+    assert got[3] is None
