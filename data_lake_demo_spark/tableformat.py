@@ -1040,7 +1040,10 @@ class AcidTable:
         writes, not history — the Delta/ANSI semantics). The column
         must already exist in the committed schema (declare it first
         via append/add_columns), so a default can never smuggle in an
-        undeclared column."""
+        undeclared column. Scope: the Python-API write paths (append /
+        overwrite / the INSERT SQL routes); the DSv2 writer and COPY
+        INTO require/read full rows and pad absent columns as NULL —
+        use the API paths when defaults must materialize."""
         schema = self.snapshot().columns
         if name not in schema:
             raise ValueError(
