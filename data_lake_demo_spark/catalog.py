@@ -12,6 +12,8 @@ policy.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -121,11 +123,25 @@ def infer_and_register(
     register_json_table(
         spark, db, table, path, T.StructType(data_fields), partition_cols
     )
+    # always (re)write the flag: a column that REAPPEARS upstream must
+    # clear it explicitly, not rely on register_json_table's DROP/
+    # recreate side effect. Names are validated, not escaped — a comma
+    # or quote would corrupt the comma-joined property value itself.
+    bad = [c for c in deprecated if not re.fullmatch(r"[A-Za-z0-9_.\- ]+", c)]
+    if bad:
+        raise ValueError(
+            f"cannot flag deprecated columns with unsafe names: {bad!r}"
+        )
+    cols = ",".join(sorted(deprecated))
     if deprecated:
-        cols = ",".join(sorted(deprecated))
         spark.sql(
             f"ALTER TABLE {db}.{table} SET TBLPROPERTIES "
             f"('deprecated.columns' = '{cols}')"
+        )
+    else:
+        spark.sql(
+            f"ALTER TABLE {db}.{table} UNSET TBLPROPERTIES IF EXISTS "
+            "('deprecated.columns')"
         )
     return T.StructType(data_fields)
 

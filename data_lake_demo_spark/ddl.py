@@ -109,6 +109,57 @@ def _parse_literal(tok: str):
     )
 
 
+def _parens_enclose_whole(s: str) -> bool:
+    """True iff s[0] == '(' pairs with s[-1] == ')' — i.e. stripping
+    the outer pair keeps the SQL balanced. Quote-aware, so a ')' in a
+    string literal never closes the pair early."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == n - 1
+        i += 1
+    return False
+
+
+def _strip_string_literals(s: str) -> str:
+    """Replace every '...' SQL string literal (with '' escapes) by a
+    space, so identifier scans never match text inside literals."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(" ")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _split_top(s: str, sep_word: str) -> list[str]:
     """Split on a keyword at paren/quote depth 0 (case-insensitive)."""
     parts, depth, i, start, n = [], 0, 0, 0, len(s)
@@ -497,7 +548,10 @@ class AcidSql:
         t = self.table(tref)
         body = body.strip()
         if body.startswith("(") and body.endswith(")"):
-            body = body[1:-1]
+            # unwrap ONLY if the outer pair encloses the whole body —
+            # "(SELECT ...) UNION ALL (SELECT ...)" must stay intact
+            if _parens_enclose_whole(body):
+                body = body[1:-1]
         if re.match(r"VALUES\b", body, re.I):
             src = self.spark.sql(f"SELECT * FROM ({body})")
         else:
@@ -527,10 +581,14 @@ class AcidSql:
           (``cond`` over SOURCE columns)                → CDC apply,
           one atomic commit (merge_apply)
         * only ``WHEN MATCHED THEN DELETE``             → keyed delete
-
-        Column-level ``UPDATE SET c = expr`` is deliberately out of
-        scope (use UPDATE, or the Python API): the table verbs are
-        full-row, which is what a CDC feed carries.
+        * ``WHEN MATCHED THEN UPDATE SET c = expr[, ...]``
+          [+ ``WHEN NOT MATCHED THEN INSERT *``]        → column-level
+          update: expressions may reference BOTH aliases (resolved by
+          Spark SQL itself, so ambiguity errors are Spark's); the
+          matched rows are rebuilt full-row (assigned columns from the
+          expressions, the rest carried from the target) and lowered
+          onto ``merge`` — same manifest pruning, same CDF
+          delete+insert pairs as a full-row upsert.
 
         ``MERGE WITH SCHEMA EVOLUTION INTO ...`` (Delta's clause)
         widens the table with the source's NEW columns in the same
@@ -562,12 +620,20 @@ class AcidSql:
 
         has_update = has_insert = has_plain_delete = False
         delete_cond = None
+        set_clause = None
         for clause in _split_top(whens, "WHEN"):
             c = clause.strip()
             if not c:
                 continue
             if re.fullmatch(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", c, re.I):
                 has_update = True
+            elif re.fullmatch(
+                r"MATCHED\s+THEN\s+UPDATE\s+SET\s+.+", c, re.I | re.S
+            ):
+                set_clause = re.match(
+                    r"MATCHED\s+THEN\s+UPDATE\s+SET\s+", c, re.I
+                )
+                set_clause = c[set_clause.end():]
             elif re.fullmatch(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", c, re.I):
                 has_insert = True
             elif re.fullmatch(r"MATCHED\s+THEN\s+DELETE", c, re.I):
@@ -598,18 +664,47 @@ class AcidSql:
             # DELETE condition references are flag-like; other new
             # source columns are exactly what the clause evolves in
             tcols = set(t.snapshot().columns)
-            cond_cols = set(re.findall(rf"\b{_IDENT}\b", delete_cond))
+            # scan identifiers with string literals blanked, so a new
+            # data column whose name merely coincides with a literal
+            # in the condition (op = 'status') still evolves in
+            cond_cols = set(
+                re.findall(rf"\b{_IDENT}\b", _strip_string_literals(delete_cond))
+            )
             keep = [
                 c
                 for c in src_df.columns
                 if c in tcols
                 or (auto_evolve and c not in cond_cols)
             ]
+            if auto_evolve:
+                skipped = [
+                    c for c in src_df.columns
+                    if c not in tcols and c in cond_cols
+                ]
+                if skipped:
+                    import warnings
+
+                    warnings.warn(
+                        "MERGE WITH SCHEMA EVOLUTION: source columns "
+                        f"{skipped} are referenced by the DELETE condition "
+                        "and are treated as CDC flags — they are NOT "
+                        "evolved into the table schema",
+                        stacklevel=2,
+                    )
             df = src_df.withColumn("__mrg_del", F.expr(delete_cond)).select(
                 *keep, "__mrg_del"
             )
             return self._version_df(
                 t.merge_apply(df, keys, "__mrg_del", auto_evolve=auto_evolve)
+            )
+        if set_clause is not None:
+            if has_update or has_plain_delete or delete_cond is not None:
+                raise ValueError(
+                    "column-level UPDATE SET combines only with "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+            return self._merge_update_columns(
+                t, src_df, keys, set_clause, talias, salias, has_insert
             )
         if has_update and has_insert and not has_plain_delete:
             return self._version_df(
@@ -620,9 +715,78 @@ class AcidSql:
                 t.merge_delete(src_df.select(*keys), keys)
             )
         raise ValueError(
-            "unsupported MERGE clause combination: use UPDATE SET * + "
-            "INSERT * [+ AND cond DELETE], or DELETE alone"
+            "unsupported MERGE clause combination: use UPDATE SET * / "
+            "SET c = expr + INSERT * [+ AND cond DELETE], or DELETE alone"
         )
+
+    def _merge_update_columns(
+        self, t, src_df, keys, set_clause, talias, salias, has_insert
+    ) -> DataFrame:
+        """Lower ``WHEN MATCHED THEN UPDATE SET c = expr[, ...]`` onto
+        the full-row ``merge`` verb: matched target rows are rebuilt
+        (assigned columns from the SET expressions — which Spark SQL
+        resolves against BOTH aliases, so they may mix source and
+        target values — all others carried unchanged), unmatched
+        source rows optionally become inserts, and the combined frame
+        is one atomic ``merge`` commit. At scale the matched-row join
+        column-prunes the target scan and broadcasts a small source
+        (Catalyst), and the rewrite itself stays bounded by merge's
+        manifest-level file skipping on the key ranges."""
+        from pyspark.sql import functions as F  # noqa: F401 (parity w/ callers)
+
+        ta = talias or "__mrg_t"
+        sa = salias or "__mrg_s"
+        if ta == sa:
+            raise ValueError("MERGE aliases must differ")
+        tcols = t.snapshot().columns
+        assigns: dict[str, str] = {}
+        for part in _split_top(set_clause, ","):
+            am = re.fullmatch(
+                rf"\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*(.+?)\s*", part, re.S
+            )
+            if not am:
+                raise ValueError(f"unsupported SET assignment {part.strip()!r}")
+            qual, col, expr = am.groups()
+            if qual is not None and qual != ta:
+                raise ValueError(
+                    f"SET assigns target columns — {qual}.{col} does not "
+                    f"reference the target alias {ta!r}"
+                )
+            if col not in tcols:
+                raise ValueError(f"unknown target column {col!r} in UPDATE SET")
+            if col in keys:
+                raise ValueError(f"UPDATE SET may not assign merge key {col!r}")
+            if col in assigns:
+                raise ValueError(f"duplicate assignment to column {col!r}")
+            assigns[col] = expr
+        tview, sview = "__merge_upd_target", "__merge_upd_source"
+        t.snapshot().createOrReplaceTempView(tview)
+        src_df.createOrReplaceTempView(sview)
+        try:
+            on = " AND ".join(f"{ta}.`{k}` = {sa}.`{k}`" for k in keys)
+            proj = ", ".join(
+                f"({assigns[c]}) AS `{c}`" if c in assigns
+                else f"{ta}.`{c}` AS `{c}`"
+                for c in tcols
+            )
+            updates = self.spark.sql(
+                f"SELECT {proj} FROM {tview} {ta} JOIN {sview} {sa} ON {on}"
+            )
+            if has_insert:
+                inserts = self.spark.sql(
+                    f"SELECT {sa}.* FROM {sview} {sa} LEFT ANTI JOIN "
+                    f"{tview} {ta} ON {on}"
+                )
+                updates = updates.unionByName(inserts.select(*tcols))
+            # materialize before merge: the merge rewrite re-reads the
+            # target files the temp view also scans, which is safe
+            # (snapshot isolation pins the file set), but the views
+            # must outlive plan execution — hence the finally below
+            # only drops AFTER merge() has committed.
+            return self._version_df(t.merge(updates, keys))
+        finally:
+            self.spark.catalog.dropTempView(tview)
+            self.spark.catalog.dropTempView(sview)
 
     # ---- the router ----------------------------------------------------
 

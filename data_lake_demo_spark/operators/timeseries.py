@@ -185,6 +185,8 @@ def window_funnel(
     event_col: str,
     steps: list[str],
     window_us: int,
+    max_events_per_user: int | None = None,
+    on_exceed: str = "error",
 ) -> DataFrame:
     """ClickHouse ``windowFunnel``: per user, the deepest level k such
     that steps[0..k-1] occur in timestamp order with the k-th step
@@ -206,7 +208,22 @@ def window_funnel(
     longs, so a later step at the SAME microsecond counts as after an
     earlier one (ties allowed, matching the oracle's ``>=``);
     ``shiftright`` decodes exactly where double division would lose
-    precision above 2⁵³."""
+    precision above 2⁵³.
+
+    Skew bound: the per-user buffer holds DISTINCT ``(step, μs)``
+    encodings only (``collect_set`` — exact duplicates add nothing to
+    the greedy max-chain-start fold, and the map-side partial
+    aggregation already shrinks duplicate spam before the shuffle), so
+    per-user memory is 8 bytes × distinct step events inside the
+    retention window. A bot/service user can still be pathological —
+    ``max_events_per_user`` guards that: ``on_exceed='error'`` fails
+    the job naming the bound (raise_error inside codegen, no extra
+    pass); ``'clamp'`` keeps the EARLIEST ``max_events_per_user``
+    events and drops the tail (funnels measured from a user's first
+    exposure — a chain starting after the cap is not counted, which is
+    the documented ClickHouse-style truncation)."""
+    if on_exceed not in ("error", "clamp"):
+        raise ValueError("on_exceed must be 'error' or 'clamp'")
     m = len(steps)
     if not 1 <= m <= 7:
         raise ValueError("window_funnel supports 1..7 steps")
@@ -228,8 +245,29 @@ def window_funnel(
         )
     )
     evs = ev.groupBy("user").agg(
-        F.sort_array(F.collect_list("__x")).alias("__evs")
+        F.sort_array(F.collect_set("__x")).alias("__evs")
     )
+    if max_events_per_user is not None:
+        cap = int(max_events_per_user)
+        if on_exceed == "error":
+            evs = evs.withColumn(
+                "__evs",
+                F.when(
+                    F.size("__evs") <= cap, F.col("__evs")
+                ).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "window_funnel: user %s has %d distinct step "
+                            "events (max_events_per_user=%d)",
+                            F.col("user").cast("string"),
+                            F.size("__evs"),
+                            F.lit(cap),
+                        )
+                    )
+                ),
+            )
+        else:
+            evs = evs.withColumn("__evs", F.slice(F.col("__evs"), 1, cap))
 
     def fold(acc, x):
         us = F.shiftright(x, 3)

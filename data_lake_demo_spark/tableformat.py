@@ -1390,6 +1390,23 @@ class AcidTable:
                 "overwrite_where requires at least one filter "
                 "(use overwrite() to replace the whole table)"
             )
+        df = self._apply_defaults(df)
+        identity = sorted(
+            k[len(self._IDENTITY_PREFIX):]
+            for k in self.properties()
+            if k.startswith(self._IDENTITY_PREFIX)
+        )
+        for c in identity:
+            if c in df.columns:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS — omit it"
+                )
+            if any(f[0] == c for f in filters):
+                raise ValueError(
+                    f"replaceWhere predicate on identity column {c!r} is "
+                    "not supported: replaced rows are re-minted fresh ids, "
+                    "so no incoming row could satisfy the predicate"
+                )
         df = self._apply_generated(df)
         self._enforce_constraints(df)
         # replaceWhere contract: new rows must match the predicate
@@ -1403,15 +1420,60 @@ class AcidTable:
         colmap = self._colmap()
         phys_filters = self._phys_filters(filters, colmap)
         pred = _filters_to_predicate(phys_filters)
-        add_new, schema = self._stage_actions(
-            self._physicalize(df, colmap),
-            partition_by=self._phys_partition_by(partition_by, colmap),
-        )
+        if not identity:  # stage once; retries only re-read the log
+            add_new, schema = self._stage_actions(
+                self._physicalize(df, colmap),
+                partition_by=self._phys_partition_by(partition_by, colmap),
+            )
         for _ in range(max_retries):
             base = self.latest_version()
+            new_props = None
+            if identity:
+                # identity assignment depends on the watermark at
+                # ``base``, so staging happens per attempt (a lost
+                # race orphans the staging — vacuum sweeps it) and the
+                # advanced watermark commits WITH the data, exactly
+                # like _append_with_identity.
+                props = self.properties(base) if base >= 0 else self.properties()
+                out = df.withColumn("__mono", F.monotonically_increasing_id())
+                for c in identity:
+                    nxt = props[self._IDENTITY_PREFIX + c]["next"]
+                    out = out.withColumn(
+                        c, (F.lit(int(nxt)) + F.col("__mono")).cast("long")
+                    )
+                out = out.drop("__mono")
+                add_new, schema = self._stage_actions(
+                    self._physicalize(out, colmap),
+                    partition_by=self._phys_partition_by(partition_by, colmap),
+                )
+                new_props = dict(props)
+                phys_of = {
+                    c: self._phys_names([c], colmap)[0] for c in identity
+                }
+                for c in identity:
+                    top = None
+                    for a in add_new:
+                        rng = a["stats"].get(phys_of[c])
+                        if rng is None:
+                            top = None
+                            break
+                        top = rng[1] if top is None else max(top, rng[1])
+                    if top is None and add_new:  # stats missing: read staged
+                        top = self.spark.read.parquet(
+                            *[
+                                os.path.join(self.path, a["path"])
+                                for a in add_new
+                            ]
+                        ).agg(F.max(phys_of[c]).alias("m")).first()["m"]
+                    if top is not None:
+                        new_props[self._IDENTITY_PREFIX + c] = {
+                            "next": int(top) + 1
+                        }
             if base < 0:  # first commit: nothing to replace
                 try:
-                    return self._try_commit(0, "overwrite", add_new, [], schema)
+                    return self._try_commit(
+                        0, "overwrite", add_new, [], schema, props=new_props
+                    )
                 except CommitConflict:
                     continue
             touched, _, schema_json = self._pruned_live(phys_filters, base)
@@ -1430,6 +1492,7 @@ class AcidTable:
                     add,
                     touched,
                     self._evolve_schema(schema, base),
+                    props=new_props,
                 )
             except CommitConflict:
                 continue

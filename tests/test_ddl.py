@@ -150,11 +150,12 @@ def test_merge_into_statement(spark, tmp_path):
     )
     assert sorted(r.k for r in t.snapshot().collect()) == [3, 4, 5]
 
-    # rejections: column-level SET, mismatched ON, target-side cond
-    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+    # rejections: column-level SET mixed with DELETE, mismatched ON
+    with pytest.raises(ValueError, match="column-level UPDATE SET"):
         sql.sql(
             "MERGE INTO tt USING (SELECT 1 AS k) s ON tt.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = 'z'"
+            "WHEN MATCHED THEN UPDATE SET v = 'z' "
+            "WHEN MATCHED THEN DELETE"
         )
     with pytest.raises(ValueError, match="same-named"):
         sql.sql(
@@ -505,3 +506,168 @@ def test_insert_replace_where_sql(spark, tmp_path):
         sql.sql(
             "INSERT INTO t REPLACE WHERE day = 'd1' VALUES (9, 'd9', 90)"
         )
+
+
+def test_insert_replace_where_compound_source(spark, tmp_path):
+    """A parenthesized compound source — (SELECT ...) UNION ALL
+    (SELECT ...) — must not have its outer parens mangled away
+    (the unwrap only fires when one pair encloses the whole body)."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 10), (3, "d2", 30)], "k int, day string, v int"
+        )
+    )
+    sql.sql(
+        "INSERT INTO t REPLACE WHERE day = 'd1' "
+        "(SELECT 1 AS k, 'd1' AS day, 11 AS v) UNION ALL "
+        "(SELECT 5 AS k, 'd1' AS day, 50 AS v)"
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 11, 5: 50, 3: 30}
+    # a single fully-enclosing pair still unwraps
+    sql.sql(
+        "INSERT INTO t REPLACE WHERE day = 'd2' "
+        "(SELECT 7 AS k, 'd2' AS day, 70 AS v)"
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 11, 5: 50, 7: 70}
+
+
+def test_replace_where_identity_and_defaults(spark, tmp_path):
+    """overwrite_where on an identity table assigns fresh ids and
+    advances the watermark in the same commit (ADVICE r7: it used to
+    silently write NULL ids via the SQL route); declared column
+    DEFAULTS materialize exactly like append; a predicate over the
+    identity column itself is rejected."""
+    import pytest as _pytest
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(0, "d1", 10), (0, "d2", 30)], "id long, day string, v int"
+        )
+    )
+    t.set_identity_column("id", start=100)
+    t.set_column_default("v", "42")
+    # SQL route: _align_for_write drops identity; the write path assigns
+    sql.sql(
+        "INSERT INTO t REPLACE WHERE day = 'd1' VALUES ('d1', 11), ('d1', 12)"
+    )
+    rows = {r.id: (r.day, r.v) for r in t.snapshot().collect()}
+    new_ids = [i for i, (d, _) in rows.items() if d == "d1"]
+    assert all(i is not None and i >= 100 for i in new_ids), rows
+    assert len(set(new_ids)) == 2
+    # watermark advanced: a later append keeps ids unique
+    t.append(spark.createDataFrame([("d3", 3)], "day string, v int"))
+    ids = [r.id for r in t.snapshot().collect()]
+    assert len(ids) == len(set(ids)) and all(i is not None for i in ids)
+    # defaults: omit v on the API path
+    t.overwrite_where(
+        spark.createDataFrame([("d2",)], "day string"), [("day", "=", "d2")]
+    )
+    d2 = [r for r in t.snapshot().collect() if r.day == "d2"]
+    assert [r.v for r in d2] == [42] and d2[0].id is not None
+    with _pytest.raises(ValueError, match="identity"):
+        t.overwrite_where(
+            spark.createDataFrame([("dX", 1)], "day string, v int"),
+            [("id", ">", 0)],
+        )
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.overwrite_where(
+            spark.createDataFrame(
+                [(999, "d2", 1)], "id long, day string, v int"
+            ),
+            [("day", "=", "d2")],
+        )
+
+
+def test_merge_update_set_columns_sql(spark, tmp_path):
+    """Column-level MERGE: WHEN MATCHED THEN UPDATE SET c = expr
+    (expressions over BOTH aliases) + WHEN NOT MATCHED THEN INSERT *.
+    Unassigned columns carry; CDF still emits delete+insert pairs."""
+    import pytest as _pytest
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k int, v int, tag string"
+        )
+    )
+    v_before = t.latest_version()
+    spark.createDataFrame(
+        [(2, 5), (3, 7)], "k int, delta int"
+    ).createOrReplaceTempView("upd_src")
+    sql.sql(
+        "MERGE INTO t AS tg USING upd_src AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = tg.v + s.delta, "
+        "tag = concat(tg.tag, '!')"
+    )
+    got = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert got == {1: (10, "a"), 2: (25, "b!")}
+    feed = sorted(
+        (r.k, r._change_type) for r in t.changes(v_before).collect()
+    )
+    assert feed == [(2, "delete"), (2, "insert")]
+    # with INSERT *: the source must carry full rows
+    spark.createDataFrame(
+        [(2, 100, "z"), (4, 40, "d")], "k int, v int, tag string"
+    ).createOrReplaceTempView("upd_src2")
+    sql.sql(
+        "MERGE INTO t AS tg USING upd_src2 AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert got == {1: (10, "a"), 2: (100, "b!"), 4: (40, "d")}
+    with _pytest.raises(ValueError, match="merge key"):
+        sql.sql(
+            "MERGE INTO t AS tg USING upd_src2 AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k + 1"
+        )
+    with _pytest.raises(ValueError, match="unknown target column"):
+        sql.sql(
+            "MERGE INTO t AS tg USING upd_src2 AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
+
+
+def test_merge_evolution_literal_cond_cols(spark, tmp_path):
+    """A new source column whose NAME coincides with a string literal
+    inside the DELETE condition still evolves in (identifier scan
+    blanks literals first); a column genuinely referenced by the
+    condition is excluded with a warning."""
+    import warnings as _warnings
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a")], "k int, s string"))
+    spark.createDataFrame(
+        [(1, "a2", "keep", "upsert"), (9, "i", "n", "delete")],
+        "k int, s string, status string, op string",
+    ).createOrReplaceTempView("src_lit")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        sql.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO t USING src_lit AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED AND op = 'status' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert any("op" in str(x.message) for x in w)
+    snap = t.snapshot()
+    # 'status' appears only as a LITERAL in the condition -> evolves in;
+    # 'op' is genuinely referenced -> stays a CDC flag, warned about
+    assert "status" in snap.columns and "op" not in snap.columns
+    got = {r.k: (r.s, r.status) for r in snap.collect()}
+    assert got == {1: ("a2", "keep"), 9: ("i", "n")}

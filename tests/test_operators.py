@@ -2013,3 +2013,49 @@ def test_mmr_rerank_matches_python_greedy(spark):
         tuple(r) for r in mmr_rerank(df, k=k, lam=lam).collect()
     )
     assert got == sorted(expected)
+
+
+def test_window_funnel_skew_guard(spark):
+    """The per-user buffer guard: a pathological single-user event
+    pile (duplicate spam collapses via collect_set; a genuine flood
+    over the cap either errors with the user named or clamps to the
+    earliest events) — the 100-TB bot-user story."""
+    import datetime
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_lake_demo_spark.operators.timeseries import window_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    # one bot user: 5000 raw events but only 400 distinct (step, us)
+    rows = [
+        ("bot", base + datetime.timedelta(seconds=s % 400), "s1")
+        for s in range(5000)
+    ] + [
+        ("bot", base + datetime.timedelta(seconds=401), "s2"),
+        ("human", base, "s1"),
+        ("human", base + datetime.timedelta(seconds=2), "s2"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    kw = dict(
+        user_col="user_id", ts_col="ts", event_col="event_type",
+        steps=["s1", "s2"], window_us=10_000_000,
+    )
+    # dedup alone brings the bot under a 401-cap: no error
+    got = {
+        r.user: r.funnel_level
+        for r in window_funnel(df, max_events_per_user=401, **kw).collect()
+    }
+    assert got == {"bot": 2, "human": 2}
+    # a genuine flood over the cap errors, naming the user
+    with pytest.raises(SparkRuntimeException, match="bot"):
+        window_funnel(df, max_events_per_user=100, **kw).collect()
+    # clamp keeps the earliest 100 events: the s2 at +401s is dropped
+    got = {
+        r.user: r.funnel_level
+        for r in window_funnel(
+            df, max_events_per_user=100, on_exceed="clamp", **kw
+        ).collect()
+    }
+    assert got == {"bot": 1, "human": 2}
