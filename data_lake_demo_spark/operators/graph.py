@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _checkpoint_blocks(df: DataFrame):
+    """The JVM RDD whose blocks back an eagerly local-checkpointed
+    DataFrame (its analyzed plan is a single LogicalRDD), so an
+    iterative operator can release a SUPERSEDED round's storage
+    deterministically instead of waiting for ContextCleaner GC.
+    Returns None (caller then skips the release — ContextCleaner still
+    applies) if the internal shape ever changes."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd()
+    except Exception:
+        pass
+    return None
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     *,
@@ -185,9 +201,14 @@ def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
     for an undirected graph. Returns (node, community).
 
     Scale: both shuffles key on node ids every round (same keys →
-    AQE reuses partitioning); labels persist per round so round i+1
-    reads a materialized frame instead of replaying i rounds of
-    lineage."""
+    AQE reuses partitioning). Each round's labels are EAGERLY
+    local-checkpointed — labels feed round i+1 twice (the neighbor
+    join and the carry side), so without per-round lineage truncation
+    the logical tree doubles per round and plan compilation alone
+    blows up near rounds≈10 — and the superseded round's checkpoint
+    blocks are released immediately (not left to ContextCleaner), so
+    executor storage is bounded at two label frames at ANY user-
+    supplied round count."""
     from pyspark.sql import Window as W
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -196,7 +217,10 @@ def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = nodes.withColumn("label", F.col("node")).persist()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    prev_blocks = _checkpoint_blocks(labels)
     for _ in range(rounds):
         nbr = edges.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
@@ -215,6 +239,10 @@ def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
             .select(
                 "node", F.coalesce("__nl", "label").alias("label")
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        if prev_blocks is not None:  # round i superseded: release now
+            prev_blocks.unpersist(False)
+        prev_blocks = _checkpoint_blocks(labels)
+    edges.unpersist()  # the final labels frame is materialized above
     return labels.select("node", F.col("label").alias("community"))

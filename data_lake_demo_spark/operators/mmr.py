@@ -58,6 +58,7 @@ def mmr_rerank(
         F.col(rel_col).alias("rel"),
         F.col(vec_col).alias("nvec"),
     ).persist()  # every round re-reads the pool; bounded at N per query
+    round_frames = [cands]  # unpersisted once the result materializes
     w_rel = W.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("nid"))
     # each round's pick is ONE row per query — persist it, or round i
     # re-derives every earlier round's windows and the unrolled plan
@@ -77,6 +78,7 @@ def mmr_rerank(
         )
         .persist()
     )
+    round_frames.append(picked)
     remaining = cands.join(picked.select("qid", "nid"), ["qid", "nid"], "left_anti")
     for i in range(2, k + 1):
         sims = (
@@ -120,8 +122,19 @@ def mmr_rerank(
             )
             .persist()
         )
+        round_frames.append(pick)
         picked = picked.unionByName(pick)
         remaining = remaining.join(
             pick.select("qid", "nid"), ["qid", "nid"], "left_anti"
         )
-    return picked.select("qid", "pick_rank", "nid", "mmr_score")
+    # every round's pick (and the pool) stays pinned until the result
+    # exists — they are all inputs to it — then unpersists AT ONCE
+    # instead of lingering until ContextCleaner GC. The materialized
+    # result is k small rows per query (no vectors), checkpoint-backed
+    # so re-reads never replay the k-round plan.
+    result = picked.select(
+        "qid", "pick_rank", "nid", "mmr_score"
+    ).localCheckpoint(eager=True)
+    for f in round_frames:
+        f.unpersist()
+    return result
