@@ -45,7 +45,14 @@ def gap_fill(
       and next observed values on the bucket-epoch axis (equals the
       observed value on non-gap rows; gaps always lie strictly between
       two observations, so both endpoints exist).
-    """
+
+    Skew bound: one window partition per key over rows already
+    collapsed to one per (key, bucket) — buckets per key, not raw
+    events, plus the generated gap rows (sequence() explodes between
+    observations, so a sparse key with a huge time span can FAN OUT:
+    the output row count is span/step regardless of input size;
+    choose ``step`` accordingly). Measured ~linear to 10M buckets on
+    ONE key (PERF.md "single-key window probe")."""
     w = W.partitionBy(*keys).orderBy(bucket)
     payload = [c for c in buckets.columns if c not in (*keys, bucket)]
     nxt_b = F.lead(bucket).over(w)
@@ -118,7 +125,11 @@ def lttb_downsample(
 
     Scale: one window rank per series, one bucket aggregate, one
     broadcast-sized join of bucket stats back to points — no
-    quadratic stage; n_out bounds the output per key.
+    quadratic stage; n_out bounds the output per key. Skew bound:
+    the per-key window ranks POINTS PER SERIES in one partition
+    (sort-dominated); measured ~linear to 10M points on ONE key
+    (PERF.md "single-key window probe") — beyond that, pre-bucket by
+    coarse time range and run LTTB per segment.
     """
     w = W.partitionBy(*keys).orderBy(x_col)
     wk = W.partitionBy(*keys)
@@ -126,7 +137,10 @@ def lttb_downsample(
         *keys,
         F.col(x_col),
         F.col(y_col).cast("bigint").alias("__y"),
-        F.row_number().over(w).alias("__rn"),
+        # BIGINT rank: row_number() is 32-bit and the bucket index
+        # multiplies it by n_out — at 10M points x 1000 buckets the
+        # product overflows INT (found by tools/probe_single_key_window)
+        F.row_number().over(w).cast("bigint").alias("__rn"),
         F.count(F.lit(1)).over(wk).alias("__n"),
         # floor(diff/unit), NOT a bare cast: Spark casts double->long by
         # truncation but DuckDB by rounding; floor is identical in both
@@ -316,7 +330,14 @@ def cusum_alarms(
     where the statistic exceeds ``h``: (keys, order, cusum_milli).
 
     At 100 TB: shuffle = one window partition per key over rows
-    already collapsed to one per (key, bucket)."""
+    already collapsed to one per (key, bucket) — the skew unit is
+    BUCKETS PER KEY, not raw events. A single key with a decade of
+    1-minute buckets is ~5.3M rows of (key, long, long) in one window
+    partition — sort-dominated, measured ~linear to 10M buckets/key
+    (PERF.md "single-key window probe"); if a workload ever exceeds
+    that, the known fix is a segmented prefix-scan (chunk the series,
+    scan per chunk, prefix-combine chunk aggregates) — same algebra,
+    two windows."""
     w_all = W.partitionBy(*key_cols)
     w_ord = w_all.orderBy(order_col)
     milli = F.col("__x_milli")

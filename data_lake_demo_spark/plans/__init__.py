@@ -14,112 +14,88 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-7 rotation (r6 verdict items 2+3): new/changed
-# queries lead, then the THREE registered queries that had never
-# appeared in any CORRECTNESS window (doc_bpe_vocab_tokens,
-# doc_compression_signals, emb_sq_ann — all rows-only by design, but
-# a rows-only driver row still proves the query runs in the driver's
-# environment), then the retained r6 block. Evicted to make room —
-# all r6-green (hash) in CORRECTNESS_r06.json and re-proven every
-# pytest run by tests/test_oracle_parity.py: doc_quality_model_scores
-# (rows-only by design; its frozen twin stays in-window hash-green —
-# the r6 verdict explicitly asked for this swap), doc_temperature_mix,
-# emb_hard_negatives, events_scd2_point_in_time, and the r6-green
-# formerly-r1-stale relational block (global_count, distinct_counts,
-# rollup_revenue, cube_quantity, grouping_sets_revenue, having_filter,
-# q14/q15/q17/q18/q19/q21/q22, bloom_semi_join_orders — every one got
-# a fresh r6 hash row, so they are now among the LEAST stale).
+# explicit round-8 rotation, executing the r7 verdict's item 2
+# verbatim: 48 of the 156 registered queries had no driver row newer
+# than r4 (two are r3) — every one of them is in this window, led by
+# the TWO queries new this round (which certify the r8 column-level
+# SQL MERGE and replaceWhere work end-to-end on the ACID format).
+# Evicted to make room: the ENTIRE r7 window — all 50 entries are
+# r7-green in CORRECTNESS_r07.json (47 value-hash + 3 rows-only-by-
+# design) and re-proven at sf0.001 by tests/test_oracle_parity.py on
+# every pytest run, so they are now the LEAST stale rows in the
+# registry. Within the stale block, the r3 rows lead, then the r4
+# block grouped by family (relational smoke, events/time-series,
+# corpus-prep twelve, dedup families, quality/text, embeddings,
+# multimodal).
 WINDOW = [
-    # -- new or changed in round 7 ------------------------------------
-    "emb_ivf_ann_portable",  # NEW: literal coarse centroids through
-    # the REAL IVF-FLAT stages (encode_flat cell assignment, L2 probe
-    # ranking, exact-cosine probe-join scan) — closes the last ANN
-    # family without a value-hash row (r6 verdict item 3)
-    "emb_filtered_ann_portable",  # NEW: filtered vector search (the
-    # RAG allowed-set shape) through the portable-SQ8 stages, full
-    # oracle (evicts doc_exact_dedup — r4-green; the election is
-    # re-proven by the in-window dedup families)
-    "emb_mmr_rerank",  # NEW: MMR diversity re-ranking, 4 unrolled
-    # greedy rounds value-hashed end-to-end (evicts knn_brute_force —
-    # r4-green; the exact scorer is embedded in this query's pool
-    # stage AND in emb_ann_recall_at_k, both in-window)
-    "doc_lsh_recall_eval",  # NEW: measured banding recall vs the
-    # exact shared-gram Jaccard truth set (1.0 at J>=0.5 — the dedup
-    # twin of emb_ann_recall_at_k), full oracle (evicts emb_lsh_ann —
-    # r4-green; LSH algebra is certified by the in-window multiprobe
-    # and minhash-portable queries)
-    "doc_rag_pipeline",  # NEW: end-to-end RAG retrieval composition
-    # (quality gate -> embedding join -> exact pool -> MMR -> snippet
-    # rehydration), full oracle (evicts emb_near_dups — r4-green; the
-    # literal-hyperplane family stays certified by the in-window
-    # emb_lsh_multiprobe_ann)
-    "events_window_funnel",  # NEW: ClickHouse windowFunnel as a
-    # codegen fold, existential k-way-join oracle + hypothesis
-    # reference (evicts doc_ngram_jaccard_dups — r4-green; the exact
-    # Jaccard tier is now ALSO exercised by the in-window
-    # doc_lsh_recall_eval truth computation)
-    "events_cusum_alarms",  # NEW: CUSUM change-point detection as
-    # prefix-sum minus running-min window algebra, full oracle
-    # (evicts doc_winnowing_overlap — r4-green; the winnowing family
-    # stays covered by doc_decontaminate in the retained tail)
-    "emb_graph_communities",  # NEW: synchronous label-propagation
-    # communities, 3 unrolled deterministic rounds value-hashed
-    # (evicts doc_decontaminate — r4-green; winnowing/containment
-    # remains pinned by planted-leak tests)
-    # -- never driver-proven in ANY round (r6 verdict item 2) ---------
-    "doc_bpe_vocab_tokens",  # rows-only by design (the BPE merge
-    # loop is engine-side); its tokenize twin doc_bpe_token_counts
-    # is hash-green — this row proves the vocab path runs
-    "doc_compression_signals",  # rows-only FOREVER by design (DuckDB
-    # has no zlib); ranking pinned by test
-    "emb_sq_ann",  # rows-only by design (trained SQ ranges); its
-    # portable twin emb_sq_ann_portable is in-window hash-green
-    # -- retained from the round-6 window (r6-green or earlier) -------
-    "doc_substring_dedup",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "doc_bm25_retrieval",
-    "emb_pq_ann_portable",
-    "emb_ivfpq_ann_portable",
-    "emb_sq_ann_portable",
-    "emb_ann_recall_at_k",
-    "doc_quality_model_scores_frozen",
-    "doc_minhash_dups_portable",
-    "doc_simhash_buckets_portable",
-    "doc_dsir_weights",
-    "media_image_stats_real",
-    "media_audio_features_real",
-    "media_video_frames_real",
-    "events_gap_fill",
-    "emb_kmeans_portable",
-    "emb_graph_pagerank",
-    "media_video_scene_cuts",
-    "events_lttb_downsample",
-    "doc_weighted_sample",
-    "doc_inverted_index",
-    "lineitem_transit_overlaps",
-    "doc_dedup_index_incremental",
-    "doc_pmi_collocations",
-    "doc_shard_assign_snake",
-    "emb_graph_triangles",
-    "events_kmv_retention",
-    "doc_tokenizer_fertility",
-    "doc_source_quality_eb",
-    # -- stalest retained rows (r4 and earlier, parity-reproved) ------
-    "doc_paragraph_dedup",  # r5-green; the Dolma chunk family's only
-    # driver row predates the r6 merge-path changes to AcidTable
-    "emb_semantic_dedup",  # r5-green composed closure
-    "events_histogram_quantiles",  # r5-green mergeable sketch
-    "doc_lm_perplexity",  # r5-green CCNet bits-per-token
-    "doc_retrieval_join",  # r5-green RAG composition
-    "emb_lsh_multiprobe_ann",  # r5-green multi-probe LSH
-    "events_hourly_anomalies",  # r5-green z-scores
+    # -- new in round 8 ------------------------------------------------
+    "orders_merge_update_columns",  # NEW: WHEN MATCHED THEN UPDATE
+    # SET c = expr lowered onto merge (ddl._merge_update_columns) —
+    # multi-phase AcidTable query, full value-hash oracle
+    "orders_replace_where_backfill",  # NEW: overwrite_where
+    # (replaceWhere) partition backfill under a value hash
+    # -- r3 rows (stalest in the registry) ------------------------------
+    "approx_stats",  # rows-only by design (approx sketches); exact
+    # twins exact_percentiles/distinct_counts are hash-green
+    "orders_table_profile",
+    # -- r4 relational/smoke -------------------------------------------
+    "q1_pricing_summary",
+    "group_count_ordinal",
+    "anti_join_customers_without_orders",
+    # -- r4 events / time-series ---------------------------------------
+    "events_sessionization",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_rolling_7d_active",
+    "events_asof_last_view",
+    "events_daily_retention",
+    "events_daily_funnel",
+    "events_daily_from_hourly_rollup",
+    "events_json_extract",
+    "events_hll_daily_users",  # rows-only by design (HLL sketch);
+    # exact twin green, <=2%/day error pinned by test
+    "countmin_event_type_freq",
+    # -- r4 corpus-prep twelve -----------------------------------------
+    "doc_split_assign",
+    "doc_pack_sequences",
+    "doc_chunk_overlap",
+    "doc_quality_funnel",
+    "doc_decontaminate",
+    "doc_domain_mix",
+    "doc_token_budget_mix",
+    "doc_training_pipeline",
+    "doc_normalize_scrub",
+    "doc_scrub_boilerplate",
+    "doc_token_stats",
+    "doc_length_histogram",
+    # -- r4 dedup families ----------------------------------------------
+    "doc_exact_dedup",
+    "doc_minhash_near_dups",
+    "doc_simhash_buckets",
+    "doc_ngram_jaccard_dups",
+    "doc_winnowing_overlap",
+    "doc_dedup_components",
+    "doc_dedup_components_bigstar",
+    "doc_fingerprint_buckets",
+    # -- r4 quality / text -----------------------------------------------
+    "doc_quality_scores",
+    "doc_repetition_signals",
+    "doc_lang_id",
+    "doc_tfidf_top_terms",
+    "doc_bpe_token_counts",
+    # -- r4 embeddings ----------------------------------------------------
+    "emb_norms",
+    "emb_quantize_int8",
+    "emb_label_centroid_sim",
+    "emb_lsh_ann",
+    "emb_near_dups",
+    "knn_brute_force",
+    # -- r4 multimodal ------------------------------------------------------
+    "media_feature_stats",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
-# Everything outside this window is r5/r6-green (unchanged since its
-# hash row) and re-proven by the in-suite parity replica each run.
+# Everything outside this window is r5/r6/r7-green (unchanged since
+# its hash row) and re-proven by the in-suite parity replica each run.
 
 
 def all_queries():

@@ -1972,6 +1972,136 @@ GROUP BY 1 ORDER BY l_suppkey
 """
 
 
+def orders_merge_update_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level SQL MERGE end-to-end on the ACID format (new in
+    r8): target = even-key orders in a temp AcidTable; source =
+    keys % 3 == 0 carrying an adjustment column; ``WHEN MATCHED THEN
+    UPDATE SET total = tg.total + s.adj, status = concat(s.status,
+    '+') WHEN NOT MATCHED THEN INSERT *``. The final snapshot is
+    reduced to a per-status quantized aggregate (bounded collect —
+    the temp table dies with the query) and value-hashes against SQL
+    replaying the merge as LEFT JOIN + anti-union. Certifies the SET-
+    expression lowering (ddl._merge_update_columns), merge's manifest
+    file-skipping, and CDF-preserving full-row rewrite in one row.
+    Grammar follows Delta's MERGE spec (the reference delegates SQL to
+    Athena and has no MERGE surface)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_upd_query_")
+    try:
+        sql = AcidSql(spark, {"mtab": root + "/t"})
+        t = sql.table("mtab")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_custkey") % 7).cast("double").alias("adj"),
+        ).createOrReplaceTempView("merge_upd_src")
+        sql.sql(
+            "MERGE INTO mtab AS tg USING merge_upd_src AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET total = tg.total + s.adj, "
+            "status = concat(s.status, '+') "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = (
+            t.snapshot()
+            .groupBy("status")
+            .agg(qsum(F.col("total"), "total_sum"), F.count(F.lit(1)).alias("n"))
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "status string, total_sum double, n long"
+    )
+
+
+ORDERS_MERGE_UPDATE_SQL = f"""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS status,
+         CAST(o_custkey % 7 AS DOUBLE) AS adj
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t0.k,
+         CASE WHEN s.k IS NOT NULL THEN t0.total + s.adj ELSE t0.total END AS total,
+         CASE WHEN s.k IS NOT NULL THEN s.status || '+' ELSE t0.status END AS status
+  FROM t0 LEFT JOIN s ON t0.k = s.k
+  UNION ALL
+  SELECT s.k, s.total, s.status FROM s
+  WHERE s.k NOT IN (SELECT k FROM t0))
+SELECT status, {_sql_qsum('total', 'total_sum')}, count(*) AS n
+FROM merged GROUP BY status ORDER BY status
+"""
+
+
+def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``replaceWhere`` as the nightly-backfill verb (new in r8): a
+    temp AcidTable partitioned by priority prefix gets ONE partition
+    atomically replaced with a recomputed (10%-discounted) batch via
+    ``overwrite_where`` — manifest pruning bounds the rewrite to the
+    replaced partition's files; the incoming-rows-match-predicate
+    contract is what keeps the swap honest. Final per-partition
+    quantized aggregate value-hashes against a CASE-adjusted replay.
+    Semantics follow Delta's replaceWhere (tableformat.overwrite_where)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("total"),
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+    )
+    root = tempfile.mkdtemp(prefix="replace_where_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(base, partition_by=["prio"])
+        recomputed = base.filter(F.col("prio") == "1").withColumn(
+            "total", F.col("total") * F.lit(0.9)
+        )
+        t.overwrite_where(
+            recomputed, [("prio", "=", "1")], partition_by=["prio"]
+        )
+        out = (
+            t.snapshot()
+            .groupBy("prio")
+            .agg(qsum(F.col("total"), "total_sum"), F.count(F.lit(1)).alias("n"))
+            .orderBy("prio")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "prio string, total_sum double, n long")
+
+
+ORDERS_REPLACE_WHERE_SQL = f"""
+WITH adjusted AS (
+  SELECT substr(o_orderpriority, 1, 1) AS prio,
+         CASE WHEN substr(o_orderpriority, 1, 1) = '1'
+              THEN o_totalprice * 0.9 ELSE o_totalprice END AS total
+  FROM orders)
+SELECT prio, {_sql_qsum('total', 'total_sum')}, count(*) AS n
+FROM adjusted GROUP BY prio ORDER BY prio
+"""
+
+
 QUERIES = {
     # Round-4 rotation: llm (34) + events (11) take the first 45 slots
     # of the driver's 50-entry correctness window, so only the FIRST
@@ -1983,6 +2113,8 @@ QUERIES = {
     # orders_table_profile, case_when_conditional_agg,
     # q12_priority_by_flag, q7_volume_shipping, q22_idle_rich_customers)
     # and rows-only approx_stats — all unchanged since their green row.
+    "orders_merge_update_columns": orders_merge_update_columns,
+    "orders_replace_where_backfill": orders_replace_where_backfill,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -2043,6 +2175,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
+    "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,

@@ -638,6 +638,7 @@ def _stage_write(
     stage_id: str,
     rev: dict | None = None,
     identity: dict | None = None,
+    defaults: dict | None = None,
 ):
     """Executor-side half of a distributed acidtable write: stream the
     task's Arrow batches into ONE parquet file under data/<stage_id>/.
@@ -691,6 +692,15 @@ def _stage_write(
                 names = list(batch.schema.names)
                 for col, base in sorted(identity.items()):
                     arrays.append(pc.add(ids, base))
+                    names.append(col)
+                batch = pa.RecordBatch.from_arrays(arrays, names=names)
+            if defaults:
+                arrays = list(batch.columns)
+                names = list(batch.schema.names)
+                zeros = pa.array([0] * batch.num_rows, type=pa.int32())
+                for col, one in sorted(defaults.items()):
+                    # replicate the driver-evaluated constant per row
+                    arrays.append(one.take(zeros))
                     names.append(col)
                 batch = pa.RecordBatch.from_arrays(arrays, names=names)
             if writer is None:
@@ -840,6 +850,84 @@ def _writer_physical(options, schema: T.StructType) -> tuple[str, dict | None]:
         ]
     )
     return phys.json(), rev
+
+
+_DUCK_TYPES = {
+    "byte": "TINYINT",
+    "short": "SMALLINT",
+    "integer": "INTEGER",
+    "long": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "binary": "BLOB",
+}
+
+
+def _writer_defaults(
+    t, schema: T.StructType, schema_json: str
+) -> tuple[dict, str]:
+    """({physical col: 1-row pyarrow array holding the default}, schema
+    json including those columns) for DSv2 writes that OMIT a column
+    with a declared DEFAULT — closing the one write-rule gap this path
+    had vs append (defaults used to NULL-pad here). The expression is
+    evaluated ONCE per write through the embedded engine (DuckDB — no
+    SparkSession exists on this path, same constraint as
+    _enforce_write_rules), cast to the column's committed type, and
+    each task replicates the constant into its staged batches."""
+    props = t.properties()
+    defaults = {
+        k[len(t._DEFAULT_PREFIX):]: v
+        for k, v in props.items()
+        if k.startswith(t._DEFAULT_PREFIX)
+    }
+    missing = {
+        c: e for c, e in defaults.items() if c not in schema.fieldNames()
+    }
+    if not missing:
+        return {}, schema_json
+    import duckdb
+
+    committed = json.loads(t._resolve_state(None)[1])
+    types = {f["name"]: f["type"] for f in committed["fields"]}
+    colmap = t._colmap()
+    out = {}
+    d = json.loads(schema_json)
+    con = duckdb.connect()
+    try:
+        for col, expr in sorted(missing.items()):
+            phys = t._phys_names([col], colmap)[0]
+            tname = types.get(phys)
+            if isinstance(tname, str) and tname.startswith("decimal"):
+                duck = tname.upper()
+            else:
+                duck = _DUCK_TYPES.get(tname)
+            if duck is None:
+                raise ValueError(
+                    f"DEFAULT for column {col!r} of type {tname!r} is not "
+                    "supported on the DSv2 writer — supply the column, or "
+                    "write via AcidTable.append"
+                )
+            arr = (
+                con.execute(f"SELECT CAST(({expr}) AS {duck})")
+                .arrow()
+                .column(0)
+                .combine_chunks()
+            )
+            out[phys] = arr
+            d["fields"].append(
+                {
+                    "name": phys,
+                    "type": tname,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+    finally:
+        con.close()
+    return out, json.dumps(d)
 
 
 def _writer_identity(
@@ -995,6 +1083,9 @@ class _AcidBatchWriter(DataSourceArrowWriter):
         self._identity, self._schema_json = _writer_identity(
             _table(options), schema, self._schema_json, overwrite
         )
+        self._defaults, self._schema_json = _writer_defaults(
+            _table(options), schema, self._schema_json
+        )
         self._stage_id = uuid.uuid4().hex
 
     def write(self, iterator):
@@ -1004,6 +1095,7 @@ class _AcidBatchWriter(DataSourceArrowWriter):
             self._stage_id,
             self._rev,
             {v["phys"]: v["base"] for v in self._identity.values()} or None,
+            self._defaults or None,
         )
 
     def commit(self, messages):
@@ -1046,6 +1138,9 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         self._identity, self._schema_json = _writer_identity(
             _table(options), schema, self._schema_json, overwrite
         )
+        self._defaults, self._schema_json = _writer_defaults(
+            _table(options), schema, self._schema_json
+        )
         self._app = options.get("txnappid") or f"acidtable-stream:{self._path}"
 
     def write(self, iterator):
@@ -1059,6 +1154,7 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
             uuid.uuid4().hex,
             self._rev,
             {v["phys"]: v["base"] for v in self._identity.values()} or None,
+            self._defaults or None,
         )
 
     def commit(self, messages, batchId: int) -> None:

@@ -1040,10 +1040,15 @@ class AcidTable:
         writes, not history — the Delta/ANSI semantics). The column
         must already exist in the committed schema (declare it first
         via append/add_columns), so a default can never smuggle in an
-        undeclared column. Scope: the Python-API write paths (append /
-        overwrite / the INSERT SQL routes); the DSv2 writer and COPY
-        INTO require/read full rows and pad absent columns as NULL —
-        use the API paths when defaults must materialize."""
+        undeclared column. Defaults materialize on EVERY write path
+        that can omit a column: append / overwrite / overwrite_where /
+        the INSERT SQL routes, COPY INTO (when the loaded frame lacks
+        the column — a schema-forced csv/json read pads NULL instead,
+        which is supplied-as-NULL, not absent), and the DSv2
+        batch/stream writers (the expression evaluates once per write
+        through the embedded engine and lands as a constant column in
+        the staged files — scalar committed types only on that
+        path)."""
         schema = self.snapshot().columns
         if name not in schema:
             raise ValueError(
@@ -1582,6 +1587,11 @@ class AcidTable:
                     )
                     reader = reader.schema(logical)
             df = reader.load([os.path.join(src, n) for n in new])
+            # declared DEFAULTs materialize for columns the loaded
+            # frame lacks — same contract as append. (A schema-forced
+            # csv/json read pads a missing field as NULL rather than
+            # dropping the column, and NULL-supplied is not absent.)
+            df = self._apply_defaults(df)
             df = self._apply_generated(df)
             self._enforce_constraints(df)
             colmap = self._colmap()

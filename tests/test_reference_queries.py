@@ -113,3 +113,78 @@ def test_bucketed_join_has_no_shuffle(lake, spark):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_reference_lifecycle_at_bench_scale(spark, tmp_path_factory):
+    """r7 verdict item 8: the reference's WHOLE lifecycle — work-unit
+    planner → mock ingest → crawler refresh → the README.md:74-99
+    queries verbatim (dialect-translated) → the RBAC split → identical
+    SQL / different results — at bench scale: 3 ingestion dates ×
+    4 endpoints × 250 pages = 3,000 gzip-JSON files (25× the toy
+    fixture per day), wall-clocked (number recorded in PERF.md
+    "reference lifecycle at scale")."""
+    import time
+
+    t0 = time.perf_counter()
+    db = "ref_scale_db"
+    lk = Lake(spark, str(tmp_path_factory.mktemp("ref_lake_scale")), db=db)
+    today = (
+        spark.sql("SELECT date_format(current_date, 'yyyy-MM-dd') d")
+        .collect()[0]
+        .d
+    )
+    days = ["2024-01-01", "2024-01-02", today]
+    for d in days:
+        lk.ingest_mock(d, pages=250)
+    lk.refresh_catalog()
+    lk.grant("pii")
+    lk.grant(
+        "core",
+        row_filter="endpoint = 'api-a'",
+        columns=[
+            "endpoint", "date", "page", "fetched_at", "source",
+            "ingestion_date",
+        ],
+    )
+
+    # README.md:74-81 smoke, verbatim (translated)
+    rows = spark.sql(
+        translate(
+            f"""
+            SELECT source, ingestion_date, COUNT(*) AS files
+            FROM {db}.raw
+            GROUP BY 1, 2
+            ORDER BY ingestion_date DESC, source
+            """
+        )
+    ).collect()
+    assert len(rows) == 12 and all(r.files == 250 for r in rows)
+
+    # README.md:87-99 shape query: cardinality() + Presto date_format
+    rows = spark.sql(
+        translate(
+            f"""
+            SELECT source, ingestion_date, page,
+                   cardinality(items) AS items_in_page,
+                   endpoint, date, fetched_at
+            FROM {db}.raw
+            WHERE ingestion_date = date_format(current_date, '%Y-%m-%d')
+            ORDER BY source, page
+            LIMIT 20
+            """
+        )
+    ).collect()
+    assert len(rows) == 20 and all(r.items_in_page == 5 for r in rows)
+
+    # RBAC: same SQL text, different principals, different results
+    q = translate(
+        f"SELECT endpoint, COUNT(*) as files FROM {db}.raw "
+        "GROUP BY endpoint ORDER BY endpoint"
+    )
+    core = [(r.endpoint, r.files) for r in lk.sql("core", q).collect()]
+    pii = [(r.endpoint, r.files) for r in lk.sql("pii", q).collect()]
+    assert core == [("api-a", 750)]
+    assert len(pii) == 4 and sum(f for _, f in pii) == 3000
+    wall = time.perf_counter() - t0
+    print(f"reference lifecycle at bench scale: {wall:.1f}s")
+    assert wall < 600  # regression tripwire, generous for CI contention

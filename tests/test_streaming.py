@@ -1732,3 +1732,65 @@ def test_dsv2_narrow_append_keeps_evolved_schema(spark, tmp_path):
     ).mode("append").option("path", p).save()
     assert dict(t.snapshot().dtypes) == {"k": "bigint", "note": "string"}
     assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 2, 3]
+
+
+def test_dsv2_writer_and_copy_into_materialize_defaults(spark, tmp_path):
+    """Declared column DEFAULTs land on the DSv2 batch writer, the
+    DSv2 stream writer, and COPY INTO — parity with append (r7
+    verdict item 3: these paths used to NULL-pad absent columns)."""
+    import os
+
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, "eu", 5)], "k long, region string, v int"
+        )
+    )
+    t.set_column_default("region", "'unknown'")
+    t.set_column_default("v", "40 + 2")
+
+    # DSv2 batch writer omitting BOTH defaulted columns
+    spark.createDataFrame([(2,)], "k long").write.format("acidtable").mode(
+        "append"
+    ).option("path", p).save()
+    got = {r.k: (r.region, r.v) for r in t.snapshot().collect()}
+    assert got == {1: ("eu", 5), 2: ("unknown", 42)}
+
+    # a supplied column is untouched; only the absent one defaults
+    spark.createDataFrame([(3, "ap")], "k long, region string").write.format(
+        "acidtable"
+    ).mode("append").option("path", p).save()
+    got = {r.k: (r.region, r.v) for r in t.snapshot().collect()}
+    assert got[3] == ("ap", 42)
+
+    # COPY INTO a parquet drop lacking the defaulted columns
+    src = str(tmp_path / "drop")
+    spark.createDataFrame([(4,)], "k long").coalesce(1).write.parquet(src)
+    for f in os.listdir(src):  # copy_into wants plain files, no _SUCCESS
+        if f.startswith(("_", ".")):
+            os.remove(os.path.join(src, f))
+    t.copy_into(src)
+    got = {r.k: (r.region, r.v) for r in t.snapshot().collect()}
+    assert got[4] == ("unknown", 42)
+
+    # DSv2 stream writer (availableNow file stream into the table)
+    srcdir = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(5,)], "k long").coalesce(1).write.parquet(srcdir)
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(srcdir)
+        .writeStream.format("acidtable")
+        .option("path", p)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.region, r.v) for r in t.snapshot().collect()}
+    assert got[5] == ("unknown", 42)
