@@ -581,14 +581,25 @@ class AcidSql:
           (``cond`` over SOURCE columns)                → CDC apply,
           one atomic commit (merge_apply)
         * only ``WHEN MATCHED THEN DELETE``             → keyed delete
-        * ``WHEN MATCHED THEN UPDATE SET c = expr[, ...]``
+        * ``WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr[, ...]``
           [+ ``WHEN NOT MATCHED THEN INSERT *``]        → column-level
-          update: expressions may reference BOTH aliases (resolved by
-          Spark SQL itself, so ambiguity errors are Spark's); the
-          matched rows are rebuilt full-row (assigned columns from the
-          expressions, the rest carried from the target) and lowered
-          onto ``merge`` — same manifest pruning, same CDF
-          delete+insert pairs as a full-row upsert.
+          update: expressions (and the optional condition) may
+          reference BOTH aliases (resolved by Spark SQL itself, so
+          ambiguity errors are Spark's); the matched rows are rebuilt
+          full-row (assigned columns from the expressions — gated on
+          the condition when given — the rest carried from the
+          target) and lowered onto ``merge`` — same manifest pruning,
+          same CDF delete+insert pairs as a full-row upsert.
+        * ``WHEN MATCHED THEN UPDATE SET *`` +
+          ``WHEN NOT MATCHED THEN INSERT *`` +
+          ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE``
+          → Delta's mirror-the-source sync: target rows with no
+          source match (optionally narrowed by ``cond`` over TARGET
+          columns) are deleted in the SAME atomic commit as the
+          upserts (merge_apply). Like Delta, the not-matched-by-
+          source half inherently scans the whole target (an anti-join
+          against the source keys) — the rewrite itself stays
+          manifest-pruned.
 
         ``MERGE WITH SCHEMA EVOLUTION INTO ...`` (Delta's clause)
         widens the table with the source's NEW columns in the same
@@ -621,19 +632,37 @@ class AcidSql:
         has_update = has_insert = has_plain_delete = False
         delete_cond = None
         set_clause = None
+        set_cond = None
+        nmbs_delete = False
+        nmbs_cond = None
         for clause in _split_top(whens, "WHEN"):
             c = clause.strip()
             if not c:
                 continue
-            if re.fullmatch(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", c, re.I):
+            um = re.fullmatch(
+                r"MATCHED(?:\s+AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+)",
+                c,
+                re.I | re.S,
+            )
+            nm = re.fullmatch(
+                r"NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?"
+                r"\s*THEN\s+DELETE",
+                c,
+                re.I | re.S,
+            )
+            if um and um.group(2).strip() == "*":
+                if um.group(1) is not None:
+                    raise ValueError(
+                        "a condition on UPDATE SET * is not supported — "
+                        "use column-level SET c = expr with AND <cond>"
+                    )
                 has_update = True
-            elif re.fullmatch(
-                r"MATCHED\s+THEN\s+UPDATE\s+SET\s+.+", c, re.I | re.S
-            ):
-                set_clause = re.match(
-                    r"MATCHED\s+THEN\s+UPDATE\s+SET\s+", c, re.I
-                )
-                set_clause = c[set_clause.end():]
+            elif um:
+                set_cond = um.group(1)
+                set_clause = um.group(2)
+            elif nm:
+                nmbs_delete = True
+                nmbs_cond = nm.group(1)
             elif re.fullmatch(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", c, re.I):
                 has_insert = True
             elif re.fullmatch(r"MATCHED\s+THEN\s+DELETE", c, re.I):
@@ -698,13 +727,28 @@ class AcidSql:
                 t.merge_apply(df, keys, "__mrg_del", auto_evolve=auto_evolve)
             )
         if set_clause is not None:
-            if has_update or has_plain_delete or delete_cond is not None:
+            if (
+                has_update
+                or has_plain_delete
+                or delete_cond is not None
+                or nmbs_delete
+            ):
                 raise ValueError(
                     "column-level UPDATE SET combines only with "
                     "WHEN NOT MATCHED THEN INSERT *"
                 )
             return self._merge_update_columns(
-                t, src_df, keys, set_clause, talias, salias, has_insert
+                t, src_df, keys, set_clause, talias, salias, has_insert,
+                cond=set_cond,
+            )
+        if nmbs_delete:
+            if not (has_update and has_insert) or delete_cond is not None:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE THEN DELETE combines with "
+                    "UPDATE SET * + INSERT * (the mirror-source sync)"
+                )
+            return self._merge_sync(
+                t, src_df, keys, nmbs_cond, talias, salias
             )
         if has_update and has_insert and not has_plain_delete:
             return self._version_df(
@@ -720,7 +764,8 @@ class AcidSql:
         )
 
     def _merge_update_columns(
-        self, t, src_df, keys, set_clause, talias, salias, has_insert
+        self, t, src_df, keys, set_clause, talias, salias, has_insert,
+        cond=None,
     ) -> DataFrame:
         """Lower ``WHEN MATCHED THEN UPDATE SET c = expr[, ...]`` onto
         the full-row ``merge`` verb: matched target rows are rebuilt
@@ -764,11 +809,20 @@ class AcidSql:
         src_df.createOrReplaceTempView(sview)
         try:
             on = " AND ".join(f"{ta}.`{k}` = {sa}.`{k}`" for k in keys)
-            proj = ", ".join(
-                f"({assigns[c]}) AS `{c}`" if c in assigns
-                else f"{ta}.`{c}` AS `{c}`"
-                for c in tcols
-            )
+
+            def cell(c):
+                if c not in assigns:
+                    return f"{ta}.`{c}` AS `{c}`"
+                if cond is None:
+                    return f"({assigns[c]}) AS `{c}`"
+                # WHEN MATCHED AND <cond>: rows failing the condition
+                # carry the target value unchanged
+                return (
+                    f"CASE WHEN ({cond}) THEN ({assigns[c]}) "
+                    f"ELSE {ta}.`{c}` END AS `{c}`"
+                )
+
+            proj = ", ".join(cell(c) for c in tcols)
             updates = self.spark.sql(
                 f"SELECT {proj} FROM {tview} {ta} JOIN {sview} {sa} ON {on}"
             )
@@ -787,6 +841,46 @@ class AcidSql:
         finally:
             self.spark.catalog.dropTempView(tview)
             self.spark.catalog.dropTempView(sview)
+
+    def _merge_sync(
+        self, t, src_df, keys, cond, talias, salias
+    ) -> DataFrame:
+        """``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+        INSERT * / WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+        — Delta's mirror-the-source sync, ONE atomic merge_apply
+        commit: upserts carry the source rows; the deletes are the
+        target keys the source no longer holds (anti-join — like
+        Delta, this half inherently reads the whole target), narrowed
+        by ``cond`` over TARGET columns when given. The rewrite stays
+        bounded by merge_apply's manifest file skipping on the union
+        of upsert+delete keys."""
+        from pyspark.sql import functions as F
+
+        tcols = t.snapshot().columns
+        missing = [c for c in tcols if c not in src_df.columns]
+        if missing:
+            raise ValueError(
+                f"INSERT * requires the source to carry every target "
+                f"column; missing {missing}"
+            )
+        gone = t.snapshot().join(
+            src_df.select(*keys).distinct(), keys, "left_anti"
+        )
+        if cond is not None:
+            if salias and re.search(rf"\b{salias}\.", cond):
+                raise ValueError(
+                    "the NOT MATCHED BY SOURCE condition may reference "
+                    "target columns only (there is no source row)"
+                )
+            if talias:
+                cond = re.sub(rf"\b{talias}\.", "", cond)
+            gone = gone.filter(F.expr(cond))
+        updates = (
+            src_df.select(*tcols)
+            .withColumn("__mrg_del", F.lit(False))
+            .unionByName(gone.withColumn("__mrg_del", F.lit(True)))
+        )
+        return self._version_df(t.merge_apply(updates, keys, "__mrg_del"))
 
     # ---- the router ----------------------------------------------------
 

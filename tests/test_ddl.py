@@ -671,3 +671,74 @@ def test_merge_evolution_literal_cond_cols(spark, tmp_path):
     assert "status" in snap.columns and "op" not in snap.columns
     got = {r.k: (r.s, r.status) for r in snap.collect()}
     assert got == {1: ("a2", "keep"), 9: ("i", "n")}
+
+
+def test_merge_update_set_with_condition_sql(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE SET c = expr: only matched
+    rows satisfying the condition change; the rest carry unchanged."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k int, v int, tag string",
+        )
+    )
+    spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 1)], "k int, delta int"
+    ).createOrReplaceTempView("cond_src")
+    sql.sql(
+        "MERGE INTO t AS tg USING cond_src AS s ON tg.k = s.k "
+        "WHEN MATCHED AND s.delta > tg.v THEN UPDATE SET v = s.delta"
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {1: 10, 2: 100, 3: 30}  # only k=2 passes the cond
+
+
+def test_merge_not_matched_by_source_delete_sql(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's mirror-source
+    sync): one atomic commit upserts the source and deletes target
+    rows the source no longer carries; the AND <cond> variant narrows
+    the deletes to target rows matching the condition."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+        )
+    )
+    v_before = t.latest_version()
+    spark.createDataFrame(
+        [(2, "B2"), (5, "e")], "k int, v string"
+    ).createOrReplaceTempView("sync_src")
+    sql.sql(
+        "MERGE INTO t USING sync_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert t.latest_version() == v_before + 1  # ONE commit
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {2: "B2", 5: "e"}  # target now mirrors the source
+
+    # conditioned variant: only delete stale rows tagged 'x'
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "x"), (2, "b"), (3, "x")], "k int, v string"
+        )
+    )
+    spark.createDataFrame([(2, "B3")], "k int, v string").createOrReplaceTempView(
+        "sync_src2"
+    )
+    sql.sql(
+        "MERGE INTO t AS tg USING sync_src2 AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND tg.v = 'x' THEN DELETE"
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {2: "B3"}  # 1 and 3 were 'x' and unmatched -> deleted
