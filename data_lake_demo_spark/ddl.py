@@ -27,6 +27,7 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t ALTER COLUMN a SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+    ALTER TABLE t ENABLE ROW TRACKING
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t CREATE TAG name [AS OF VERSION n]
@@ -1067,6 +1068,12 @@ class AcidSql:
             return self._version_df(
                 self.table(m.group(1)).drop_column_default(m.group(2))
             )
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ENABLE\s+ROW\s+TRACKING", s, re.I
+        )
+        if m:
+            return self._version_df(self.table(m.group(1)).set_row_tracking())
 
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+SET\s+TBLPROPERTIES\s*\((.+)\)",

@@ -86,7 +86,7 @@ def pagerank_fixed_point(
     )
 
     scores = nodes.select("node", F.lit(s0).cast("bigint").alias("s"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             edges.join(scores.select(F.col("node").alias("src"), "s"), "src")
             .join(outdeg.select(F.col("node").alias("src"), "deg"), "src")
@@ -102,6 +102,13 @@ def pagerank_fixed_point(
                 "s"
             ),
         )
+        # scores feed the next round ONCE, so the plan grows linearly
+        # (no doubling like LPA) — still, bound lineage at
+        # user-supplied iteration counts: a lazy checkpoint every 10
+        # rounds truncates the logical tree without adding an action
+        # at the shipped iterations=3
+        if persist and (it + 1) % 10 == 0:
+            scores = scores.localCheckpoint(eager=False)
     return scores.join(outdeg, "node", "left").select(
         "node",
         F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),

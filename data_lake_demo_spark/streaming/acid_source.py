@@ -830,6 +830,11 @@ def _writer_physical(options, schema: T.StructType) -> tuple[str, dict | None]:
         colmap = _table(options)._colmap()
     except Exception:
         colmap = {}
+    if any(f.name == "__row_id" for f in schema.fields):
+        raise ValueError(
+            "column name '__row_id' is reserved for row tracking — "
+            "the engine assigns it"
+        )
     if not colmap:
         return schema.json(), None
     rev = {lg: ph for ph, lg in colmap.items() if lg}
@@ -1199,6 +1204,11 @@ class AcidTableDataSource(DataSource):
         if schema_json is None:
             raise ValueError(f"table {t.path} has no commits")
         st = T.StructType.fromJson(json.loads(schema_json))
+        if any(f.name == t._ROW_ID_COL for f in st.fields):
+            # the hidden row-tracking column never surfaces on reads
+            st = T.StructType(
+                [f for f in st.fields if f.name != t._ROW_ID_COL]
+            )
         colmap = t._colmap(as_of)
         if colmap:  # column mapping: expose logical names, hide drops
             st = T.StructType(

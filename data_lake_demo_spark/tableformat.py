@@ -487,6 +487,7 @@ class AcidTable:
             "generatedColumns",
             "checkConstraints",
             "allowColumnDefaults",
+            "rowTracking",
         }
     )
 
@@ -546,6 +547,8 @@ class AcidTable:
                 needed_w.add("checkConstraints")
             elif k.startswith(self._DEFAULT_PREFIX):
                 needed_w.add("allowColumnDefaults")
+            elif k == self._ROWTRACKING_KEY:
+                needed_w.add("rowTracking")
         proto = dict(post.get(self._PROTOCOL_KEY) or {})
         have_r = set(proto.get("reader_features") or [])
         have_w = set(proto.get("writer_features") or [])
@@ -685,6 +688,7 @@ class AcidTable:
         wins a version; the whole ACID story rests on this one atomic
         primitive (os.link on POSIX, conditional PUT on object stores
         — see storage.LogStore)."""
+        add, props = self._stamp_row_ids(add, props, version)
         props = self._stamp_protocol(props, dv, version)
         body = {
             "version": version,
@@ -1082,6 +1086,226 @@ class AcidTable:
             df = df.withColumn(col, c)
         return df
 
+    _ROWTRACKING_KEY = "rowtracking"
+    _ROW_ID_COL = "__row_id"
+
+    def set_row_tracking(self) -> int:
+        """Delta's row tracking: every row gets a STABLE long id that
+        survives layout changes (compaction, Z-order) and row rewrites
+        (merge/update/delete copy-on-write) — the handle an incremental
+        downstream consumer keys on when the table has no natural key.
+
+        Fresh ids are FREE on the write path (Delta's baseRowId idea):
+        an added file carries one ``#base_row_id`` in its manifest
+        stats, stamped centrally at commit (_stamp_row_ids, so no
+        write verb can forget), and a row's id is ``base + its
+        position in the file`` — no data-file column until a REWRITE
+        has to preserve ids, at which point the rewrite materializes a
+        hidden ``__row_id`` column for the carried rows (read side:
+        ``coalesce(materialized, base + row_index)``). Enabling on a
+        non-empty table performs Delta's backfill as ONE metadata-only
+        commit: every live file is re-added with a base id — no data
+        rewrite. Ids are unique-with-gaps, monotone per commit; the
+        watermark rides table props and advances in the same commit
+        that uses it (commit races retry with the fresh value, exactly
+        the identity-column contract)."""
+        props = self.properties()
+        if self._ROWTRACKING_KEY in props:
+            return self.latest_version()
+        base = self.latest_version()
+        live, schema_json, _, _, _ = self._resolve_state(
+            base if base >= 0 else None
+        )
+        wm = 0
+        add = []
+        for p in sorted(live):
+            stats = dict(live[p] or {})
+            n = stats.get("#rows")
+            n = int(n[0]) if n else None
+            if n is None:
+                n, _ = self._file_meta(p)
+                if n is None:
+                    raise ValueError(
+                        f"cannot backfill row ids: no row count for {p}"
+                    )
+                stats["#rows"] = [n]
+            stats["#base_row_id"] = [wm]
+            wm += n
+            add.append({"path": p, "stats": stats})
+        new_props = dict(props)
+        new_props[self._ROWTRACKING_KEY] = {"next": wm}
+        return self._try_commit(
+            base + 1 if base >= 0 else 0,
+            "rowtracking",
+            add,
+            [],
+            schema_json
+            if schema_json is not None
+            else T.StructType([]).json(),
+            props=new_props,
+        )
+
+    def _stamp_row_ids(
+        self, add: list[dict], props: dict | None, version: int
+    ) -> tuple[list[dict], dict | None]:
+        """Central base-row-id assignment (runs inside _try_commit so
+        EVERY write path — append, merge, DSv2, COPY INTO, streaming —
+        participates): added files without materialized ids get a
+        ``#base_row_id`` and the watermark advances past them; files
+        that carry a materialized ``__row_id`` column (rewrites) just
+        push the watermark past their maximum. No-op unless row
+        tracking is enabled."""
+        post = props
+        if post is None:
+            post = self._resolve_state(version - 1)[3] if version > 0 else {}
+        rt = post.get(self._ROWTRACKING_KEY)
+        if not rt or not add:
+            return add, props
+        wm = start = int(rt["next"])
+        out = []
+        for a in add:
+            stats = a.get("stats") or {}
+            rng = stats.get(self._ROW_ID_COL)
+            if rng:  # materialized ids: jump past them
+                wm = max(wm, int(rng[1]) + 1)
+                out.append(a)
+                continue
+            if "#base_row_id" in stats:  # backfill: pre-assigned
+                n = stats.get("#rows")
+                if n:
+                    wm = max(wm, int(stats["#base_row_id"][0]) + int(n[0]))
+                out.append(a)
+                continue
+            n = stats.get("#rows")
+            n = int(n[0]) if n else None
+            if n is None:
+                n, _ = self._file_meta(a["path"])
+                if n is None:
+                    raise ValueError(
+                        "row tracking needs a row count for "
+                        f"{a['path']} (no parquet footer stats)"
+                    )
+            a = dict(a)
+            stats = dict(stats)
+            stats["#base_row_id"] = [wm]
+            a["stats"] = stats
+            wm += n
+            out.append(a)
+        if wm != start:
+            post = dict(post)
+            post[self._ROWTRACKING_KEY] = {"next": wm}
+            props = post
+        return out, props
+
+    def _row_tracking_on(self, props: dict | None = None) -> bool:
+        return self._ROWTRACKING_KEY in (
+            props if props is not None else self.properties()
+        )
+
+    def _reject_reserved_row_id(self, df: DataFrame) -> None:
+        """``__row_id`` is engine-assigned: a user batch carrying it
+        would corrupt the watermark (staged stats would masquerade as
+        materialized ids). Reserved unconditionally — a table not yet
+        tracking rows may enable tracking later."""
+        if self._ROW_ID_COL in df.columns:
+            raise ValueError(
+                f"column name {self._ROW_ID_COL!r} is reserved for row "
+                "tracking — the engine assigns it"
+            )
+
+    def _read_for_rewrite(
+        self, touched, schema_json, dvs, base: int | None
+    ) -> DataFrame:
+        """The rewrite-path read: DV-masked rows removed and — when
+        row tracking is on — every surviving row's CURRENT id
+        materialized into the hidden ``__row_id`` physical column, so
+        the files a rewrite stages preserve ids instead of re-minting
+        them. Identical to ``_apply_dvs(_read_files(...))`` when
+        tracking is off."""
+        df = self._read_files(touched, schema_json)
+        state = self._resolve_state(base)
+        if not self._row_tracking_on(state[3]):
+            return self._apply_dvs(df, touched, dvs)
+        df = self._row_id_coords(df)
+        df = self._apply_dvs(df, touched, dvs)
+        df = self._attach_row_ids(df, touched, state[0])
+        cols = [
+            c for c in df.columns if c not in ("_row_id", self._ROW_ID_COL)
+        ]
+        return df.select(*cols, F.col("_row_id").alias(self._ROW_ID_COL))
+
+    def _assign_fresh_row_ids(self, df: DataFrame, props: dict) -> DataFrame:
+        """Fill NULL ``__row_id`` (rows a merge INSERTS) with fresh ids
+        above the watermark; carried rows keep theirs. The commit's
+        central _stamp_row_ids then advances the watermark past the
+        staged maximum (read from the file stats), so a commit race
+        retries against the winner's watermark — the identity-column
+        contract."""
+        rt = props.get(self._ROWTRACKING_KEY)
+        if not rt or self._ROW_ID_COL not in df.columns:
+            return df
+        fresh = F.lit(int(rt["next"])) + F.monotonically_increasing_id()
+        return df.withColumn(
+            self._ROW_ID_COL,
+            F.coalesce(F.col(self._ROW_ID_COL), fresh).cast("long"),
+        )
+
+    def _inherit_row_ids(self, updates: DataFrame, target: DataFrame, keys):
+        """Give update rows their MATCHED target row's id (Delta row
+        tracking: an UPDATE preserves identity); unmatched rows stay
+        NULL for _assign_fresh_row_ids. Non-unique target keys inherit
+        the smallest id deterministically."""
+        tgt = target.groupBy(*keys).agg(
+            F.min(self._ROW_ID_COL).alias("__rt_inherit")
+        )
+        out = updates
+        if self._ROW_ID_COL in out.columns:
+            out = out.drop(self._ROW_ID_COL)
+        return (
+            out.join(tgt, list(keys), "left")
+            .withColumn(self._ROW_ID_COL, F.col("__rt_inherit"))
+            .drop("__rt_inherit")
+        )
+
+    def _row_id_coords(self, df: DataFrame) -> DataFrame:
+        """Project the per-row file coordinates row ids derive from.
+        MUST run while ``df`` is still the scan relation (plain
+        projections keep parquet ``_metadata`` resolvable; a join
+        hides it)."""
+        return df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__rt_fn"),
+            F.col("_metadata.row_index").alias("__rt_ri"),
+        )
+
+    def _attach_row_ids(
+        self, df: DataFrame, rel_paths: Sequence[str], live_stats: dict
+    ) -> DataFrame:
+        """``df`` (carrying ``_row_id_coords`` columns) plus the
+        ``_row_id`` column: materialized ``__row_id`` when the file
+        carries it, else the file's manifest base + row position."""
+        base_rows = []
+        for p in rel_paths:
+            st = live_stats.get(p) or {}
+            b = st.get("#base_row_id")
+            if b:
+                base_rows.append((os.path.basename(p), int(b[0])))
+        if base_rows:
+            bm = self.spark.createDataFrame(
+                base_rows, "__rt_fn string, __rt_base long"
+            )
+            out = df.join(F.broadcast(bm), "__rt_fn", "left")
+        else:
+            out = df.withColumn("__rt_base", F.lit(None).cast("long"))
+        rid = F.col("__rt_base") + F.col("__rt_ri")
+        if self._ROW_ID_COL in df.columns:
+            rid = F.coalesce(F.col(self._ROW_ID_COL), rid)
+        return out.withColumn("_row_id", rid.cast("long")).drop(
+            "__rt_fn", "__rt_ri", "__rt_base"
+        )
+
     _IDENTITY_PREFIX = "identity."
 
     def set_identity_column(self, name: str, *, start: int = 1) -> int:
@@ -1275,6 +1499,7 @@ class AcidTable:
             last = self.last_txn_batch(txn[0])
             if last is not None and txn[1] <= last:
                 return self.latest_version()
+        self._reject_reserved_row_id(df)
         df = self._apply_defaults(df)
         identity = sorted(
             k[len(self._IDENTITY_PREFIX):]
@@ -1347,6 +1572,7 @@ class AcidTable:
     ) -> int:
         """Atomic full-table replace (remove every live file + add the
         new set in one commit)."""
+        self._reject_reserved_row_id(df)
         df = self._apply_defaults(df)
         df = self._apply_generated(df)
         self._enforce_constraints(df)
@@ -1395,6 +1621,7 @@ class AcidTable:
                 "overwrite_where requires at least one filter "
                 "(use overwrite() to replace the whole table)"
             )
+        self._reject_reserved_row_id(df)
         df = self._apply_defaults(df)
         identity = sorted(
             k[len(self._IDENTITY_PREFIX):]
@@ -1484,19 +1711,36 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(phys_filters, base)
             dvs = self._resolve_state(base)[4]
             add = list(add_new)
+            commit_schema = self._evolve_schema(schema, base)
             if touched:
-                remainder = self._apply_dvs(
-                    self._read_files(touched, schema_json), touched, dvs
+                remainder = self._read_for_rewrite(
+                    touched, schema_json, dvs, base
                 ).filter(~pred | pred.isNull())
-                add_rem, _ = self._stage_actions(remainder)
+                add_rem, rem_schema = self._stage_actions(remainder)
                 add = add_rem + add
+                if self._ROW_ID_COL in remainder.columns:
+                    # the remainder rewrite materialized row ids: the
+                    # committed schema must carry the hidden column
+                    d = json.loads(commit_schema)
+                    if not any(
+                        f["name"] == self._ROW_ID_COL for f in d["fields"]
+                    ):
+                        d["fields"].append(
+                            {
+                                "name": self._ROW_ID_COL,
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {},
+                            }
+                        )
+                        commit_schema = json.dumps(d)
             try:
                 return self._try_commit(
                     base + 1,
                     "overwrite",
                     add,
                     touched,
-                    self._evolve_schema(schema, base),
+                    commit_schema,
                     props=new_props,
                 )
             except CommitConflict:
@@ -1587,6 +1831,7 @@ class AcidTable:
                     )
                     reader = reader.schema(logical)
             df = reader.load([os.path.join(src, n) for n in new])
+            self._reject_reserved_row_id(df)
             # declared DEFAULTs materialize for columns the loaded
             # frame lacks — same contract as append. (A schema-forced
             # csv/json read pads a missing field as NULL rather than
@@ -1756,28 +2001,57 @@ class AcidTable:
         )
         return self.spark.read.schema(readable).parquet(*paths)
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
+    def snapshot(
+        self, as_of: int | None = None, *, with_row_ids: bool = False
+    ) -> DataFrame:
         """Read the table as of a version (default: latest). The file
         list is pinned at call time — later commits don't leak in.
         For timestamp-based travel resolve the version first:
-        ``snapshot(as_of=t.version_at_timestamp(ts))``."""
+        ``snapshot(as_of=t.version_at_timestamp(ts))``.
+
+        ``with_row_ids=True`` (row-tracking tables) appends the stable
+        ``_row_id`` column — materialized ``__row_id`` where a rewrite
+        persisted it, else the file's manifest base + row position.
+        The hidden ``__row_id`` physical column itself never surfaces
+        on either path."""
         files, schema = self._resolve(as_of)
         colmap = self._colmap(as_of)
         if not files:
             if schema is None:
                 raise ValueError(f"table {self.path} has no commits")
-            return self._logicalize(
+            df = self._logicalize(
                 self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema))
                 ),
                 colmap,
             )
+            if self._ROW_ID_COL in df.columns:
+                df = df.drop(self._ROW_ID_COL)
+            if with_row_ids:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
+            return df
         # committed-schema scan: additive evolution (older files read
         # missing columns as typed nulls) AND type widening resolve in
         # the parquet reader itself — see _read_files
+        state = self._resolve_state(as_of)
         df = self._read_files(files, schema)
-        df = self._apply_dvs(df, files, self._resolve_state(as_of)[4])
-        return self._logicalize(df, colmap)
+        if with_row_ids:
+            if not self._row_tracking_on(state[3]):
+                raise ValueError(
+                    "row tracking is not enabled (set_row_tracking())"
+                )
+            # coords come off the scan relation BEFORE the DV anti-join
+            # hides _metadata; the base join happens after the mask
+            df = self._row_id_coords(df)
+        df = self._apply_dvs(df, files, state[4])
+        if with_row_ids:
+            df = self._attach_row_ids(df, files, state[0])
+        df = self._logicalize(
+            df, colmap, keep=("_row_id",) if with_row_ids else ()
+        )
+        if self._ROW_ID_COL in df.columns:
+            df = df.drop(self._ROW_ID_COL)
+        return df
 
     def _apply_dvs(
         self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
@@ -1857,13 +2131,14 @@ class AcidTable:
                     [], T.StructType.fromJson(json.loads(schema))
                 ),
                 colmap,
-            )
+            ).drop(self._ROW_ID_COL)
         df = self._apply_dvs(
             self._read_files(kept, schema),
             kept,
             self._resolve_state(as_of)[4],
         )
-        return self._logicalize(df.filter(pred) if filters else df, colmap)
+        out = self._logicalize(df.filter(pred) if filters else df, colmap)
+        return out.drop(self._ROW_ID_COL)
 
     def truncate(self, *, max_retries: int = 5) -> int:
         """Remove every live row in ONE metadata-only commit (no data
@@ -1957,7 +2232,9 @@ class AcidTable:
                     )
                 except CommitConflict:
                     continue
-            remaining = self._apply_dvs(raw, touched, dvs).filter(~pred)
+            remaining = self._read_for_rewrite(
+                touched, schema_json, dvs, base
+            ).filter(~pred)
             add, schema = self._stage_actions(remaining)
             try:
                 return self._try_commit(base + 1, "delete", add, touched, schema)
@@ -2019,9 +2296,19 @@ class AcidTable:
                 return base  # provably nothing to update: no commit
             dvs = self._resolve_state(base)[4]
             raw = self._read_files(touched, schema_json)
+            # rewrite read: row ids (when tracked) materialize into the
+            # hidden column and flow through assignment untouched —
+            # Delta semantics, UPDATE preserves row identity. (raw
+            # stays the bare scan: the MOR branch needs _metadata.)
             masked = self._logicalize(
-                self._apply_dvs(raw, touched, dvs), colmap
+                self._read_for_rewrite(touched, schema_json, dvs, base),
+                colmap,
             )
+            if self._ROW_ID_COL in assignments:
+                raise ValueError(
+                    f"column {self._ROW_ID_COL!r} is engine-assigned "
+                    "(row tracking) and cannot be updated"
+                )
             unknown = set(assignments) - set(masked.columns)
             if unknown:
                 raise ValueError(
@@ -2155,6 +2442,12 @@ class AcidTable:
 
         a = read(added, dv_new, schema_new)
         r = read(removed, dv_old, schema_old)
+        # the hidden row-id column never feeds the diff: carried rows
+        # on the OLD side derive ids from file bases (not materialized)
+        # and would spuriously fail exceptAll equality against the
+        # rewrite's materialized values, breaking the empty-feed
+        # contract for pure-layout commits
+        a, r = a.drop(self._ROW_ID_COL), r.drop(self._ROW_ID_COL)
         all_cols = list(dict.fromkeys(a.columns + r.columns))
         # target type per column is the NEW side's (widenings cast the
         # old side up, so exceptAll compares in one type)
@@ -3272,6 +3565,7 @@ class AcidTable:
         evolving."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
+        self._reject_reserved_row_id(updates)
         updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         colmap = self._colmap()
@@ -3288,7 +3582,8 @@ class AcidTable:
                 last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
                     return base
-            live, schema_json, _, _, dvs = self._resolve_state(base)
+            live, schema_json, _, props, dvs = self._resolve_state(base)
+            rt_on = self._row_tracking_on(props)
             touched = self._touched_files(live, updates, keys)
             if touched:
                 # committed-schema read, NOT bare spark.read.parquet:
@@ -3296,9 +3591,7 @@ class AcidTable:
                 # predates some files) must up-cast/pad at scan time or
                 # the rewrite narrows the table back and strands wider
                 # live files (unreadable snapshot)
-                target = self._apply_dvs(
-                    self._read_files(touched, schema_json), touched, dvs
-                )
+                target = self._read_for_rewrite(touched, schema_json, dvs, base)
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema_json))
@@ -3307,13 +3600,22 @@ class AcidTable:
                 raise ValueError(f"table {self.path} has no commits")
             if dropped:  # the rewrite materializes column drops
                 target = target.drop(*dropped)
+            ups = updates
+            if rt_on:
+                if self._ROW_ID_COL not in target.columns:
+                    target = target.withColumn(
+                        self._ROW_ID_COL, F.lit(None).cast("long")
+                    )
+                ups = self._inherit_row_ids(updates, target, keys)
             merged = merge_upsert(
                 target,
-                updates,
+                ups,
                 keys,
                 dedupe_order=dedupe_order,
                 allow_missing_columns=auto_evolve,
             )
+            if rt_on:
+                merged = self._assign_fresh_row_ids(merged, props)
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
                 return self._try_commit(
@@ -3356,6 +3658,7 @@ class AcidTable:
         become the first snapshot."""
         from data_lake_demo_spark.operators.upsert import merge_apply
 
+        self._reject_reserved_row_id(updates)
         # delete rows never land; only surviving upserts are validated
         updates = self._apply_generated(
             updates, check_df=updates.filter(~F.col(delete_col))
@@ -3372,12 +3675,11 @@ class AcidTable:
                 last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
                     return base
-            live, schema_json, _, _, dvs = self._resolve_state(base)
+            live, schema_json, _, props, dvs = self._resolve_state(base)
+            rt_on = self._row_tracking_on(props)
             touched = self._touched_files(live, updates, keys)
             if touched:
-                target = self._apply_dvs(
-                    self._read_files(touched, schema_json), touched, dvs
-                )
+                target = self._read_for_rewrite(touched, schema_json, dvs, base)
             elif schema_json is not None:
                 target = self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema_json))
@@ -3388,15 +3690,24 @@ class AcidTable:
                 )
             if dropped:  # the rewrite materializes column drops
                 target = target.drop(*dropped)
+            ups = updates
+            if rt_on:
+                if self._ROW_ID_COL not in target.columns:
+                    target = target.withColumn(
+                        self._ROW_ID_COL, F.lit(None).cast("long")
+                    )
+                ups = self._inherit_row_ids(updates, target, keys)
             merged = merge_apply(
                 target,
-                updates,
+                ups,
                 keys,
                 delete_col,
                 dedupe_order=dedupe_order,
                 allow_missing_columns=auto_evolve,
                 unique_keys=unique_keys,
             )
+            if rt_on:
+                merged = self._assign_fresh_row_ids(merged, props)
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
                 return self._try_commit(
@@ -3452,8 +3763,8 @@ class AcidTable:
             touched = self._touched_files(live, key_set, keys)
             if not touched:
                 return base  # no file can contain a matching key
-            remaining = self._apply_dvs(
-                self._read_files(touched, schema_json), touched, dvs
+            remaining = self._read_for_rewrite(
+                touched, schema_json, dvs, base
             ).join(key_set, on=keys, how="left_anti")
             # join strategy stays Catalyst's call: AQE broadcasts a
             # small tombstone batch and shuffle-joins a huge one —
@@ -3566,9 +3877,7 @@ class AcidTable:
             if not touched:
                 return base  # nothing in scope: no commit
             _, table_schema, _, _, dvs = self._resolve_state(base)
-            rows = self._apply_dvs(
-                self._read_files(touched, table_schema), touched, dvs
-            )
+            rows = self._read_for_rewrite(touched, table_schema, dvs, base)
             add, schema = self._stage_actions(rows.repartition(n_files))
             try:
                 # commit the TABLE schema, not the touched subset's —
@@ -3721,9 +4030,7 @@ class AcidTable:
                 return base  # nothing soft-deleted: no commit
             add = []
             if touched:
-                rows = self._apply_dvs(
-                    self._read_files(touched, schema_json), touched, dvs
-                )
+                rows = self._read_for_rewrite(touched, schema_json, dvs, base)
                 if dropped:
                     rows = rows.drop(*dropped)
                 add, _ = self._stage_actions(
@@ -3734,6 +4041,21 @@ class AcidTable:
                 for f in json.loads(schema_json)["fields"]
                 if f["name"] not in dropped
             ]
+            if (
+                touched
+                and self._row_tracking_on(props)
+                and not any(f["name"] == self._ROW_ID_COL for f in fields)
+            ):
+                # the purge rewrite materialized row ids: the committed
+                # schema must carry the hidden column or reads lose them
+                fields.append(
+                    {
+                        "name": self._ROW_ID_COL,
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                )
             schema_out = json.dumps({"type": "struct", "fields": fields})
             try:
                 return self._try_commit(

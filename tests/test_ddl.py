@@ -742,3 +742,19 @@ def test_merge_not_matched_by_source_delete_sql(spark, tmp_path):
     )
     got = {r.k: r.v for r in t.snapshot().collect()}
     assert got == {2: "B3"}  # 1 and 3 were 'x' and unmatched -> deleted
+
+
+def test_alter_table_enable_row_tracking_sql(spark, tmp_path):
+    """ALTER TABLE t ENABLE ROW TRACKING routes to set_row_tracking;
+    ids then survive a SQL UPDATE."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    sql.sql("ALTER TABLE t ENABLE ROW TRACKING")
+    ids0 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    sql.sql("UPDATE t SET v = 'z' WHERE k = 1")
+    ids1 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids1 == ids0
+    assert {r.k: r.v for r in t.snapshot().collect()} == {1: "z", 2: "b"}

@@ -2618,3 +2618,137 @@ def test_column_default_sql_routes(spark, tmp_path):
     sql.sql("INSERT INTO t (k, v) VALUES (3, 9)")
     got = {r.k: r.region for r in t.snapshot().collect()}
     assert got[3] is None
+
+
+def test_row_tracking_lifecycle(spark, tmp_path):
+    """Delta-style row tracking: enable-on-nonempty backfills bases in
+    ONE metadata-only commit; appends get fresh bases for free; merge
+    UPDATE keeps a row's id, INSERT mints above the watermark; compact
+    and delete (both modes) preserve survivors' ids; update preserves;
+    the hidden __row_id column never leaks from snapshot/scan/changes;
+    the reserved name is rejected on user writes."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+        )
+    )
+    v_data = t.latest_version()
+    t.set_row_tracking()
+    assert "rowTracking" in t.protocol()["writer_features"]
+    # backfill was metadata-only: same live data, one new commit
+    assert t.latest_version() == v_data + 1
+    ids0 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert sorted(ids0.values()) == [0, 1, 2, 3]
+    t.set_row_tracking()  # idempotent
+    assert t.latest_version() == v_data + 1
+
+    # append: fresh base, no data-file column
+    t.append(spark.createDataFrame([(6, "f")], "k int, v string"))
+    ids = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids[6] == 4 and all(ids[k] == ids0[k] for k in ids0)
+
+    # merge: update keeps id, insert mints fresh
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (5, "e")], "k int, v string"), ["k"]
+    )
+    ids1 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids1[2] == ids0[2]
+    assert ids1[5] not in set(ids.values()) and ids1[5] >= 5
+    assert {r.k: r.v for r in t.snapshot().collect()}[2] == "B2"
+
+    # layout changes preserve everything; CDF stays EMPTY for them
+    t.compact(n_files=1)
+    assert {
+        r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()
+    } == ids1
+    assert t.changes(t.latest_version() - 1).count() == 0
+    assert "_row_id" not in t.changes(0).columns
+    assert "__row_id" not in t.snapshot().columns
+    assert "__row_id" not in t.scan([("k", ">=", 0)]).columns
+
+    # deletes: CoW rewrite and MOR vector both keep survivors' ids
+    t.delete([("k", "=", 3)])
+    t.delete([("k", "=", 4)], mode="merge_on_read")
+    ids2 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert set(ids2) == {1, 2, 5, 6}
+    assert all(ids2[k] == ids1[k] for k in ids2)
+
+    # update (CoW) preserves identity
+    t.update({"v": "upper(v)"}, [("k", "=", 1)])
+    ids3 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids3 == ids2
+
+    # time travel resolves ids as of the old version
+    old = {
+        r.k: r._row_id
+        for r in t.snapshot(v_data + 1, with_row_ids=True).collect()
+    }
+    assert old == ids0
+
+    # merge_apply: one atomic delete+upsert, ids stable for survivors
+    t.merge_apply(
+        spark.createDataFrame(
+            [(2, "B3", False), (6, "x", True), (9, "i", False)],
+            "k int, v string, is_del boolean",
+        ),
+        ["k"],
+        "is_del",
+    )
+    ids4 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids4[2] == ids1[2] and 6 not in ids4 and ids4[9] > max(ids1.values()) - 1
+    assert ids4[1] == ids3[1] and ids4[5] == ids3[5]
+
+    # reserved column name rejected on every user write surface
+    bad = spark.createDataFrame([(9, "z", 1)], "k int, v string, __row_id long")
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge(bad, ["k"])
+    with pytest.raises(ValueError, match="engine-assigned"):
+        t.update({"__row_id": "1"}, [("k", "=", 1)])
+
+    # untracked table refuses the read
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="row tracking"):
+        t2.snapshot(with_row_ids=True)
+
+
+def test_row_tracking_replace_where_and_dsv2(spark, tmp_path):
+    """replaceWhere keeps untouched-partition ids and carries the
+    remainder's through the rewrite; the DSv2 writer's files get bases
+    centrally (commit-time), and the DSv2 reader hides __row_id."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)],
+            "k int, day string, v int",
+        )
+    )
+    t.set_row_tracking()
+    ids0 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    t.overwrite_where(
+        spark.createDataFrame([(7, "d1", 70)], "k int, day string, v int"),
+        [("day", "=", "d1")],
+    )
+    ids1 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert set(ids1) == {3, 7}
+    assert ids1[3] == ids0[3]  # carried partition row kept its id
+    assert ids1[7] not in ids0.values()
+
+    # DSv2 writer: fresh base assigned at commit, reader hides the col
+    spark.createDataFrame([(8, "d3", 80)], "k int, day string, v int").write.format(
+        "acidtable"
+    ).mode("append").option("path", p).save()
+    ids2 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids2[8] is not None and ids2[8] not in ids1.values()
+    via_ds = spark.read.format("acidtable").option("path", p).load()
+    assert "__row_id" not in via_ds.columns and via_ds.count() == 3
