@@ -2386,7 +2386,11 @@ class AcidTable:
         raise CommitConflict(f"update lost {max_retries} commit races")
 
     def changes(
-        self, since_version: int, until_version: int | None = None
+        self,
+        since_version: int,
+        until_version: int | None = None,
+        *,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Change data feed: the NET row-level difference between two
         snapshots, as the table's rows plus a ``_change_type`` column
@@ -2408,10 +2412,21 @@ class AcidTable:
         removed, which ``vacuum`` physically deletes once
         ``since_version`` falls outside ``retain_versions`` — consume
         the feed within the vacuum retention window (the same
-        contract Delta's CDF has with its VACUUM)."""
+        contract Delta's CDF has with its VACUUM).
+
+        ``with_row_ids=True`` (row-tracking tables) adds the stable
+        ``_row_id`` column: an UPDATE's delete+insert pair SHARES its
+        id, so a downstream consumer reconstructs true row-level
+        updates without a natural key — and because rewrites preserve
+        ids, carried rows still cancel and layout commits still yield
+        an empty feed."""
         until = self.latest_version() if until_version is None else until_version
-        live_new, schema_new, _, _, dv_new = self._resolve_state(until)
+        live_new, schema_new, _, props_new, dv_new = self._resolve_state(until)
         live_old, schema_old, _, _, dv_old = self._resolve_state(since_version)
+        if with_row_ids and not self._row_tracking_on(props_new):
+            raise ValueError(
+                "row tracking is not enabled (set_row_tracking())"
+            )
         # diff on (path, deletion vector): a carried-over file whose
         # vector changed must be read on BOTH sides — each side masked
         # with its own vector, so exceptAll nets to exactly the
@@ -2426,22 +2441,31 @@ class AcidTable:
             raise ValueError(f"table {self.path} has no commits")
 
         def read(
-            paths: list[str], dvs: dict[str, str], side_schema: str | None
+            paths: list[str],
+            dvs: dict[str, str],
+            side_schema: str | None,
+            live_stats: dict,
         ) -> DataFrame:
             if not paths:
-                return self.spark.createDataFrame(
+                empty = self.spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(schema_json))
                 )
+                if with_row_ids:
+                    empty = empty.withColumn(
+                        "_row_id", F.lit(None).cast("long")
+                    )
+                return empty
             # each side reads under ITS OWN committed schema (the old
             # side may predate an add-column or a type widening)
-            return self._apply_dvs(
-                self._read_files(paths, side_schema or schema_json),
-                paths,
-                dvs,
-            )
+            df = self._read_files(paths, side_schema or schema_json)
+            if with_row_ids:
+                df = self._row_id_coords(df)
+                df = self._apply_dvs(df, paths, dvs)
+                return self._attach_row_ids(df, paths, live_stats)
+            return self._apply_dvs(df, paths, dvs)
 
-        a = read(added, dv_new, schema_new)
-        r = read(removed, dv_old, schema_old)
+        a = read(added, dv_new, schema_new, live_new)
+        r = read(removed, dv_old, schema_old, live_old)
         # the hidden row-id column never feeds the diff: carried rows
         # on the OLD side derive ids from file bases (not materialized)
         # and would spuriously fail exceptAll equality against the
@@ -2466,9 +2490,10 @@ class AcidTable:
         a, r = align(a), align(r)
         ins = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
         dels = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
-        return self._logicalize(
-            ins.unionByName(dels), keep=("_change_type",)
+        keep = (
+            ("_change_type", "_row_id") if with_row_ids else ("_change_type",)
         )
+        return self._logicalize(ins.unionByName(dels), keep=keep)
 
     def restore(self, version: int, *, max_retries: int = 5) -> int:
         """RESTORE TABLE TO VERSION AS OF — roll the live set back to

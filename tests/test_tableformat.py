@@ -2752,3 +2752,45 @@ def test_row_tracking_replace_where_and_dsv2(spark, tmp_path):
     assert ids2[8] is not None and ids2[8] not in ids1.values()
     via_ds = spark.read.format("acidtable").option("path", p).load()
     assert "__row_id" not in via_ds.columns and via_ds.count() == 3
+
+
+def test_cdf_with_row_ids_pairs_updates(spark, tmp_path):
+    """changes(with_row_ids=True): an UPDATE's delete+insert pair
+    shares its stable id (true row-level updates without a natural
+    key); layout commits still net to an empty feed; the plain feed's
+    schema is unchanged."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k int, v string"), ["k"]
+    )
+    feed = t.changes(v0, with_row_ids=True).collect()
+    by_type = {}
+    for row in feed:
+        by_type.setdefault(row._change_type, []).append(row)
+    # the update pair shares one id; the insert has a fresh one
+    dels = {r.k: r._row_id for r in by_type["delete"]}
+    ins = {r.k: r._row_id for r in by_type["insert"]}
+    assert set(dels) == {2} and set(ins) == {2, 4}
+    assert ins[2] == dels[2]
+    assert ins[4] != ins[2] and ins[4] is not None
+    # plain feed unchanged (no id columns)
+    plain_cols = t.changes(v0).columns
+    assert "_row_id" not in plain_cols and "__row_id" not in plain_cols
+    # layout commit: EMPTY feed on both forms
+    v1 = t.latest_version()
+    t.compact(n_files=1)
+    assert t.changes(v1).count() == 0
+    assert t.changes(v1, with_row_ids=True).count() == 0
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="row tracking"):
+        t2.changes(0, with_row_ids=True)
