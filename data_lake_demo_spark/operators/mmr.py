@@ -132,9 +132,15 @@ def mmr_rerank(
     # instead of lingering until ContextCleaner GC. The materialized
     # result is k small rows per query (no vectors), checkpoint-backed
     # so re-reads never replay the k-round plan.
-    result = picked.select(
-        "qid", "pick_rank", "nid", "mmr_score"
-    ).localCheckpoint(eager=True)
+    # coalesce first: the union of k picks carries k×shuffle-partitions
+    # near-empty partitions, and checkpointing a tiny result through
+    # 100+ trivial tasks is pure scheduling overhead (measured ~0.5 s
+    # at sf0.1); narrow-merging to a handful costs nothing upstream
+    result = (
+        picked.select("qid", "pick_rank", "nid", "mmr_score")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
     for f in round_frames:
         f.unpersist()
     return result
