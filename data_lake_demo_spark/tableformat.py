@@ -2531,10 +2531,20 @@ class AcidTable:
             base = self.latest_version()
             live, _ = self._resolve(base)
             remove = [p for p in live if p not in target_live]
+            props_out = dict(target_props)
+            # row-id watermark NEVER rolls back: restoring the target's
+            # (lower) watermark would let later writes re-mint ids a
+            # CDC consumer already observed between target and restore
+            cur_rt = self.properties(base).get(self._ROWTRACKING_KEY)
+            tgt_rt = props_out.get(self._ROWTRACKING_KEY)
+            if cur_rt and (
+                tgt_rt is None or int(cur_rt["next"]) > int(tgt_rt["next"])
+            ):
+                props_out[self._ROWTRACKING_KEY] = dict(cur_rt)
             try:
                 return self._try_commit(
                     base + 1, "restore", add, remove, target_schema,
-                    dv=dv_entries, props=dict(target_props),
+                    dv=dv_entries, props=props_out,
                 )
             except CommitConflict:
                 continue

@@ -2794,3 +2794,24 @@ def test_cdf_with_row_ids_pairs_updates(spark, tmp_path):
     t2.append(spark.createDataFrame([(1,)], "k int"))
     with pytest.raises(ValueError, match="row tracking"):
         t2.changes(0, with_row_ids=True)
+
+
+def test_row_tracking_restore_keeps_watermark(spark, tmp_path):
+    """RESTORE rolls metadata back WITH the data — except the row-id
+    watermark, which never decreases: re-minting an id a CDC consumer
+    already observed between the target and the restore would break
+    identity. Post-restore appends mint ABOVE every id ever issued."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.set_row_tracking()
+    v_tracked = t.latest_version()
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string"))
+    high = int(t.properties()["rowtracking"]["next"])
+    t.restore(v_tracked)
+    assert int(t.properties()["rowtracking"]["next"]) >= high
+    t.append(spark.createDataFrame([(9, "z")], "k int, v string"))
+    ids = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert set(ids) == {1, 9}
+    assert ids[9] >= high  # never reuses the rolled-back rows' ids
