@@ -3859,7 +3859,15 @@ class AcidTable:
         remove-all+add-all snapshot — readers never see a dimension
         with a key both closed AND still current. Full-table
         copy-on-write (SCD2 touches the is_current flag across the
-        dimension; dimensions are small relative to facts)."""
+        dimension; dimensions are small relative to facts).
+
+        Row tracking note: SCD2 rewrites the whole dimension through
+        the version-history operator, and every output row — closed,
+        carried, or new version — gets a FRESH row id (unique, never
+        colliding: fresh bases come from the central watermark). SCD2
+        has its own identity story (the business key + effective
+        range), so id preservation is deliberately not threaded
+        through this verb."""
         from data_lake_demo_spark.operators.upsert import scd2_apply
 
         for _ in range(max_retries):
@@ -3948,8 +3956,16 @@ class AcidTable:
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
             live, _ = self._resolve(base)
+            src = self.snapshot(base)
+            if self._row_tracking_on(self.properties(base)):
+                # a layout rewrite must carry row ids through — read
+                # them and stage the hidden column (same contract as
+                # compact via _read_for_rewrite)
+                src = self.snapshot(base, with_row_ids=True).withColumnRenamed(
+                    "_row_id", self._ROW_ID_COL
+                )
             laid_out = (
-                zvalue(self.snapshot(base), list(cols))
+                zvalue(src, list(cols))
                 .repartitionByRange(n_files, "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")

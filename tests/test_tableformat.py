@@ -2815,3 +2815,25 @@ def test_row_tracking_restore_keeps_watermark(spark, tmp_path):
     ids = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
     assert set(ids) == {1, 9}
     assert ids[9] >= high  # never reuses the rolled-back rows' ids
+
+
+def test_row_tracking_zorder_preserves_ids(spark, tmp_path):
+    """OPTIMIZE ZORDER is a pure layout change: on a tracked table the
+    rewrite carries every row's id through (and the CDF stays empty)."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 7, f"v{i}") for i in range(200)],
+            "k int, b int, v string",
+        )
+    )
+    t.set_row_tracking()
+    ids0 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    v = t.latest_version()
+    t.optimize_zorder(["k", "b"], n_files=4)
+    ids1 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert ids1 == ids0
+    assert t.changes(v).count() == 0
+    assert t.changes(v, with_row_ids=True).count() == 0
