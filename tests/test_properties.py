@@ -944,3 +944,81 @@ def test_label_propagation_matches_reference(spark, edge_pairs, rounds):
             new[n] = best
         labels = new
     assert got == labels
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.lists(
+                st.integers(min_value=100, max_value=130),
+                min_size=1, max_size=4, unique=True)),
+            st.tuples(st.just("merge"), st.lists(
+                st.integers(min_value=0, max_value=130),
+                min_size=1, max_size=4, unique=True)),
+            st.tuples(st.just("delete"), st.integers(min_value=0, max_value=130)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_row_tracking_invariants_under_op_sequences(spark, tmp_path_factory, ops):
+    """For ARBITRARY append/merge/delete/compact sequences on a
+    tracked table: ids stay unique, a row that survives an operation
+    untouched keeps its id, a merged (matched) row keeps its id, and
+    the watermark never decreases."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path_factory.mktemp("rt_prop") / "t"))
+    t.append(
+        spark.createDataFrame([(k, k * 10) for k in range(3)], "k int, v int")
+    )
+    t.set_row_tracking()
+
+    def ids_now():
+        return {
+            r.k: r._row_id
+            for r in t.snapshot(with_row_ids=True).collect()
+        }
+
+    prev = ids_now()
+    prev_wm = int(t.properties()["rowtracking"]["next"])
+    assert len(set(prev.values())) == len(prev)
+    for op, arg in ops:
+        if op == "append":
+            new_keys = [k for k in arg if k not in prev]
+            if not new_keys:
+                continue
+            t.append(
+                spark.createDataFrame(
+                    [(k, k * 10) for k in new_keys], "k int, v int"
+                )
+            )
+            touched = set()
+        elif op == "merge":
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 10 + 1) for k in arg], "k int, v int"
+                ),
+                ["k"],
+            )
+            touched = set()  # merge must PRESERVE matched ids too
+        elif op == "delete":
+            t.delete([("k", "=", arg)])
+            touched = {arg}
+        else:
+            t.compact(n_files=1)
+            touched = set()
+        cur = ids_now()
+        wm = int(t.properties()["rowtracking"]["next"])
+        assert wm >= prev_wm, (op, wm, prev_wm)
+        assert len(set(cur.values())) == len(cur), (op, cur)
+        for k, rid in prev.items():
+            if k in cur and k not in touched:
+                assert cur[k] == rid, (op, k, cur[k], rid)
+        # fresh rows mint at-or-above the previous watermark
+        for k, rid in cur.items():
+            if k not in prev:
+                assert rid >= prev_wm, (op, k, rid, prev_wm)
+        prev, prev_wm = cur, wm
