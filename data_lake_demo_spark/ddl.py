@@ -27,6 +27,7 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t ALTER COLUMN a SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+    SELECT ... FROM table_changes('t', start [, end] [, 'with_row_ids'])
     ALTER TABLE t ENABLE ROW TRACKING
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
@@ -1412,8 +1413,11 @@ class AcidSql:
         # SQL time travel grafted on — `FROM t VERSION AS OF n` /
         # `TIMESTAMP AS OF '...'` pins that reference to a snapshot
         # (rewritten to a temp view; unknown names pass through so
-        # ordinary Spark SQL keeps working unchanged)
-        return self.spark.sql(self._rewrite_time_travel(s))
+        # ordinary Spark SQL keeps working unchanged) — and Delta's
+        # table_changes('t', start[, end]) CDF table function
+        return self.spark.sql(
+            self._rewrite_table_changes(self._rewrite_time_travel(s))
+        )
 
     # ---- materialized views ---------------------------------------------
     #
@@ -1597,6 +1601,38 @@ class AcidSql:
             ]
             return src.select(*cols)
         return None
+
+    def _rewrite_table_changes(self, s: str) -> str:
+        """Delta's ``table_changes('t', start [, end])`` table
+        function: any occurrence in a query resolves to the table's
+        change data feed between the versions (``AcidTable.changes``)
+        as a temp view, so the standard CDF consumption SQL —
+        ``SELECT * FROM table_changes('t', 3) WHERE _change_type =
+        'insert'`` — runs verbatim. A third ``'with_row_ids'`` flag
+        argument adds the stable ``_row_id`` column on row-tracking
+        tables (pairs an update's delete+insert)."""
+        pat = re.compile(
+            r"table_changes\s*\(\s*'((?:[^']|'')*)'\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?"
+            r"(?:\s*,\s*'(with_row_ids)')?\s*\)",
+            re.I,
+        )
+        lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", s)]
+
+        def sub(m):
+            if any(a <= m.start() < b for a, b in lit_spans):
+                return m.group(0)
+            name = m.group(1).replace("''", "'")
+            t = self.table(name)
+            since = int(m.group(2))
+            until = int(m.group(3)) if m.group(3) else None
+            with_ids = m.group(4) is not None
+            df = t.changes(since, until, with_row_ids=with_ids)
+            view = f"__cdf_{abs(hash((name, since, until, with_ids))) % 10**10}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, s)
 
     def _rewrite_time_travel(self, s: str) -> str:
         pat = re.compile(

@@ -758,3 +758,39 @@ def test_alter_table_enable_row_tracking_sql(spark, tmp_path):
     ids1 = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
     assert ids1 == ids0
     assert {r.k: r.v for r in t.snapshot().collect()} == {1: "z", 2: "b"}
+
+
+def test_table_changes_sql_function(spark, tmp_path):
+    """Delta's table_changes('t', start [, end] [, 'with_row_ids'])
+    runs verbatim in SELECT: the CDF resolves as a view, filters
+    compose, and the row-id flag pairs an update's delete+insert."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], "k int, v string"), ["k"])
+    rows = sql.sql(
+        f"SELECT k, _change_type FROM table_changes('t', {v0}) "
+        "WHERE _change_type = 'insert' ORDER BY k"
+    ).collect()
+    assert [(r.k, r._change_type) for r in rows] == [
+        (2, "insert"), (3, "insert"),
+    ]
+    # bounded window [v0, v0] : no commits in range -> empty feed
+    assert sql.sql(
+        f"SELECT * FROM table_changes('t', {v0}, {v0})"
+    ).count() == 0
+    # with_row_ids: the update pair shares one id
+    paired = sql.sql(
+        f"SELECT k, _change_type, _row_id FROM "
+        f"table_changes('t', {v0}, {t.latest_version()}, 'with_row_ids') "
+        "WHERE k = 2"
+    ).collect()
+    ids = {r._change_type: r._row_id for r in paired}
+    assert ids["insert"] == ids["delete"] and ids["insert"] is not None
+    # a literal containing the text never rewrites
+    lit = sql.sql("SELECT 'table_changes(''t'', 0)' AS s").collect()[0].s
+    assert lit == "table_changes('t', 0)"
