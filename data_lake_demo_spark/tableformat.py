@@ -3922,12 +3922,31 @@ class AcidTable:
             _, table_schema, _, _, dvs = self._resolve_state(base)
             rows = self._read_for_rewrite(touched, table_schema, dvs, base)
             add, schema = self._stage_actions(rows.repartition(n_files))
+            commit_schema = table_schema or schema
+            if self._ROW_ID_COL in rows.columns:
+                # the rewrite materialized row ids: the committed
+                # schema must carry the hidden column or reads lose
+                # them (caught by the row-tracking property test on
+                # compact-as-first-rewrite)
+                d = json.loads(commit_schema)
+                if not any(
+                    f["name"] == self._ROW_ID_COL for f in d["fields"]
+                ):
+                    d["fields"].append(
+                        {
+                            "name": self._ROW_ID_COL,
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    )
+                    commit_schema = json.dumps(d)
             try:
                 # commit the TABLE schema, not the touched subset's —
                 # a scoped compact must not narrow columns that only
                 # exist in untouched files
                 return self._try_commit(
-                    base + 1, "compact", add, touched, table_schema or schema
+                    base + 1, "compact", add, touched, commit_schema
                 )
             except CommitConflict:
                 continue
