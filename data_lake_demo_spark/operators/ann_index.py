@@ -915,11 +915,45 @@ class AnnIndex:
         With ``txn_app``+``batch_id`` both sub-commits are idempotent
         per batch (distinct txn apps for the delete and add halves —
         one shared app would let the first half's watermark swallow
-        the second), so a replayed feed batch is a no-op."""
-        dels = feed.filter(F.col("_change_type") == "delete").select(
-            F.col(id_col).alias("nid")
+        the second), so a replayed feed batch is a no-op.
+
+        Accepts the full Delta CDF change-type enum: the DSv2 stream
+        reader labels an ``update()`` commit's diff
+        ``update_preimage``/``update_postimage`` — those are exactly
+        a delete/insert pair for index purposes. Row-tracking feeds
+        (``withRowIds=true``) compose directly: pass
+        ``id_col="_row_id"`` and the index stays keyed on stable row
+        ids with no natural key in the table at all.
+
+        Feed granularity: a micro-batch spanning SEVERAL commits (an
+        availableNow backlog drain) is not a net diff — the same id
+        can be inserted by one commit and deleted or updated again by
+        a later one. When the feed carries ``_commit_version`` (CDF
+        stream / batch CDF read) it is first reduced to each id's
+        FINAL image — latest commit wins, and within one commit the
+        insert side is the final state (an update pair nets to its
+        postimage). A feed without ``_commit_version``
+        (``AcidTable.changes()``) is already net and passes through.
+        The feed must start where the index's encoded state ends
+        (``startingVersion`` = build snapshot version + 1) — replaying
+        rows the build already encoded would duplicate them."""
+        is_del = F.col("_change_type").isin("delete", "update_preimage")
+        is_ins = F.col("_change_type").isin("insert", "update_postimage")
+        if "_commit_version" in feed.columns:
+            w = W.partitionBy(F.col(id_col)).orderBy(
+                F.col("_commit_version").desc(), is_ins.cast("int").desc()
+            )
+            final = (
+                feed.withColumn("__last", F.row_number().over(w))
+                .filter(F.col("__last") == 1)
+                .drop("__last")
+            )
+            ins = final.filter(is_ins)
+        else:
+            ins = feed.filter(is_ins)
+        dels = (
+            feed.filter(is_del).select(F.col(id_col).alias("nid")).distinct()
         )
-        ins = feed.filter(F.col("_change_type") == "insert")
         txn = txn_app is not None and batch_id is not None
         if not dels.isEmpty():
             self.codes_table.merge_delete(

@@ -49,6 +49,17 @@ source shape, expressed through Spark 4's Python Data Source API
   file skipping already minimizes. The same option on a BATCH read
   returns a commit range's change rows
   (``startingVersion``/``endingVersion`` — Delta's ``table_changes``).
+- **Row ids.** ``withRowIds=true`` (row-tracking tables,
+  ``AcidTable.set_row_tracking()``) appends the stable ``_row_id``
+  column on every read mode — snapshot, append-only stream, and CDF.
+  Executors derive it exactly like the table API (materialized hidden
+  ``__row_id`` column where a rewrite wrote one, else the file's
+  manifest ``#base_row_id`` + physical row position), so on the
+  change feed an update's delete+insert pair SHARES its id: a
+  downstream incremental consumer (index maintenance, derived-table
+  MERGE) can key on ``_row_id`` with no natural key at all, and
+  pure-layout commits still diff to an empty feed because rewrites
+  preserve ids.
 
 Batch symmetry: ``spark.read.format("acidtable").load(path)`` reads
 the live snapshot through the same planner (one partition per live
@@ -117,17 +128,21 @@ _CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, dv: str | None = None):
+    def __init__(
+        self, path: str, dv: str | None = None, base: int | None = None
+    ):
         self.path = path
         self.dv = dv  # packed deletion vector (merge-on-read mask)
+        self.base = base  # row-tracking #base_row_id (withRowIds mode)
 
 
 class _ChangePartition(InputPartition):
     """One commit's net row diff: executor reads the commit's removed
     and added files and emits insert/delete rows (CDF mode). Each
-    entry is a ``(path, deletion vector | None)`` pair — a carried
-    file whose vector changed appears on BOTH sides, each masked with
-    its own vector, so the diff nets to the newly-masked rows."""
+    entry is a ``(path, deletion vector | None, row-id base | None)``
+    triple — a carried file whose vector changed appears on BOTH
+    sides, each masked with its own vector, so the diff nets to the
+    newly-masked rows."""
 
     def __init__(
         self, adds: list, removes: list, version: int, ts: float, op: str = ""
@@ -139,10 +154,22 @@ class _ChangePartition(InputPartition):
         self.op = op  # commit operation; "update" relabels the diff
 
 
-def _read_parquet_rows(path: str, fields: list[str], dv: str | None = None):
+def _read_parquet_rows(
+    path: str,
+    fields: list[str],
+    dv: str | None = None,
+    rid_base: int | None = None,
+    with_rid: bool = False,
+):
     """Executor-side file read: yield tuples in schema field order,
     padding columns the file predates (additive evolution) with None.
-    ``dv`` masks merge-on-read-deleted rows by position."""
+    ``dv`` masks merge-on-read-deleted rows by position.
+
+    ``with_rid=True`` appends the stable row id as the LAST element of
+    each tuple — the materialized hidden ``__row_id`` column when the
+    file carries one (rewrites), else ``rid_base`` + the PHYSICAL row
+    position (pre-mask, matching tableformat's base + _metadata.
+    row_index derivation), else None (file predates tracking)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
@@ -155,6 +182,22 @@ def _read_parquet_rows(path: str, fields: list[str], dv: str | None = None):
             cols.append([None] * n)
     if not n:
         return
+    if with_rid:
+        # mirror AcidTable._attach_row_ids: coalesce(materialized,
+        # base + physical position)
+        if "__row_id" in tbl.column_names:
+            mat = tbl.column("__row_id").to_pylist()
+            if rid_base is None:
+                cols.append(mat)
+            else:
+                cols.append(
+                    [m if m is not None else rid_base + i
+                     for i, m in enumerate(mat)]
+                )
+        elif rid_base is not None:
+            cols.append(list(range(rid_base, rid_base + n)))
+        else:
+            cols.append([None] * n)
     if dv:
         from data_lake_demo_spark.tableformat import _unpack_dv
 
@@ -166,14 +209,25 @@ def _read_parquet_rows(path: str, fields: list[str], dv: str | None = None):
     yield from zip(*cols)
 
 
-def _read_change_rows(part: _ChangePartition, fields: list[str]):
+def _read_change_rows(
+    part: _ChangePartition, fields: list[str], with_rid: bool = False
+):
     """Executor-side net row diff for one commit (CDF mode): rows
     present after-but-not-before are inserts, before-but-not-after
     are deletes — multiset semantics (Counter), so duplicate rows
     diff correctly. A pure-layout commit (compact / zorder) has
     identical multisets and yields an EMPTY feed, matching
     ``AcidTable.changes``. Memory is O(files this commit touched) —
-    bounded by the same file skipping that produced the commit."""
+    bounded by the same file skipping that produced the commit.
+
+    ``with_rid=True`` (row-tracking tables) includes the stable row id
+    in the diff KEY and appends it as the row's last column: because
+    rewrites PRESERVE ids, carried rows still cancel (the old side
+    derives base+position, the new side reads the materialized column
+    — same value), layout commits still diff to empty, and an update's
+    delete+insert pair SHARES its id — the pairing contract that lets
+    a downstream consumer reconstruct row-level updates without a
+    natural key."""
     from collections import Counter
 
     def key(v):
@@ -196,8 +250,8 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     def load(entries):
         counts: Counter = Counter()
         originals: dict = {}
-        for p, dv in entries:
-            for row in _read_parquet_rows(p, fields, dv):
+        for p, dv, base in entries:
+            for row in _read_parquet_rows(p, fields, dv, base, with_rid):
                 k = tuple(key(v) for v in row)
                 counts[k] += 1
                 originals[k] = row
@@ -216,14 +270,25 @@ def _read_change_rows(part: _ChangePartition, fields: list[str]):
     is_update = part.op == "update"
     ins_label = "update_postimage" if is_update else "insert"
     del_label = "update_preimage" if is_update else "delete"
+    def emit(row, label):
+        if with_rid:  # rid rides LAST in the output schema, after the
+            # CDF metadata columns — the read tuples carry it last too
+            return (*row[:-1], label, part.version, commit_ts, row[-1])
+        return (*row, label, part.version, commit_ts)
+
     # repr-keyed sort: deterministic output order even when column
     # types are mixed/nested (raw tuple comparison would TypeError)
     for k, n in sorted((after - before).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_a[k], ins_label, part.version, commit_ts)
+            yield emit(rows_a[k], ins_label)
     for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
         for _ in range(n):
-            yield (*rows_b[k], del_label, part.version, commit_ts)
+            yield emit(rows_b[k], del_label)
+
+
+def _row_id_base(stats: dict | None) -> int | None:
+    b = (stats or {}).get("#base_row_id")
+    return int(b[0]) if b else None
 
 
 def _cdf_partitions(t, start_v: int, end_v: int) -> list:
@@ -238,19 +303,26 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
       each masked with its version's vector — a merge-on-read DELETE
       commit (no file changes at all) thus emits exactly the
       newly-masked rows as deletes.
+
+    Each side's entries carry the file's manifest ``#base_row_id``
+    (folded the same way, so the remove side sees the stats the file
+    was LIVE under) — consumed only in withRowIds mode.
     """
     live_map, _, _, _, dvs = t._resolve_state(start_v - 1 if start_v > 0 else -1)
+    stats = dict(live_map)  # path -> manifest stats while live
     live = set(live_map)
     dvs = dict(dvs)
     parts = []
     for v in range(start_v, end_v):
         c = t._read_commit(v)
-        pre_live, pre_dvs = set(live), dict(dvs)
+        pre_live, pre_dvs, pre_stats = set(live), dict(dvs), dict(stats)
         for p in c.remove:
             live.discard(p)
             dvs.pop(p, None)
+            stats.pop(p, None)
         for a in c.add:
             live.add(a["path"])
+            stats[a["path"]] = a.get("stats", {})
         for e in c.dv or ():
             if e["del"]:
                 dvs[e["path"]] = e["del"]
@@ -262,10 +334,13 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
             p for p in (live & pre_live) if pre_dvs.get(p) != dvs.get(p)
         )
         adds = [
-            (os.path.join(t.path, p), dvs.get(p)) for p in added + changed
+            (os.path.join(t.path, p), dvs.get(p), _row_id_base(stats.get(p)))
+            for p in added + changed
         ]
         removes = [
-            (os.path.join(t.path, p), pre_dvs.get(p)) for p in removed + changed
+            (os.path.join(t.path, p), pre_dvs.get(p),
+             _row_id_base(pre_stats.get(p)))
+            for p in removed + changed
         ]
         if not removes:
             # pure append: fan out per file (all-insert rows)
@@ -279,6 +354,14 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
 
 def _cdf_enabled(options) -> bool:
     return str(options.get("readchangefeed", "false")).lower() in ("true", "1")
+
+
+def _rid_enabled(options) -> bool:
+    """``withRowIds=true``: append the stable ``_row_id`` column
+    (row-tracking tables) — on a snapshot read, on an append-only
+    stream, and on the change feed (where an update's delete+insert
+    pair shares its id)."""
+    return str(options.get("withrowids", "false")).lower() in ("true", "1")
 
 
 def _local_path(p: str) -> str:
@@ -397,7 +480,9 @@ class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._cdf = _cdf_enabled(options)
-        fields = schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
+        self._rid = _rid_enabled(options)
+        n_meta = (len(_CDF_COLS) if self._cdf else 0) + (1 if self._rid else 0)
+        fields = schema_fields[:-n_meta] if n_meta else schema_fields
         # schema fields arrive LOGICAL (DataSource.schema applies the
         # column mapping); parquet access needs PHYSICAL names — the
         # output binding is positional, so translating here is the
@@ -450,9 +535,15 @@ class _AcidBatchReader(DataSourceReader):
             files, _, _ = t._pruned_live(self._pushed, as_of=as_of)
         else:
             files, _ = t._resolve(as_of)
-        dvs = t._resolve_state(as_of)[4]
+        state = t._resolve_state(as_of)
+        dvs, live_stats = state[4], state[0]
         parts = [
-            _FilePartition(os.path.join(t.path, f), dvs.get(f)) for f in files
+            _FilePartition(
+                os.path.join(t.path, f),
+                dvs.get(f),
+                _row_id_base(live_stats.get(f)) if self._rid else None,
+            )
+            for f in files
         ]
         # same ≥1-partition contract as the stream reader: a fully
         # pruned (or empty) table still needs a no-op sentinel
@@ -460,21 +551,25 @@ class _AcidBatchReader(DataSourceReader):
 
     def read(self, partition):
         if isinstance(partition, _ChangePartition):
-            return _read_change_rows(partition, self._fields)
+            return _read_change_rows(partition, self._fields, self._rid)
         if not partition.path:
             return iter(())
-        return _read_parquet_rows(partition.path, self._fields, partition.dv)
+        return _read_parquet_rows(
+            partition.path, self._fields, partition.dv,
+            partition.base, self._rid,
+        )
 
 
 class _AcidStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema_fields: list[str]):
         self._options = options
         self._cdf = _cdf_enabled(options)
+        self._rid = _rid_enabled(options)
         # CDF rows append (_change_type, _commit_version,
-        # _commit_timestamp); data fields are everything before them
-        fields = (
-            schema_fields[: -len(_CDF_COLS)] if self._cdf else schema_fields
-        )
+        # _commit_timestamp), withRowIds appends _row_id last; data
+        # fields are everything before them
+        n_meta = (len(_CDF_COLS) if self._cdf else 0) + (1 if self._rid else 0)
+        fields = schema_fields[:-n_meta] if n_meta else schema_fields
         # logical schema names -> physical parquet names (positional
         # output binding, same as the batch reader)
         rev = _reverse_colmap(options)
@@ -607,7 +702,11 @@ class _AcidStreamReader(DataSourceStreamReader):
             lo = i0 if v == v0 else 0
             hi = i1 if (v == v1 and i1 > 0) else len(c.add)
             parts.extend(
-                _FilePartition(os.path.join(t.path, a["path"]))
+                _FilePartition(
+                    os.path.join(t.path, a["path"]),
+                    None,
+                    _row_id_base(a.get("stats")) if self._rid else None,
+                )
                 for a in c.add[lo:hi]
             )
         # Spark requires ≥1 partition per planned batch; an empty range
@@ -616,10 +715,12 @@ class _AcidStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         if isinstance(partition, _ChangePartition):
-            return _read_change_rows(partition, self._fields)
+            return _read_change_rows(partition, self._fields, self._rid)
         if not partition.path:
             return iter(())
-        return _read_parquet_rows(partition.path, self._fields)
+        return _read_parquet_rows(
+            partition.path, self._fields, None, partition.base, self._rid
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the log is immutable
@@ -1226,6 +1327,14 @@ class AcidTableDataSource(DataSource):
                 .add("_commit_version", T.LongType())
                 .add("_commit_timestamp", T.TimestampType())
             )
+        if _rid_enabled(self.options):
+            props = t._resolve_state(as_of)[3]
+            if not t._row_tracking_on(props):
+                raise ValueError(
+                    "withRowIds requires row tracking on the table "
+                    "(AcidTable.set_row_tracking())"
+                )
+            st = st.add("_row_id", T.LongType())
         return st
 
     def _fields(self) -> list[str]:

@@ -718,3 +718,92 @@ def test_cdf_stream_restart_matches_from_scratch_encode(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_row_id_keyed_index_no_natural_key(spark, tmp_path):
+    """Row-tracking composes with index maintenance: an embeddings
+    table with NO natural key at all is indexed and stream-maintained
+    keyed on the stable ``_row_id`` alone — build from
+    snapshot(with_row_ids=True), tail the CDF stream with
+    ``withRowIds=true``, feed apply_changes(id_col="_row_id"). An
+    UPDATE commit arrives as update_preimage/update_postimage (the
+    Delta enum) and must land as re-encode-in-place; a DELETE
+    tombstones; the final codes equal a from-scratch encode of the
+    final snapshot under the same stored quantizers and the same row
+    ids."""
+    from data_lake_demo_spark.functions.vector import to_double_array
+    from data_lake_demo_spark.operators.ann_index import encode_pq
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    emb = _emb(spark).filter(F.col("vec_id") < 40).select("embedding", "label")
+    table = AcidTable(spark, str(tmp_path / "emb"))
+    table.set_row_tracking()
+    table.append(emb)
+
+    idx = AnnIndex.build(
+        table.snapshot(with_row_ids=True),
+        str(tmp_path / "idx"),
+        id_col="_row_id",
+        nlist=8,
+    )
+    v0 = table.latest_version()
+
+    # UPDATE (no key needed): rescale the label-0 embeddings in place;
+    # DELETE the label-1 rows; append fresh rows
+    table.update(
+        {"embedding": "transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"},
+        [("label", "=", 0)],
+    )
+    table.delete([("label", "=", 1)])
+    table.append(
+        _emb(spark)
+        .filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+        .select("embedding", "label")
+    )
+
+    q = (
+        read_table_stream(
+            spark,
+            str(tmp_path / "emb"),
+            readChangeFeed="true",
+            withRowIds="true",
+            # tail from where the build's snapshot ended; the whole
+            # backlog (update + delete + append) lands as ONE
+            # micro-batch — exercising the final-image reduction
+            startingVersion=str(v0 + 1),
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: idx.apply_changes(
+                df, id_col="_row_id", txn_app="ridx", batch_id=bid
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = table.snapshot(with_row_ids=True).select(
+        F.col("_row_id").alias("nid"),
+        to_double_array(F.col("embedding")).alias("nvec"),
+    )
+    expected = {
+        (r.nid, r.cell, bytes(r.codes))
+        for r in encode_pq(final, idx.model).collect()
+    }
+    got = {
+        (r.nid, r.cell, bytes(r.codes))
+        for r in idx.codes_table.snapshot()
+        .select("nid", "cell", "codes")
+        .collect()
+    }
+    assert got == expected and got
+    # the update re-encoded IN PLACE: ids minted before v0 still present
+    pre_ids = {
+        r["_row_id"]
+        for r in table.snapshot(as_of=v0, with_row_ids=True)
+        .filter(F.col("label") == 0)
+        .collect()
+    }
+    assert pre_ids and pre_ids <= {nid for nid, _, _ in got}

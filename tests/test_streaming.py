@@ -1794,3 +1794,118 @@ def test_dsv2_writer_and_copy_into_materialize_defaults(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: (r.region, r.v) for r in t.snapshot().collect()}
     assert got[5] == ("unknown", 42)
+
+
+def test_acid_read_with_row_ids(spark, tmp_path):
+    """withRowIds=true on the DSv2 source (row-tracking tables)
+    appends the stable _row_id column on all three read modes and
+    matches the table API exactly:
+
+    * batch snapshot read == snapshot(with_row_ids=True);
+    * batch CDF read == changes(with_row_ids=True) — an update's
+      delete+insert pair SHARES its id (the pairing contract), and a
+      pure-layout compaction still diffs to an EMPTY feed because
+      rewrites preserve ids;
+    * ids survive compaction on the snapshot read;
+    * a non-tracking table fails fast at schema time.
+    """
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    # first append PRE-dates tracking (backfill path), second is stamped
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double"))
+    t.set_row_tracking()
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, x double"))
+    v0 = t.latest_version()
+
+    def rid_read(**opts):
+        r = (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("withRowIds", "true")
+        )
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return r.load()
+
+    api = sorted(
+        tuple(r) for r in t.snapshot(with_row_ids=True)
+        .select("k", "x", "_row_id").collect()
+    )
+    dsv2 = sorted(
+        tuple(r) for r in rid_read().select("k", "x", "_row_id").collect()
+    )
+    assert dsv2 == api
+    assert all(rid is not None for _, _, rid in dsv2)
+
+    # MERGE-update two rows: CDF pairs by id
+    t.merge(
+        spark.createDataFrame([(1, 11.0), (3, 33.0)], "k long, x double"),
+        ["k"],
+    )
+    feed = rid_read(readChangeFeed="true", startingVersion=str(v0 + 1))
+    rows = feed.collect()
+    ins = {r["_row_id"]: r["k"] for r in rows if r["_change_type"] == "insert"}
+    dels = {r["_row_id"]: r["k"] for r in rows if r["_change_type"] == "delete"}
+    assert set(ins) == set(dels) and len(ins) == 2
+    assert ins == dels  # same natural row behind each id
+    api_feed = sorted(
+        tuple(r) for r in t.changes(v0, with_row_ids=True)
+        .select("k", "x", "_change_type", "_row_id").collect()
+    )
+    dsv2_feed = sorted(
+        tuple(r)
+        for r in feed.select("k", "x", "_change_type", "_row_id").collect()
+    )
+    assert dsv2_feed == api_feed
+
+    # layout commit: empty feed even with ids in the diff key
+    v1 = t.latest_version()
+    t.compact(n_files=1)
+    assert (
+        rid_read(readChangeFeed="true", startingVersion=str(v1 + 1)).count()
+        == 0
+    )
+    post = sorted(
+        tuple(r) for r in rid_read().select("k", "x", "_row_id").collect()
+    )
+    api_post = sorted(
+        tuple(r) for r in t.snapshot(with_row_ids=True)
+        .select("k", "x", "_row_id").collect()
+    )
+    assert post == api_post  # ids preserved through the rewrite
+
+    # append-only STREAM mode carries ids too
+    t2 = AcidTable(spark, str(tmp_path / "t2"))
+    t2.set_row_tracking()
+    t2.append(spark.createDataFrame([(7, 1.0), (8, 2.0)], "k long, x double"))
+    got = []
+    q = (
+        spark.readStream.format("acidtable")
+        .option("path", t2.path)
+        .option("withRowIds", "true")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r["k"], r["_row_id"]) for r in got) == sorted(
+        (r["k"], r["_row_id"])
+        for r in t2.snapshot(with_row_ids=True).collect()
+    )
+
+    # fail-fast on a non-tracking table
+    t3 = AcidTable(spark, str(tmp_path / "t3"))
+    t3.append(spark.createDataFrame([(1,)], "k long"))
+    try:
+        spark.read.format("acidtable").option("withRowIds", "true").load(
+            t3.path
+        ).collect()
+        raise AssertionError("expected withRowIds to fail")
+    except Exception as e:
+        assert "row tracking" in str(e)
