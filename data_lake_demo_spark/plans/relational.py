@@ -2168,6 +2168,92 @@ def orders_row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cdf_row_id_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-id pairing contract on the change feed (new in r8): a
+    row-tracking AcidTable of even-key orders takes a MERGE (source =
+    keys % 3 == 0 with total bumped by k % 5), and the query
+    reconstructs the UPDATES from ``changes(with_row_ids=True)`` by
+    joining the delete side to the insert side ON ``_row_id`` ALONE —
+    no natural key. Per status it emits the pair count, how many pairs
+    land on the same natural key (the contract says: all), and the
+    quantized old/new sums. The oracle replays the merge in SQL:
+    update pairs are exactly the even keys with k % 6 == 0 whose bump
+    is non-zero (k % 5 != 0 — an unchanged row nets out of the feed,
+    the Delta CDF contract). Ids themselves are engine-internal, so
+    the check rides the reconstruction, not literal id values."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="cdf_rid_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.set_row_tracking()
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        v0 = t.latest_version()
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                (
+                    F.col("o_totalprice")
+                    + (F.col("o_orderkey") % 5).cast("double")
+                ).alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            ["k"],
+        )
+        feed = t.changes(v0, with_row_ids=True)
+        dels = feed.filter(F.col("_change_type") == "delete").select(
+            F.col("_row_id").alias("rid"),
+            F.col("k").alias("k_old"),
+            F.col("total").alias("total_old"),
+        )
+        ins = feed.filter(F.col("_change_type") == "insert").select(
+            F.col("_row_id").alias("rid"), "k", "total", "status"
+        )
+        out = (
+            ins.join(dels, "rid")  # updates = paired by id alone
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_upd"),
+                F.sum(
+                    (F.col("k") == F.col("k_old")).cast("long")
+                ).alias("n_key_stable"),
+                qsum(F.col("total_old"), "old_sum"),
+                qsum(F.col("total"), "new_sum"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "status string, n_upd long, n_key_stable long, "
+        "old_sum double, new_sum double",
+    )
+
+
+ORDERS_CDF_RID_PAIRS_SQL = f"""
+SELECT o_orderstatus AS status,
+       count(*) AS n_upd,
+       count(*) AS n_key_stable,
+       {_sql_qsum('o_totalprice', 'old_sum')},
+       {_sql_qsum('o_totalprice + CAST(o_orderkey % 5 AS DOUBLE)', 'new_sum')}
+FROM orders
+WHERE o_orderkey % 6 = 0 AND o_orderkey % 5 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ORDERS_ROW_TRACKING_SQL = f"""
 WITH t0 AS (
   SELECT o_orderkey AS k, o_totalprice AS total
@@ -2205,6 +2291,7 @@ QUERIES = {
     # window carries the 48 stale rows per the r7 verdict); in-suite
     # parity checks it at every run — rotate in next round
     "orders_row_tracking_ids": orders_row_tracking_ids,
+    "orders_cdf_row_id_pairs": orders_cdf_row_id_pairs,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -2268,6 +2355,7 @@ ORACLE = {
     "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
+    "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
     "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,
