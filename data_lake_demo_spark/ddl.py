@@ -44,6 +44,8 @@ Grammar (case-insensitive keywords; one statement per call):
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
+    ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
+        (liquid clustering: plain OPTIMIZE then clusters incrementally)
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
     ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(4, k), ...)
     GRANT SELECT [(c1, ...)] ON t TO principal
@@ -1077,6 +1079,20 @@ class AcidSql:
             return self._version_df(self.table(m.group(1)).set_row_tracking())
 
         m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+CLUSTER\s+BY\s*"
+            r"(?:NONE|\(([^)]+)\))",
+            s,
+            re.I,
+        )
+        if m:  # Delta liquid clustering declaration; OPTIMIZE applies it
+            cols = (
+                [c.strip().strip("`") for c in m.group(2).split(",")]
+                if m.group(2)
+                else []
+            )
+            return self._version_df(self.table(m.group(1)).set_clustering(cols))
+
+        m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+SET\s+TBLPROPERTIES\s*\((.+)\)",
             s,
             re.I | re.S,
@@ -1233,7 +1249,15 @@ class AcidSql:
                 cols = [c.strip() for c in m.group(3).split(",")]
                 if filters:
                     raise ValueError("ZORDER BY does not take a WHERE scope")
+                if t.clustering_columns():
+                    raise ValueError(
+                        "ZORDER BY conflicts with liquid clustering "
+                        "(CLUSTER BY NONE first)"  # the Delta rule
+                    )
                 return self._version_df(t.optimize_zorder(cols))
+            if not filters and t.clustering_columns():
+                # OPTIMIZE on a clustered table = incremental clustering
+                return self._version_df(t.optimize_cluster())
             return self._version_df(t.compact(filters=filters))
 
         m = re.fullmatch(

@@ -97,7 +97,8 @@ assert len(WINDOW) == 50, len(WINDOW)
 # Everything outside this window is r5/r6/r7-green (unchanged since
 # its hash row) and re-proven by the in-suite parity replica each run.
 # Registered this round OUTSIDE the window (parity-proven; lead the r9
-# rotation): orders_row_tracking_ids, orders_cdf_row_id_pairs.
+# rotation): orders_row_tracking_ids, orders_cdf_row_id_pairs,
+# orders_liquid_clustering.
 
 
 def all_queries():

@@ -2242,6 +2242,63 @@ def orders_cdf_row_id_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering end-to-end under a value hash (new in r8):
+    even-key orders land in TWO shuffled appends (every file spans
+    most of the key range), the table declares ``CLUSTER BY (k)`` and
+    runs plain ``OPTIMIZE`` (incremental ZCube formation,
+    tableformat.optimize_cluster). The query then reads back through
+    a key-range filter — the path manifest pruning accelerates on the
+    clustered layout — and aggregates per status. The oracle replays
+    the same filter+aggregate in SQL: clustering must preserve every
+    row, and a stats-pruned scan must stay EXACT (pruning is a
+    performance tier, never a correctness tier)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="liquid_query_")
+    try:
+        sql = AcidSql(spark, {"lc": root + "/t"})
+        t = sql.table("lc")
+        src = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        # two interleaved halves, each shuffled: worst-case layout
+        t.append(src.filter(F.col("k") % 4 == 0).repartition(4))
+        t.append(src.filter(F.col("k") % 4 == 2).repartition(4))
+        sql.sql("ALTER TABLE lc CLUSTER BY (k)")
+        sql.sql("OPTIMIZE lc")
+        hi = 2000
+        out = (
+            t.snapshot()
+            .filter((F.col("k") >= 100) & (F.col("k") < hi))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                qsum(F.col("total"), "total_sum"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "status string, n long, total_sum double")
+
+
+ORDERS_LIQUID_CLUSTERING_SQL = f"""
+SELECT o_orderstatus AS status, count(*) AS n,
+       {_sql_qsum('o_totalprice', 'total_sum')}
+FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey >= 100 AND o_orderkey < 2000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ORDERS_CDF_RID_PAIRS_SQL = f"""
 SELECT o_orderstatus AS status,
        count(*) AS n_upd,
@@ -2292,6 +2349,7 @@ QUERIES = {
     # parity checks it at every run — rotate in next round
     "orders_row_tracking_ids": orders_row_tracking_ids,
     "orders_cdf_row_id_pairs": orders_cdf_row_id_pairs,
+    "orders_liquid_clustering": orders_liquid_clustering,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -2356,6 +2414,7 @@ ORACLE = {
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
+    "orders_liquid_clustering": ORDERS_LIQUID_CLUSTERING_SQL,
     "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,

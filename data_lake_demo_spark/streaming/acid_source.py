@@ -121,7 +121,13 @@ from pyspark.sql.datasource import (
 from data_lake_demo_spark.tableformat import CommitConflict
 
 _CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
-               "compact", "optimize_zorder", "restore"}
+               "compact", "optimize_zorder", "optimize_cluster", "restore"}
+
+#: metadata-only commits whose add actions re-stamp ALREADY-LIVE files
+#: with new stats (row-tracking backfill) — Delta's dataChange=false:
+#: they carry no new rows, so streams skip them entirely (re-reading
+#: their adds would re-deliver the whole table)
+_METADATA_OPS = {"rowtracking", "set_clustering"}
 
 #: metadata columns appended (in order) to every CDF-mode row
 _CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
@@ -647,7 +653,7 @@ class _AcidStreamReader(DataSourceStreamReader):
         commits_left = self._max_commits
         while v < latest_next:
             c = t._read_commit(v)
-            if c.remove or c.dv or c.op in _CHANGE_OPS:
+            if c.remove or c.dv or c.op in _CHANGE_OPS or c.op in _METADATA_OPS:
                 # change commits are skipped (or error) whole at
                 # partition time — never split; they count against
                 # the commit cap like any other
@@ -687,6 +693,8 @@ class _AcidStreamReader(DataSourceStreamReader):
         # only when the batch takes a prefix of it (i1 > 0)
         for v in range(v0, v1 + (1 if i1 > 0 else 0)):
             c = t._read_commit(v)
+            if c.op in _METADATA_OPS:
+                continue  # dataChange=false: re-stamped files, no new rows
             if c.remove or c.dv or c.op in _CHANGE_OPS:
                 if not self._skip_changes:
                     raise ValueError(

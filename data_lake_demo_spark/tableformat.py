@@ -3049,6 +3049,7 @@ class AcidTable:
             "num_rows": self.row_count(as_of),
             "num_deletion_vectors": len(dvs),
             "columns": cols,
+            "clustering_columns": list(props.get(self._CLUSTERING_KEY) or []),
             "properties": props,
             "num_tags": len(self.tags()),
             "num_branches": len(self.branches()),
@@ -3993,6 +3994,137 @@ class AcidTable:
             try:
                 return self._try_commit(
                     base + 1, "optimize_zorder", add, live, schema
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"optimize lost {max_retries} commit races")
+
+    _CLUSTERING_KEY = "clustering.columns"
+
+    def set_clustering(self, cols: Sequence[str]) -> int:
+        """Delta liquid clustering's declaration half (``ALTER TABLE t
+        CLUSTER BY (a, b)``): record the clustering key as a table
+        property in ONE metadata-only commit. Writes stay cheap and
+        unclustered (the Delta model — clustering is applied by
+        OPTIMIZE, not on the write path); ``optimize_cluster`` then
+        incrementally lays out whatever arrived since the last run.
+        ``cols=[]`` is ``CLUSTER BY NONE``. The key can be CHANGED at
+        any time (unlike Z-order-baked partitioning): already-written
+        zcubes stay as they are, future OPTIMIZE runs cluster new data
+        by the new key — exactly why Databricks positions liquid
+        clustering as the replacement for hive-partitioning layout
+        decisions you can't take back."""
+        cols = list(cols)
+        have = self.snapshot().columns if self.latest_version() >= 0 else []
+        missing = [c for c in cols if have and c not in have]
+        if missing:
+            raise ValueError(f"clustering columns not in table: {missing}")
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} has no commits")
+        props = dict(self.properties())
+        if cols:
+            props[self._CLUSTERING_KEY] = cols
+        else:
+            props.pop(self._CLUSTERING_KEY, None)
+        _, schema_json, _, _, _ = self._resolve_state(base)
+        return self._try_commit(
+            base + 1, "set_clustering", [], [], schema_json, props=props
+        )
+
+    def clustering_columns(self) -> list[str]:
+        return list(self.properties().get(self._CLUSTERING_KEY) or [])
+
+    def optimize_cluster(
+        self, *, n_files: int = 16, max_retries: int = 5
+    ) -> int:
+        """Delta liquid clustering's layout half: INCREMENTAL
+        clustering of only the files no OPTIMIZE has touched yet.
+
+        Selection is the ZCube model: every file this verb stages is
+        stamped with a ``#zcube`` manifest stat (the commit version
+        that formed it); candidate files are exactly the live files
+        WITHOUT the stamp — fresh appends, merge/update rewrites,
+        compaction output. Already-formed zcubes are STABLE: they are
+        never rewritten, so (unlike a full Z-order, which rewrites the
+        table) the cost of keeping a 100 TB table clustered scales
+        with the data that arrived since the last run, and write
+        amplification is bounded at one extra rewrite per row, ever.
+
+        Layout within the candidate set: all-numeric keys get the
+        interleaved Z-value (operators/zorder.zvalue) so every file is
+        narrow on EVERY key at once; any non-numeric key falls back to
+        lexicographic range clustering on the key tuple (still
+        min/max-narrow on the leading keys). Either way the payoff is
+        the manifest: scan/merge/delete pruning on the clustering
+        columns skips whole zcubes by footer [min, max].
+
+        No candidates → NO commit (a scheduled OPTIMIZE on a quiet
+        table is free). Pure layout otherwise: row ids carry through
+        (``_read_for_rewrite``), the change feed of the commit is
+        empty, and streams treat it like any other rewrite commit."""
+        from data_lake_demo_spark.operators.zorder import zvalue
+
+        cols = self.clustering_columns()
+        if not cols:
+            raise ValueError(
+                "no clustering columns declared (set_clustering / "
+                "ALTER TABLE t CLUSTER BY)"
+            )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            live, table_schema, _, props, dvs = self._resolve_state(base)
+            miss = [c for c in cols if c not in self.snapshot(base).columns]
+            if miss:
+                raise ValueError(f"clustering columns not in table: {miss}")
+            touched = sorted(
+                p for p, st in live.items() if "#zcube" not in (st or {})
+            )
+            if not touched:
+                return base  # everything already belongs to a zcube
+            # the rewrite read is PHYSICAL (like compact's); clustering
+            # columns are declared logical — translate before keying
+            pcols = self._phys_names(cols, self._colmap(base))
+            rows = self._read_for_rewrite(touched, table_schema, dvs, base)
+            numeric = {
+                f.name
+                for f in rows.schema.fields
+                if isinstance(f.dataType, T.NumericType)
+            }
+            if all(c in numeric for c in pcols):
+                laid_out = (
+                    zvalue(rows, pcols)
+                    .repartitionByRange(n_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                laid_out = rows.repartitionByRange(
+                    n_files, *pcols
+                ).sortWithinPartitions(*pcols)
+            add, schema = self._stage_actions(laid_out)
+            for a in add:
+                st = dict(a.get("stats") or {})
+                st["#zcube"] = [base + 1]
+                a["stats"] = st
+            commit_schema = table_schema or schema
+            if self._ROW_ID_COL in rows.columns:
+                d = json.loads(commit_schema)
+                if not any(
+                    f["name"] == self._ROW_ID_COL for f in d["fields"]
+                ):
+                    d["fields"].append(
+                        {
+                            "name": self._ROW_ID_COL,
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    )
+                    commit_schema = json.dumps(d)
+            try:
+                return self._try_commit(
+                    base + 1, "optimize_cluster", add, touched, commit_schema
                 )
             except CommitConflict:
                 continue

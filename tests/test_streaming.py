@@ -1909,3 +1909,30 @@ def test_acid_read_with_row_ids(spark, tmp_path):
         raise AssertionError("expected withRowIds to fail")
     except Exception as e:
         assert "row tracking" in str(e)
+
+
+def test_stream_skips_metadata_only_commits(spark, tmp_path):
+    """Regression: set_row_tracking's backfill commit re-ADDS every
+    live file with new stats (Delta's dataChange=false shape) — an
+    append-only stream must NOT re-deliver the table, and the capped
+    latestOffset walk must not count those adds as files. CDF mode
+    was already safe (live-set diff is empty)."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], "k long"))
+    t.set_row_tracking()  # metadata-only: re-stamps the live file
+    t.set_clustering(["k"])  # props-only (add=[]); also metadata
+    t.append(spark.createDataFrame([(4,)], "k long"))
+
+    got = []
+    q = (
+        read_table_stream(spark, str(tmp_path / "t"), maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(lambda df, b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in got) == [1, 2, 3, 4]

@@ -2837,3 +2837,95 @@ def test_row_tracking_zorder_preserves_ids(spark, tmp_path):
     assert ids1 == ids0
     assert t.changes(v).count() == 0
     assert t.changes(v, with_row_ids=True).count() == 0
+
+
+def test_liquid_clustering_lifecycle(spark, tmp_path):
+    """Liquid clustering (Delta CLUSTER BY): set_clustering is a
+    metadata-only commit; optimize_cluster is INCREMENTAL — it stamps
+    the files it forms with a #zcube manifest stat and only ever
+    rewrites live files WITHOUT the stamp, so already-formed zcubes
+    are stable (write amplification bounded at one extra rewrite per
+    row) and a run with no new data commits nothing. Pure layout:
+    rows and row ids are preserved, the change feed of the commit is
+    empty, and manifest pruning on the clustering key tightens from
+    'most files' to ~one."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.set_row_tracking()
+    for s in range(3):  # shuffled appends: every file spans most of k
+        t.append(
+            spark.range(1000).select(
+                ((F.col("id") * 7919 + s) % 3000).alias("k"),
+                F.col("id").alias("v"),
+            )
+        )
+    before = sorted(
+        tuple(r) for r in t.snapshot(with_row_ids=True).collect()
+    )
+    n_before = len(t._resolve(None)[0])
+    hit_before, _, _ = t._pruned_live([("k", "=", 5)], t.latest_version())
+
+    t.set_clustering(["k"])
+    assert t.clustering_columns() == ["k"]
+    assert t.detail()["clustering_columns"] == ["k"]
+    v_pre = t.latest_version()
+    v1 = t.optimize_cluster(n_files=8)
+
+    after = sorted(tuple(r) for r in t.snapshot(with_row_ids=True).collect())
+    assert after == before  # rows AND ids preserved
+    assert t.changes(v_pre).count() == 0  # pure layout
+    hit_after, _, _ = t._pruned_live([("k", "=", 5)], t.latest_version())
+    assert len(hit_after) < len(hit_before)
+    assert len(hit_after) <= 2
+
+    # quiet table: NO commit
+    assert t.optimize_cluster() == v1
+
+    # incremental: a fresh append reclusters ONLY the new files
+    live0 = set(t._resolve(None)[0])
+    t.append(
+        spark.range(500).select(
+            (F.col("id") % 3000).alias("k"), F.col("id").alias("v")
+        )
+    )
+    fresh = set(t._resolve(None)[0]) - live0
+    t.optimize_cluster(n_files=4)
+    live1 = set(t._resolve(None)[0])
+    assert live0 <= live1  # stable zcubes never rewritten
+    assert not (fresh & live1)  # the unclustered files were formed up
+    stats = t._resolve_state(t.latest_version())[0]
+    assert all("#zcube" in st for st in stats.values())
+
+    # the key can change without rewriting history (the liquid pitch)
+    t.set_clustering(["v"])
+    assert t.optimize_cluster() == t.latest_version()  # all stamped: no-op
+
+
+def test_liquid_clustering_sql_surface(spark, tmp_path):
+    """ALTER TABLE t CLUSTER BY (..) / CLUSTER BY NONE and the
+    OPTIMIZE routing rules: plain OPTIMIZE on a clustered table runs
+    incremental clustering (stamps #zcube), ZORDER BY on one errors
+    (the Delta conflict rule), and CLUSTER BY NONE restores plain
+    bin-packing. Non-numeric keys take the lexicographic range
+    fallback."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"ct": str(tmp_path / "ct")})
+    t = sql.table("ct")
+    t.append(
+        spark.range(200).select(
+            (F.col("id") % 10).alias("a"),
+            F.concat(F.lit("s"), (F.col("id") % 7)).alias("s"),
+        )
+    )
+    sql.sql("ALTER TABLE ct CLUSTER BY (a, s)")  # string key: fallback
+    assert t.clustering_columns() == ["a", "s"]
+    sql.sql("OPTIMIZE ct")
+    stats = t._resolve_state(t.latest_version())[0]
+    assert stats and all("#zcube" in st for st in stats.values())
+    with pytest.raises(ValueError, match="liquid clustering"):
+        sql.sql("OPTIMIZE ct ZORDER BY (a)")
+    sql.sql("ALTER TABLE ct CLUSTER BY NONE")
+    assert t.clustering_columns() == []
+    sql.sql("OPTIMIZE ct")  # plain compact again
+    with pytest.raises(ValueError, match="not in table"):
+        sql.sql("ALTER TABLE ct CLUSTER BY (nope)")
