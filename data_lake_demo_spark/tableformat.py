@@ -488,6 +488,7 @@ class AcidTable:
             "checkConstraints",
             "allowColumnDefaults",
             "rowTracking",
+            "liquidClustering",
         }
     )
 
@@ -549,6 +550,8 @@ class AcidTable:
                 needed_w.add("allowColumnDefaults")
             elif k == self._ROWTRACKING_KEY:
                 needed_w.add("rowTracking")
+            elif k == self._CLUSTERING_KEY:
+                needed_w.add("liquidClustering")
         proto = dict(post.get(self._PROTOCOL_KEY) or {})
         have_r = set(proto.get("reader_features") or [])
         have_w = set(proto.get("writer_features") or [])

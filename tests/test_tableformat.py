@@ -1676,6 +1676,11 @@ def test_protocol_feature_flags(spark, tmp_path):
     ]
     t.set_check_constraint("pos", "val >= 0")
     assert t.protocol()["writer_features"] == ["checkConstraints"]
+    t.set_clustering(["k"])
+    assert t.protocol()["writer_features"] == [
+        "checkConstraints",
+        "liquidClustering",
+    ]
 
     # a FUTURE writer feature (written by a newer engine): reads fine,
     # writes refuse
