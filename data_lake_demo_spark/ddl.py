@@ -43,7 +43,7 @@ Grammar (case-insensitive keywords; one statement per call):
     COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n
-    OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)]
+    OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)] [FULL]
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
     VACUUM t [RETAIN n VERSIONS] [DRY RUN]
@@ -1238,7 +1238,7 @@ class AcidSql:
 
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_TREF})(?:\s+WHERE\s+(.+?))?"
-            r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+(FULL))?",
             s,
             re.I | re.S,
         )
@@ -1255,6 +1255,15 @@ class AcidSql:
                         "(CLUSTER BY NONE first)"  # the Delta rule
                     )
                 return self._version_df(t.optimize_zorder(cols))
+            if m.group(4):  # OPTIMIZE t FULL: recluster every live file
+                if filters:
+                    raise ValueError("OPTIMIZE FULL does not take a WHERE scope")
+                if not t.clustering_columns():
+                    raise ValueError(
+                        "OPTIMIZE FULL requires liquid clustering "
+                        "(ALTER TABLE t CLUSTER BY)"
+                    )
+                return self._version_df(t.optimize_cluster(full=True))
             if not filters and t.clustering_columns():
                 # OPTIMIZE on a clustered table = incremental clustering
                 return self._version_df(t.optimize_cluster())

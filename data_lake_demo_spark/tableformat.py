@@ -4039,7 +4039,7 @@ class AcidTable:
         return list(self.properties().get(self._CLUSTERING_KEY) or [])
 
     def optimize_cluster(
-        self, *, n_files: int = 16, max_retries: int = 5
+        self, *, n_files: int = 16, full: bool = False, max_retries: int = 5
     ) -> int:
         """Delta liquid clustering's layout half: INCREMENTAL
         clustering of only the files no OPTIMIZE has touched yet.
@@ -4065,7 +4065,12 @@ class AcidTable:
         No candidates → NO commit (a scheduled OPTIMIZE on a quiet
         table is free). Pure layout otherwise: row ids carry through
         (``_read_for_rewrite``), the change feed of the commit is
-        empty, and streams treat it like any other rewrite commit."""
+        empty, and streams treat it like any other rewrite commit.
+
+        ``full=True`` (Delta's ``OPTIMIZE t FULL``) reclusters EVERY
+        live file, stamped or not — the one-off you run after changing
+        the clustering key, collapsing overlapping zcube epochs back
+        into a single layout."""
         from data_lake_demo_spark.operators.zorder import zvalue
 
         cols = self.clustering_columns()
@@ -4081,7 +4086,9 @@ class AcidTable:
             if miss:
                 raise ValueError(f"clustering columns not in table: {miss}")
             touched = sorted(
-                p for p, st in live.items() if "#zcube" not in (st or {})
+                p
+                for p, st in live.items()
+                if full or "#zcube" not in (st or {})
             )
             if not touched:
                 return base  # everything already belongs to a zcube

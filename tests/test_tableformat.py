@@ -2934,3 +2934,35 @@ def test_liquid_clustering_sql_surface(spark, tmp_path):
     sql.sql("OPTIMIZE ct")  # plain compact again
     with pytest.raises(ValueError, match="not in table"):
         sql.sql("ALTER TABLE ct CLUSTER BY (nope)")
+
+
+def test_optimize_full_recluster(spark, tmp_path):
+    """OPTIMIZE t FULL (Delta): recluster EVERY live file, stamped or
+    not — the follow-up to changing the clustering key. Plain
+    OPTIMIZE right after a key change is a no-op (all files stamped);
+    FULL rewrites them under the new key and the rows survive."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"fc": str(tmp_path / "fc")})
+    t = sql.table("fc")
+    t.append(
+        spark.range(2000).select(
+            ((F.col("id") * 7919) % 997).alias("a"),
+            (F.col("id") % 31).alias("b"),
+        )
+    )
+    sql.sql("ALTER TABLE fc CLUSTER BY (a)")
+    sql.sql("OPTIMIZE fc")
+    v1 = t.latest_version()
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+
+    sql.sql("ALTER TABLE fc CLUSTER BY (b)")  # new key, old zcubes stay
+    assert t.optimize_cluster() == t.latest_version()  # no-op: all stamped
+    sql.sql("OPTIMIZE fc FULL")
+    assert t.latest_version() > v1
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+    hit, _, _ = t._pruned_live([("b", "=", 7)], t.latest_version())
+    assert len(hit) < len(t._resolve(None)[0])  # narrow on the NEW key
+    with pytest.raises(ValueError, match="requires liquid clustering"):
+        sql.sql("ALTER TABLE fc CLUSTER BY NONE")
+        sql.sql("OPTIMIZE fc FULL")
