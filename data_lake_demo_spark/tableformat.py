@@ -1418,7 +1418,7 @@ class AcidTable:
                 and len(self._resolve(v)[0]) > self.auto_compact_files
             ):
                 try:  # same best-effort policy as the plain append path
-                    return self.compact(n_files=self.auto_compact_files)
+                    return self._auto_optimize()
                 except CommitConflict:
                     pass
             return v
@@ -1546,11 +1546,21 @@ class AcidTable:
                 and len(self._resolve(v)[0]) > self.auto_compact_files
             ):
                 try:  # best-effort: losing the race just defers compaction
-                    return self.compact(n_files=self.auto_compact_files)
+                    return self._auto_optimize()
                 except CommitConflict:
                     pass
             return v
         raise CommitConflict(f"append lost {max_retries} commit races")
+
+    def _auto_optimize(self) -> int:
+        """The autoCompact follow-up commit: plain bin-packing — or,
+        on a liquid-clustered table, INCREMENTAL clustering (the
+        Databricks composition: auto-compaction of a clustered table
+        clusters as it packs), so streaming appends converge to a
+        clustered layout without a scheduled OPTIMIZE job."""
+        if self.clustering_columns():
+            return self.optimize_cluster(n_files=self.auto_compact_files)
+        return self.compact(n_files=self.auto_compact_files)
 
     def foreach_batch_sink(self, app: str):
         """``writeStream.foreachBatch`` adapter: exactly-once streaming
@@ -4046,13 +4056,17 @@ class AcidTable:
 
         Selection is the ZCube model: every file this verb stages is
         stamped with a ``#zcube`` manifest stat (the commit version
-        that formed it); candidate files are exactly the live files
-        WITHOUT the stamp — fresh appends, merge/update rewrites,
-        compaction output. Already-formed zcubes are STABLE: they are
-        never rewritten, so (unlike a full Z-order, which rewrites the
-        table) the cost of keeping a 100 TB table clustered scales
-        with the data that arrived since the last run, and write
-        amplification is bounded at one extra rewrite per row, ever.
+        that formed it); candidate files are the live files WITHOUT
+        the stamp — fresh appends, merge/update rewrites, compaction
+        output — plus any zcube no larger (by manifest row count)
+        than the running candidate set: the binary-counter merge
+        rule, absorbing equal-or-smaller epochs so a steady append
+        stream converges to O(log n) zcubes with O(log n) amortized
+        rewrites per row. A zcube that outgrows the incoming batch is
+        STABLE — never rewritten — so (unlike a full Z-order, which
+        rewrites the table) the cost of keeping a 100 TB table
+        clustered scales with the data that arrived since the last
+        run, not the table.
 
         Layout within the candidate set: all-numeric keys get the
         interleaved Z-value (operators/zorder.zvalue) so every file is
@@ -4085,13 +4099,37 @@ class AcidTable:
             miss = [c for c in cols if c not in self.snapshot(base).columns]
             if miss:
                 raise ValueError(f"clustering columns not in table: {miss}")
-            touched = sorted(
+            fresh = [
                 p
                 for p, st in live.items()
                 if full or "#zcube" not in (st or {})
-            )
-            if not touched:
+            ]
+            if not fresh:
                 return base  # everything already belongs to a zcube
+
+            def _rows_of(p: str) -> int:
+                n = (live.get(p) or {}).get("#rows")
+                if n:
+                    return int(n[0])
+                n, _ = self._file_meta(p)
+                return int(n or 0)
+
+            touched, new_rows = list(fresh), sum(map(_rows_of, fresh))
+            if not full:
+                cubes: dict[int, list[str]] = {}
+                for p, st in live.items():
+                    z = (st or {}).get("#zcube")
+                    if z:
+                        cubes.setdefault(int(z[0]), []).append(p)
+                sized = sorted(
+                    (sum(map(_rows_of, fs)), fs) for fs in cubes.values()
+                )
+                for cube_rows, fs in sized:  # absorb equal-or-smaller
+                    if cube_rows > new_rows:
+                        break
+                    touched.extend(fs)
+                    new_rows += cube_rows
+            touched = sorted(touched)
             # the rewrite read is PHYSICAL (like compact's); clustering
             # columns are declared logical — translate before keying
             pcols = self._phys_names(cols, self._colmap(base))

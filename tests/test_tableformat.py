@@ -2966,3 +2966,49 @@ def test_optimize_full_recluster(spark, tmp_path):
     with pytest.raises(ValueError, match="requires liquid clustering"):
         sql.sql("ALTER TABLE fc CLUSTER BY NONE")
         sql.sql("OPTIMIZE fc FULL")
+
+
+def test_auto_compact_clusters_on_clustered_table(spark, tmp_path):
+    """autoCompact on a liquid-clustered table performs INCREMENTAL
+    clustering instead of plain bin-packing (the Databricks
+    composition): streaming-style appends converge to a clustered,
+    #zcube-stamped layout with no scheduled OPTIMIZE."""
+    t = AcidTable(spark, str(tmp_path / "t"), auto_compact_files=4)
+    t.append(
+        spark.range(100).select(((F.col("id") * 7) % 100).alias("k"))
+    )
+    t.set_clustering(["k"])
+    for s in range(5):  # pushes live files past the threshold
+        t.append(
+            spark.range(100).select(
+                ((F.col("id") * 13 + s) % 100).alias("k")
+            )
+        )
+    stats = t._resolve_state(t.latest_version())[0]
+    assert all("#zcube" in st for st in stats.values())
+    epochs = {st["#zcube"][0] for st in stats.values()}
+    assert len(epochs) <= 2  # binary-counter merging bounds epochs
+    assert t.snapshot().count() == 600
+
+
+def test_optimize_cluster_merges_small_zcubes(spark, tmp_path):
+    """The binary-counter merge rule: equal-sized batches absorb the
+    equal-or-smaller zcube epochs they meet, so N sequential
+    append+OPTIMIZE cycles converge to O(log N) zcubes (amortized
+    O(log N) rewrites/row) — while a zcube LARGER than the incoming
+    batch stays stable (never rewritten)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(4000).select((F.col("id") % 991).alias("k")))
+    t.set_clustering(["k"])
+    t.optimize_cluster(n_files=4)
+    big = {p for p, st in t._resolve_state(None)[0].items()}
+    for s in range(4):  # small batches: merge each other, never 'big'
+        t.append(
+            spark.range(100).select(((F.col("id") + s) % 991).alias("k"))
+        )
+        t.optimize_cluster(n_files=4)
+    stats = t._resolve_state(None)[0]
+    assert big <= set(stats)  # the large zcube was never rewritten
+    epochs = {st["#zcube"][0] for st in stats.values()}
+    assert len(epochs) <= 3  # 4000-cube + O(log 4) small epochs
+    assert t.snapshot().count() == 4400
