@@ -14,6 +14,7 @@ transactional layer instead of a metastore.
 Grammar (case-insensitive keywords; one statement per call):
 
     CREATE TABLE [IF NOT EXISTS] t (col type, ...) [USING acid]
+        [CLUSTER BY (a, b, ...)]
         [PARTITIONED BY (...)] [LOCATION '...'] [TBLPROPERTIES (...)]
     CREATE TABLE [IF NOT EXISTS] t [USING acid] [PARTITIONED BY (...)]
         [LOCATION '...'] [TBLPROPERTIES (...)] AS SELECT ...
@@ -384,7 +385,12 @@ class AcidSql:
         TABLE unregisters, never deletes data."""
         from data_lake_demo_spark.tableformat import AcidTable
 
-        if_not_exists, name, cols, part, loc, props = m.groups()
+        if_not_exists, name, cols, part, clust, loc, props = m.groups()
+        if clust and part and part.strip():
+            raise ValueError(
+                "CLUSTER BY and PARTITIONED BY are mutually exclusive "
+                "(the Delta rule: liquid clustering replaces partitioning)"
+            )
         path = self._target_path(name, loc)
         t = AcidTable(self.spark, path)
         if t.latest_version() >= 0:
@@ -400,6 +406,10 @@ class AcidSql:
                 p.strip() for p in _split_top(part, ",") if p.strip()
             ]
         v = t.set_properties(updates) if updates else 0
+        if clust:
+            v = t.set_clustering(
+                [c.strip().strip("`") for c in clust.split(",")]
+            )
         self._register(name, path)
         self._handles[path] = t
         return self._version_df(v)
@@ -426,7 +436,12 @@ class AcidSql:
         ``partition_spec`` default for later appends."""
         from data_lake_demo_spark.tableformat import AcidTable
 
-        if_not_exists, name, part, loc, props, query = m.groups()
+        if_not_exists, name, part, clust, loc, props, query = m.groups()
+        if clust and part and part.strip():
+            raise ValueError(
+                "CLUSTER BY and PARTITIONED BY are mutually exclusive "
+                "(the Delta rule: liquid clustering replaces partitioning)"
+            )
         path = self._target_path(name, loc)
         t = AcidTable(self.spark, path)
         if t.latest_version() >= 0:
@@ -449,6 +464,10 @@ class AcidSql:
             updates["partition_spec"] = spec
         if updates:
             v = t.set_properties(updates)
+        if clust:
+            # declare, then form the initial zcubes from the CTAS data
+            t.set_clustering([c.strip().strip("`") for c in clust.split(",")])
+            v = t.optimize_cluster()
         self._register(name, path)
         self._handles[path] = t
         return self._version_df(v)
@@ -945,6 +964,7 @@ class AcidSql:
             r"\s*\((.+?)\)"
             r"(?:\s+USING\s+acid(?:table)?)?"
             r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+            r"(?:\s+CLUSTER\s+BY\s*\(([^()]+)\))?"
             r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?"
             r"(?:\s+TBLPROPERTIES\s*\((.+)\))?",
             s,
@@ -957,6 +977,7 @@ class AcidSql:
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})"
             r"(?:\s+USING\s+acid(?:table)?)?"
             r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+            r"(?:\s+CLUSTER\s+BY\s*\(([^()]+)\))?"
             r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?"
             r"(?:\s+TBLPROPERTIES\s*\((.+?)\))?"
             r"\s+AS\s+(\(?\s*(?:SELECT|WITH|FROM|TABLE)\b.+)",

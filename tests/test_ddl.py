@@ -794,3 +794,39 @@ def test_table_changes_sql_function(spark, tmp_path):
     # a literal containing the text never rewrites
     lit = sql.sql("SELECT 'table_changes(''t'', 0)' AS s").collect()[0].s
     assert lit == "table_changes('t', 0)"
+
+
+def test_create_table_cluster_by(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY declares liquid clustering at birth
+    (mutually exclusive with PARTITIONED BY — the Delta rule); CTAS
+    with CLUSTER BY also forms the initial zcubes from the query
+    result."""
+    import pytest
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"cb": str(tmp_path / "cb"), "cbs": str(tmp_path / "cbs")})
+    sql.sql(
+        "CREATE TABLE cb (k BIGINT, v STRING) CLUSTER BY (k) "
+        f"LOCATION '{tmp_path / 'cb'}'"
+    )
+    t = sql.table("cb")
+    assert t.clustering_columns() == ["k"]
+    assert "liquidClustering" in t.protocol()["writer_features"]
+
+    spark.range(500).selectExpr("id AS k", "CAST(id AS STRING) AS v") \
+        .createOrReplaceTempView("cb_src")
+    sql.sql(
+        "CREATE TABLE cbs CLUSTER BY (k) "
+        f"LOCATION '{tmp_path / 'cbs'}' AS SELECT * FROM cb_src"
+    )
+    t2 = sql.table("cbs")
+    assert t2.clustering_columns() == ["k"]
+    stats = t2._resolve_state(None)[0]
+    assert stats and all("#zcube" in st for st in stats.values())
+    assert t2.snapshot().count() == 500
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sql.sql(
+            "CREATE TABLE nope (k BIGINT) PARTITIONED BY (k) CLUSTER BY (k) "
+            f"LOCATION '{tmp_path / 'nope'}'"
+        )
