@@ -958,16 +958,17 @@ def test_label_propagation_matches_reference(spark, edge_pairs, rounds):
                 min_size=1, max_size=4, unique=True)),
             st.tuples(st.just("delete"), st.integers(min_value=0, max_value=130)),
             st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("cluster"), st.just(0)),
         ),
         min_size=1,
         max_size=5,
     )
 )
 def test_row_tracking_invariants_under_op_sequences(spark, tmp_path_factory, ops):
-    """For ARBITRARY append/merge/delete/compact sequences on a
-    tracked table: ids stay unique, a row that survives an operation
-    untouched keeps its id, a merged (matched) row keeps its id, and
-    the watermark never decreases."""
+    """For ARBITRARY append/merge/delete/compact/optimize_cluster
+    sequences on a tracked table: ids stay unique, a row that survives
+    an operation untouched keeps its id, a merged (matched) row keeps
+    its id, and the watermark never decreases."""
     from data_lake_demo_spark.tableformat import AcidTable
 
     t = AcidTable(spark, str(tmp_path_factory.mktemp("rt_prop") / "t"))
@@ -1007,8 +1008,13 @@ def test_row_tracking_invariants_under_op_sequences(spark, tmp_path_factory, ops
         elif op == "delete":
             t.delete([("k", "=", arg)])
             touched = {arg}
-        else:
+        elif op == "compact":
             t.compact(n_files=1)
+            touched = set()
+        else:
+            if not t.clustering_columns():
+                t.set_clustering(["k"])
+            t.optimize_cluster(n_files=2)
             touched = set()
         cur = ids_now()
         wm = int(t.properties()["rowtracking"]["next"])
