@@ -1349,6 +1349,9 @@ class AcidSql:
             spec = t.properties().get("partition_spec")
             if spec:
                 out += "\nPARTITIONED BY (" + ", ".join(spec) + ")"
+            clust = t.clustering_columns()
+            if clust:
+                out += "\nCLUSTER BY (" + ", ".join(clust) + ")"
             out += f"\nLOCATION '{t.path}'"
             shown = {
                 k: v

@@ -825,6 +825,9 @@ def test_create_table_cluster_by(spark, tmp_path):
     assert stats and all("#zcube" in st for st in stats.values())
     assert t2.snapshot().count() == 500
 
+    shown = sql.sql("SHOW CREATE TABLE cb").collect()[0][0]
+    assert "CLUSTER BY (k)" in shown
+
     with pytest.raises(ValueError, match="mutually exclusive"):
         sql.sql(
             "CREATE TABLE nope (k BIGINT) PARTITIONED BY (k) CLUSTER BY (k) "
