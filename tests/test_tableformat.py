@@ -3012,3 +3012,47 @@ def test_optimize_cluster_merges_small_zcubes(spark, tmp_path):
     epochs = {st["#zcube"][0] for st in stats.values()}
     assert len(epochs) <= 3  # 4000-cube + O(log 4) small epochs
     assert t.snapshot().count() == 4400
+
+
+def test_concurrent_append_and_optimize_cluster(spark, tmp_path):
+    """Appends racing optimize_cluster: the loser's CommitConflict
+    retry re-plans against the winner's live set (staged orphans are
+    vacuum's job), so no append is ever lost and every surviving file
+    layout stays consistent — the Delta concurrent-OPTIMIZE contract."""
+    import threading
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(500).select((F.col("id") % 97).alias("k")))
+    t.set_clustering(["k"])
+    errs = []
+
+    def appender():
+        try:
+            for s in range(3):
+                t.append(
+                    spark.range(200).select(
+                        ((F.col("id") * 13 + s) % 97).alias("k")
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def clusterer():
+        try:
+            for _ in range(3):
+                t.optimize_cluster(n_files=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=appender), threading.Thread(target=clusterer)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert t.snapshot().count() == 500 + 3 * 200
+    # one final pass leaves everything stamped and nothing lost
+    t.optimize_cluster(n_files=4)
+    stats = t._resolve_state(None)[0]
+    assert all("#zcube" in st for st in stats.values())
+    assert t.snapshot().count() == 1100
