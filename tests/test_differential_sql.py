@@ -1,0 +1,202 @@
+"""Differential SQL fuzzing: hypothesis generates random (but
+dialect-portable) SELECT queries over the TPC-H-ish fixture tables,
+each query runs VERBATIM on Spark SQL and on DuckDB, and the result
+multisets must agree exactly.
+
+This extends the fixed oracle-parity registry (tests/
+test_oracle_parity.py) with an open-ended grammar: projections,
+conjunctive/disjunctive predicates over int/double/string columns,
+single-key equi-joins, grouped aggregates, and HAVING — the shapes a
+lake SQL front door serves all day. Determinism discipline:
+
+* aggregates over doubles go through the same quantize-to-integer
+  trick the registry oracles use (sum of ``floor(x * 100 + 0.5)`` is
+  order-insensitive in int64 — IEEE double summation is NOT);
+* no ORDER BY inside the query — both result sets are sorted in
+  Python (engines disagree on NULL placement and collation);
+* constants are drawn from the columns' actual value ranges so
+  predicates neither always-pass nor always-empty.
+
+Dialect notes: everything emitted is in the ANSI intersection both
+engines parse (no backticks, no double-quoted identifiers, integer
+literals, single-quoted strings).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = {
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "doubles": ["o_totalprice"],
+        "strings": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "doubles": ["c_acctbal"],
+        "strings": ["c_mktsegment"],
+    },
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "doubles": ["l_quantity", "l_extendedprice", "l_discount"],
+        "strings": ["l_returnflag", "l_linestatus"],
+    },
+}
+
+#: equi-join edges (left table, right table, left key, right key)
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+# value pools sampled per column type — drawn from the fixtures' real
+# ranges so comparisons are selective but non-degenerate
+INT_CONSTS = [1, 7, 64, 150, 750, 1500, 3000]
+DOUBLE_CONSTS = [0.02, 0.05, 25.0, 900.0, 45000.0, 150000.0]
+STRING_POOLS = {
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
+    "c_mktsegment": ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+}
+
+
+@st.composite
+def predicates(draw, table: str, qualify: str = ""):
+    cols = TABLES[table]
+    kind = draw(st.sampled_from(["int", "double", "string"]))
+    if kind == "int":
+        c = draw(st.sampled_from(cols["ints"]))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>", "%"]))
+        if op == "%":
+            m = draw(st.sampled_from([2, 3, 7]))
+            return f"{qualify}{c} % {m} = 0"
+        v = draw(st.sampled_from(INT_CONSTS))
+        return f"{qualify}{c} {op} {v}"
+    if kind == "double":
+        c = draw(st.sampled_from(cols["doubles"]))
+        op = draw(st.sampled_from(["<", ">", ">=", "<="]))
+        v = draw(st.sampled_from(DOUBLE_CONSTS))
+        return f"{qualify}{c} {op} {v}"
+    c = draw(st.sampled_from(cols["strings"]))
+    pool = STRING_POOLS[c]
+    if draw(st.booleans()):
+        vals = draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=2, unique=True)
+        )
+        inner = ", ".join(f"'{v}'" for v in sorted(vals))
+        return f"{qualify}{c} IN ({inner})"
+    return f"{qualify}{c} = '{draw(st.sampled_from(pool))}'"
+
+
+@st.composite
+def queries(draw):
+    """One dialect-portable SQL string + its output column list."""
+    join = draw(st.booleans())
+    if join:
+        lt, rt, lk, rk = draw(st.sampled_from(JOINS))
+        frm = f"{lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk}"
+        tabs = [lt, rt]
+    else:
+        lt = draw(st.sampled_from(sorted(TABLES)))
+        frm, tabs = lt, [lt]
+
+    wheres = [
+        draw(predicates(t, f"{t}." if join else ""))
+        for t in tabs
+        for _ in range(draw(st.integers(0, 2)))
+    ]
+    glue = draw(st.sampled_from([" AND ", " OR "])) if len(wheres) > 1 else " AND "
+    where = (" WHERE " + glue.join(wheres)) if wheres else ""
+
+    gtab = tabs[0]
+    gcols = draw(
+        st.lists(
+            st.sampled_from(
+                [f"{gtab}.{c}" if join else c for c in TABLES[gtab]["strings"]]
+                + [f"{gtab}.{c}" if join else c for c in TABLES[gtab]["ints"][:1]]
+            ),
+            min_size=0,
+            max_size=2,
+            unique=True,
+        )
+    )
+    atab = tabs[-1]
+    acol_d = draw(st.sampled_from(TABLES[atab]["doubles"]))
+    acol_i = draw(st.sampled_from(TABLES[atab]["ints"]))
+    if join:
+        acol_d, acol_i = f"{atab}.{acol_d}", f"{atab}.{acol_i}"
+    aggs = [
+        "count(*) AS n",
+        # order-insensitive exact double sum (the registry's qsum trick)
+        f"sum(floor({acol_d} * 100 + 0.5)) AS qsum",
+        f"min({acol_i}) AS mn",
+        f"max({acol_i}) AS mx",
+    ]
+    if gcols:
+        sel = ", ".join([*gcols, *aggs])
+        group = " GROUP BY " + ", ".join(gcols)
+        having = ""
+        if draw(st.booleans()):
+            having = f" HAVING count(*) > {draw(st.sampled_from([1, 3, 10]))}"
+        sql = f"SELECT {sel} FROM {frm}{where}{group}{having}"
+        out_cols = [c.split(".")[-1] for c in gcols] + ["n", "qsum", "mn", "mx"]
+    else:
+        sql = f"SELECT {', '.join(aggs)} FROM {frm}{where}"
+        out_cols = ["n", "qsum", "mn", "mx"]
+    return sql, out_cols
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, float):
+                # integral-valued floats (duckdb sum of ints) == ints
+                vals.append(int(v) if math.isfinite(v) and v == int(v) else v)
+            else:
+                vals.append(int(v) if isinstance(v, bool) is False and isinstance(v, int) else v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    con = duckdb.connect()
+    for t in TABLES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return spark, con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=queries())
+def test_random_queries_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm(
+        [r.asDict() for r in spark.sql(sql).collect()], cols
+    )
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
