@@ -1028,3 +1028,133 @@ def test_row_tracking_invariants_under_op_sequences(spark, tmp_path_factory, ops
             if k not in prev:
                 assert rid >= prev_wm, (op, k, rid, prev_wm)
         prev, prev_wm = cur, wm
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.lists(
+                st.integers(min_value=200, max_value=240),
+                min_size=1, max_size=4, unique=True)),
+            st.tuples(st.just("merge"), st.lists(
+                st.integers(min_value=0, max_value=240),
+                min_size=1, max_size=4, unique=True)),
+            st.tuples(st.just("update"), st.integers(min_value=0, max_value=240)),
+            st.tuples(st.just("delete_cow"), st.integers(min_value=0, max_value=240)),
+            st.tuples(st.just("delete_mor"), st.integers(min_value=0, max_value=240)),
+            st.tuples(st.just("replace_where"), st.integers(min_value=0, max_value=200)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("cluster"), st.just(0)),
+            st.tuples(st.just("restore"), st.integers(min_value=0, max_value=10)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_acid_table_matches_reference_model(spark, tmp_path_factory, ops):
+    """Model-based differential test of the WHOLE table state: an
+    arbitrary sequence of append / merge / UPDATE / DELETE (both
+    copy-on-write and merge-on-read) / replaceWhere / compact /
+    optimize_cluster / RESTORE is mirrored in a plain Python dict
+    model, and after EVERY commit the snapshot must equal the model.
+    At the end, time travel must reproduce the model's history at
+    every version, and each commit's change feed must equal the
+    model's per-version diff (layout commits: empty feed)."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path_factory.mktemp("model") / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(0, 100, 7)], "k int, v int"
+        )
+    )
+    model = {k: k * 10 for k in range(0, 100, 7)}
+    history = {t.latest_version(): dict(model)}
+
+    def snap(as_of=None):
+        return {r.k: r.v for r in t.snapshot(as_of).collect()}
+
+    for op, arg in ops:
+        if op == "append":
+            new = [k for k in arg if k not in model]
+            if not new:
+                continue
+            t.append(
+                spark.createDataFrame(
+                    [(k, k * 10) for k in new], "k int, v int"
+                )
+            )
+            model.update({k: k * 10 for k in new})
+        elif op == "merge":
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 10 + 1) for k in arg], "k int, v int"
+                ),
+                ["k"],
+            )
+            model.update({k: k * 10 + 1 for k in arg})
+        elif op == "update":
+            v0 = t.latest_version()
+            t.update({"v": "v + 5"}, [("k", ">=", arg)])
+            if t.latest_version() == v0:
+                continue  # no matching rows: no commit
+            model = {
+                k: (v + 5 if k >= arg else v) for k, v in model.items()
+            }
+        elif op in ("delete_cow", "delete_mor"):
+            mode = "merge_on_read" if op == "delete_mor" else "copy_on_write"
+            v0 = t.latest_version()
+            t.delete([("k", "<", arg)], mode=mode)
+            if t.latest_version() == v0:
+                continue
+            model = {k: v for k, v in model.items() if not k < arg}
+        elif op == "replace_where":
+            lo, hi = arg, arg + 20
+            rows = [(k, k * 100) for k in range(lo, hi, 5)]
+            t.overwrite_where(
+                spark.createDataFrame(rows, "k int, v int"),
+                [("k", ">=", lo), ("k", "<", hi)],
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+            model.update({k: k * 100 for k, _ in rows})
+        elif op == "compact":
+            t.compact(n_files=2)
+        elif op == "cluster":
+            if not t.clustering_columns():
+                t.set_clustering(["k"])
+            t.optimize_cluster(n_files=2)
+        else:  # restore to an arbitrary EARLIER version
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            if target == t.latest_version():
+                continue
+            t.restore(target)
+            model = dict(history[target])
+        history[t.latest_version()] = dict(model)
+        assert snap() == model, (op, arg)
+
+    # time travel reproduces every recorded state
+    for v, state in history.items():
+        assert snap(as_of=v) == state, f"time travel to v{v}"
+
+    # every commit's change feed equals the model's diff at that step
+    recorded = sorted(history)
+    for prev_v, cur_v in zip(recorded, recorded[1:]):
+        before, after = history[prev_v], history[cur_v]
+        exp_ins = sorted(
+            (k, v) for k, v in after.items() if before.get(k) != v
+        )
+        exp_del = sorted(
+            (k, v) for k, v in before.items() if after.get(k) != v
+        )
+        feed = t.changes(prev_v, until_version=cur_v).collect()
+        got_ins = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "insert"
+        )
+        got_del = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "delete"
+        )
+        assert (got_ins, got_del) == (exp_ins, exp_del), (
+            f"CDF v{prev_v}->v{cur_v}"
+        )
