@@ -200,3 +200,54 @@ def test_random_queries_agree_with_duckdb(engines, q):
     names = [d[0] for d in cur.description]
     exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
     assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def window_queries(draw):
+    """Window-function shapes: deterministic because every ORDER BY
+    ends with a unique key (ties would make rank/lag engine-defined)."""
+    table = draw(st.sampled_from(["orders", "lineitem"]))
+    cols = TABLES[table]
+    part = draw(st.sampled_from(cols["strings"]))
+    ukey = cols["ints"][0]  # o_orderkey / l_orderkey(+linenumber)
+    order = f"{ukey}" if table == "orders" else "l_orderkey, l_linenumber"
+    fn = draw(
+        st.sampled_from(
+            [
+                "row_number()",
+                "rank()",
+                "dense_rank()",
+                f"lag({ukey}, 1) OVER_MARK",
+                f"lead({ukey}, 1) OVER_MARK",
+                f"sum(floor({draw(st.sampled_from(cols['doubles']))} * 100 + 0.5)) OVER_MARK",
+                f"count(*) OVER_MARK",
+                f"min({ukey}) OVER_MARK",
+            ]
+        )
+    )
+    over = f"OVER (PARTITION BY {part} ORDER BY {order})"
+    expr = fn.replace(" OVER_MARK", "") + " " + over if "OVER_MARK" in fn else fn + " " + over
+    where = draw(predicates(table))
+    # keep result sets small and projection deterministic
+    sql = (
+        f"SELECT {order}, {part}, {expr} AS w "
+        f"FROM {table} WHERE {where} AND {ukey} < 1500"
+    )
+    out_cols = ([ukey] if table == "orders" else ["l_orderkey", "l_linenumber"]) + [part, "w"]
+    return sql, out_cols
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=window_queries())
+def test_random_window_queries_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
