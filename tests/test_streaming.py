@@ -1936,3 +1936,35 @@ def test_stream_skips_metadata_only_commits(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["k"] for r in got) == [1, 2, 3, 4]
+
+
+def test_with_row_ids_keeps_pushdown_pruning(spark, tmp_path):
+    """withRowIds must not defeat DSv2 filter pushdown: a pruned batch
+    read still plans only the files whose stats may match, and the ids
+    it returns equal the table API's for the same predicate."""
+    from data_lake_demo_spark.streaming import acid_source
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    acid_source.register(spark)
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.set_row_tracking()
+    for lo in (0, 100, 200):  # three disjoint-range files
+        t.append(
+            spark.range(lo, lo + 100).coalesce(1).select(F.col("id").alias("k"))
+        )
+    opts = {"path": str(tmp_path / "t"), "withrowids": "true"}
+    rd = acid_source._AcidBatchReader(opts, ["k", "_row_id"])
+    rd._pushed = [("k", ">=", 250)]  # what Catalyst's pushFilters yields
+    parts = rd.partitions()
+    assert len(parts) == 1  # two of three files pruned by manifest stats
+
+    got = sorted(
+        (r.k, r._row_id)
+        for r in spark.read.format("acidtable").options(**opts).load()
+        .filter("k >= 250").collect()
+    )
+    api = sorted(
+        (r.k, r._row_id)
+        for r in t.snapshot(with_row_ids=True).filter("k >= 250").collect()
+    )
+    assert got == api and len(got) == 50
