@@ -200,6 +200,19 @@ def _norm_stat_value(v):
     return v
 
 
+def _bump_prefix(s: str) -> str | None:
+    """Smallest string that upper-bounds EVERY string starting with
+    ``s`` (Iceberg's truncate-upper): bump the last bumpable code
+    point, dropping any maxed-out tail. None if every code point is
+    U+10FFFF (no finite bound exists)."""
+    cps = list(s)
+    for i in range(len(cps) - 1, -1, -1):
+        cp = ord(cps[i])
+        if cp < 0x10FFFF:
+            return "".join(cps[:i]) + chr(cp + 1)
+    return None
+
+
 def _file_may_match(stats: dict[str, list], filters) -> bool:
     """False only when the footer stats PROVE no row in the file can
     satisfy every filter. Missing stats for a column mean 'may contain
@@ -776,14 +789,22 @@ class AcidTable:
                 ):
                     ok = False
                     break
-                # long string stats may be TRUNCATED in the footer; a
-                # truncated max understates the range and would prune a
-                # file that does contain a match — drop them instead
-                if (isinstance(mn, str) and len(mn) >= 48) or (
-                    isinstance(mx, str) and len(mx) >= 48
-                ):
-                    ok = False
-                    break
+                # long string stats: keep PRUNABLE bounds without
+                # bloating the manifest (a 10 KB document text would
+                # otherwise ride the commit log twice per file). The
+                # Iceberg truncate contract: a prefix is always a valid
+                # LOWER bound; the UPPER bound is the prefix with its
+                # last character bumped (any value starting with the
+                # prefix sorts below it). Both writers this engine
+                # meets (parquet-mr via Spark, arrow C++) emit footer
+                # min/max exact-or-absent, so the bounds stay sound.
+                if isinstance(mn, str) and len(mn) >= 48:
+                    mn = mn[:32]
+                if isinstance(mx, str) and len(mx) >= 48:
+                    mx = _bump_prefix(mx[:32])
+                    if mx is None:  # astronomically unlikely: all max
+                        ok = False  # code points — no finite upper
+                        break
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
             if ok and lo is not None:

@@ -1158,3 +1158,39 @@ def test_acid_table_matches_reference_model(spark, tmp_path_factory, ops):
         assert (got_ins, got_del) == (exp_ins, exp_del), (
             f"CDF v{prev_v}->v{cur_v}"
         )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    files=st.lists(
+        st.lists(
+            st.text(alphabet="abxyz", min_size=40, max_size=60),
+            min_size=1, max_size=5,
+        ),
+        min_size=1, max_size=4,
+    ),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "between"]),
+    probe=st.text(alphabet="abxyz", min_size=0, max_size=60),
+    probe2=st.text(alphabet="abxyz", min_size=0, max_size=60),
+)
+def test_truncated_string_stats_stay_sound(files, op, probe, probe2):
+    """Long string min/max are stored TRUNCATED (prefix lower bound +
+    bumped-prefix upper bound — the Iceberg truncate contract) so the
+    manifest never carries kilobyte values; pruning against the
+    truncated bounds must never drop a file containing a match."""
+    from data_lake_demo_spark.tableformat import _bump_prefix, _file_may_match
+
+    val = (min(probe, probe2), max(probe, probe2)) if op == "between" else probe
+    for values in files:
+        mn, mx = min(values), max(values)
+        if len(mn) >= 48:
+            mn = mn[:32]
+        if len(mx) >= 48:
+            mx = _bump_prefix(mx[:32])
+            assert mx is not None
+            assert len(mx) <= 32
+        stats = {"c": [mn, mx]}
+        if any(_matches(v, op, val) for v in values):
+            assert _file_may_match(stats, [("c", op, val)]), (
+                values, op, val, stats,
+            )

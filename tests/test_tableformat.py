@@ -3056,3 +3056,28 @@ def test_concurrent_append_and_optimize_cluster(spark, tmp_path):
     stats = t._resolve_state(None)[0]
     assert all("#zcube" in st for st in stats.values())
     assert t.snapshot().count() == 1100
+
+
+def test_long_string_stats_truncate_but_still_prune(spark, tmp_path):
+    """A long-string key column (URLs, doc ids) gets TRUNCATED manifest
+    stats (32-char prefix lower bound, bumped-prefix upper bound)
+    instead of the pre-r8 behavior of dropping them: the commit log
+    stays small AND equality/range scans still skip provably-unmatched
+    files — the pruning tier a 100 TB documents table needs on its id
+    column."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    mk = lambda p, n: [(f"{p}{i:04d}" + "x" * 60, i) for i in range(n)]
+    t.append(spark.createDataFrame(mk("https://alpha.example/", 50), "url string, n int").coalesce(1))
+    t.append(spark.createDataFrame(mk("https://zeta.example/", 50), "url string, n int").coalesce(1))
+
+    stats = t._resolve_state(None)[0]
+    assert len(stats) == 2
+    for st_ in stats.values():
+        lo, hi = st_["url"]
+        assert len(lo) <= 32 and len(hi) <= 32  # truncated, not dropped
+
+    probe = "https://zeta.example/0007" + "x" * 60
+    hit, _, _ = t._pruned_live([("url", "=", probe)], t.latest_version())
+    assert len(hit) == 1  # the alpha file is provably unmatched
+    got = t.scan([("url", "=", probe)]).collect()
+    assert len(got) == 1 and got[0].n == 7
