@@ -3037,26 +3037,49 @@ class AcidTable:
 
     def history_df(self) -> DataFrame:
         """DESCRIBE HISTORY as a DataFrame: one row per commit with
-        operation, timestamp, add/remove/vector action counts, and the
-        idempotency txn if any. Log-only (no data reads)."""
-        rows = [
-            (
-                c.version,
-                c.op,
-                float(c.ts),
-                len(c.add),
-                len(c.remove),
-                len(c.dv or ()),
-                c.txn["app"] if c.txn else None,
-                c.txn["batch_id"] if c.txn else None,
+        operation, timestamp, add/remove/vector action counts, ROW
+        metrics (Delta's operationMetrics: rows the commit's added and
+        removed files carry, from manifest ``#rows`` — a pure-layout
+        commit shows equal numbers), and the idempotency txn if any.
+        Log-only (no data reads): removed files' counts come from the
+        stats they were LIVE under, folded commit by commit."""
+
+        def _n(stats: dict | None) -> int:
+            n = (stats or {}).get("#rows")
+            return int(n[0]) if n else 0
+
+        live_stats: dict[str, dict] = {}
+        rows = []
+        for c in self.history():
+            rows_removed = sum(_n(live_stats.get(p)) for p in c.remove)
+            for p in c.remove:
+                live_stats.pop(p, None)
+            rows_added = 0
+            for a in c.add:
+                if a["path"] not in live_stats:  # re-stamping an
+                    # already-live file (row-tracking backfill) moves
+                    # no rows — a metadata-only commit reports 0/0
+                    rows_added += _n(a.get("stats"))
+                live_stats[a["path"]] = a.get("stats", {})
+            rows.append(
+                (
+                    c.version,
+                    c.op,
+                    float(c.ts),
+                    len(c.add),
+                    len(c.remove),
+                    len(c.dv or ()),
+                    rows_added,
+                    rows_removed,
+                    c.txn["app"] if c.txn else None,
+                    c.txn["batch_id"] if c.txn else None,
+                )
             )
-            for c in self.history()
-        ]
         return self.spark.createDataFrame(
             rows,
             "version long, operation string, timestamp double, n_added"
-            " long, n_removed long, n_dv long, txn_app string,"
-            " txn_batch_id long",
+            " long, n_removed long, n_dv long, rows_added long,"
+            " rows_removed long, txn_app string, txn_batch_id long",
         )
 
     def detail(self, as_of: int | None = None) -> dict:

@@ -1376,6 +1376,11 @@ def test_metadata_tables_files_history_detail(spark, tmp_path):
         "append", "append", "delete"
     ]
     assert h[2]["n_dv"] == 1 and h[2]["n_added"] == 0
+    # operationMetrics (Delta parity): rows moved per commit, from the
+    # manifest alone; the MOR delete moves no files, so 0/0
+    assert (h[0]["rows_added"], h[0]["rows_removed"]) == (8, 0)
+    assert (h[1]["rows_added"], h[1]["rows_removed"]) == (2, 0)
+    assert (h[2]["rows_added"], h[2]["rows_removed"]) == (0, 0)
 
     d = t.detail()
     assert d["num_files"] == 2 and d["num_rows"] == 9
@@ -3081,3 +3086,24 @@ def test_long_string_stats_truncate_but_still_prune(spark, tmp_path):
     assert len(hit) == 1  # the alpha file is provably unmatched
     got = t.scan([("url", "=", probe)]).collect()
     assert len(got) == 1 and got[0].n == 7
+
+
+def test_history_row_metrics_across_verbs(spark, tmp_path):
+    """rows_added/rows_removed per commit (operationMetrics): a
+    compact shows equal numbers (pure layout), a CoW delete shows the
+    rewrite's true row movement, and the row-tracking backfill (which
+    re-ADDS every live file with new stats) reports 0/0 — it moves no
+    rows."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(100).select(F.col("id").alias("k")).coalesce(2))
+    t.set_row_tracking()  # metadata-only backfill
+    t.delete([("k", "<", 10)])  # CoW: rewrites the touched file(s)
+    t.compact(n_files=1)
+
+    h = {r["operation"]: r for r in t.history_df().collect()}
+    assert (h["append"]["rows_added"], h["append"]["rows_removed"]) == (100, 0)
+    assert (h["rowtracking"]["rows_added"], h["rowtracking"]["rows_removed"]) == (0, 0)
+    d = h["delete"]
+    assert d["rows_removed"] - d["rows_added"] == 10  # net rows gone
+    c = h["compact"]
+    assert c["rows_added"] == c["rows_removed"] == 90  # pure layout
