@@ -43,7 +43,7 @@ Grammar (case-insensitive keywords; one statement per call):
         [WHEN NOT MATCHED THEN INSERT *]
     COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
-    RESTORE TABLE t TO VERSION AS OF n
+    RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)] [FULL]
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
@@ -1256,6 +1256,26 @@ class AcidSql:
             return self._version_df(
                 self.table(m.group(1)).restore(int(m.group(2)))
             )
+
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_TREF})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"('(?:[^']|'')*'|\d+(?:\.\d+)?)",
+            s,
+            re.I,
+        )
+        if m:  # Delta's timestamp form: last version at-or-before ts
+            t = self.table(m.group(1))
+            at = m.group(2)
+            if at.startswith("'"):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(str(_parse_literal(at)))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                epoch = dt.timestamp()
+            else:
+                epoch = float(at)
+            return self._version_df(t.restore(t.version_at_timestamp(epoch)))
 
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_TREF})(?:\s+WHERE\s+(.+?))?"

@@ -833,3 +833,33 @@ def test_create_table_cluster_by(spark, tmp_path):
             "CREATE TABLE nope (k BIGINT) PARTITIONED BY (k) CLUSTER BY (k) "
             f"LOCATION '{tmp_path / 'nope'}'"
         )
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TABLE ... TO TIMESTAMP AS OF (Delta's timestamp form):
+    rolls back to the last version committed at-or-before the
+    timestamp; both the quoted-ISO and epoch-seconds operands parse."""
+    import time
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"rt": str(tmp_path / "rt")})
+    t = sql.table("rt")
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    mid = time.time()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    assert t.snapshot().count() == 2
+
+    time.sleep(0.05)
+    after_both = time.time()  # after the 2-row commit, before restores
+
+    sql.sql(f"RESTORE TABLE rt TO TIMESTAMP AS OF {mid}")
+    assert t.snapshot().count() == 1
+    # quoted ISO form restores FORWARD again (history is append-only,
+    # so the 2-row version is still addressable by its timestamp)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(after_both, tz=timezone.utc).isoformat()
+    sql.sql(f"RESTORE TABLE rt TO TIMESTAMP AS OF '{iso}'")
+    assert t.snapshot().count() == 2
