@@ -44,6 +44,7 @@ Grammar (case-insensitive keywords; one statement per call):
     COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'
+    CONVERT TO ACID PARQUET '/dir'   (in-place zero-copy adoption)
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)] [FULL]
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
@@ -1256,6 +1257,19 @@ class AcidSql:
             return self._version_df(
                 self.table(m.group(1)).restore(int(m.group(2)))
             )
+
+        m = re.fullmatch(
+            r"CONVERT\s+TO\s+ACID\s+PARQUET\s+('(?:[^']|'')*')",
+            s,
+            re.I,
+        )
+        if m:  # Delta's CONVERT TO DELTA: in-place zero-copy adoption
+            from data_lake_demo_spark.tableformat import AcidTable
+
+            t = AcidTable.convert_from_parquet(
+                self.spark, str(_parse_literal(m.group(1)))
+            )
+            return self._version_df(t.latest_version())
 
         m = re.fullmatch(
             rf"RESTORE\s+TABLE\s+({_TREF})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"

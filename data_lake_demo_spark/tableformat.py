@@ -4222,6 +4222,56 @@ class AcidTable:
                 continue
         raise CommitConflict(f"optimize lost {max_retries} commit races")
 
+    @classmethod
+    def convert_from_parquet(cls, spark: SparkSession, path: str, **kw) -> "AcidTable":
+        """Delta's ``CONVERT TO DELTA``: adopt an existing directory of
+        parquet files as an AcidTable IN PLACE — zero data copies,
+        zero data reads. Commit 0 references the files where they sit
+        (relative paths at the table root; writes keep staging under
+        ``data/`` so the layouts coexist) with footer stats harvested
+        driver-side, so manifest pruning works from the first query.
+        From then on the directory has the full verb set: ACID
+        appends, MERGE, time travel, CDF, clustering. ``vacuum``
+        treats the adopted files like any other — they are deleted
+        only once no retained snapshot references them.
+
+        Hive-partitioned layouts (``key=value`` subdirectories) are
+        rejected: the partition values live in the directory names,
+        not the files, so adoption-in-place would drop those columns —
+        read + ``append(partition_by=...)`` migrates that shape
+        instead (one copy, but the columns materialize)."""
+        t = cls(spark, path, **kw)
+        if t.latest_version() >= 0:
+            raise ValueError(f"{path} is already an AcidTable")
+        entries = sorted(os.listdir(path))
+        parts = [
+            n for n in entries
+            if "=" in n and os.path.isdir(os.path.join(path, n))
+        ]
+        if parts:
+            raise ValueError(
+                f"hive-partitioned input ({parts[0]}/...) cannot convert "
+                "in place — partition values live in directory names; "
+                "read + append(partition_by=...) instead"
+            )
+        files = [
+            n for n in entries
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        ]
+        if not files:
+            raise ValueError(f"no parquet files to convert at {path}")
+        schema = spark.read.parquet(
+            *[os.path.join(path, f) for f in files]
+        ).schema.json()
+        add = []
+        for f in files:
+            rows, stats = t._file_meta(f)
+            if rows is not None:
+                stats["#rows"] = [rows]
+            add.append({"path": f, "stats": stats})
+        t._try_commit(0, "convert", add, [], schema)
+        return t
+
     def clone_to(
         self,
         target_path: str,

@@ -3107,3 +3107,49 @@ def test_history_row_metrics_across_verbs(spark, tmp_path):
     assert d["rows_removed"] - d["rows_added"] == 10  # net rows gone
     c = h["compact"]
     assert c["rows_added"] == c["rows_removed"] == 90  # pure layout
+
+
+def test_convert_from_parquet_in_place(spark, tmp_path):
+    """CONVERT TO DELTA parity: a plain parquet directory becomes an
+    AcidTable in place — zero copies, footer stats harvested so
+    pruning works immediately, and the adopted files participate in
+    the full verb set (append, delete, time travel, vacuum retention)
+    from commit 0."""
+    src = str(tmp_path / "plain")
+    spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v").coalesce(1) \
+        .write.parquet(src)
+    spark.range(50, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    t = AcidTable.convert_from_parquet(spark, src)
+    assert t.latest_version() == 0
+    assert t.snapshot().count() == 100
+    assert t.row_count() == 100  # metadata-only count from footer stats
+    hit, _, _ = t._pruned_live([("k", "<", 10)], 0)
+    assert len(hit) == 1  # the 50-99 file is provably unmatched
+
+    # full verb set from here on
+    t.append(spark.createDataFrame([(100, 200)], "k long, v long"))
+    t.delete([("k", "=", 0)])
+    assert t.snapshot().count() == 100
+    assert t.snapshot(as_of=0).count() == 100  # time travel to adoption
+    assert {r.k for r in t.changes(0).collect() if r._change_type == "insert"} == {100}
+
+    # a second convert refuses; hive-partitioned input refuses
+    with pytest.raises(ValueError, match="already an AcidTable"):
+        AcidTable.convert_from_parquet(spark, src)
+    part = str(tmp_path / "hive")
+    spark.range(10).selectExpr("id AS k", "id % 2 AS p") \
+        .write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        AcidTable.convert_from_parquet(spark, part)
+
+    # SQL route
+    from data_lake_demo_spark.ddl import AcidSql
+
+    src2 = str(tmp_path / "plain2")
+    spark.range(7).selectExpr("id AS k").coalesce(1).write.parquet(src2)
+    sql = AcidSql(spark, {})
+    v = sql.sql(f"CONVERT TO ACID PARQUET '{src2}'").collect()[0][0]
+    assert v == 0
+    assert AcidTable(spark, src2).snapshot().count() == 7
