@@ -98,7 +98,7 @@ assert len(WINDOW) == 50, len(WINDOW)
 # its hash row) and re-proven by the in-suite parity replica each run.
 # Registered this round OUTSIDE the window (parity-proven; lead the r9
 # rotation): orders_row_tracking_ids, orders_cdf_row_id_pairs,
-# orders_liquid_clustering.
+# orders_liquid_clustering, orders_convert_adoption.
 
 
 def all_queries():

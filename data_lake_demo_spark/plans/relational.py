@@ -2290,6 +2290,60 @@ def orders_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "status string, n long, total_sum double")
 
 
+def orders_convert_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO ACID end-to-end under a value hash (new in r8): odd-
+    key orders land as a PLAIN parquet directory (two files), the
+    directory is adopted in place (tableformat.convert_from_parquet —
+    zero copies, footer stats harvested at commit 0), and the query
+    reads back through a pruned key-range scan, then proves the full
+    verb set works post-adoption by DELETE-ing one status and
+    aggregating the survivors. The oracle replays filter+delete+
+    aggregate in SQL."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="convert_query_")
+    try:
+        src = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        plain = root + "/plain"
+        src.filter(F.col("k") % 4 == 1).coalesce(1).write.parquet(plain)
+        src.filter(F.col("k") % 4 == 3).coalesce(1).write.mode(
+            "append"
+        ).parquet(plain)
+        t = AcidTable.convert_from_parquet(spark, plain)
+        t.delete([("status", "=", "P")])  # post-adoption verb
+        out = (
+            t.scan([("k", ">=", 100), ("k", "<", 5000)])
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                qsum(F.col("total"), "total_sum"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "status string, n long, total_sum double")
+
+
+ORDERS_CONVERT_SQL = f"""
+SELECT o_orderstatus AS status, count(*) AS n,
+       {_sql_qsum('o_totalprice', 'total_sum')}
+FROM orders
+WHERE o_orderkey % 2 = 1 AND o_orderstatus <> 'P'
+  AND o_orderkey >= 100 AND o_orderkey < 5000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 ORDERS_LIQUID_CLUSTERING_SQL = f"""
 SELECT o_orderstatus AS status, count(*) AS n,
        {_sql_qsum('o_totalprice', 'total_sum')}
@@ -2350,6 +2404,7 @@ QUERIES = {
     "orders_row_tracking_ids": orders_row_tracking_ids,
     "orders_cdf_row_id_pairs": orders_cdf_row_id_pairs,
     "orders_liquid_clustering": orders_liquid_clustering,
+    "orders_convert_adoption": orders_convert_adoption,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
@@ -2415,6 +2470,7 @@ ORACLE = {
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
     "orders_liquid_clustering": ORDERS_LIQUID_CLUSTERING_SQL,
+    "orders_convert_adoption": ORDERS_CONVERT_SQL,
     "lineitem_transit_overlaps": TRANSIT_OVERLAPS_SQL,
     "bloom_semi_join_orders": BLOOM_SEMI_SQL,
     "q1_pricing_summary": Q1_SQL,
