@@ -251,3 +251,68 @@ def test_random_window_queries_agree_with_duckdb(engines, q):
     names = [d[0] for d in cur.description]
     exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
     assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def scalar_queries(draw):
+    """Scalar-expression shapes in the dialect intersection: string
+    functions, integer math, and EXTRACT over the timestamp column.
+    Deliberately excluded: round() (Spark HALF_UP vs DuckDB
+    HALF_EVEN) and anything locale/collation-sensitive."""
+    table = draw(st.sampled_from(["orders", "lineitem"]))
+    cols = TABLES[table]
+    sc = draw(st.sampled_from(cols["strings"]))
+    ic = draw(st.sampled_from(cols["ints"]))
+    dc = draw(st.sampled_from(cols["doubles"]))
+    ts = "o_orderdate" if table == "orders" else "l_shipdate"
+    ukey = cols["ints"][0]
+    exprs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    f"upper({sc})",
+                    f"lower({sc})",
+                    f"length({sc})",
+                    f"substr({sc}, 1, 2)",
+                    f"trim({sc})",
+                    f"replace({sc}, 'A', '_')",
+                    f"{sc} || '#' || {sc}",
+                    f"reverse({sc})",
+                    f"abs({ic} - 100)",
+                    f"{ic} % 13",
+                    f"floor({dc} / 7)",
+                    f"ceil({dc} / 11)",
+                    f"EXTRACT(YEAR FROM {ts})",
+                    f"EXTRACT(MONTH FROM {ts})",
+                    f"EXTRACT(DAY FROM {ts})",
+                    f"CASE WHEN {ic} % 2 = 0 THEN 'even' ELSE 'odd' END",
+                    f"coalesce(nullif({sc}, 'zz'), 'fallback')",
+                    f"greatest({ic}, 50)",
+                    f"least({ic}, 50)",
+                ]
+            ),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        )
+    )
+    sel = ", ".join([ukey] + [f"{e} AS e{i}" for i, e in enumerate(exprs)])
+    bound = draw(st.sampled_from([150, 400, 900]))
+    sql = f"SELECT {sel} FROM {table} WHERE {ukey} < {bound}"
+    return sql, [ukey] + [f"e{i}" for i in range(len(exprs))]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=scalar_queries())
+def test_random_scalar_exprs_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
