@@ -64,9 +64,17 @@ def _flagged_against_lock(sf_key: str, timings: dict[str, float]) -> dict[str, f
     return out
 
 
-def _check_and_update_lock(sf_key: str, timings: dict[str, float]) -> dict[str, list]:
+def _check_and_update_lock(
+    sf_key: str,
+    timings: dict[str, float],
+    skip_fold: set[str] | None = None,
+) -> dict[str, list]:
     """Compare against locked medians, then fold this run in.
-    Returns {query: [current, locked_median]} for flagged queries."""
+    Returns {query: [current, locked_median]} for flagged queries.
+    ``skip_fold`` names are checked but NOT folded into the lock —
+    retrial-adjudicated timings stay out so the medians keep
+    reflecting uncontended runs (a marginal slowdown that dodged the
+    flag via retrials must not also drag the reference point up)."""
     lock = _load_lock()
     per_sf = lock.setdefault(sf_key, {})
     regressions: dict[str, list] = {}
@@ -78,6 +86,8 @@ def _check_and_update_lock(sf_key: str, timings: dict[str, float]) -> dict[str, 
             med = ent["median"]
             if t > REGRESS_FACTOR * med and t - med > NOISE_FLOOR_S:
                 regressions[name] = [round(t, 2), med]
+        if skip_fold and name in skip_fold:
+            continue
         runs = (ent.get("runs", []) if ent else []) + [round(t, 3)]
         runs = runs[-LOCK_KEEP:]
         per_sf[name] = {
@@ -155,14 +165,20 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
 
-    # Retrial pass: a would-be regression gets up to two fresh runs
-    # before it can flag. Three separate rounds spent verdict space
-    # adjudicating flags that were transient host contention during
-    # the ONE driver pass (a background compile, a page-cache refill)
-    # — a genuine regression reproduces on an immediate re-run, noise
-    # doesn't. Only the improved timing is kept; a real slowdown
-    # survives all retrials and still flags.
+    # Retrial pass: a would-be regression gets two fresh runs, and the
+    # MEDIAN of (original, retrial, retrial) is the recorded timing.
+    # Three separate rounds spent verdict space adjudicating flags that
+    # were transient host contention during the ONE driver pass (a
+    # background compile, a page-cache refill) — a genuine regression
+    # reproduces on an immediate re-run, noise doesn't. Median (not
+    # min) means a durable 1.2-1.6x slowdown hovering at the threshold
+    # cannot dodge detection by getting one lucky re-run: it must be
+    # under the threshold in the MAJORITY of observations to pass. A
+    # query adjudicated as noise this way is also NOT folded into the
+    # lock, so the medians keep reflecting uncontended runs.
+    adjudicated: set[str] = set()
     for name, med in _flagged_against_lock(f"sf{sf}", timings).items():
+        obs = [timings[name]]
         for _ in range(2):
             try:
                 t0 = time.perf_counter()
@@ -172,13 +188,14 @@ def main() -> None:
                 dt = time.perf_counter() - t0
             except Exception:
                 break  # keep the recorded timing; failure already rare
+            obs.append(dt)
             print(f"# retrial {name}: {dt:.3f}s (flagged vs median {med}s)",
                   file=sys.stderr)
-            if dt < timings[name]:
-                timings[name] = round(dt, 2)
+        if len(obs) > 1:
+            timings[name] = round(statistics.median(obs), 2)
             if not (timings[name] > REGRESS_FACTOR * med
                     and timings[name] - med > NOISE_FLOOR_S):
-                break  # under the flag threshold: adjudicated as noise
+                adjudicated.add(name)  # noise: don't fold into the lock
     total = sum(v for v in timings.values() if v > 0)
 
     spark.stop()
@@ -188,7 +205,9 @@ def main() -> None:
     # to parse. Emit the 20 slowest queries individually (the ones that
     # matter for perf grading) plus an aggregate for the rest; every
     # per-query timing is still on stderr.
-    regressions = _check_and_update_lock(f"sf{sf}", timings)
+    regressions = _check_and_update_lock(
+        f"sf{sf}", timings, skip_fold=adjudicated
+    )
     for name, (cur, med) in regressions.items():
         print(f"# REGRESSION {name}: {cur}s vs locked median {med}s", file=sys.stderr)
 

@@ -14,91 +14,84 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-8 rotation, executing the r7 verdict's item 2
-# verbatim: 48 of the 156 registered queries had no driver row newer
-# than r4 (two are r3) — every one of them is in this window, led by
-# the TWO queries new this round (which certify the r8 column-level
-# SQL MERGE and replaceWhere work end-to-end on the ACID format).
-# Evicted to make room: the ENTIRE r7 window — all 50 entries are
-# r7-green in CORRECTNESS_r07.json (47 value-hash + 3 rows-only-by-
-# design) and re-proven at sf0.001 by tests/test_oracle_parity.py on
-# every pytest run, so they are now the LEAST stale rows in the
-# registry. Within the stale block, the r3 rows lead, then the r4
-# block grouped by family (relational smoke, events/time-series,
-# corpus-prep twelve, dedup families, quality/text, embeddings,
-# multimodal).
+# explicit round-9 rotation, executing the r8 verdict's item 1
+# verbatim: the FOUR queries registered late in r8 that have never had
+# a driver CORRECTNESS row lead (they certify row tracking, DSv2 row
+# ids + CDF id pairing, liquid clustering, and CONVERT TO ACID
+# end-to-end — all four already pass the sf0.01 DuckDB parity replica
+# run in tests/test_oracle_parity.py), followed by the now-stalest
+# block: all 40 queries whose newest driver row is CORRECTNESS_r05,
+# then 6 of the r6 aggregate rows. Evicted: the entire r8 window (all
+# 50 entries green in CORRECTNESS_r08.json — 46 value-hash + 4
+# rows-only-by-design — and re-proven at sf0.001 by the in-suite
+# parity replica on every pytest run).
 WINDOW = [
-    # -- new in round 8 ------------------------------------------------
-    "orders_merge_update_columns",  # NEW: WHEN MATCHED THEN UPDATE
-    # SET c = expr lowered onto merge (ddl._merge_update_columns) —
-    # multi-phase AcidTable query, full value-hash oracle
-    "orders_replace_where_backfill",  # NEW: overwrite_where
-    # (replaceWhere) partition backfill under a value hash
-    # -- r3 rows (stalest in the registry) ------------------------------
-    "approx_stats",  # rows-only by design (approx sketches); exact
-    # twins exact_percentiles/distinct_counts are hash-green
-    "orders_table_profile",
-    # -- r4 relational/smoke -------------------------------------------
-    "q1_pricing_summary",
-    "group_count_ordinal",
-    "anti_join_customers_without_orders",
-    # -- r4 events / time-series ---------------------------------------
-    "events_sessionization",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_rolling_7d_active",
-    "events_asof_last_view",
-    "events_daily_retention",
-    "events_daily_funnel",
-    "events_daily_from_hourly_rollup",
-    "events_json_extract",
-    "events_hll_daily_users",  # rows-only by design (HLL sketch);
-    # exact twin green, <=2%/day error pinned by test
-    "countmin_event_type_freq",
-    # -- r4 corpus-prep twelve -----------------------------------------
-    "doc_split_assign",
-    "doc_pack_sequences",
-    "doc_chunk_overlap",
-    "doc_quality_funnel",
-    "doc_decontaminate",
-    "doc_domain_mix",
-    "doc_token_budget_mix",
-    "doc_training_pipeline",
-    "doc_normalize_scrub",
-    "doc_scrub_boilerplate",
-    "doc_token_stats",
-    "doc_length_histogram",
-    # -- r4 dedup families ----------------------------------------------
-    "doc_exact_dedup",
-    "doc_minhash_near_dups",
-    "doc_simhash_buckets",
-    "doc_ngram_jaccard_dups",
-    "doc_winnowing_overlap",
-    "doc_dedup_components",
-    "doc_dedup_components_bigstar",
-    "doc_fingerprint_buckets",
-    # -- r4 quality / text -----------------------------------------------
-    "doc_quality_scores",
-    "doc_repetition_signals",
-    "doc_lang_id",
-    "doc_tfidf_top_terms",
-    "doc_bpe_token_counts",
-    # -- r4 embeddings ----------------------------------------------------
-    "emb_norms",
-    "emb_quantize_int8",
-    "emb_label_centroid_sim",
-    "emb_lsh_ann",
-    "emb_near_dups",
-    "knn_brute_force",
-    # -- r4 multimodal ------------------------------------------------------
-    "media_feature_stats",
+    # -- never driver-checked (registered late in r8) -------------------
+    "orders_row_tracking_ids",  # stable row ids through UPDATE/
+    # OPTIMIZE/MERGE rewrites (tableformat row tracking)
+    "orders_cdf_row_id_pairs",  # update reconstruction via the
+    # _row_id join over the CDF feed (DSv2 row ids)
+    "orders_liquid_clustering",  # CLUSTER BY + incremental
+    # optimize_cluster + pruned key-range read replay
+    "orders_convert_adoption",  # CONVERT TO ACID zero-copy adoption
+    # -- r5 rows (stalest driver rows in the registry) -------------------
+    # relational heads
+    "q3_shipping_priority",
+    "q4_order_priority_checking",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q13_order_count_distribution",
+    # joins / set ops
+    "semi_join_customers_with_orders",
+    "full_outer_nation_activity",
+    "non_equi_nation_pairs",
+    "range_join_price_bands",
+    "fuzzy_name_pairs",
+    "set_ops_customer_cohorts",
+    # window functions
+    "top3_orders_per_customer",
+    "running_revenue_by_supplier",
+    "order_gaps_lag_lead",
+    "rank_dense_rank_parts",
+    "topk_expensive_orders",
+    "window_distribution_functions",
+    # subqueries / scalar expressions
+    "scalar_subquery_above_avg",
+    "in_subquery_asia_suppliers",
+    "not_in_subquery_priorities",
+    "scalar_functions_showcase",
+    "case_when_conditional_agg",
+    # reshaping / grouping extensions
+    "pivot_qty_by_status",
+    "unpivot_customer_measures",
+    "unpivot_stack_measures",
+    "grouping_id_rollup",
+    "array_agg_per_group",
+    "exact_percentiles",
+    # LLM / events tail of the r5 block
+    "emb_ivf_ann",
+    "emb_pq_ann",
+    "emb_ivfpq_ann",
+    "doc_pii_scrub",
+    "doc_sample_k_per_source",
+    "events_hll_daily_users_exact",
+    "media_frame_features",
+    # -- r6 aggregate block (next-stalest) --------------------------------
+    "global_count",
+    "distinct_counts",
+    "rollup_revenue",
+    "cube_quantity",
+    "grouping_sets_revenue",
+    "having_filter",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
-# Everything outside this window is r5/r6/r7-green (unchanged since
+# Everything outside this window is r6/r7/r8-green (unchanged since
 # its hash row) and re-proven by the in-suite parity replica each run.
-# Registered this round OUTSIDE the window (parity-proven; lead the r9
-# rotation): orders_row_tracking_ids, orders_cdf_row_id_pairs,
-# orders_liquid_clustering, orders_convert_adoption.
 
 
 def all_queries():

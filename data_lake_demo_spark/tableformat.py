@@ -204,12 +204,19 @@ def _bump_prefix(s: str) -> str | None:
     """Smallest string that upper-bounds EVERY string starting with
     ``s`` (Iceberg's truncate-upper): bump the last bumpable code
     point, dropping any maxed-out tail. None if every code point is
-    U+10FFFF (no finite bound exists)."""
+    U+10FFFF (no finite bound exists). Bumping U+D7FF skips the
+    surrogate block to U+E000 (Iceberg does the same): chr(0xD800) is
+    a lone surrogate that cannot be UTF-8-encoded, so it would poison
+    any consumer that re-encodes the stats string (Arrow/Spark via
+    ``files()``, non-Python manifest readers) — U+E000 is the next
+    valid scalar and still > every character ≤ U+D7FF, so the bound
+    stays an upper bound."""
     cps = list(s)
     for i in range(len(cps) - 1, -1, -1):
         cp = ord(cps[i])
         if cp < 0x10FFFF:
-            return "".join(cps[:i]) + chr(cp + 1)
+            nxt = 0xE000 if cp == 0xD7FF else cp + 1
+            return "".join(cps[:i]) + chr(nxt)
     return None
 
 
@@ -268,8 +275,12 @@ def _file_may_match(stats: dict[str, list], filters) -> bool:
                 # s startswith p ⇒ s ≥ p, and s's first len(p) chars
                 # equal p; a file can't match if its whole range sits
                 # below p (hi < p) or above every p-prefixed string
-                # (lo's prefix already > p). Sound with truncated-max
-                # ranges excluded upstream (the 48-char stat guard).
+                # (lo's prefix already > p). Sound with the Iceberg-
+                # truncated bounds _file_meta stores for long strings:
+                # the lower bound is a PREFIX of the true min (still
+                # ≤ every value, so lo[:len(p)] > p stays conclusive),
+                # and the upper bound is the bumped prefix (strictly
+                # ≥ the true max, so hi < p stays conclusive).
                 if hi < val or (
                     isinstance(lo, str) and lo[: len(val)] > val
                 ):
@@ -1440,8 +1451,8 @@ class AcidTable:
             ):
                 try:  # same best-effort policy as the plain append path
                     return self._auto_optimize()
-                except CommitConflict:
-                    pass
+                except Exception:
+                    pass  # the append COMMITTED; compaction just defers
             return v
         raise CommitConflict(f"append lost {max_retries} commit races")
 
@@ -1566,9 +1577,12 @@ class AcidTable:
                 self.auto_compact_files
                 and len(self._resolve(v)[0]) > self.auto_compact_files
             ):
-                try:  # best-effort: losing the race just defers compaction
+                try:  # best-effort: ANY auto-compact failure only defers
+                    # compaction — the append itself already committed, so
+                    # surfacing an error here would report a successful
+                    # write as failed (and a retry would duplicate data)
                     return self._auto_optimize()
-                except CommitConflict:
+                except Exception:
                     pass
             return v
         raise CommitConflict(f"append lost {max_retries} commit races")
@@ -2761,6 +2775,16 @@ class AcidTable:
         if ik in cur:
             updates[ik] = None
             updates[self._IDENTITY_PREFIX + new] = cur[ik]
+        # liquid-clustering keys are also LOGICAL names (set_clustering
+        # validates against the logical view; optimize_cluster resolves
+        # them at run time): migrate in the SAME commit, or the next
+        # OPTIMIZE — including append()'s auto-compact follow-up —
+        # raises "clustering columns not in table"
+        cluster = cur.get(self._CLUSTERING_KEY)
+        if cluster and old in cluster:
+            updates[self._CLUSTERING_KEY] = [
+                new if c == old else c for c in cluster
+            ]
         return self.set_properties(updates)
 
     def drop_column(self, name: str) -> int:
@@ -2774,6 +2798,14 @@ class AcidTable:
         if len(view) == 1:
             raise ValueError("cannot drop the only column")
         self._guard_mapped_name_in_exprs(name)
+        # Delta blocks dropping a clustering column outright (the key
+        # would dangle and every later OPTIMIZE / auto-compact would
+        # fail AFTER its data commit already succeeded)
+        if name in (self.properties().get(self._CLUSTERING_KEY) or []):
+            raise ValueError(
+                f"column {name!r} is a clustering column; run "
+                "set_clustering / ALTER TABLE ... CLUSTER BY without it first"
+            )
         colmap = self._colmap()
         phys = next(p for p, l in view.items() if l == name)
         colmap[phys] = ""
@@ -4235,29 +4267,36 @@ class AcidTable:
         treats the adopted files like any other — they are deleted
         only once no retained snapshot references them.
 
-        Hive-partitioned layouts (``key=value`` subdirectories) are
-        rejected: the partition values live in the directory names,
-        not the files, so adoption-in-place would drop those columns —
-        read + ``append(partition_by=...)`` migrates that shape
-        instead (one copy, but the columns materialize)."""
+        Listing is RECURSIVE, like Delta's CONVERT: nested
+        non-hive subdirectories (multi-level Spark output, manual
+        sharding) adopt with their relative paths preserved; hidden
+        trees (``_``/``.`` prefixes — ``_spark_metadata`` etc.) are
+        skipped. Hive-partitioned layouts (``key=value`` directory
+        components at any depth) are rejected: the partition values
+        live in the directory names, not the files, so adoption
+        in-place would drop those columns — read +
+        ``append(partition_by=...)`` migrates that shape instead
+        (one copy, but the columns materialize)."""
         t = cls(spark, path, **kw)
         if t.latest_version() >= 0:
             raise ValueError(f"{path} is already an AcidTable")
-        entries = sorted(os.listdir(path))
-        parts = [
-            n for n in entries
-            if "=" in n and os.path.isdir(os.path.join(path, n))
-        ]
-        if parts:
-            raise ValueError(
-                f"hive-partitioned input ({parts[0]}/...) cannot convert "
-                "in place — partition values live in directory names; "
-                "read + append(partition_by=...) instead"
-            )
-        files = [
-            n for n in entries
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        ]
+        files: list[str] = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            part = next((d for d in dirs if "=" in d), None)
+            if part is not None:
+                rel = os.path.relpath(os.path.join(root, part), path)
+                raise ValueError(
+                    f"hive-partitioned input ({rel}/...) cannot convert "
+                    "in place — partition values live in directory names; "
+                    "read + append(partition_by=...) instead"
+                )
+            for n in sorted(names):
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(
+                        os.path.relpath(os.path.join(root, n), path)
+                    )
+        files.sort()
         if not files:
             raise ValueError(f"no parquet files to convert at {path}")
         schema = spark.read.parquet(
@@ -4450,7 +4489,23 @@ class AcidTable:
             ever_committed |= {a["path"] for a in c.add}
         now = time.time()
         deleted = []
+        # adopted files (CONVERT references them at the table root,
+        # outside data/) reclaim like any other once superseded: they
+        # are ever_committed by definition, so no grace gate applies.
+        # Absolute paths (shallow CLONE references into the SOURCE
+        # table) are never touched — they belong to another table.
+        for rel in sorted(ever_committed - referenced):
+            if os.path.isabs(rel) or rel.startswith(_DATA + os.sep):
+                continue
+            full = os.path.join(self.path, rel)
+            if not os.path.isfile(full):
+                continue
+            if not dry_run:
+                os.remove(full)
+            deleted.append(rel)
         data_root = os.path.join(self.path, _DATA)
+        if not os.path.isdir(data_root):
+            return deleted  # converted table that has never staged a write
         for stage in sorted(os.listdir(data_root)):
             sdir = os.path.join(data_root, stage)
             for n in sorted(os.listdir(sdir)):

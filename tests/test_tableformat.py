@@ -3153,3 +3153,182 @@ def test_convert_from_parquet_in_place(spark, tmp_path):
     v = sql.sql(f"CONVERT TO ACID PARQUET '{src2}'").collect()[0][0]
     assert v == 0
     assert AcidTable(spark, src2).snapshot().count() == 7
+
+
+def test_bump_prefix_skips_surrogate_block():
+    """Truncated-upper bounds must be VALID Unicode: bumping a prefix
+    whose last code point is U+D7FF skips the surrogate range to
+    U+E000 (Iceberg's truncate-upper does the same) — chr(0xD800) is
+    a lone surrogate that cannot be UTF-8-encoded, so it would poison
+    every consumer that re-encodes the stats string (files() hands
+    stats JSON to Spark; any non-Python manifest reader)."""
+    from data_lake_demo_spark.tableformat import _bump_prefix
+
+    bound = _bump_prefix("abc퟿")
+    assert bound == "abc"
+    bound.encode("utf-8")  # must not raise
+    # still an upper bound: every string with the prefix sorts below it
+    for tail in ("", "z", "퟿퟿", "\U0010ffff"):
+        assert "abc퟿" + tail < bound
+    # plain bump is unchanged; max code point still drops the tail
+    assert _bump_prefix("ab") == "ac"
+    assert _bump_prefix("a\U0010ffff") == "b"
+    assert _bump_prefix("\U0010ffff") is None
+
+
+def test_surrogate_boundary_stats_survive_files_readback(spark, tmp_path):
+    """End-to-end at the boundary: a long string column whose
+    truncation point lands on U+D7FF commits a bumped upper bound that
+    (a) round-trips through files() — which re-encodes the stats JSON
+    as a Spark DataFrame column, the path a lone surrogate would
+    crash — and (b) still prunes correctly."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    long_vals = [("a" * 31 + "퟿" + "z" * 30, i) for i in range(20)]
+    t.append(spark.createDataFrame(long_vals, "url string, n int").coalesce(1))
+    t.append(
+        spark.createDataFrame(
+            [("m" * 60, 99)], "url string, n int"
+        ).coalesce(1)
+    )
+
+    stats = t._resolve_state(None)[0]
+    bounds = [st["url"] for st in stats.values() if "url" in st]
+    assert any(hi == "a" * 31 + "" for _, hi in bounds)
+    for _, hi in bounds:
+        hi.encode("utf-8")  # valid Unicode always
+
+    rows = t.files().collect()  # re-encodes stats through Spark/Arrow
+    assert len(rows) == 2
+    # pruning: an equality probe above the bumped bound skips the file
+    hit, _, _ = t._pruned_live(
+        [("url", "=", "m" * 60)], t.latest_version()
+    )
+    assert len(hit) == 1
+    got = t.scan([("url", "=", long_vals[0][0])]).collect()
+    assert len(got) == 20
+
+
+def test_rename_clustering_column_migrates_key(spark, tmp_path):
+    """RENAME of a clustering column migrates clustering.columns in
+    the SAME commit — without it the next OPTIMIZE (including the
+    auto-compact follow-up AFTER a successful append commit) raises
+    'clustering columns not in table', reporting a successful write
+    as failed."""
+    t = AcidTable(spark, str(tmp_path / "t"), auto_compact_files=2)
+    t.append(spark.range(100).selectExpr("id AS k", "id % 7 AS v"))
+    t.set_clustering(["k"])
+    t.rename_column("k", "key")
+    assert t.clustering_columns() == ["key"]
+    # OPTIMIZE works against the new name
+    t.optimize_cluster(n_files=4)
+    # auto-compact follow-up path: appends past the threshold trigger
+    # _auto_optimize -> optimize_cluster, which must resolve "key"
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(1000 + i, 0)], "key long, v long")
+        )
+    assert t.snapshot().count() == 103
+    stats = t._resolve_state(None)[0]
+    assert all("#zcube" in st for st in stats.values())
+
+
+def test_drop_clustering_column_blocked(spark, tmp_path):
+    """DROP of a clustering column is refused outright (Delta does the
+    same): a dangling key would break every later OPTIMIZE / auto-
+    compact after its data commit already succeeded."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(10).selectExpr("id AS k", "id AS v"))
+    t.set_clustering(["k"])
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("k")
+    # removing it from the clustering key first unblocks the drop
+    t.set_clustering(["v"])
+    t.drop_column("k")
+    assert t.snapshot().columns == ["v"]
+
+
+def test_auto_compact_failure_never_masks_committed_append(spark, tmp_path):
+    """The auto-compact follow-up is best-effort for ANY error, not
+    just commit races: the append already committed, so an exception
+    from the maintenance commit must not surface (the caller would
+    retry and duplicate data)."""
+    t = AcidTable(spark, str(tmp_path / "t"), auto_compact_files=1)
+    t.append(spark.range(5).selectExpr("id AS k"))
+
+    def boom(*a, **k):
+        raise RuntimeError("maintenance exploded")
+
+    t.optimize_cluster = boom
+    t.compact = boom
+    v = t.append(spark.range(5, 10).selectExpr("id AS k"))  # must not raise
+    assert v >= 1
+    assert t.snapshot().count() == 10
+
+
+def test_convert_recursive_subdirectories(spark, tmp_path):
+    """CONVERT lists recursively like Delta's: nested non-hive
+    subdirectories (multi-level output, manual shards) adopt with
+    relative paths preserved; hidden trees are skipped; hive-style
+    key=value components at ANY depth are rejected."""
+    import os
+
+    src = str(tmp_path / "plain")
+    spark.range(0, 30).selectExpr("id AS k").coalesce(1).write.parquet(src)
+    spark.range(30, 60).selectExpr("id AS k").coalesce(1).write.parquet(
+        os.path.join(src, "shard_a")
+    )
+    spark.range(60, 90).selectExpr("id AS k").coalesce(1).write.parquet(
+        os.path.join(src, "shard_a", "nested")
+    )
+    # a hidden tree full of parquet must be ignored (e.g. _staging)
+    spark.range(1000, 1100).selectExpr("id AS k").coalesce(1).write.parquet(
+        os.path.join(src, "_staging")
+    )
+
+    t = AcidTable.convert_from_parquet(spark, src)
+    assert t.snapshot().count() == 90
+    assert set(range(90)) == {r.k for r in t.snapshot().collect()}
+    live = t._resolve_state(None)[0]
+    assert any(p.startswith("shard_a" + os.sep) for p in live)
+    assert any(p.startswith(os.path.join("shard_a", "nested")) for p in live)
+    assert not any("_staging" in p for p in live)
+
+    # nested hive layout still refuses
+    part = str(tmp_path / "deep_hive")
+    spark.range(10).selectExpr("id AS k", "id % 2 AS p").coalesce(1) \
+        .write.partitionBy("p").parquet(os.path.join(part, "inner"))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        AcidTable.convert_from_parquet(spark, part)
+
+
+def test_vacuum_reclaims_superseded_adopted_files(spark, tmp_path):
+    """Adopted (CONVERT) files live at the table root, outside data/ —
+    vacuum must still reclaim them once every retained snapshot has
+    moved past them (the documented contract), while NEVER touching
+    absolute-path references (a shallow clone's pointers into the
+    SOURCE table)."""
+    import os
+
+    src = str(tmp_path / "plain")
+    spark.range(50).selectExpr("id AS k").coalesce(1).write.parquet(src)
+    t = AcidTable.convert_from_parquet(spark, src)
+    adopted = [p for p in t._resolve_state(None)[0]]
+    assert adopted and all(not p.startswith("data") for p in adopted)
+
+    # a fresh converted table with no staged writes vacuums cleanly
+    assert t.vacuum(retain_versions=1) == []
+
+    t.overwrite(spark.range(5).selectExpr("id AS k"))  # supersede adoption
+    gone = t.vacuum(retain_versions=1)
+    assert sorted(gone) == sorted(adopted)
+    for p in adopted:
+        assert not os.path.exists(os.path.join(src, p))
+    assert t.snapshot().count() == 5
+
+    # clone guard: superseded ABSOLUTE refs are never deleted
+    base = AcidTable(spark, str(tmp_path / "base"))
+    base.append(spark.range(20).selectExpr("id AS k").coalesce(1))
+    clone = base.clone_to(str(tmp_path / "clone"))
+    clone.overwrite(spark.range(3).selectExpr("id AS k"))
+    clone.vacuum(retain_versions=1)
+    assert base.snapshot().count() == 20  # source data intact
