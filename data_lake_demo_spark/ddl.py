@@ -45,6 +45,8 @@ Grammar (case-insensitive keywords; one statement per call):
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'
     CONVERT TO ACID PARQUET '/dir'   (in-place zero-copy adoption)
+    CREATE TABLE [IF NOT EXISTS] t [SHALLOW|DEEP] CLONE s
+        [VERSION AS OF n] [LOCATION '...']   (bare CLONE = DEEP)
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)] [FULL]
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
@@ -414,6 +416,35 @@ class AcidSql:
         self._register(name, path)
         self._handles[path] = t
         return self._version_df(v)
+
+    def _clone_table(self, m) -> DataFrame:
+        """``CREATE TABLE t [SHALLOW|DEEP] CLONE s [VERSION AS OF n]
+        [LOCATION '...']`` — Delta's CLONE SQL lowered onto
+        ``AcidTable.clone_to``. Bare CLONE is DEEP (the Delta
+        default: one distributed copy, fully independent); SHALLOW
+        copies ZERO data files — the clone's commit 0 references the
+        source's live files (and deletion vectors, colmap,
+        constraints) by absolute path, the zero-copy dev snapshot of
+        a prod table. VERSION AS OF clones a time-travel snapshot."""
+        if_not_exists, name, kind, src_ref, as_of, loc = m.groups()
+        path = self._target_path(name, loc)
+        src = self.table(src_ref)
+        from data_lake_demo_spark.tableformat import AcidTable
+
+        existing = AcidTable(self.spark, path)
+        if existing.latest_version() >= 0:
+            if if_not_exists:
+                self._register(name, path)
+                return self._version_df(existing.latest_version())
+            raise ValueError(f"table at {path!r} already exists")
+        clone = src.clone_to(
+            path,
+            shallow=(kind or "DEEP").upper() == "SHALLOW",
+            as_of=int(as_of) if as_of else None,
+        )
+        self._register(name, path)
+        self._handles[path] = clone
+        return self._version_df(clone.latest_version())
 
     def _target_path(self, name: str, loc: str | None) -> str:
         """CREATE-target path: explicit LOCATION, else derived from the
@@ -987,6 +1018,17 @@ class AcidSql:
         )
         if m:
             return self._create_table_as(m)
+
+        m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+            rf"(?:(SHALLOW|DEEP)\s+)?CLONE\s+({_TREF})"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"(?:\s+LOCATION\s+('(?:[^']|'')*'))?",
+            s,
+            re.I,
+        )
+        if m:
+            return self._clone_table(m)
 
         m = re.fullmatch(
             rf"INSERT\s+INTO\s+(?:TABLE\s+)?({_TREF})"

@@ -34,6 +34,9 @@ WINDOW = [
     "orders_liquid_clustering",  # CLUSTER BY + incremental
     # optimize_cluster + pruned key-range read replay
     "orders_convert_adoption",  # CONVERT TO ACID zero-copy adoption
+    # -- new in round 9 ---------------------------------------------------
+    "doc_compression_portable",  # NEW: distinct-8-gram compressibility
+    # proxy — the hash-green twin for the zlib rows-only signal
     # -- r5 rows (stalest driver rows in the registry) -------------------
     # relational heads
     "q3_shipping_priority",
@@ -87,9 +90,11 @@ WINDOW = [
     "rollup_revenue",
     "cube_quantity",
     "grouping_sets_revenue",
-    "having_filter",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
+# having_filter (r6-green) yielded its slot to the new r9 query; it
+# stays re-proven by the in-suite parity replica like the other
+# out-of-window rows.
 # Everything outside this window is r6/r7/r8-green (unchanged since
 # its hash row) and re-proven by the in-suite parity replica each run.
 

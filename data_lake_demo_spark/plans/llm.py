@@ -1406,6 +1406,56 @@ def doc_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_compression_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable compressibility proxy — the hash-green twin of
+    doc_compression_signals (whose zlib ratio has no DuckDB
+    equivalent): the distinct-8-gram ratio in basis points. Repeated
+    content re-uses character shingles, so low distinct/total is
+    exactly what an LZ77 window exploits; the ranking agrees with the
+    zlib signal on the fixture classes. Pure JVM expressions
+    (sequence/transform/array_distinct) — no Python in the plan; at
+    100 TB this is a map-only scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d8 = (
+        "size(array_distinct(transform(sequence(1, length(text) - 7), "
+        "i -> substring(text, i, 8))))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr("greatest(length(text) - 7, 0)")
+            .cast("long")
+            .alias("n_shingles"),
+            F.expr(
+                f"CASE WHEN length(text) >= 8 THEN {d8} ELSE 0 END"
+            ).cast("long").alias("distinct_shingles"),
+            F.expr(
+                f"CASE WHEN length(text) >= 8 THEN CAST({d8} * 10000 "
+                "DIV (length(text) - 7) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("compress_proxy_bp"),
+        ).orderBy("doc_id")
+    )
+
+
+COMPRESSION_PORTABLE_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       greatest(length(text) - 7, 0) AS n_shingles,
+       CASE WHEN length(text) >= 8
+            THEN len(list_distinct(list_transform(range(1, length(text) - 6),
+                     i -> substring(text, CAST(i AS INT), 8))))
+            ELSE 0 END AS distinct_shingles,
+       CASE WHEN length(text) >= 8
+            THEN CAST(len(list_distinct(list_transform(range(1, length(text) - 6),
+                     i -> substring(text, CAST(i AS INT), 8)))) * 10000
+                 // (length(text) - 7) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS compress_proxy_bp
+FROM documents ORDER BY doc_id
+"""
+
+
 def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scores (rows-only — the trained weights are
     data-dependent; separation, determinism, and the no-Python scoring
@@ -4003,6 +4053,7 @@ QUERIES = {
     "emb_graph_triangles": emb_graph_triangles,
     "emb_ann_recall_at_k": emb_ann_recall_at_k,
     "doc_compression_signals": doc_compression_signals,
+    "doc_compression_portable": doc_compression_portable,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_pq_ann": emb_pq_ann,
     "emb_ivfpq_ann": emb_ivfpq_ann,
@@ -4018,6 +4069,7 @@ ORACLE = {
     "doc_dedup_components_bigstar": DEDUP_COMPONENTS_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_quality_scores": QUALITY_SQL,
+    "doc_compression_portable": COMPRESSION_PORTABLE_SQL,
     "doc_repetition_signals": REPETITION_SQL,
     "doc_length_histogram": LENGTH_HIST_SQL,
     "doc_bpe_token_counts": BPE_COUNT_SQL,

@@ -165,6 +165,8 @@ def start_curated_merge_stream(
     *,
     app: str = "curated_ingest",
     max_files_per_trigger: int = 2,
+    cluster_by: tuple[str, ...] | None = None,
+    auto_compact_files: int | None = None,
 ):
     """Streaming ingestion straight into an ACID curated table: each
     micro-batch of landed records is typed (the promote_curated cast)
@@ -183,6 +185,17 @@ def start_curated_merge_stream(
     each merge rewrites only the files whose footer key ranges overlap
     the batch (manifest-level skipping in AcidTable.merge).
 
+    ``cluster_by`` switches the curated table's layout strategy from
+    hive partitioning to LIQUID CLUSTERING on the given key (the
+    natural choice is the reference's own (endpoint, date) prefix,
+    worker.py:27-28): the table is seeded with CLUSTER BY, and with
+    ``auto_compact_files`` set the auto-compact follow-up after each
+    merge CLUSTERS as it packs — streaming ingestion converges to a
+    clustered, point-lookup-prunable layout with no scheduled
+    OPTIMIZE job, and a racing manual OPTIMIZE simply rebases
+    (logical conflict detection: appends and clustering commute).
+    CLUSTER BY and partition_by are exclusive (the Delta rule).
+
     Returns ``(query, table)``.
     """
     from data_lake_demo_spark.tableformat import AcidTable
@@ -198,11 +211,15 @@ def start_curated_merge_stream(
         F.col("rec.endpoint").alias("source"),
         "ingestion_date",
     )
-    table = AcidTable(spark, curated_table_path)
+    table = AcidTable(
+        spark, curated_table_path, auto_compact_files=auto_compact_files
+    )
     if table.latest_version() < 0:
         # MERGE needs a target snapshot; seed an empty one with the
         # curated schema (an atomic, contention-free first commit)
         table.append(spark.createDataFrame([], curated.schema))
+    if cluster_by and not table.clustering_columns():
+        table.set_clustering(list(cluster_by))
     q = (
         curated.writeStream.foreachBatch(
             table.foreach_batch_merge_sink(
@@ -213,8 +230,10 @@ def start_curated_merge_stream(
                 # scheme (worker.py:27-28's endpoint/date prefixes) so
                 # the curated zone stays prunable — a reader's
                 # scan([("endpoint", "=", ...), ("date", "=", ...)])
-                # and the NEXT merge both touch one partition's files
-                partition_by=["endpoint", "date"],
+                # and the NEXT merge both touch one partition's files.
+                # Under CLUSTER BY the layout comes from clustering
+                # instead (the two are exclusive, the Delta rule).
+                partition_by=None if cluster_by else ["endpoint", "date"],
             )
         )
         .option("checkpointLocation", os.path.join(checkpoint_root, "curated"))

@@ -369,10 +369,20 @@ class AcidTable:
         bloom_cols: Sequence[str] = (),
         bloom_bits: int = _BLOOM_BITS,
         auto_compact_files: int | None = None,
+        isolation: str = "write_serializable",
     ):
         self.spark = spark
         self.path = path
         self.checkpoint_interval = checkpoint_interval
+        # Delta's two isolation levels: under the default
+        # write_serializable, a blind append never conflicts with a
+        # concurrent rewrite of OLD files (the serial order
+        # rewrite-then-append explains the result); serializable
+        # additionally fails a rewrite when a concurrent append may
+        # match its scan predicate.
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(f"unknown isolation level {isolation!r}")
+        self.isolation = isolation
         # writer-side property: this handle's writes attach per-file
         # bloom indexes for these (integer/string key) columns; readers
         # need nothing — the blooms ride the manifest like any stat
@@ -739,6 +749,109 @@ class AcidTable:
             raise CommitConflict(f"version {version} already committed") from e
         self._maybe_checkpoint(version)
         return version
+
+    # ---- logical conflict detection (Delta's conflict matrix) -----------
+
+    def _props_material(self, props: dict | None) -> dict:
+        """Properties whose concurrent change invalidates a staged
+        rewrite. Excluded as benign: the row-id watermark and protocol
+        feature stamps (advanced by every commit on an enabled table;
+        _try_commit re-derives ours against the ACTUAL predecessor on
+        rebase) and identity ``next`` counters (a racing identity
+        append moves them; a rewrite neither reads nor mints ids)."""
+        skip = (self._ROWTRACKING_KEY, self._PROTOCOL_KEY)
+        return {
+            k: v
+            for k, v in (props or {}).items()
+            if k not in skip and not k.startswith(self._IDENTITY_PREFIX)
+        }
+
+    def _commit_conflicts_logically(
+        self, c: Commit, ours: set[str], read_filters
+    ) -> bool:
+        """Does the winner commit ``c`` logically invalidate a staged
+        transaction that rewrites/deletes ``ours`` (file set read at
+        its base) under scan predicate ``read_filters``? Mirrors
+        Delta's documented matrix:
+
+        - winner REMOVED (or attached a deletion vector to) a file we
+          read or rewrite → conflict (ConcurrentDeleteRead/Delete);
+        - winner changed table metadata (constraints, colmap,
+          clustering, defaults, generated cols, setprops) → conflict
+          (MetadataChanged);
+        - winner only ADDED files → no conflict under the default
+          ``write_serializable`` isolation (a blind append commutes
+          with a rewrite of OLD files — Delta's default); under
+          ``serializable``, added files whose stats may match our
+          scan predicate conflict (ConcurrentAppend).
+        """
+        touched = set(c.remove) | {e["path"] for e in (c.dv or [])}
+        if touched & ours:
+            return True
+        if c.props is not None:
+            prev = (
+                self._resolve_state(c.version - 1)[3]
+                if c.version > 0
+                else {}
+            )
+            if self._props_material(c.props) != self._props_material(prev):
+                return True
+        if c.add and self.isolation == "serializable":
+            if read_filters is None:
+                return True  # unscoped read: any append was readable
+            for a in c.add:
+                if _file_may_match(a.get("stats") or {}, read_filters):
+                    return True
+        return False
+
+    def _commit_or_rebase(
+        self,
+        base: int,
+        op: str,
+        add: list[dict],
+        remove: list[str],
+        schema_json: str,
+        *,
+        dv: list[dict] | None = None,
+        read_filters=None,
+        max_rebases: int = 10,
+    ) -> int | None:
+        """Commit the staged actions at ``base + 1``; on losing the
+        race, REBASE onto the winners instead of re-planning when every
+        intervening commit is logically disjoint (two DELETEs on
+        disjoint file sets, an append racing a compact/cluster of old
+        files). The expensive data job ran once; only the cheap commit
+        retries — at multi-writer concurrency this is the difference
+        between linear throughput and blind-retry collapse. Returns
+        the committed version, or None when a winner truly overlaps
+        and the caller must re-plan (re-read state, re-run the job).
+
+        ``read_filters`` is the physical predicate the transaction
+        selected its file set with (None = it read its whole live
+        set); only consulted under ``serializable`` isolation, where
+        a concurrent append that may match the predicate conflicts."""
+        ours = set(remove) | {e["path"] for e in (dv or [])}
+        for _ in range(max_rebases):
+            try:
+                return self._try_commit(
+                    base + 1, op, add, remove, schema_json, dv=dv
+                )
+            except CommitConflict:
+                pass
+            latest = self.latest_version()
+            for v in range(base + 1, latest + 1):
+                if self._commit_conflicts_logically(
+                    self._read_commit(v), ours, read_filters
+                ):
+                    return None
+            try:
+                # winners may have widened the schema (appends with
+                # additive evolution): re-merge ours against theirs
+                schema_json = self._evolve_schema(schema_json, latest)
+            except ValueError:
+                return None  # incompatible evolution: re-plan
+            base = latest
+        return None  # pathological contention: fall back to re-plan
 
     # ---- data-file staging ----------------------------------------------
 
@@ -2274,20 +2387,22 @@ class AcidTable:
                     entries.append(
                         {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
                     )
-                try:
-                    return self._try_commit(
-                        base + 1, "delete", [], [], schema_json, dv=entries
-                    )
-                except CommitConflict:
-                    continue
+                v = self._commit_or_rebase(
+                    base, "delete", [], [], schema_json,
+                    dv=entries, read_filters=filters,
+                )
+                if v is not None:
+                    return v
+                continue  # true overlap: re-plan
             remaining = self._read_for_rewrite(
                 touched, schema_json, dvs, base
             ).filter(~pred)
             add, schema = self._stage_actions(remaining)
-            try:
-                return self._try_commit(base + 1, "delete", add, touched, schema)
-            except CommitConflict:
-                continue
+            v = self._commit_or_rebase(
+                base, "delete", add, touched, schema, read_filters=filters
+            )
+            if v is not None:
+                return v
         raise CommitConflict(f"delete lost {max_retries} commit races")
 
     def update(
@@ -2406,12 +2521,13 @@ class AcidTable:
                 add, schema = self._stage_actions(
                     self._physicalize(updated_rows, colmap)
                 )
-                try:
-                    return self._try_commit(
-                        base + 1, "update", add, [], schema, dv=entries
-                    )
-                except CommitConflict:
-                    continue
+                v = self._commit_or_rebase(
+                    base, "update", add, [], schema,
+                    dv=entries, read_filters=phys_filters,
+                )
+                if v is not None:
+                    return v
+                continue  # true overlap: re-plan
             if masked.filter(pred).limit(1).first() is None:
                 return base  # stats false-positive: nothing matched
             self._enforce_constraints(updated_rows)
@@ -2427,10 +2543,12 @@ class AcidTable:
             add, schema = self._stage_actions(
                 self._physicalize(rewritten, colmap)
             )
-            try:
-                return self._try_commit(base + 1, "update", add, touched, schema)
-            except CommitConflict:
-                continue
+            v = self._commit_or_rebase(
+                base, "update", add, touched, schema,
+                read_filters=phys_filters,
+            )
+            if v is not None:
+                return v
         raise CommitConflict(f"update lost {max_retries} commit races")
 
     def changes(
@@ -3743,7 +3861,7 @@ class AcidTable:
                 merged = self._assign_fresh_row_ids(merged, props)
             add, schema = self._stage_actions(merged, partition_by=partition_by)
             try:
-                return self._try_commit(
+                v = self._try_commit(
                     base + 1,
                     "merge",
                     add,
@@ -3755,6 +3873,16 @@ class AcidTable:
                 )
             except CommitConflict:
                 continue
+            if (
+                self.auto_compact_files
+                and len(self._resolve(v)[0]) > self.auto_compact_files
+            ):
+                try:  # best-effort like append's: the merge COMMITTED;
+                    # any auto-compact failure only defers layout work
+                    return self._auto_optimize()
+                except Exception:
+                    pass
+            return v
         raise CommitConflict(f"merge lost {max_retries} commit races")
 
     def merge_apply(
@@ -4031,15 +4159,15 @@ class AcidTable:
                         }
                     )
                     commit_schema = json.dumps(d)
-            try:
-                # commit the TABLE schema, not the touched subset's —
-                # a scoped compact must not narrow columns that only
-                # exist in untouched files
-                return self._try_commit(
-                    base + 1, "compact", add, touched, commit_schema
-                )
-            except CommitConflict:
-                continue
+            # commit the TABLE schema, not the touched subset's —
+            # a scoped compact must not narrow columns that only
+            # exist in untouched files
+            v = self._commit_or_rebase(
+                base, "compact", add, touched, commit_schema,
+                read_filters=filters or None,
+            )
+            if v is not None:
+                return v
         raise CommitConflict(f"compact lost {max_retries} commit races")
 
     def optimize_zorder(
@@ -4080,12 +4208,11 @@ class AcidTable:
                 .drop("__z")
             )
             add, schema = self._stage_actions(self._physicalize(laid_out))
-            try:
-                return self._try_commit(
-                    base + 1, "optimize_zorder", add, live, schema
-                )
-            except CommitConflict:
-                continue
+            v = self._commit_or_rebase(
+                base, "optimize_zorder", add, live, schema
+            )
+            if v is not None:
+                return v
         raise CommitConflict(f"optimize lost {max_retries} commit races")
 
     _CLUSTERING_KEY = "clustering.columns"
@@ -4108,18 +4235,24 @@ class AcidTable:
         missing = [c for c in cols if have and c not in have]
         if missing:
             raise ValueError(f"clustering columns not in table: {missing}")
-        base = self.latest_version()
-        if base < 0:
-            raise ValueError(f"table {self.path} has no commits")
-        props = dict(self.properties())
-        if cols:
-            props[self._CLUSTERING_KEY] = cols
-        else:
-            props.pop(self._CLUSTERING_KEY, None)
-        _, schema_json, _, _, _ = self._resolve_state(base)
-        return self._try_commit(
-            base + 1, "set_clustering", [], [], schema_json, props=props
-        )
+        for _ in range(5):  # metadata-only: losing a race just re-reads
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            props = dict(self.properties(base))
+            if cols:
+                props[self._CLUSTERING_KEY] = cols
+            else:
+                props.pop(self._CLUSTERING_KEY, None)
+            _, schema_json, _, _, _ = self._resolve_state(base)
+            try:
+                return self._try_commit(
+                    base + 1, "set_clustering", [], [], schema_json,
+                    props=props,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("set_clustering lost 5 commit races")
 
     def clustering_columns(self) -> list[str]:
         return list(self.properties().get(self._CLUSTERING_KEY) or [])
@@ -4246,12 +4379,15 @@ class AcidTable:
                         }
                     )
                     commit_schema = json.dumps(d)
-            try:
-                return self._try_commit(
-                    base + 1, "optimize_cluster", add, touched, commit_schema
-                )
-            except CommitConflict:
-                continue
+            # note: the #zcube epoch stays base+1 on rebase — epochs
+            # only need to be distinct per optimize run, and two runs
+            # can share an initial target only by racing each OTHER,
+            # which is an overlap (re-plan), never a rebase
+            v = self._commit_or_rebase(
+                base, "optimize_cluster", add, touched, commit_schema
+            )
+            if v is not None:
+                return v
         raise CommitConflict(f"optimize lost {max_retries} commit races")
 
     @classmethod

@@ -863,3 +863,73 @@ def test_restore_to_timestamp(spark, tmp_path):
     iso = datetime.fromtimestamp(after_both, tz=timezone.utc).isoformat()
     sql.sql(f"RESTORE TABLE rt TO TIMESTAMP AS OF '{iso}'")
     assert t.snapshot().count() == 2
+
+
+def test_create_table_clone_sql(spark, tmp_path):
+    """CREATE TABLE t SHALLOW|DEEP CLONE s [VERSION AS OF n]: the SQL
+    route onto clone_to. Shallow copies ZERO data files (commit 0
+    references the source absolutely, deletion vectors and colmap
+    included) and diverges independently after the clone; deep is a
+    full copy; VERSION AS OF clones a time-travel snapshot."""
+    import os
+
+    from data_lake_demo_spark.ddl import AcidSql
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    src_path = str(tmp_path / "src")
+    sql = AcidSql(spark, {"src": src_path})
+    t = AcidTable(spark, src_path)
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(20)], "k long, v long"
+        ).coalesce(2)
+    )
+    t.delete([("k", "=", 3)], mode="merge_on_read")  # a live DV
+    t.rename_column("v", "val")  # a colmap entry
+
+    clone_path = str(tmp_path / "dev")
+    out = sql.sql(
+        f"CREATE TABLE dev SHALLOW CLONE src LOCATION '{clone_path}'"
+    ).collect()
+    assert out[0][0] == 0
+    c = sql.table("dev")
+    assert sorted(r.k for r in c.snapshot().collect()) == (
+        [k for k in range(20) if k != 3]
+    )
+    assert c.snapshot().columns == ["k", "val"]  # colmap cloned
+    # zero data files copied: everything the clone references is absolute
+    live = c._resolve_state(None)[0]
+    assert all(os.path.isabs(p) for p in live)
+    data_dir = os.path.join(clone_path, "data")
+    staged = [
+        f for _, _, fs in os.walk(data_dir) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert staged == []
+
+    # divergence: writes to the clone never touch the source
+    sql.sql("DELETE FROM dev WHERE k < 10")
+    assert c.snapshot().count() == 10
+    assert t.snapshot().count() == 19
+
+    # VERSION AS OF clones the pre-delete snapshot (all 20 rows, old name)
+    sql.sql(
+        "CREATE TABLE dev0 CLONE src VERSION AS OF 0 "
+        f"LOCATION '{tmp_path / 'dev0'}'"
+    )
+    d0 = sql.table("dev0")
+    assert d0.snapshot().count() == 20
+    assert d0.snapshot().columns == ["k", "v"]
+    # bare CLONE = DEEP: the copy has its own data files
+    live0 = d0._resolve_state(None)[0]
+    assert all(not os.path.isabs(p) for p in live0)
+
+    # IF NOT EXISTS no-ops on an existing target; plain CREATE refuses
+    sql.sql(
+        "CREATE TABLE IF NOT EXISTS dev SHALLOW CLONE src "
+        f"LOCATION '{clone_path}'"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        sql.sql(f"CREATE TABLE dev SHALLOW CLONE src LOCATION '{clone_path}'")

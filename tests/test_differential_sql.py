@@ -316,3 +316,151 @@ def test_random_scalar_exprs_agree_with_duckdb(engines, q):
     names = [d[0] for d in cur.description]
     exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
     assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def date_arith_queries(draw):
+    """Date-arithmetic shapes in the dialect intersection: interval
+    addition, date_trunc (cast to DATE — Spark returns timestamp,
+    DuckDB date), last_day, EXTRACT parts, and date-literal range
+    predicates. Deliberately excluded: datediff/date_add (different
+    signatures per engine), DOW/WEEK extraction (different numbering
+    conventions)."""
+    table = draw(st.sampled_from(["orders", "lineitem"]))
+    ts = "o_orderdate" if table == "orders" else "l_shipdate"
+    ukey = TABLES[table]["ints"][0]
+    exprs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    f"{ts} + INTERVAL {draw(st.sampled_from([1, 5, 30]))} DAY",
+                    f"{ts} + INTERVAL {draw(st.sampled_from([1, 3, 12]))} MONTH",
+                    f"CAST(date_trunc('month', {ts}) AS DATE)",
+                    f"CAST(date_trunc('quarter', {ts}) AS DATE)",
+                    f"CAST(date_trunc('year', {ts}) AS DATE)",
+                    f"CAST(date_trunc('week', {ts}) AS DATE)",
+                    f"last_day({ts})",
+                    f"EXTRACT(YEAR FROM {ts})",
+                    f"EXTRACT(QUARTER FROM {ts})",
+                    f"EXTRACT(MONTH FROM {ts})",
+                    f"EXTRACT(DAY FROM {ts})",
+                    f"greatest({ts}, DATE '1995-06-01')",
+                    f"least({ts}, DATE '1996-01-01')",
+                    f"CAST({ts} AS DATE)",
+                    f"CASE WHEN {ts} >= DATE '1995-01-01' "
+                    "THEN 'recent' ELSE 'old' END",
+                ]
+            ),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        )
+    )
+    lo = draw(st.sampled_from(["1992-06-01", "1994-01-01", "1995-03-15"]))
+    hi = draw(st.sampled_from(["1995-06-30", "1996-12-31", "1998-08-01"]))
+    where = draw(
+        st.sampled_from(
+            [
+                f"{ts} BETWEEN DATE '{lo}' AND DATE '{hi}'",
+                f"{ts} >= DATE '{lo}' + INTERVAL 2 MONTH",
+                f"{ts} < DATE '{hi}'",
+            ]
+        )
+    )
+    sel = ", ".join([ukey] + [f"{e} AS e{i}" for i, e in enumerate(exprs)])
+    bound = draw(st.sampled_from([150, 400, 900]))
+    sql = f"SELECT {sel} FROM {table} WHERE {where} AND {ukey} < {bound}"
+    return sql, [ukey] + [f"e{i}" for i in range(len(exprs))]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=date_arith_queries())
+def test_random_date_arith_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def subquery_queries(draw):
+    """Subquery shapes: uncorrelated scalar comparisons, correlated
+    EXISTS / NOT EXISTS, [NOT] IN over a subquery, and a correlated
+    scalar subquery in the projection. Determinism: scalar subqueries
+    aggregate INT columns with count/min/max only (no double avg —
+    engines may differ in the last ulp at the comparison boundary);
+    IN-subquery key columns are non-null in the fixtures, so NOT IN
+    never hits the three-valued-logic trap."""
+    outer, inner, ok, ik = draw(
+        st.sampled_from(
+            [
+                ("customer", "orders", "c_custkey", "o_custkey"),
+                ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ]
+        )
+    )
+    ipred = draw(predicates(inner))
+    iint = TABLES[inner]["ints"][0]
+    kind = draw(
+        st.sampled_from(
+            ["scalar_where", "exists", "not_exists", "in", "not_in",
+             "scalar_select"]
+        )
+    )
+    if kind == "scalar_where":
+        agg = draw(
+            st.sampled_from(
+                [f"min({iint})", f"max({iint})", "count(*)"]
+            )
+        )
+        cmp_op = draw(st.sampled_from(["<", ">", "<=", ">="]))
+        where = (
+            f"{ok} {cmp_op} (SELECT {agg} FROM {inner} WHERE {ipred})"
+        )
+    elif kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        where = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} "
+            f"WHERE {ik} = {ok} AND {ipred})"
+        )
+    elif kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        where = (
+            f"{ok} {neg}IN (SELECT {ik} FROM {inner} WHERE {ipred})"
+        )
+    else:  # correlated scalar subquery in the projection
+        bound = draw(st.sampled_from([30, 80, 200]))
+        sql = (
+            f"SELECT {ok}, (SELECT count(*) FROM {inner} "
+            f"WHERE {ik} = {ok} AND {ipred}) AS n "
+            f"FROM {outer} WHERE {ok} < {bound}"
+        )
+        return sql, [ok, "n"]
+    sql = (
+        f"SELECT count(*) AS n, min({ok}) AS mn, max({ok}) AS mx "
+        f"FROM {outer} WHERE {where}"
+    )
+    return sql, ["n", "mn", "mx"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=subquery_queries())
+def test_random_subqueries_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"

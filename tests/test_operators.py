@@ -2092,3 +2092,39 @@ def test_iterative_ops_bound_cached_storage(spark):
     # pool + every per-round pick released; only the materialized
     # result frame itself may remain pinned
     assert n_persistent() <= before + 1
+
+
+def test_compression_portable_ranks_like_zlib(spark, tmp_path):
+    """The portable distinct-8-gram proxy (doc_compression_portable —
+    the zlib signal's hash-green oracle twin) ranks the three text
+    classes the same way zlib does: repetition < prose < noise."""
+    import hashlib
+
+    from data_lake_demo_spark.plans.llm import doc_compression_portable
+
+    noise = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [
+            (0, "spam " * 400, "en", "web"),
+            (1, ("the quick brown fox jumps over the lazy dog and then "
+                 "considers the consequences of repeated exertion ") * 10,
+             "en", "web"),
+            (2, noise, "en", "web"),
+            (3, "tiny", "en", "web"),  # shorter than one shingle
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    out = {r.doc_id: r for r in doc_compression_portable(spark, str(sf)).collect()}
+    assert (
+        out[0].compress_proxy_bp
+        < out[1].compress_proxy_bp
+        < out[2].compress_proxy_bp
+    )
+    assert out[0].compress_proxy_bp < 500  # repetition: few distinct 8-grams
+    assert out[2].compress_proxy_bp > 9000  # noise: nearly all distinct
+    assert out[3].n_shingles == 0 and out[3].compress_proxy_bp == 0

@@ -1194,3 +1194,126 @@ def test_truncated_string_stats_stay_sound(files, op, probe, probe2):
             assert _file_may_match(stats, [("c", op, val)]), (
                 values, op, val, stats,
             )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["merge", "update", "delete_cow", "delete_mor",
+                 "compact", "cluster"]
+            ),
+            st.integers(min_value=0, max_value=240),
+            # concurrent winner landing between the loser's plan and
+            # its first commit attempt: a blind append of fresh keys,
+            # a delete in the winners' reserved key range, or no race
+            st.sampled_from(["append", "delete_high", "none"]),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_acid_model_with_interleaved_second_writer(
+    spark, tmp_path_factory, steps
+):
+    """Two-writer model fuzzer for logical conflict detection: every
+    loser operation races a concurrent winner commit (injected
+    deterministically between the loser's state read and its first
+    commit attempt). Winners work a reserved key range (>=300 appends,
+    >=250 deletes) so winner and loser operations COMMUTE — whether
+    the loser rebases (disjoint files) or re-plans (same files), the
+    final state must equal applying both to the model, and no write
+    may ever be lost or doubled. Time travel must reproduce every
+    recorded state afterwards."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    path = str(tmp_path_factory.mktemp("model2w") / "t")
+    t = AcidTable(spark, path)
+    w = AcidTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(0, 100, 7)], "k int, v int"
+        )
+    )
+    t.set_clustering(["k"])  # before any armed race: the cluster op
+    # below must reach ITS commit with the injection still pending
+    model = {k: k * 10 for k in range(0, 100, 7)}
+    history = {t.latest_version(): dict(model)}
+    fresh = iter(range(300, 10_000))
+
+    def snap(as_of=None):
+        return {r.k: r.v for r in t.snapshot(as_of).collect()}
+
+    def inject_once(winner_fn):
+        real = AcidTable._try_commit
+        state = {"fired": False}
+
+        def patched(self_, version, *a, **k):
+            if not state["fired"]:
+                state["fired"] = True
+                winner_fn()
+            return real(self_, version, *a, **k)
+
+        t._try_commit = patched.__get__(t, AcidTable)
+        return state
+
+    for op, arg, race in steps:
+        # arm the racing winner; its model effect applies AFTER the
+        # loser's (winner/loser key ranges are disjoint, so the two
+        # operations commute — the model order is free)
+        fired = {"fired": True}
+        winner_fn = winner_model_fn = None
+        if race == "append":
+            ks = [next(fresh) for _ in range(2)]
+            winner_fn = lambda ks=ks: w.append(  # noqa: E731
+                spark.createDataFrame([(k, k) for k in ks], "k int, v int")
+            )
+            winner_model_fn = lambda m, ks=ks: {**m, **{k: k for k in ks}}
+            fired = inject_once(winner_fn)
+        elif race == "delete_high":
+            winner_fn = lambda: w.delete([("k", ">=", 250)])  # noqa: E731
+            winner_model_fn = lambda m: {
+                k: v for k, v in m.items() if k < 250
+            }
+            fired = inject_once(winner_fn)
+
+        v0 = t.latest_version()
+        if op == "merge":
+            keys = [arg, (arg + 13) % 241]
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 10 + 1) for k in keys], "k int, v int"
+                ),
+                ["k"],
+            )
+            model.update({k: k * 10 + 1 for k in keys})
+        elif op == "update":
+            t.update({"v": "v + 5"}, [("k", ">=", arg), ("k", "<", 241)])
+            model = {
+                k: (v + 5 if arg <= k < 241 else v)
+                for k, v in model.items()
+            }
+        elif op in ("delete_cow", "delete_mor"):
+            mode = "merge_on_read" if op == "delete_mor" else "copy_on_write"
+            t.delete([("k", "<", arg)], mode=mode)
+            model = {k: v for k, v in model.items() if not k < arg}
+        elif op == "compact":
+            t.compact(n_files=2)
+        else:
+            t.optimize_cluster(n_files=2)
+        t._try_commit = AcidTable._try_commit.__get__(t, AcidTable)
+        if winner_fn is not None:
+            if not fired["fired"]:
+                # the loser op proved a no-op and never reached its
+                # commit: land the winner directly so the race still
+                # happened from the model's point of view
+                winner_fn()
+            model = winner_model_fn(model)
+        if race == "none" and t.latest_version() == v0:
+            continue  # provably-nothing ops commit nothing
+        history[t.latest_version()] = dict(model)
+        assert snap() == model, (op, arg, race)
+
+    for v, state in history.items():
+        assert snap(as_of=v) == state, f"time travel to v{v}"

@@ -1968,3 +1968,70 @@ def test_with_row_ids_keeps_pushdown_pruning(spark, tmp_path):
         for r in t.snapshot(with_row_ids=True).filter("k >= 250").collect()
     )
     assert got == api and len(got) == 50
+
+
+def test_streaming_curated_merge_into_liquid_clustered_table(spark, tmp_path):
+    """The reference's curated zone as a liquid-clustered table
+    (reference README.md:243-247 lifecycle): the streaming CDC merge
+    sink targets CLUSTER BY (endpoint, date) with auto-compact, so
+    ingestion converges to a clustered layout with no scheduled
+    OPTIMIZE — and a reader's point lookup on the clustering key
+    prunes to a strict subset of files."""
+    from data_lake_demo_spark.streaming.ingest_stream import (
+        start_curated_merge_stream,
+    )
+
+    landing = tmp_path / "landing_lc"
+    landing.mkdir()
+    table_path = str(tmp_path / "curated_lc")
+    ckpt = str(tmp_path / "ckpt_lc")
+
+    eps = ["api-a", "api-b", "api-c"]
+    for i, ep in enumerate(eps):
+        _landing_file(
+            landing / f"f{i}.json", ep, "2024-06-01", list(range(12))
+        )
+    _landing_file(landing / "f9.json", "api-a", "2024-06-02", [0, 1, 2])
+
+    q, table = start_curated_merge_stream(
+        spark, str(landing), table_path, ckpt,
+        cluster_by=("endpoint", "date"), auto_compact_files=2,
+        max_files_per_trigger=1,  # force a multi-batch run
+    )
+    q.awaitTermination(240)
+
+    assert table.clustering_columns() == ["endpoint", "date"]
+    snap = table.snapshot()
+    assert snap.count() == 3 * 12 + 3
+    assert snap.filter("endpoint = 'api-b'").count() == 12
+
+    # auto-compact clustered as it packed: the follow-up fired during
+    # the run (zcube stamps exist) and kept the layout bounded. The
+    # LAST merge may leave sub-threshold rewrites unstamped — the
+    # Databricks contract is convergence, not instantaneous clustering
+    # — and one incremental OPTIMIZE finishes the job.
+    live = table._resolve_state(None)[0]
+    assert len(live) <= 8
+    assert any("#zcube" in (st or {}) for st in live.values())
+    table.optimize_cluster(n_files=2)
+    live = table._resolve_state(None)[0]
+    assert len(live) <= 3
+    assert all("#zcube" in (st or {}) for st in live.values())
+
+    # point lookup on the clustering key prunes to a strict subset
+    hit, _, _ = table._pruned_live(
+        [("endpoint", "=", "api-b")], table.latest_version()
+    )
+    assert 0 < len(hit) < len(live)
+    got = table.scan([("endpoint", "=", "api-b")])
+    assert got.count() == 12
+
+    # the stream stays exactly-once under the clustered layout: a
+    # re-run with nothing new commits nothing
+    v = table.latest_version()
+    q, table2 = start_curated_merge_stream(
+        spark, str(landing), table_path, ckpt,
+        cluster_by=("endpoint", "date"), auto_compact_files=2,
+    )
+    q.awaitTermination(240)
+    assert table2.latest_version() == v

@@ -3332,3 +3332,255 @@ def test_vacuum_reclaims_superseded_adopted_files(spark, tmp_path):
     clone.overwrite(spark.range(3).selectExpr("id AS k"))
     clone.vacuum(retain_versions=1)
     assert base.snapshot().count() == 20  # source data intact
+
+
+# ---- logical commit-conflict detection (Delta's conflict matrix) --------
+#
+# A loser of the put-if-absent version race no longer re-plans
+# wholesale: when every winner commit is logically disjoint (disjoint
+# file sets, no metadata change), the SAME staged actions rebase onto
+# a later version — the expensive data job runs once. True overlaps
+# keep the re-plan. Each test injects a deterministic winner between
+# the loser's plan and its first commit attempt, and counts staging
+# runs to prove rebase-vs-replan.
+
+
+def _inject_winner_once(t, winner_fn):
+    """Patch t so the FIRST _try_commit attempt loses to winner_fn."""
+    real = t._try_commit
+    state = {"fired": False}
+
+    def patched(version, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return real(version, *a, **k)
+
+    t._try_commit = patched
+
+
+def _count_staging(t):
+    real = t._stage_actions
+    counter = {"n": 0}
+
+    def patched(*a, **k):
+        counter["n"] += 1
+        return real(*a, **k)
+
+    t._stage_actions = patched
+    return counter
+
+
+def test_conflict_matrix_compact_rebases_over_append(spark, tmp_path):
+    """OPTIMIZE racing a blind INSERT: cannot conflict (Delta matrix).
+    The compact rebases — no second data job — and the winner's rows
+    survive untouched."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(100).selectExpr("id AS k").repartition(4))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(999,)], "k long"))
+    )
+    t.compact(n_files=1)
+    assert n["n"] == 1  # rebased, never re-planned
+    assert t.snapshot().count() == 101
+    assert {r.k for r in t.scan([("k", ">=", 999)]).collect()} == {999}
+
+
+def test_conflict_matrix_delete_rebases_over_append(spark, tmp_path):
+    """DELETE racing a blind INSERT under write_serializable (the
+    default): no conflict — serial order delete-then-insert explains
+    the result, so the inserted rows survive even when they match the
+    delete predicate."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(100).selectExpr("id AS k").coalesce(1))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(5,)], "k long"))
+    )
+    t.delete([("k", "<", 10)])
+    assert n["n"] == 1
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [5] + list(range(10, 100))  # winner's 5 survives
+
+
+def test_conflict_matrix_serializable_append_forces_replan(spark, tmp_path):
+    """Under serializable isolation the same race DOES conflict when
+    the appended file may match the delete's predicate: the loser
+    re-plans and the matching inserted row is deleted (full serial
+    order insert-then-delete)."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path, isolation="serializable")
+    t.append(spark.range(100).selectExpr("id AS k").coalesce(1))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(5,)], "k long"))
+    )
+    t.delete([("k", "<", 10)])
+    assert n["n"] == 2  # re-planned
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(10, 100))
+
+
+def test_conflict_matrix_disjoint_deletes_rebase(spark, tmp_path):
+    """Two DELETEs touching disjoint file sets commute: the loser
+    rebases and both deletes land."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(0, 50).selectExpr("id AS k").coalesce(1))
+    t.append(spark.range(50, 100).selectExpr("id AS k").coalesce(1))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(t, lambda: w.delete([("k", ">=", 90)]))
+    t.delete([("k", "<", 10)])  # different file entirely
+    assert n["n"] == 1
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(10, 90))
+
+
+def test_conflict_matrix_same_file_deletes_replan(spark, tmp_path):
+    """Two DELETEs rewriting the SAME file are a true conflict
+    (ConcurrentDeleteDelete): the loser re-plans against the winner's
+    state and both predicates still apply exactly once."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(100).selectExpr("id AS k").coalesce(1))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(t, lambda: w.delete([("k", ">=", 90)]))
+    t.delete([("k", "<", 10)])
+    assert n["n"] == 2  # re-planned
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(10, 90))
+
+
+def test_conflict_matrix_metadata_change_forces_replan(spark, tmp_path):
+    """A concurrent metadata commit (CHECK constraint) invalidates any
+    staged rewrite: the loser must re-plan so the new constraint is
+    seen (Delta's MetadataChangedException)."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(100).selectExpr("id AS k").repartition(4))
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.set_check_constraint("k_nonneg", "k >= 0")
+    )
+    t.compact(n_files=1)
+    assert n["n"] == 2  # re-planned
+    assert t.snapshot().count() == 100
+    assert "constraint.k_nonneg" in t.properties()
+
+
+def test_conflict_matrix_cluster_rebases_over_append(spark, tmp_path):
+    """OPTIMIZE (liquid clustering) racing a streaming append — the
+    verdict's marquee pair: the clusterer rebases, the append's file
+    simply stays unclustered until the next run."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(100).selectExpr("id AS k", "id % 5 AS v"))
+    t.set_clustering(["k"])
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(500, 0)], "k long, v long"))
+    )
+    t.optimize_cluster(n_files=2)
+    assert n["n"] == 1  # rebased
+    assert t.snapshot().count() == 101
+    live = t._resolve_state(None)[0]
+    unstamped = [p for p, st in live.items() if "#zcube" not in (st or {})]
+    assert len(unstamped) == 1  # exactly the winner's file awaits the next run
+    t.optimize_cluster(n_files=2)
+    live = t._resolve_state(None)[0]
+    assert all("#zcube" in st for st in live.values())
+    assert t.snapshot().count() == 101
+
+
+def test_conflict_matrix_mor_deletes(spark, tmp_path):
+    """Merge-on-read DELETEs: deletion vectors on DIFFERENT files
+    rebase; racing vectors on the SAME file are a lost-update hazard
+    (each commit replaces the file's whole vector) and re-plan."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(0, 50).selectExpr("id AS k").coalesce(1))
+    t.append(spark.range(50, 100).selectExpr("id AS k").coalesce(1))
+    w = AcidTable(spark, path)
+
+    _inject_winner_once(
+        t, lambda: w.delete([("k", ">=", 95)], mode="merge_on_read")
+    )
+    t.delete([("k", "<", 5)], mode="merge_on_read")  # other file: rebase
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(5, 95))
+
+    _inject_winner_once(
+        t, lambda: w.delete([("k", "=", 7)], mode="merge_on_read")
+    )
+    t.delete([("k", "=", 8)], mode="merge_on_read")  # same file: re-plan
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [5, 6] + list(range(9, 95))  # BOTH vectors applied
+
+
+def test_conflict_matrix_update_rebases_over_append(spark, tmp_path):
+    """UPDATE racing a blind INSERT (write_serializable): rebase; the
+    update applies to the rows it read, the insert lands untouched."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v").coalesce(1)
+    )
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(100, 0)], "k long, v long"))
+    )
+    t.update({"v": "v + 1"}, [("k", "<", 3)])
+    assert n["n"] == 1
+    rows = {r.k: r.v for r in t.snapshot().collect()}
+    assert rows[0] == 1 and rows[1] == 11 and rows[2] == 21
+    assert rows[3] == 30 and rows[100] == 0
+
+
+def test_conflict_rebase_carries_winner_schema_evolution(spark, tmp_path):
+    """A winner append that WIDENS the schema doesn't invalidate a
+    disjoint rewrite — but the rebased commit must carry the widened
+    schema, or the rebase would narrow the table for every later
+    reader."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(10).selectExpr("id AS k").repartition(2))
+    w = AcidTable(spark, path)
+    _inject_winner_once(
+        t,
+        lambda: w.append(
+            spark.createDataFrame([(99, "x")], "k long, note string")
+        ),
+    )
+    t.compact(n_files=1)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "note"}
+    assert snap.count() == 11
+    assert snap.filter("note = 'x'").count() == 1
+
+
+def test_conflict_rebase_row_tracking_ids_stay_stable(spark, tmp_path):
+    """Rebase on a row-tracked table: the rewrite carries materialized
+    ids and _try_commit re-derives the watermark against the ACTUAL
+    predecessor, so ids stay stable and unique through the race."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(spark.range(10).selectExpr("id AS k").coalesce(1))
+    t.set_row_tracking()
+    before = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    w = AcidTable(spark, path)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(100,)], "k long"))
+    )
+    t.compact(n_files=1)
+    after = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    for k, rid in before.items():
+        assert after[k] == rid  # stable through the rebased rewrite
+    ids = list(after.values())
+    assert len(ids) == len(set(ids)) == 11  # winner's row got a fresh id
