@@ -767,7 +767,7 @@ class AcidTable:
         }
 
     def _commit_conflicts_logically(
-        self, c: Commit, ours: set[str], read_filters
+        self, c: Commit, ours: set[str], read_filters, check_adds: bool
     ) -> bool:
         """Does the winner commit ``c`` logically invalidate a staged
         transaction that rewrites/deletes ``ours`` (file set read at
@@ -796,7 +796,7 @@ class AcidTable:
             )
             if self._props_material(c.props) != self._props_material(prev):
                 return True
-        if c.add and self.isolation == "serializable":
+        if c.add and check_adds:
             if read_filters is None:
                 return True  # unscoped read: any append was readable
             for a in c.add:
@@ -812,8 +812,10 @@ class AcidTable:
         remove: list[str],
         schema_json: str,
         *,
+        txn: tuple[str, int] | None = None,
         dv: list[dict] | None = None,
         read_filters=None,
+        check_adds: bool | None = None,
         max_rebases: int = 10,
     ) -> int | None:
         """Commit the staged actions at ``base + 1``; on losing the
@@ -828,20 +830,33 @@ class AcidTable:
 
         ``read_filters`` is the physical predicate the transaction
         selected its file set with (None = it read its whole live
-        set); only consulted under ``serializable`` isolation, where
-        a concurrent append that may match the predicate conflicts."""
+        set); consulted under ``serializable`` isolation — or always,
+        when ``check_adds=True`` (MERGE: a winner append whose keys
+        may match would have changed the matched/not-matched split,
+        so it conflicts under EVERY isolation level — stricter than
+        Delta's WriteSerializable, which documents the duplicate-key
+        anomaly instead). ``txn`` rides every commit attempt and is
+        RE-CHECKED against each rebase base — a concurrent replay of
+        the same (app, batch_id) that lands mid-race turns this
+        transaction into an idempotent no-op, never a double-apply."""
+        if check_adds is None:
+            check_adds = self.isolation == "serializable"
         ours = set(remove) | {e["path"] for e in (dv or [])}
         for _ in range(max_rebases):
             try:
                 return self._try_commit(
-                    base + 1, op, add, remove, schema_json, dv=dv
+                    base + 1, op, add, remove, schema_json, txn, dv=dv
                 )
             except CommitConflict:
                 pass
             latest = self.latest_version()
+            if txn is not None:
+                last = self.last_txn_batch(txn[0], as_of=latest)
+                if last is not None and txn[1] <= last:
+                    return latest  # a replay landed this batch already
             for v in range(base + 1, latest + 1):
                 if self._commit_conflicts_logically(
-                    self._read_commit(v), ours, read_filters
+                    self._read_commit(v), ours, read_filters, check_adds
                 ):
                     return None
             try:
@@ -3693,11 +3708,22 @@ class AcidTable:
             f"cherry-pick of {name!r}@v{version} lost {max_retries} races"
         )
 
+    def _batch_key_ranges(self, updates: DataFrame, keys: Sequence[str]):
+        """One tiny driver agg: the update batch's [min, max] per merge
+        key — shared by manifest pruning (_touched_files) and by the
+        rebase-time ConcurrentAppend check (a winner append is a merge
+        conflict only if its stats may intersect these ranges)."""
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        return updates.agg(*aggs).first()
+
     def _touched_files(
         self,
         live: dict[str, dict],
         updates: DataFrame,
         keys: Sequence[str],
+        ranges=None,
     ) -> list[str]:
         """Manifest-level pruning: a live file can be SKIPPED by the
         merge when its footer [min, max] range on ANY merge-key column
@@ -3714,10 +3740,9 @@ class AcidTable:
         keyed on hash-like columns (digests, uuids) prune at all —
         their [min, max] ranges are uniformly wide and the range tier
         never fires."""
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-        row = updates.agg(*aggs).first()
+        row = ranges if ranges is not None else self._batch_key_ranges(
+            updates, keys
+        )
         bloom_keys = [
             k
             for k in keys
@@ -3827,7 +3852,8 @@ class AcidTable:
                     return base
             live, schema_json, _, props, dvs = self._resolve_state(base)
             rt_on = self._row_tracking_on(props)
-            touched = self._touched_files(live, updates, keys)
+            ranges = self._batch_key_ranges(updates, keys)
+            touched = self._touched_files(live, updates, keys, ranges=ranges)
             if touched:
                 # committed-schema read, NOT bare spark.read.parquet:
                 # heterogeneous touched footers (a widen/add_columns that
@@ -3860,18 +3886,30 @@ class AcidTable:
             if rt_on:
                 merged = self._assign_fresh_row_ids(merged, props)
             add, schema = self._stage_actions(merged, partition_by=partition_by)
-            try:
-                v = self._try_commit(
-                    base + 1,
-                    "merge",
-                    add,
-                    touched,
-                    # same widening guard as append: a narrow update
-                    # batch must not revert add_columns/widen_column
-                    self._evolve_schema(schema, base),
-                    txn,
-                )
-            except CommitConflict:
+            # rebase-eligible: a winner is disjoint only if it neither
+            # touched our files NOR appended rows whose merge-key
+            # ranges may intersect the batch's (check_adds=True — a
+            # matching append would have changed the matched/
+            # not-matched split, under every isolation level)
+            key_filters = [
+                (k, "between", (ranges[f"__lo_{k}"], ranges[f"__hi_{k}"]))
+                for k in keys
+                if ranges[f"__lo_{k}"] is not None
+            ]
+            v = self._commit_or_rebase(
+                base,
+                "merge",
+                add,
+                touched,
+                # same widening guard as append: a narrow update
+                # batch must not revert add_columns/widen_column
+                self._evolve_schema(schema, base),
+                txn=txn,
+                read_filters=key_filters if len(key_filters) == len(keys)
+                else [],  # a null-range key: treat any add as a match
+                check_adds=True,
+            )
+            if v is None:
                 continue
             if (
                 self.auto_compact_files

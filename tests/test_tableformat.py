@@ -3584,3 +3584,72 @@ def test_conflict_rebase_row_tracking_ids_stay_stable(spark, tmp_path):
         assert after[k] == rid  # stable through the rebased rewrite
     ids = list(after.values())
     assert len(ids) == len(set(ids)) == 11  # winner's row got a fresh id
+
+
+def test_conflict_matrix_merge_rebases_over_disjoint_append(spark, tmp_path):
+    """MERGE racing a blind INSERT whose keys CANNOT match the batch
+    (manifest stats prove disjoint key ranges): the merge rebases —
+    no second data job — and both land."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.range(100).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(900, 0)], "k long, v long"))
+    )
+    t.merge(
+        spark.createDataFrame([(5, 555), (101, 101)], "k long, v long"),
+        ["k"],
+    )
+    assert n["n"] == 1  # rebased
+    rows = {r.k: r.v for r in t.snapshot().collect()}
+    assert rows[5] == 555 and rows[101] == 101 and rows[900] == 0
+    assert len(rows) == 102
+
+
+def test_conflict_matrix_merge_replans_over_matching_append(spark, tmp_path):
+    """MERGE racing an INSERT whose key range MAY match the batch: a
+    true conflict under every isolation level (the insert would have
+    changed the matched/not-matched split — rebasing would insert a
+    DUPLICATE key). The merge re-plans against the winner's state and
+    the key ends up upserted exactly once."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.range(100).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(150, 0)], "k long, v long"))
+    )
+    t.merge(
+        spark.createDataFrame([(150, 999)], "k long, v long"), ["k"]
+    )
+    assert n["n"] == 2  # re-planned
+    got = t.snapshot().filter("k = 150").collect()
+    assert len(got) == 1 and got[0].v == 999  # updated, never duplicated
+    assert t.snapshot().count() == 101
+
+
+def test_conflict_merge_txn_replay_rechecked_on_rebase(spark, tmp_path):
+    """A concurrent replay of the SAME (app, batch_id) landing mid-race
+    turns the loser into an idempotent no-op: the rebase path re-checks
+    the txn watermark against the new base instead of double-applying
+    the batch."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.range(10).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    w = AcidTable(spark, path)
+    batch = spark.createDataFrame([(3, 300)], "k long, v long")
+    _inject_winner_once(t, lambda: w.merge(batch, ["k"], txn=("app", 7)))
+    t.merge(batch, ["k"], txn=("app", 7))
+    feed = t.changes(0).collect()
+    assert sum(1 for r in feed if r._change_type == "insert" and r.k == 3) == 1
+    assert t.snapshot().filter("k = 3").first().v == 300
+    assert t.snapshot().count() == 10
