@@ -838,9 +838,16 @@ class AcidTable:
         anomaly instead). ``txn`` rides every commit attempt and is
         RE-CHECKED against each rebase base — a concurrent replay of
         the same (app, batch_id) that lands mid-race turns this
-        transaction into an idempotent no-op, never a double-apply."""
+        transaction into an idempotent no-op, never a double-apply.
+
+        The isolation level resolves per-table first (the
+        ``isolationLevel`` table property — Delta's
+        ``delta.isolationLevel``, settable via ALTER TABLE ... SET
+        TBLPROPERTIES so EVERY writer handle honors it), then this
+        handle's ``isolation`` constructor arg."""
         if check_adds is None:
-            check_adds = self.isolation == "serializable"
+            level = self.properties().get("isolationLevel") or self.isolation
+            check_adds = level == "serializable"
         ours = set(remove) | {e["path"] for e in (dv or [])}
         for _ in range(max_rebases):
             try:
@@ -1910,6 +1917,20 @@ class AcidTable:
                             }
                         )
                         commit_schema = json.dumps(d)
+            if new_props is None:
+                # non-identity path: rebase-eligible like delete (the
+                # replaced region is the read+write set; under
+                # write_serializable a blind append elsewhere — or
+                # even into the region, serial order replace-then-
+                # append — commutes). Identity backfills carry a
+                # watermark props snapshot and must re-plan instead.
+                v = self._commit_or_rebase(
+                    base, "overwrite", add, touched, commit_schema,
+                    read_filters=phys_filters,
+                )
+                if v is not None:
+                    return v
+                continue
             try:
                 return self._try_commit(
                     base + 1,

@@ -3653,3 +3653,55 @@ def test_conflict_merge_txn_replay_rechecked_on_rebase(spark, tmp_path):
     assert sum(1 for r in feed if r._change_type == "insert" and r.k == 3) == 1
     assert t.snapshot().filter("k = 3").first().v == 300
     assert t.snapshot().count() == 10
+
+
+def test_conflict_matrix_replace_where_rebases_over_append(spark, tmp_path):
+    """replaceWhere racing a blind INSERT outside the replaced region
+    (write_serializable): rebase — the backfill's data job runs once
+    and the insert survives."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(d, i, i) for d in (1, 2) for i in range(10)],
+            "day int, k int, v int",
+        ).repartition(2, "day")
+    )
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(3, 0, 0)], "day int, k int, v int"))
+    )
+    t.overwrite_where(
+        spark.createDataFrame(
+            [(1, i, i * 100) for i in range(5)], "day int, k int, v int"
+        ),
+        [("day", "=", 1)],
+    )
+    # two stagings are the verb's own (new data + remainder rewrite);
+    # a re-plan would need four
+    assert n["n"] == 2
+    snap = t.snapshot()
+    assert snap.filter("day = 1").count() == 5
+    assert snap.filter("day = 2").count() == 10
+    assert snap.filter("day = 3").count() == 1  # winner survived
+    assert snap.filter("day = 1 AND v = 100").count() == 1
+
+
+def test_isolation_level_table_property(spark, tmp_path):
+    """isolationLevel as a TABLE property (Delta's
+    delta.isolationLevel): once set to serializable, EVERY writer
+    handle re-plans a rewrite racing a predicate-matching append —
+    no per-handle constructor opt-in needed."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)  # default write_serializable handle
+    t.append(spark.range(100).selectExpr("id AS k").coalesce(1))
+    t.set_properties({"isolationLevel": "serializable"})
+    w = AcidTable(spark, path)
+    n = _count_staging(t)
+    _inject_winner_once(
+        t, lambda: w.append(spark.createDataFrame([(5,)], "k long"))
+    )
+    t.delete([("k", "<", 10)])
+    assert n["n"] == 2  # re-planned under the table-level setting
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(10, 100))
