@@ -1420,6 +1420,16 @@ def doc_compression_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(array_distinct(transform(sequence(1, length(text) - 7), "
         "i -> substring(text, i, 8))))"
     )
+    # the per-row work is CPU-bound (O(len) substrings + a distinct),
+    # and the fixture lands as ONE parquet file → one scan task; spread
+    # it so all cores work (a 100 TB documents table arrives in many
+    # files and gets this for free — the repartition only matters when
+    # file granularity under-parallelizes a compute-heavy projection).
+    # NOTE: the shingle lambda is deliberately kept inline twice below —
+    # higher-order functions are excluded from Spark's subexpression
+    # elimination either way, and with the spread both evaluations are
+    # cheap; a barrier between two projections would serialize the scan.
+    docs = docs.repartition(64)
     return (
         docs.select(
             "doc_id",
