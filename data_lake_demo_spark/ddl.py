@@ -50,7 +50,7 @@ Grammar (case-insensitive keywords; one statement per call):
     OPTIMIZE t [WHERE conj] [ZORDER BY (a, b, ...)] [FULL]
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
-    VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+    VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
     ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(4, k), ...)
     GRANT SELECT [(c1, ...)] ON t TO principal
         [WITH ROW FILTER (expr)] [WITH MASK (col [USING] md5|null|last4, ...)]
@@ -1367,15 +1367,19 @@ class AcidSql:
             return self._version_df(t.compact(filters=filters))
 
         m = re.fullmatch(
-            rf"VACUUM\s+({_TREF})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            rf"VACUUM\s+({_TREF})"
+            r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?"
             r"(?:\s+(DRY\s+RUN))?",
             s,
             re.I,
         )
         if m:
-            kw = {"dry_run": bool(m.group(3))}
+            kw = {"dry_run": bool(m.group(4))}
             if m.group(2):
-                kw["retain_versions"] = int(m.group(2))
+                if m.group(3).upper() == "HOURS":  # Delta's native form
+                    kw["retain_hours"] = float(m.group(2))
+                else:
+                    kw["retain_versions"] = int(float(m.group(2)))
             paths = self.table(m.group(1)).vacuum(**kw)
             return self.spark.createDataFrame(
                 [(p,) for p in paths], "path string"

@@ -4647,7 +4647,8 @@ class AcidTable:
     def vacuum(
         self,
         *,
-        retain_versions: int = 10,
+        retain_versions: int | None = None,
+        retain_hours: float | None = None,
         grace_seconds: float = 3600.0,
         dry_run: bool = False,
     ) -> list[str]:
@@ -4669,9 +4670,34 @@ class AcidTable:
 
         Time travel keeps working for the retained window. Returns
         deleted paths; ``dry_run=True`` (Delta's VACUUM DRY RUN)
-        returns the would-delete list without touching anything."""
+        returns the would-delete list without touching anything.
+
+        Retention picks whichever bound(s) the caller gives — neither
+        given defaults to 10 versions:
+
+        - ``retain_versions=n``: the last n versions stay
+          time-travelable (this engine's native form);
+        - ``retain_hours=h`` (Delta's native ``RETAIN n HOURS``):
+          every snapshot whose COMMIT TIME is newer than the cutoff
+          stays, plus the latest;
+        - both: the more conservative wins (the union of the two
+          retained windows) — adding a bound can only retain MORE,
+          never silently shorten the other window."""
         latest = self.latest_version()
-        horizon = max(latest - retain_versions + 1, 0)
+        if retain_versions is None and retain_hours is None:
+            retain_versions = 10
+        horizon = (
+            max(latest - retain_versions + 1, 0)
+            if retain_versions is not None
+            else latest
+        )
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600.0
+            th = latest  # latest always survives
+            for c in self.history():
+                if c.ts >= cutoff:
+                    th = min(th, c.version)
+            horizon = min(horizon, th)
         # files referenced by ANY retained snapshot version
         referenced: set[str] = set()
         for v in range(horizon, latest + 1):

@@ -3705,3 +3705,63 @@ def test_isolation_level_table_property(spark, tmp_path):
     t.delete([("k", "<", 10)])
     assert n["n"] == 2  # re-planned under the table-level setting
     assert sorted(r.k for r in t.snapshot().collect()) == list(range(10, 100))
+
+
+def test_vacuum_retain_hours(spark, tmp_path, monkeypatch):
+    """Time-based retention (Delta's native RETAIN n HOURS): snapshots
+    with commits newer than the cutoff stay time-travelable; older
+    superseded files reclaim. When BOTH bounds are given, the union of
+    the retained windows survives."""
+    import time as _time
+
+    import data_lake_demo_spark.tableformat as tf
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(10).selectExpr("id AS k").coalesce(1))   # v0 (old)
+    t.overwrite(spark.range(5).selectExpr("id AS k").coalesce(1))  # v1 (old)
+    t.overwrite(spark.range(3).selectExpr("id AS k").coalesce(1))  # v2 (new)
+
+    real_now = _time.time()
+    # pretend v0/v1 were committed 10 h ago; v2 is fresh
+    hist = {c.version: c.ts for c in t.history()}
+
+    class _FakeCommit:
+        pass
+
+    orig_history = t.history
+
+    def aged_history():
+        out = []
+        for c in orig_history():
+            ts = real_now if c.version == 2 else real_now - 10 * 3600
+            out.append(
+                tf.Commit(
+                    version=c.version, op=c.op, ts=ts, add=c.add,
+                    remove=c.remove, schema_json=c.schema_json,
+                    txn=c.txn, props=c.props, dv=c.dv,
+                )
+            )
+        return out
+
+    t.history = aged_history
+    # hours-only: the 10h-old v0/v1 files fall outside a 1h window
+    gone = t.vacuum(retain_hours=1.0, grace_seconds=0.0, dry_run=True)
+    assert len(gone) == 2  # v0's file and v1's file (both superseded)
+    # both bounds: version window (3) still protects everything
+    assert t.vacuum(
+        retain_versions=3, retain_hours=1.0, grace_seconds=0.0, dry_run=True
+    ) == []
+    # the real deletion keeps v2 readable and drops the old files
+    gone = t.vacuum(retain_hours=1.0, grace_seconds=0.0)
+    assert len(gone) == 2
+    assert t.snapshot().count() == 3
+    assert hist  # silence unused
+
+    # SQL route
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"vt": str(tmp_path / "t")})
+    sql.table("vt").history = aged_history
+    out = sql.sql("VACUUM vt RETAIN 1 HOURS DRY RUN").collect()
+    assert out == []  # already reclaimed above
+    assert sql.sql("VACUUM vt RETAIN 5 VERSIONS DRY RUN").collect() == []
