@@ -27,7 +27,7 @@ from data_lake_demo_spark.tableformat import AcidTable, CommitConflict
 def run(spark, path: str, *, legacy: bool) -> dict:
     t = AcidTable(spark, path)
     t.append(
-        spark.range(200_000).selectExpr("id AS k", "id % 97 AS v")
+        spark.range(50_000).selectExpr("id AS k", "id % 97 AS v")
         .repartition(8)
     )
     t.set_clustering(["k"])
@@ -72,13 +72,14 @@ def run(spark, path: str, *, legacy: bool) -> dict:
     def appender(i: int):
         try:
             w = AcidTable(spark, path)
-            for j in range(5):
+            for j in range(15):
                 w.append(
                     spark.range(
-                        1_000_000 + i * 100_000 + j * 10_000,
-                        1_000_000 + i * 100_000 + j * 10_000 + 10_000,
+                        1_000_000 + i * 100_000 + j * 5_000,
+                        1_000_000 + i * 100_000 + j * 5_000 + 5_000,
                     ).selectExpr("id AS k", "id % 97 AS v")
                 )
+                time.sleep(0.2)  # spread across several optimize cycles
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
@@ -106,7 +107,7 @@ def run(spark, path: str, *, legacy: bool) -> dict:
 
     assert not errs, errs
     n = t.snapshot().count()
-    assert n == 200_000 + 4 * 5 * 10_000, n
+    assert n == 50_000 + 4 * 15 * 5_000, n
     live = t._resolve_state(None)[0]
     assert all("#zcube" in st for st in live.values())
     stats.update(
