@@ -51,6 +51,7 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t CLUSTER BY (a, b, ...) | CLUSTER BY NONE
         (liquid clustering: plain OPTIMIZE then clusters incrementally)
     VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
+    FSCK REPAIR TABLE t [DRY RUN]   (drop refs to missing data files)
     ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(4, k), ...)
     GRANT SELECT [(c1, ...)] ON t TO principal
         [WITH ROW FILTER (expr)] [WITH MASK (col [USING] md5|null|last4, ...)]
@@ -1344,14 +1345,16 @@ class AcidSql:
             filters = _parse_where(m.group(2)) if m.group(2) else ()
             if m.group(3):
                 cols = [c.strip() for c in m.group(3).split(",")]
-                if filters:
-                    raise ValueError("ZORDER BY does not take a WHERE scope")
                 if t.clustering_columns():
                     raise ValueError(
                         "ZORDER BY conflicts with liquid clustering "
                         "(CLUSTER BY NONE first)"  # the Delta rule
                     )
-                return self._version_df(t.optimize_zorder(cols))
+                # WHERE scopes the rewrite file-granularly (Delta's
+                # partition-scoped OPTIMIZE ... WHERE ... ZORDER BY)
+                return self._version_df(
+                    t.optimize_zorder(cols, filters=filters)
+                )
             if m.group(4):  # OPTIMIZE t FULL: recluster every live file
                 if filters:
                     raise ValueError("OPTIMIZE FULL does not take a WHERE scope")
@@ -1365,6 +1368,19 @@ class AcidSql:
                 # OPTIMIZE on a clustered table = incremental clustering
                 return self._version_df(t.optimize_cluster())
             return self._version_df(t.compact(filters=filters))
+
+        m = re.fullmatch(
+            rf"FSCK\s+REPAIR\s+TABLE\s+({_TREF})(?:\s+(DRY\s+RUN))?",
+            s,
+            re.I,
+        )
+        if m:  # Delta's FSCK: drop refs to physically-missing files
+            paths = self.table(m.group(1)).fsck_repair(
+                dry_run=bool(m.group(2))
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
 
         m = re.fullmatch(
             rf"VACUUM\s+({_TREF})"

@@ -4234,6 +4234,7 @@ class AcidTable:
         cols: Sequence[str],
         *,
         n_files: int = 16,
+        filters=(),
         max_retries: int = 5,
     ) -> int:
         """OPTIMIZE ZORDER BY: rewrite the table Z-ordered on ``cols``
@@ -4244,22 +4245,34 @@ class AcidTable:
         is narrow on EVERY participating column, so the manifest-level
         pruning in ``merge`` (and any engine's row-group skipping)
         becomes selective on all of them at once — the reason table
-        formats pair OPTIMIZE with MERGE-heavy workloads."""
+        formats pair OPTIMIZE with MERGE-heavy workloads.
+
+        ``filters`` scopes the rewrite (Delta's ``OPTIMIZE t WHERE ...
+        ZORDER BY``): only files whose stats ranges may match are
+        Z-ordered; the rest carry over untouched. FILE-granular like
+        scoped compact — at 100 TB you Z-order yesterday's hot
+        partition, not the table."""
         from data_lake_demo_spark.operators.zorder import zvalue
 
+        filters = self._phys_filters(filters)
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
-            live, _ = self._resolve(base)
-            src = self.snapshot(base)
-            if self._row_tracking_on(self.properties(base)):
-                # a layout rewrite must carry row ids through — read
-                # them and stage the hidden column (same contract as
-                # compact via _read_for_rewrite)
-                src = self.snapshot(base, with_row_ids=True).withColumnRenamed(
-                    "_row_id", self._ROW_ID_COL
-                )
+            if filters:
+                touched, _, _ = self._pruned_live(filters, base)
+            else:
+                touched, _ = self._resolve(base)
+            if not touched:
+                return base  # nothing in scope: no commit
+            _, table_schema, _, props, dvs = self._resolve_state(base)
+            # rewrite read carries row ids through when tracked (same
+            # contract as compact, via _read_for_rewrite)
+            src = self._logicalize(
+                self._read_for_rewrite(touched, table_schema, dvs, base),
+                self._colmap(base),
+                keep=(self._ROW_ID_COL,),  # hidden id rides the rewrite
+            )
             laid_out = (
                 zvalue(src, list(cols))
                 .repartitionByRange(n_files, "__z")
@@ -4267,8 +4280,24 @@ class AcidTable:
                 .drop("__z")
             )
             add, schema = self._stage_actions(self._physicalize(laid_out))
+            commit_schema = table_schema or schema
+            if self._ROW_ID_COL in src.columns:
+                d = json.loads(commit_schema)
+                if not any(
+                    f["name"] == self._ROW_ID_COL for f in d["fields"]
+                ):
+                    d["fields"].append(
+                        {
+                            "name": self._ROW_ID_COL,
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    )
+                    commit_schema = json.dumps(d)
             v = self._commit_or_rebase(
-                base, "optimize_zorder", add, live, schema
+                base, "optimize_zorder", add, touched, commit_schema,
+                read_filters=filters or None,
             )
             if v is not None:
                 return v
@@ -4564,6 +4593,39 @@ class AcidTable:
             0, "clone", add, [], schema, props=props or None, dv=dv_entries
         )
         return clone
+
+    def fsck_repair(
+        self, *, dry_run: bool = False, max_retries: int = 5
+    ) -> list[str]:
+        """Delta's ``FSCK REPAIR TABLE``: drop manifest references to
+        data files that no longer exist physically (an object store's
+        partial delete, manual cleanup, a vacuumed shallow-clone
+        source). One metadata-only commit removes the dead entries so
+        readers stop failing immediately; the referenced rows are
+        LOST — the file is gone, and pretending otherwise would be
+        worse (Delta's semantics exactly). Deletion vectors keyed on
+        a dropped file retire with it. Returns the dropped paths;
+        ``dry_run`` lists without committing."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} has no commits")
+            live, schema_json, _, _, _ = self._resolve_state(base)
+            missing = sorted(
+                p
+                for p in live
+                if not os.path.isfile(
+                    p if os.path.isabs(p) else os.path.join(self.path, p)
+                )
+            )
+            if not missing or dry_run:
+                return missing
+            try:
+                self._try_commit(base + 1, "fsck", [], missing, schema_json)
+                return missing
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"fsck_repair lost {max_retries} commit races")
 
     def reorg_purge(self, *, n_files: int = 16, max_retries: int = 5) -> int:
         """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite exactly

@@ -3765,3 +3765,82 @@ def test_vacuum_retain_hours(spark, tmp_path, monkeypatch):
     out = sql.sql("VACUUM vt RETAIN 1 HOURS DRY RUN").collect()
     assert out == []  # already reclaimed above
     assert sql.sql("VACUUM vt RETAIN 5 VERSIONS DRY RUN").collect() == []
+
+
+def test_scoped_zorder_where(spark, tmp_path):
+    """OPTIMIZE t WHERE ... ZORDER BY (Delta's partition-scoped
+    Z-order): only files whose stats may match the predicate are
+    rewritten; the rest carry over by path. Row ids survive the
+    scoped rewrite when tracking is on."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, i, i % 13) for i in range(500)], "day int, a int, b int"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, i, i % 13) for i in range(500)], "day int, a int, b int"
+        ).coalesce(1)
+    )
+    t.set_row_tracking()
+    ids0 = {
+        (r.day, r.a): r._row_id
+        for r in t.snapshot(with_row_ids=True).collect()
+    }
+    before = set(t._resolve_state(None)[0])
+
+    t.optimize_zorder(["a", "b"], n_files=2, filters=[("day", "=", 2)])
+    live = t._resolve_state(None)[0]
+    # day=1's file untouched, day=2's file replaced
+    day1 = [p for p in before if p in live]
+    assert len(day1) == 1
+    assert t.snapshot().count() == 1000
+    ids1 = {
+        (r.day, r.a): r._row_id
+        for r in t.snapshot(with_row_ids=True).collect()
+    }
+    assert ids1 == ids0  # layout-only: every row id preserved
+    # the rewritten scope has narrow [min,max] on both zorder keys
+    day2_files = [p for p in live if p not in before]
+    assert len(day2_files) == 2
+
+    # SQL route
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"zt": str(tmp_path / "t")})
+    v = sql.sql("OPTIMIZE zt WHERE day = 1 ZORDER BY (a, b)").collect()[0][0]
+    assert v == t.latest_version()
+    assert t.snapshot().count() == 1000
+
+    # provably-empty scope: no commit
+    v0 = t.latest_version()
+    t.optimize_zorder(["a"], filters=[("day", "=", 99)])
+    assert t.latest_version() == v0
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    """FSCK REPAIR TABLE: a physically-deleted data file (object-store
+    partial delete) stops poisoning reads — the repair commit drops
+    the dead reference, losing exactly that file's rows."""
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).selectExpr("id AS k").coalesce(1))
+    t.append(spark.range(50, 100).selectExpr("id AS k").coalesce(1))
+    live = sorted(t._resolve_state(None)[0])
+    victim = next(p for p in live if True)
+    os.remove(os.path.join(str(tmp_path / "t"), victim))
+
+    assert t.fsck_repair(dry_run=True) == [victim]
+    assert t.fsck_repair() == [victim]
+    assert t.fsck_repair(dry_run=True) == []  # clean now
+    remaining = t.snapshot().count()
+    assert remaining == 50  # the other file's rows survive
+    assert [c.op for c in t.history()][-1] == "fsck"
+
+    # SQL route
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"ft": str(tmp_path / "t")})
+    assert sql.sql("FSCK REPAIR TABLE ft DRY RUN").collect() == []
