@@ -1202,7 +1202,7 @@ def test_truncated_string_stats_stay_sound(files, op, probe, probe2):
         st.tuples(
             st.sampled_from(
                 ["merge", "update", "delete_cow", "delete_mor",
-                 "compact", "cluster"]
+                 "compact", "cluster", "replace_where"]
             ),
             st.integers(min_value=0, max_value=240),
             # concurrent winner landing between the loser's plan and
@@ -1298,6 +1298,15 @@ def test_acid_model_with_interleaved_second_writer(
             mode = "merge_on_read" if op == "delete_mor" else "copy_on_write"
             t.delete([("k", "<", arg)], mode=mode)
             model = {k: v for k, v in model.items() if not k < arg}
+        elif op == "replace_where":
+            lo, hi = arg, min(arg + 20, 241)
+            rows = [(k, k * 100) for k in range(lo, hi, 5)]
+            t.overwrite_where(
+                spark.createDataFrame(rows, "k int, v int"),
+                [("k", ">=", lo), ("k", "<", hi)],
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+            model.update({k: v for k, v in rows})
         elif op == "compact":
             t.compact(n_files=2)
         else:
