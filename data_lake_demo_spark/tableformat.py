@@ -727,10 +727,21 @@ class AcidTable:
         — see storage.LogStore)."""
         add, props = self._stamp_row_ids(add, props, version)
         props = self._stamp_protocol(props, dv, version)
+        ts = time.time()
+        if version > 0:
+            # in-commit-timestamp monotonicity (Delta's ICT feature):
+            # wall clocks skew — especially across writers on different
+            # hosts — and a commit stamped EARLIER than its predecessor
+            # makes timestampAsOf/RESTORE TIMESTAMP ambiguous. Clamp to
+            # strictly-after-previous; one log read per commit.
+            try:
+                ts = max(ts, self._read_commit(version - 1).ts + 1e-6)
+            except Exception:
+                pass  # predecessor unreadable: wall clock stands
         body = {
             "version": version,
             "op": op,
-            "ts": time.time(),
+            "ts": ts,
             "add": add,
             "remove": remove,
             "schema": schema_json,

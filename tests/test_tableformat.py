@@ -3844,3 +3844,29 @@ def test_fsck_repair_drops_missing_files(spark, tmp_path):
 
     sql = AcidSql(spark, {"ft": str(tmp_path / "t")})
     assert sql.sql("FSCK REPAIR TABLE ft DRY RUN").collect() == []
+
+
+def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """In-commit timestamps (Delta's ICT): a wall clock stepping
+    BACKWARDS between commits (NTP correction, cross-host skew) must
+    not produce a commit stamped earlier than its predecessor —
+    timestampAsOf / RESTORE TIMESTAMP stay unambiguous."""
+    import itertools
+
+    import data_lake_demo_spark.tableformat as tf
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    real0 = t._read_commit(0).ts
+
+    skewed = itertools.cycle([real0 - 3600.0])  # clock jumped back 1 h
+    monkeypatch.setattr(tf.time, "time", lambda: next(skewed))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    monkeypatch.undo()
+
+    ts = [t._read_commit(v).ts for v in range(3)]
+    assert ts[0] < ts[1] < ts[2]  # strictly monotonic despite the skew
+    # timestampAsOf resolves each version by its clamped stamp
+    assert t.version_at_timestamp(ts[1]) == 1
+    assert t.version_at_timestamp(ts[2] + 1) == 2
