@@ -3870,3 +3870,85 @@ def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path, monkey
     # timestampAsOf resolves each version by its clamped stamp
     assert t.version_at_timestamp(ts[1]) == 1
     assert t.version_at_timestamp(ts[2] + 1) == 2
+
+
+def test_conflict_layer_threaded_mixed_verbs(spark, tmp_path):
+    """Real-race stress for the conflict layer: four writers on
+    DISJOINT key ranges (two deleters, a merger, an appender) racing a
+    continuous clusterer, all in real threads. Disjointness makes the
+    final state deterministic regardless of commit interleaving — any
+    lost update, double-apply, or dropped rebase shows up as a wrong
+    final snapshot."""
+    path = str(tmp_path / "t")
+    t = AcidTable(spark, path)
+    t.append(
+        spark.range(400).selectExpr("id AS k", "id AS v").repartition(4)
+    )
+    t.set_clustering(["k"])
+    errs = []
+
+    def deleter(lo, hi):
+        try:
+            AcidTable(spark, path).delete(
+                [("k", ">=", lo), ("k", "<", hi)], max_retries=20
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def merger():
+        try:
+            AcidTable(spark, path).merge(
+                spark.createDataFrame(
+                    [(k, k * 10) for k in range(200, 250)], "k long, v long"
+                ),
+                ["k"],
+                max_retries=20,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            w = AcidTable(spark, path)
+            for j in range(3):
+                w.append(
+                    spark.range(1000 + j * 50, 1000 + j * 50 + 50)
+                    .selectExpr("id AS k", "id AS v")
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    stop = threading.Event()
+
+    def clusterer():
+        try:
+            while not stop.is_set():
+                t.optimize_cluster(n_files=4, max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [
+        threading.Thread(target=deleter, args=(0, 50)),
+        threading.Thread(target=deleter, args=(100, 150)),
+        threading.Thread(target=merger),
+        threading.Thread(target=appender),
+    ]
+    ct = threading.Thread(target=clusterer)
+    ct.start()
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    stop.set()
+    ct.join()
+    assert not errs, errs
+
+    expect = {k: k for k in range(400) if not (0 <= k < 50 or 100 <= k < 150)}
+    expect.update({k: k * 10 for k in range(200, 250)})
+    expect.update({k: k for k in range(1000, 1150)})
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == expect
+    # convergence: one final pass leaves everything clustered
+    t.optimize_cluster(n_files=4)
+    live = t._resolve_state(None)[0]
+    assert all("#zcube" in st for st in live.values())
