@@ -40,7 +40,8 @@ Grammar (case-insensitive keywords; one statement per call):
         USING (<subquery>|view) [AS] b ON a.k = b.k
         [WHEN MATCHED [AND cond] THEN DELETE]
         [WHEN MATCHED THEN UPDATE SET *]
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT *
+             | INSERT (c1, ...) VALUES (e1, ...)]
     COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'
@@ -691,6 +692,7 @@ class AcidSql:
         set_cond = None
         nmbs_delete = False
         nmbs_cond = None
+        insert_spec = None  # (cols|None for *, vals|None, cond|None)
         for clause in _split_top(whens, "WHEN"):
             c = clause.strip()
             if not c:
@@ -706,6 +708,17 @@ class AcidSql:
                 c,
                 re.I | re.S,
             )
+            im = re.fullmatch(
+                r"NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s*THEN\s+INSERT\s*"
+                r"\(([^)]+)\)\s*VALUES\s*\((.+)\)",
+                c,
+                re.I | re.S,
+            )
+            ism = re.fullmatch(
+                r"NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s*THEN\s+INSERT\s+\*",
+                c,
+                re.I,
+            )
             if um and um.group(2).strip() == "*":
                 if um.group(1) is not None:
                     raise ValueError(
@@ -719,8 +732,21 @@ class AcidSql:
             elif nm:
                 nmbs_delete = True
                 nmbs_cond = nm.group(1)
-            elif re.fullmatch(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", c, re.I):
+            elif im:
+                cols = [
+                    x.strip().strip("`") for x in im.group(2).split(",")
+                ]
+                vals = [x.strip() for x in _split_top(im.group(3), ",")]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT lists {len(cols)} columns but "
+                        f"{len(vals)} values"
+                    )
                 has_insert = True
+                insert_spec = (cols, vals, im.group(1))
+            elif ism:
+                has_insert = True
+                insert_spec = (None, None, ism.group(1))
             elif re.fullmatch(r"MATCHED\s+THEN\s+DELETE", c, re.I):
                 has_plain_delete = True
             else:
@@ -743,6 +769,11 @@ class AcidSql:
             for a in aliases:
                 delete_cond = re.sub(rf"\b{a}\.", "", delete_cond)
         if has_update and has_insert and delete_cond is not None:
+            if insert_spec != (None, None, None):
+                raise ValueError(
+                    "the CDC apply shape (UPDATE SET * + INSERT * + AND "
+                    "cond DELETE) requires plain INSERT *"
+                )
             # source-only columns (e.g. the CDC flag) feed the DELETE
             # condition but never land: project down to target columns
             # — under WITH SCHEMA EVOLUTION, only the columns the
@@ -782,6 +813,7 @@ class AcidSql:
             return self._version_df(
                 t.merge_apply(df, keys, "__mrg_del", auto_evolve=auto_evolve)
             )
+        plain_star = insert_spec == (None, None, None)
         if set_clause is not None:
             if (
                 has_update
@@ -791,14 +823,17 @@ class AcidSql:
             ):
                 raise ValueError(
                     "column-level UPDATE SET combines only with "
-                    "WHEN NOT MATCHED THEN INSERT *"
+                    "WHEN NOT MATCHED THEN INSERT"
                 )
             return self._merge_update_columns(
-                t, src_df, keys, set_clause, talias, salias, has_insert,
+                t, src_df, keys, set_clause, talias, salias, insert_spec,
                 cond=set_cond,
             )
         if nmbs_delete:
-            if not (has_update and has_insert) or delete_cond is not None:
+            if (
+                not (has_update and has_insert and plain_star)
+                or delete_cond is not None
+            ):
                 raise ValueError(
                     "WHEN NOT MATCHED BY SOURCE THEN DELETE combines with "
                     "UPDATE SET * + INSERT * (the mirror-source sync)"
@@ -807,8 +842,20 @@ class AcidSql:
                 t, src_df, keys, nmbs_cond, talias, salias
             )
         if has_update and has_insert and not has_plain_delete:
-            return self._version_df(
-                t.merge(src_df, keys, auto_evolve=auto_evolve)
+            if plain_star:
+                return self._version_df(
+                    t.merge(src_df, keys, auto_evolve=auto_evolve)
+                )
+            # UPDATE SET * + column-level/conditional INSERT: matched
+            # rows replace full-row, unmatched project through the
+            # insert spec — one atomic merge
+            return self._merge_star_with_insert(
+                t, src_df, keys, insert_spec, talias, salias
+            )
+        if has_insert and not (has_update or has_plain_delete):
+            # insert-only merge (Delta's append-new-keys shape)
+            return self._merge_insert_only(
+                t, src_df, keys, insert_spec, talias, salias
             )
         if has_plain_delete and not (has_update or has_insert):
             return self._version_df(
@@ -816,11 +863,116 @@ class AcidSql:
             )
         raise ValueError(
             "unsupported MERGE clause combination: use UPDATE SET * / "
-            "SET c = expr + INSERT * [+ AND cond DELETE], or DELETE alone"
+            "SET c = expr + INSERT [*|(cols) VALUES (...)] "
+            "[+ AND cond DELETE], or DELETE alone"
         )
 
+    def _merge_insert_frame(self, t, sview, sa, tview, ta, on, keys, spec):
+        """The not-matched insert frame for a MERGE: source rows with
+        no target key match (optionally narrowed by the clause's AND
+        condition — source columns only), projected into the target
+        schema. Explicit ``(cols) VALUES (exprs)`` assignments apply;
+        unlisted columns take their declared DEFAULT, else typed NULL
+        (the Delta rule for column-level INSERT)."""
+        cols, vals, cond = spec
+        tcols = t.snapshot().columns
+        types = dict(t.snapshot().dtypes)
+        for ref in [cond] + (vals or []):
+            if ref and re.search(rf"\b{re.escape(ta)}\.", ref):
+                raise ValueError(
+                    "INSERT values/condition may reference source "
+                    "columns only (there is no matched target row)"
+                )
+        where = f" WHERE ({cond})" if cond else ""
+        if cols is None:  # INSERT * [AND cond]
+            return self.spark.sql(
+                f"SELECT {sa}.* FROM {sview} {sa} LEFT ANTI JOIN "
+                f"{tview} {ta} ON {on}{where}"
+            ).select(*tcols)
+        unknown = [c for c in cols if c not in tcols]
+        if unknown:
+            raise ValueError(f"INSERT targets unknown column(s) {unknown}")
+        if len(set(cols)) != len(cols):
+            raise ValueError("duplicate column in INSERT list")
+        missing_keys = [k for k in keys if k not in cols]
+        if missing_keys:
+            raise ValueError(
+                f"INSERT must assign every merge key (missing {missing_keys})"
+            )
+        assign = dict(zip(cols, vals))
+        defaults = {
+            k[len(t._DEFAULT_PREFIX):]: v
+            for k, v in t.properties().items()
+            if k.startswith(t._DEFAULT_PREFIX)
+        }
+
+        def cell(c):
+            if c in assign:
+                return f"CAST(({assign[c]}) AS {types[c]}) AS `{c}`"
+            if c in defaults:
+                return f"CAST(({defaults[c]}) AS {types[c]}) AS `{c}`"
+            return f"CAST(NULL AS {types[c]}) AS `{c}`"
+
+        proj = ", ".join(cell(c) for c in tcols)
+        return self.spark.sql(
+            f"SELECT {proj} FROM {sview} {sa} LEFT ANTI JOIN "
+            f"{tview} {ta} ON {on}{where}"
+        )
+
+    def _merge_insert_only(
+        self, t, src_df, keys, spec, talias, salias
+    ) -> DataFrame:
+        """Insert-only MERGE (Delta's append-new-keys shape): the
+        not-matched rows land via the full merge verb, so a RACING
+        writer inserting the same key resolves by upsert (the
+        serializable order append-then-merge) instead of duplicating."""
+        ta = talias or "__mrg_t"
+        sa = salias or "__mrg_s"
+        tview, sview = "__merge_ins_target", "__merge_ins_source"
+        t.snapshot().createOrReplaceTempView(tview)
+        src_df.createOrReplaceTempView(sview)
+        try:
+            on = " AND ".join(f"{ta}.`{k}` = {sa}.`{k}`" for k in keys)
+            ins = self._merge_insert_frame(
+                t, sview, sa, tview, ta, on, keys, spec
+            )
+            if ins.limit(1).first() is None:
+                return self._version_df(t.latest_version())  # no commit
+            return self._version_df(t.merge(ins, keys))
+        finally:
+            self.spark.catalog.dropTempView(tview)
+            self.spark.catalog.dropTempView(sview)
+
+    def _merge_star_with_insert(
+        self, t, src_df, keys, spec, talias, salias
+    ) -> DataFrame:
+        """UPDATE SET * + column-level/conditional INSERT: matched
+        source rows replace full-row; not-matched rows project through
+        the insert spec; one atomic merge commit."""
+        ta = talias or "__mrg_t"
+        sa = salias or "__mrg_s"
+        tview, sview = "__merge_si_target", "__merge_si_source"
+        t.snapshot().createOrReplaceTempView(tview)
+        src_df.createOrReplaceTempView(sview)
+        try:
+            tcols = t.snapshot().columns
+            on = " AND ".join(f"{ta}.`{k}` = {sa}.`{k}`" for k in keys)
+            matched = self.spark.sql(
+                f"SELECT {sa}.* FROM {sview} {sa} LEFT SEMI JOIN "
+                f"{tview} {ta} ON {on}"
+            ).select(*tcols)
+            inserts = self._merge_insert_frame(
+                t, sview, sa, tview, ta, on, keys, spec
+            )
+            return self._version_df(
+                t.merge(matched.unionByName(inserts), keys)
+            )
+        finally:
+            self.spark.catalog.dropTempView(tview)
+            self.spark.catalog.dropTempView(sview)
+
     def _merge_update_columns(
-        self, t, src_df, keys, set_clause, talias, salias, has_insert,
+        self, t, src_df, keys, set_clause, talias, salias, insert_spec,
         cond=None,
     ) -> DataFrame:
         """Lower ``WHEN MATCHED THEN UPDATE SET c = expr[, ...]`` onto
@@ -882,12 +1034,11 @@ class AcidSql:
             updates = self.spark.sql(
                 f"SELECT {proj} FROM {tview} {ta} JOIN {sview} {sa} ON {on}"
             )
-            if has_insert:
-                inserts = self.spark.sql(
-                    f"SELECT {sa}.* FROM {sview} {sa} LEFT ANTI JOIN "
-                    f"{tview} {ta} ON {on}"
+            if insert_spec is not None:
+                inserts = self._merge_insert_frame(
+                    t, sview, sa, tview, ta, on, keys, insert_spec
                 )
-                updates = updates.unionByName(inserts.select(*tcols))
+                updates = updates.unionByName(inserts)
             # materialize before merge: the merge rewrite re-reads the
             # target files the temp view also scans, which is safe
             # (snapshot isolation pins the file set), but the views

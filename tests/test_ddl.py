@@ -933,3 +933,92 @@ def test_create_table_clone_sql(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exists"):
         sql.sql(f"CREATE TABLE dev SHALLOW CLONE src LOCATION '{clone_path}'")
+
+
+def test_merge_column_level_and_conditional_insert(spark, tmp_path):
+    """The Delta MERGE insert grammar beyond INSERT *: column-level
+    `INSERT (cols) VALUES (exprs)` (unlisted columns take declared
+    DEFAULTs else typed NULL), conditional `AND cond` on both insert
+    forms, insert-only merges, and the combination with UPDATE SET *
+    and column-level SET."""
+    p = str(tmp_path / "mi")
+    sql = AcidSql(spark, {"mi": p})
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, tag string"
+        )
+    )
+    t.set_column_default("tag", "'unset'")
+
+    spark.createDataFrame(
+        [(2, 200, 1), (3, 300, 1), (4, 400, 0)],
+        "k long, amount long, keep int",
+    ).createOrReplaceTempView("mi_src")
+
+    # insert-only, column-level, conditional: k=3 lands (keep=1),
+    # k=4 filtered out, k=2 matched so untouched; v from an
+    # expression over source cols, tag from its DEFAULT
+    sql.sql(
+        "MERGE INTO mi AS t USING mi_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.keep = 1 THEN "
+        "INSERT (k, v) VALUES (s.k, s.amount + 1)"
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows == {1: (10, "a"), 2: (20, "b"), 3: (301, "unset")}
+
+    # UPDATE SET * + column-level INSERT in one statement
+    spark.createDataFrame(
+        [(3, 333, "c"), (5, 555, "e")], "k long, v long, tag string"
+    ).createOrReplaceTempView("mi_src2")
+    sql.sql(
+        "MERGE INTO mi AS t USING mi_src2 AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, upper(s.tag))"
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows[3] == (333, "c")  # matched: full-row replace
+    assert rows[5] == (None, "E")  # inserted: v unlisted and no default
+
+    # column-level SET + column-level INSERT
+    spark.createDataFrame(
+        [(5, 7), (6, 8)], "k long, bump long"
+    ).createOrReplaceTempView("mi_src3")
+    sql.sql(
+        "MERGE INTO mi AS t USING mi_src3 AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = coalesce(t.v, 0) + s.bump "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.bump * 100)"
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows[5] == (7, "E") and rows[6] == (800, "unset")
+
+    # validation: keys must be assigned; target refs rejected
+    with pytest.raises(ValueError, match="every merge key"):
+        sql.sql(
+            "MERGE INTO mi AS t USING mi_src3 AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.bump)"
+        )
+    with pytest.raises(ValueError, match="source columns only"):
+        sql.sql(
+            "MERGE INTO mi AS t USING mi_src3 AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, t.v)"
+        )
+
+    # conditional INSERT *: only keep=1 rows land
+    spark.createDataFrame(
+        [(7, 70, "g"), (8, 80, "h")], "k long, v long, tag string"
+    ).createOrReplaceTempView("mi_src4")
+    sql.sql(
+        "MERGE INTO mi AS t USING mi_src4 AS s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.v < 75 THEN INSERT *"
+    )
+    ks = {r.k for r in t.snapshot().collect()}
+    assert 7 in ks and 8 not in ks
+
+    # no-op insert-only merge commits nothing
+    v0 = t.latest_version()
+    sql.sql(
+        "MERGE INTO mi AS t USING mi_src4 AS s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.v > 1000 THEN INSERT *"
+    )
+    assert t.latest_version() == v0
