@@ -37,6 +37,8 @@ WINDOW = [
     # -- new in round 9 ---------------------------------------------------
     "doc_compression_portable",  # NEW: distinct-8-gram compressibility
     # proxy — the hash-green twin for the zlib rows-only signal
+    "orders_merge_insert_columns",  # NEW: column-level conditional
+    # MERGE INSERT (insert-only merge) under a value hash
     # -- r5 rows (stalest driver rows in the registry) -------------------
     # relational heads
     "q3_shipping_priority",
@@ -89,12 +91,11 @@ WINDOW = [
     "distinct_counts",
     "rollup_revenue",
     "cube_quantity",
-    "grouping_sets_revenue",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
-# having_filter (r6-green) yielded its slot to the new r9 query; it
-# stays re-proven by the in-suite parity replica like the other
-# out-of-window rows.
+# having_filter and grouping_sets_revenue (both r6-green) yielded
+# their slots to the two queries NEW this round; they stay re-proven
+# by the in-suite parity replica like the other out-of-window rows.
 # Everything outside this window is r6/r7/r8-green (unchanged since
 # its hash row) and re-proven by the in-suite parity replica each run.
 

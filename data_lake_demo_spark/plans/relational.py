@@ -2049,6 +2049,78 @@ FROM merged GROUP BY status ORDER BY status
 """
 
 
+def orders_merge_insert_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level conditional MERGE INSERT end-to-end on the ACID
+    format (new in r9): target = even-key orders in a temp AcidTable;
+    source = keys % 3 == 0; ``WHEN NOT MATCHED AND s.k % 5 != 0 THEN
+    INSERT (k, total) VALUES (s.k, s.total * 2)`` — an insert-only
+    merge where matched rows stay untouched, the condition filters
+    the insert side, the listed columns come from expressions, and
+    the unlisted status column lands as typed NULL (the Delta
+    column-level-INSERT rule). The final snapshot reduces to a
+    per-status quantized aggregate (NULL folded to '~' on both sides)
+    and value-hashes against SQL replaying the anti-join + projection.
+    Certifies ddl._merge_insert_only/_merge_insert_frame. Grammar
+    follows Delta's MERGE spec (the reference delegates SQL to Athena
+    and has no MERGE surface)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_ins_query_")
+    try:
+        sql = AcidSql(spark, {"itab": root + "/t"})
+        t = sql.table("itab")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("total"),
+        ).createOrReplaceTempView("merge_ins_src")
+        sql.sql(
+            "MERGE INTO itab AS tg USING merge_ins_src AS s ON tg.k = s.k "
+            "WHEN NOT MATCHED AND s.k % 5 != 0 THEN "
+            "INSERT (k, total) VALUES (s.k, s.total * 2)"
+        )
+        out = (
+            t.snapshot()
+            .groupBy(F.coalesce("status", F.lit("~")).alias("status"))
+            .agg(qsum(F.col("total"), "total_sum"), F.count(F.lit(1)).alias("n"))
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "status string, total_sum double, n long"
+    )
+
+
+ORDERS_MERGE_INSERT_SQL = f"""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 2 = 0),
+ins AS (
+  SELECT o_orderkey AS k, o_totalprice * 2 AS total,
+         CAST(NULL AS VARCHAR) AS status
+  FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 != 0
+    AND o_orderkey NOT IN (SELECT k FROM t0)),
+allrows AS (
+  SELECT * FROM t0 UNION ALL SELECT * FROM ins)
+SELECT coalesce(status, '~') AS status,
+       {_sql_qsum('total', 'total_sum')}, count(*) AS n
+FROM allrows GROUP BY coalesce(status, '~') ORDER BY status
+"""
+
+
 def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``replaceWhere`` as the nightly-backfill verb (new in r8): a
     temp AcidTable partitioned by priority prefix gets ONE partition
@@ -2397,6 +2469,7 @@ QUERIES = {
     # q12_priority_by_flag, q7_volume_shipping, q22_idle_rich_customers)
     # and rows-only approx_stats — all unchanged since their green row.
     "orders_merge_update_columns": orders_merge_update_columns,
+    "orders_merge_insert_columns": orders_merge_insert_columns,
     "orders_replace_where_backfill": orders_replace_where_backfill,
     # registered OUTSIDE the 50-slot driver window this round (the
     # window carries the 48 stale rows per the r7 verdict); in-suite
@@ -2466,6 +2539,7 @@ QUERIES = {
 
 ORACLE = {
     "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
+    "orders_merge_insert_columns": ORDERS_MERGE_INSERT_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
