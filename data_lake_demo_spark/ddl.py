@@ -18,7 +18,7 @@ Grammar (case-insensitive keywords; one statement per call):
         [PARTITIONED BY (...)] [LOCATION '...'] [TBLPROPERTIES (...)]
     CREATE TABLE [IF NOT EXISTS] t [USING acid] [PARTITIONED BY (...)]
         [LOCATION '...'] [TBLPROPERTIES (...)] AS SELECT ...
-    INSERT INTO t [(c1, c2, ...)] VALUES (...), (...) | SELECT ...
+    INSERT INTO t [(c1, c2, ...) | BY NAME] VALUES ... | SELECT ...
     INSERT INTO t REPLACE WHERE conj VALUES ... | SELECT ...
     INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
     ALTER TABLE t ADD COLUMNS (a type, b type, ...)
@@ -572,7 +572,7 @@ class AcidSql:
         return named.select(*out)
 
     def _insert(self, m) -> DataFrame:
-        kind, tref, cols_s, body = m.groups()
+        kind, tref, cols_s, by_name, body = m.groups()
         t = self.table(tref)
         cols = (
             [c.strip() for c in cols_s.split(",")] if cols_s else None
@@ -584,6 +584,12 @@ class AcidSql:
             src = self.spark.sql(f"SELECT * FROM ({body})")
         else:
             src = self.spark.sql(self._rewrite_time_travel(body))
+        if by_name:
+            # INSERT ... BY NAME (Spark 3.5 / Delta): the source's own
+            # column names bind to target columns regardless of order;
+            # unnamed target columns take DEFAULT/NULL like an explicit
+            # column list (the same _align_for_write path)
+            cols = list(src.columns)
         df = self._align_for_write(t, src, cols)
         if kind.upper() == "OVERWRITE":
             if cols is not None:
@@ -1194,7 +1200,7 @@ class AcidSql:
 
         m = re.fullmatch(
             rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_TREF})"
-            rf"(?:\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+            rf"(?:\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)|\s+(BY\s+NAME))?"
             r"\s+(VALUES\s+.+|\(?\s*(?:SELECT|WITH|FROM|TABLE)\b.+)",
             s,
             re.I | re.S,

@@ -1022,3 +1022,29 @@ def test_merge_column_level_and_conditional_insert(spark, tmp_path):
         "WHEN NOT MATCHED AND s.v > 1000 THEN INSERT *"
     )
     assert t.latest_version() == v0
+
+
+def test_insert_by_name(spark, tmp_path):
+    """INSERT INTO t BY NAME (Spark 3.5 / Delta): the source's column
+    names bind to target columns regardless of order; unnamed target
+    columns take their declared DEFAULT else NULL."""
+    p = str(tmp_path / "bn")
+    sql = AcidSql(spark, {"bn": p})
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, 10, "a")], "k long, v long, tag string")
+    )
+    t.set_column_default("tag", "'d'")
+
+    spark.createDataFrame(
+        [(20, 2)], "v long, k long"  # deliberately reordered + partial
+    ).createOrReplaceTempView("bn_src")
+    sql.sql("INSERT INTO bn BY NAME SELECT * FROM bn_src")
+    rows = {r.k: (r.v, r.tag) for r in t.snapshot().collect()}
+    assert rows == {1: (10, "a"), 2: (20, "d")}
+
+    # unknown source column still rejected
+    spark.createDataFrame([(3, 1)], "ghost long, k long") \
+        .createOrReplaceTempView("bn_bad")
+    with pytest.raises(ValueError, match="unknown INSERT columns"):
+        sql.sql("INSERT INTO bn BY NAME SELECT * FROM bn_bad")

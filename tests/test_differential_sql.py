@@ -464,3 +464,45 @@ def test_random_subqueries_agree_with_duckdb(engines, q):
     names = [d[0] for d in cur.description]
     exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
     assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def outer_join_queries(draw):
+    """LEFT/FULL OUTER join shapes: null-extended rows exercised via
+    count(right_key) vs count(*) and coalesce'd aggregates. The join
+    filter lives in the ON clause sometimes (changes the null-extension
+    set — a classic engine-divergence spot) and in WHERE others."""
+    lt, rt, lk, rk = draw(st.sampled_from(JOINS))
+    jtype = draw(st.sampled_from(["LEFT", "FULL"]))
+    rpred = draw(predicates(rt, f"{rt}."))
+    lpred = draw(predicates(lt, f"{lt}."))
+    on_extra = draw(st.booleans())  # predicate in ON vs WHERE
+    on = f"{lt}.{lk} = {rt}.{rk}" + (f" AND {rpred}" if on_extra else "")
+    where = f" WHERE {lpred}" if draw(st.booleans()) else ""
+    gcol = f"{lt}.{draw(st.sampled_from(TABLES[lt]['strings']))}"
+    rint = f"{rt}.{TABLES[rt]['ints'][0]}"
+    rdbl = f"{rt}.{draw(st.sampled_from(TABLES[rt]['doubles']))}"
+    sql = (
+        f"SELECT {gcol} AS g, count(*) AS n, count({rint}) AS matched, "
+        f"sum(floor(coalesce({rdbl}, 0) * 100 + 0.5)) AS qsum, "
+        f"min({rint}) AS mn "
+        f"FROM {lt} {jtype} JOIN {rt} ON {on}{where} "
+        f"GROUP BY {gcol}"
+    )
+    return sql, ["g", "n", "matched", "qsum", "mn"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=outer_join_queries())
+def test_random_outer_joins_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
