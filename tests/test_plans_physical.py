@@ -53,6 +53,19 @@ def test_query_build_time_stays_bounded(spark):
         # execution cost, not expression building; its EXPRESSION
         # build is the unrolled 4-round algebra, well under budget)
         "emb_mmr_rerank",
+        # the multi-phase ACID-lifecycle family: each builds a temp
+        # AcidTable, runs its verbs (append/merge/cluster/CONVERT/CDF
+        # reads — a dozen commits), and COLLECTS the reduced result
+        # during construction; 2-3 s of engine execution at sf0.001,
+        # not driver-side expression building (their expression trees
+        # are a handful of aggregates)
+        "orders_row_tracking_ids",
+        "orders_cdf_row_id_pairs",
+        "orders_liquid_clustering",
+        "orders_convert_adoption",
+        "orders_merge_update_columns",
+        "orders_merge_insert_columns",
+        "orders_replace_where_backfill",
     }
     qs = {n: f for n, f in entry.queries().items() if n not in exempt}
     for fn in qs.values():  # warmup: JVM JIT / analysis-path one-timers
