@@ -66,6 +66,13 @@ def test_query_build_time_stays_bounded(spark):
         "orders_merge_update_columns",
         "orders_merge_insert_columns",
         "orders_replace_where_backfill",
+        # composes emb_mmr_rerank, so it inherits MMR's eager
+        # localCheckpoint (~2.6 s warm — execution, not expressions)
+        "doc_rag_pipeline",
+        # TRAINS the quality model driver-side on a bounded sample
+        # during construction (execution; the frozen-weights variant
+        # stays in scope and guards the scoring expression build)
+        "doc_quality_model_scores",
     }
     qs = {n: f for n, f in entry.queries().items() if n not in exempt}
     for fn in qs.values():  # warmup: JVM JIT / analysis-path one-timers
