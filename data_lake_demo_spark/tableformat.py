@@ -3304,6 +3304,8 @@ class AcidTable:
             "num_deletion_vectors": len(dvs),
             "columns": cols,
             "clustering_columns": list(props.get(self._CLUSTERING_KEY) or []),
+            "isolation_level": props.get("isolationLevel")
+            or "write_serializable",
             "properties": props,
             "num_tags": len(self.tags()),
             "num_branches": len(self.branches()),

@@ -1386,6 +1386,9 @@ def test_metadata_tables_files_history_detail(spark, tmp_path):
     assert d["num_files"] == 2 and d["num_rows"] == 9
     assert d["num_deletion_vectors"] == 1 and d["columns"] == ["k"]
     assert d["num_tags"] == 1 and d["latest_version"] == 2
+    assert d["isolation_level"] == "write_serializable"  # the default
+    t.set_properties({"isolationLevel": "serializable"})
+    assert t.detail()["isolation_level"] == "serializable"
     # time travel: detail as of the first commit
     assert t.detail(as_of=0)["num_rows"] == 8
 
