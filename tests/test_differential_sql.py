@@ -506,3 +506,60 @@ def test_random_outer_joins_agree_with_duckdb(engines, q):
     names = [d[0] for d in cur.description]
     exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
     assert got == exp, f"engines disagree on: {sql}"
+
+
+@st.composite
+def grouping_queries(draw):
+    """Grouping-extension shapes: ROLLUP / CUBE / GROUPING SETS with
+    GROUPING() disambiguation (a real NULL group vs a super-aggregate
+    row), quantized double sums, optional HAVING. Portable: both
+    engines emit NULL for rolled-up keys and number GROUPING() the
+    same way. Known dialect divergence EXCLUDED by construction: over
+    an EMPTY input the SQL standard (and DuckDB/Postgres) still emit
+    the () grouping set's one grand-total row, while Spark returns no
+    rows — so the WHERE here is a key bound that always keeps rows."""
+    table = draw(st.sampled_from(["orders", "lineitem"]))
+    cols = TABLES[table]
+    g1, g2 = draw(
+        st.lists(st.sampled_from(cols["strings"]), min_size=2, max_size=2,
+                 unique=True)
+        if len(cols["strings"]) >= 2
+        else st.just(cols["strings"] * 2)
+    )
+    if g1 == g2:
+        g2 = cols["ints"][0]
+    dc = draw(st.sampled_from(cols["doubles"]))
+    shape = draw(st.sampled_from(["ROLLUP", "CUBE", "SETS"]))
+    if shape == "SETS":
+        group = (
+            f"GROUP BY GROUPING SETS (({g1}, {g2}), ({g1}), ())"
+        )
+    else:
+        group = f"GROUP BY {shape}({g1}, {g2})"
+    having = ""
+    if draw(st.booleans()):
+        having = f" HAVING count(*) > {draw(st.sampled_from([2, 10, 50]))}"
+    ukey = cols["ints"][0]
+    where = f" WHERE {ukey} < {draw(st.sampled_from([150, 400, 900]))}"
+    sql = (
+        f"SELECT {g1}, {g2}, grouping({g1}) AS gr1, grouping({g2}) AS gr2, "
+        f"count(*) AS n, sum(floor({dc} * 100 + 0.5)) AS qsum "
+        f"FROM {table}{where} {group}{having}"
+    )
+    return sql, [g1, g2, "gr1", "gr2", "n", "qsum"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=grouping_queries())
+def test_random_grouping_sets_agree_with_duckdb(engines, q):
+    sql, cols = q
+    spark, con = engines
+    got = _norm([r.asDict() for r in spark.sql(sql).collect()], cols)
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    exp = _norm([dict(zip(names, row)) for row in cur.fetchall()], cols)
+    assert got == exp, f"engines disagree on: {sql}"
