@@ -1326,3 +1326,27 @@ def test_acid_model_with_interleaved_second_writer(
 
     for v, state in history.items():
         assert snap(as_of=v) == state, f"time travel to v{v}"
+
+    # the change feed between recorded versions equals the model diff
+    # — REBASED commits must produce the same net CDF as re-planned
+    # ones (the rows moved are identical, only the data-job count
+    # differs)
+    recorded = sorted(history)
+    for pv, cv in zip(recorded, recorded[1:]):
+        before, after = history[pv], history[cv]
+        exp_ins = sorted(
+            (k, v) for k, v in after.items() if before.get(k) != v
+        )
+        exp_del = sorted(
+            (k, v) for k, v in before.items() if after.get(k) != v
+        )
+        feed = t.changes(pv, until_version=cv).collect()
+        got_ins = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "insert"
+        )
+        got_del = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "delete"
+        )
+        assert (got_ins, got_del) == (exp_ins, exp_del), (
+            f"CDF v{pv}->v{cv}"
+        )
