@@ -14,90 +14,89 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-9 rotation, executing the r8 verdict's item 1
-# verbatim: the FOUR queries registered late in r8 that have never had
-# a driver CORRECTNESS row lead (they certify row tracking, DSv2 row
-# ids + CDF id pairing, liquid clustering, and CONVERT TO ACID
-# end-to-end — all four already pass the sf0.01 DuckDB parity replica
-# run in tests/test_oracle_parity.py), followed by the now-stalest
-# block: all 40 queries whose newest driver row is CORRECTNESS_r05,
-# then 6 of the r6 aggregate rows. Evicted: the entire r8 window (all
-# 50 entries green in CORRECTNESS_r08.json — 46 value-hash + 4
-# rows-only-by-design — and re-proven at sf0.001 by the in-suite
-# parity replica on every pytest run).
+# explicit round-10 rotation, executing the r9 verdict's item 2
+# verbatim: the 14 queries whose newest driver row is CORRECTNESS_r06
+# (three rounds stale) lead, followed by 36 of the 50 rows whose
+# newest driver row is CORRECTNESS_r07 (oldest block after them).
+# Evicted: the entire r9 window (all 50 entries green in
+# CORRECTNESS_r09.json — 47 value-hash + 3 rows-only-by-design — and
+# re-proven at sf0.001/sf0.01 by the in-suite parity replica on every
+# pytest run). The 14 r7 rows left out of this window are the ones
+# whose semantics are already pinned by an in-window twin this round
+# (portable-family siblings) or by a same-operator in-window row;
+# they lead the r11 rotation.
 WINDOW = [
-    # -- never driver-checked (registered late in r8) -------------------
-    "orders_row_tracking_ids",  # stable row ids through UPDATE/
-    # OPTIMIZE/MERGE rewrites (tableformat row tracking)
-    "orders_cdf_row_id_pairs",  # update reconstruction via the
-    # _row_id join over the CDF feed (DSv2 row ids)
-    "orders_liquid_clustering",  # CLUSTER BY + incremental
-    # optimize_cluster + pruned key-range read replay
-    "orders_convert_adoption",  # CONVERT TO ACID zero-copy adoption
-    # -- new in round 9 ---------------------------------------------------
-    "doc_compression_portable",  # NEW: distinct-8-gram compressibility
-    # proxy — the hash-green twin for the zlib rows-only signal
-    "orders_merge_insert_columns",  # NEW: column-level conditional
-    # MERGE INSERT (insert-only merge) under a value hash
-    # -- r5 rows (stalest driver rows in the registry) -------------------
-    # relational heads
-    "q3_shipping_priority",
-    "q4_order_priority_checking",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q13_order_count_distribution",
-    # joins / set ops
-    "semi_join_customers_with_orders",
-    "full_outer_nation_activity",
-    "non_equi_nation_pairs",
-    "range_join_price_bands",
-    "fuzzy_name_pairs",
-    "set_ops_customer_cohorts",
-    # window functions
-    "top3_orders_per_customer",
-    "running_revenue_by_supplier",
-    "order_gaps_lag_lead",
-    "rank_dense_rank_parts",
-    "topk_expensive_orders",
-    "window_distribution_functions",
-    # subqueries / scalar expressions
-    "scalar_subquery_above_avg",
-    "in_subquery_asia_suppliers",
-    "not_in_subquery_priorities",
-    "scalar_functions_showcase",
-    "case_when_conditional_agg",
-    # reshaping / grouping extensions
-    "pivot_qty_by_status",
-    "unpivot_customer_measures",
-    "unpivot_stack_measures",
-    "grouping_id_rollup",
-    "array_agg_per_group",
-    "exact_percentiles",
-    # LLM / events tail of the r5 block
-    "emb_ivf_ann",
-    "emb_pq_ann",
-    "emb_ivfpq_ann",
-    "doc_pii_scrub",
-    "doc_sample_k_per_source",
-    "events_hll_daily_users_exact",
-    "media_frame_features",
-    # -- r6 aggregate block (next-stalest) --------------------------------
-    "global_count",
-    "distinct_counts",
-    "rollup_revenue",
-    "cube_quantity",
+    # -- r6 rows (stalest driver rows in the registry) --------------------
+    "bloom_semi_join_orders",
+    "doc_quality_model_scores",
+    "doc_temperature_mix",
+    "emb_hard_negatives",
+    "events_scd2_point_in_time",
+    "grouping_sets_revenue",
+    "having_filter",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # -- r7 rows (next-stalest block; 36 of 50) ---------------------------
+    # relational tail of TPC-H
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "lineitem_transit_overlaps",
+    # documents: dedup / retrieval / quality
+    "doc_bm25_retrieval",
+    "doc_dedup_index_incremental",
+    "doc_dsir_weights",
+    "doc_inverted_index",
+    "doc_lm_perplexity",
+    "doc_lsh_recall_eval",
+    "doc_minhash_dups_portable",
+    "doc_paragraph_dedup",
+    "doc_pmi_collocations",
+    "doc_rag_pipeline",
+    "doc_retrieval_join",
+    "doc_shard_assign_snake",
+    "doc_simhash_buckets_portable",
+    "doc_source_quality_eb",
+    "doc_substring_dedup",
+    "doc_tokenizer_fertility",
+    "doc_weighted_sample",
+    # embeddings: ANN / graph / clustering
+    "emb_ann_recall_at_k",
+    "emb_filtered_ann_portable",
+    "emb_graph_communities",
+    "emb_graph_pagerank",
+    "emb_graph_triangles",
+    "emb_kmeans_portable",
+    "emb_lsh_multiprobe_ann",
+    "emb_mmr_rerank",
+    "emb_semantic_dedup",
+    # events: time-series kernels
+    "events_cusum_alarms",
+    "events_gap_fill",
+    "events_histogram_quantiles",
+    "events_window_funnel",
+    # media
+    "media_video_scene_cuts",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
-# having_filter and grouping_sets_revenue (both r6-green) yielded
-# their slots to the two queries NEW this round; they stay re-proven
-# by the in-suite parity replica like the other out-of-window rows.
-# Everything outside this window is r6/r7/r8-green (unchanged since
-# its hash row) and re-proven by the in-suite parity replica each run.
+# Deferred to r11 (r7-green, each pinned by an in-window sibling this
+# round): doc_bpe_vocab_tokens (rows-only; token-count twin r8),
+# doc_compression_signals (rows-only; portable twin r9),
+# doc_quality_model_scores_frozen (live-twin in window), emb_ivf_ann_
+# portable / emb_pq_ann_portable / emb_ivfpq_ann_portable /
+# emb_sq_ann / emb_sq_ann_portable (ANN family; recall-at-k +
+# filtered-portable in window), events_hourly_anomalies,
+# events_kmv_retention, events_lttb_downsample, media_audio_features_
+# real, media_image_stats_real, media_video_frames_real (scene-cuts
+# twin in window). Everything outside this window is r7/r8/r9-green
+# (unchanged since its hash row) and re-proven by the in-suite parity
+# replica each run.
 
 
 def all_queries():
