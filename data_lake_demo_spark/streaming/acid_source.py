@@ -118,7 +118,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from data_lake_demo_spark.tableformat import CommitConflict
+from data_lake_demo_spark.tableformat import CommitConflict, _dv_abs
 
 _CHANGE_OPS = {"merge", "merge_delete", "delete", "overwrite", "scd2",
                "compact", "optimize_zorder", "optimize_cluster", "restore"}
@@ -340,11 +340,12 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
             p for p in (live & pre_live) if pre_dvs.get(p) != dvs.get(p)
         )
         adds = [
-            (os.path.join(t.path, p), dvs.get(p), _row_id_base(stats.get(p)))
+            (os.path.join(t.path, p), _dv_abs(dvs.get(p), t.path),
+             _row_id_base(stats.get(p)))
             for p in added + changed
         ]
         removes = [
-            (os.path.join(t.path, p), pre_dvs.get(p),
+            (os.path.join(t.path, p), _dv_abs(pre_dvs.get(p), t.path),
              _row_id_base(pre_stats.get(p)))
             for p in removed + changed
         ]
@@ -546,7 +547,9 @@ class _AcidBatchReader(DataSourceReader):
         parts = [
             _FilePartition(
                 os.path.join(t.path, f),
-                dvs.get(f),
+                # sidecar references absolutize: the executor-side
+                # reader resolves them without the table root
+                _dv_abs(dvs.get(f), t.path),
                 _row_id_base(live_stats.get(f)) if self._rid else None,
             )
             for f in files

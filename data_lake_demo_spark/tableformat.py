@@ -104,23 +104,198 @@ class Commit:
     dv: list[dict] | None = None
 
 
+# ---- deletion-vector codec -----------------------------------------------
+#
+# Three wire formats coexist (the string is what rides commit JSON /
+# checkpoints, and what conflict checks compare for equality):
+#
+# - ``r1:<base64 varint-RLE>`` — the current inline encoding: runs of
+#   consecutive row indices collapse to LEB128-varint (gap, len-1)
+#   pairs, so a contiguous 10M-row delete is a handful of bytes where
+#   the legacy packing spent 8 bytes/row. Canonical: a given index
+#   SET has exactly one encoding, so two writers deleting the same
+#   rows still produce byte-identical vectors (the property conflict
+#   detection and CDF's changed-vector diff rely on).
+# - ``sc1:<path>:<n_rows>`` — a sidecar reference (the Delta
+#   protocol's deletion-vector descriptor shape): when the r1 payload
+#   outgrows ``_DV_INLINE_MAX``, its bytes spill to a
+#   content-addressed file ``data/dvs/dv-<sha256[:32]>.bin`` and only
+#   this reference rides the log. The name IS the checksum (verified
+#   on read); content addressing keeps canonicality — same rows, same
+#   payload, same path, same reference string. ``n_rows`` rides the
+#   reference so cardinality queries (row_count, DESCRIBE surfaces)
+#   never open the sidecar. Sidecars are immutable and vacuumed like
+#   data files once no retained snapshot references them.
+# - legacy bare base64 of little-endian int64s (pre-r10 commits) —
+#   still decoded, never produced; distinguished by having no ``:``
+#   (the base64 alphabet excludes it).
+_DV_RLE_PREFIX = "r1:"
+_DV_SIDECAR_PREFIX = "sc1:"
+_DV_SIDECAR_DIR = "dvs"
+_DV_INLINE_MAX = 2048  # max chars of encoded vector inline in the log
+
+
+def _dv_varints(vals) -> bytes:
+    """LEB128-encode a non-negative int64 numpy array, vectorized —
+    per-value bytes stay contiguous via the row-major mask gather."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    cols = []
+    w = v.copy()
+    while True:
+        b = (w & np.uint64(0x7F)).astype(np.uint8)
+        w >>= np.uint64(7)
+        more = w != 0
+        cols.append(b | (more.astype(np.uint8) << 7))
+        if not more.any():
+            break
+    mat = np.stack(cols, axis=1)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    w = v >> np.uint64(7)
+    while (w != 0).any():
+        nbytes += w != 0
+        w >>= np.uint64(7)
+    mask = np.arange(mat.shape[1]) < nbytes[:, None]
+    return mat[mask].tobytes()
+
+
+def _dv_unvarints(data: bytes):
+    """Decode a LEB128 stream to an int64 numpy array (vectorized:
+    terminator bytes mark group ends; reduceat sums the shifted
+    7-bit limbs per group)."""
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = (b & 0x80) == 0
+    starts = np.empty(b.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = ends[:-1]
+    group = np.cumsum(starts) - 1
+    first = np.flatnonzero(starts)
+    pos = np.arange(b.size) - first[group]
+    contrib = (b & np.uint64(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, first).astype(np.int64)
+
+
+def _dv_encode_runs(indices) -> tuple[bytes, int]:
+    """Row indices (any order, dups ok) → (canonical varint-RLE
+    payload, distinct count)."""
+    import numpy as np
+
+    if not isinstance(indices, (list, tuple, np.ndarray)):
+        indices = list(indices)
+    a = np.unique(np.asarray(indices, dtype=np.int64))
+    if a.size == 0:
+        return b"", 0
+    breaks = np.flatnonzero(np.diff(a) != 1)
+    starts = a[np.concatenate(([0], breaks + 1))]
+    ends = a[np.concatenate((breaks, [a.size - 1]))]
+    lens = ends - starts + 1
+    gaps = np.empty_like(starts)
+    gaps[0] = starts[0]
+    gaps[1:] = starts[1:] - (ends[:-1] + 1)
+    pairs = np.empty(2 * starts.size, dtype=np.int64)
+    pairs[0::2] = gaps
+    pairs[1::2] = lens - 1
+    return _dv_varints(pairs), int(a.size)
+
+
+def _dv_decode_runs(payload: bytes) -> list[int]:
+    """Inverse of ``_dv_encode_runs`` → sorted index list."""
+    import numpy as np
+
+    pairs = _dv_unvarints(payload)
+    if pairs.size == 0:
+        return []
+    gaps, lens = pairs[0::2], pairs[1::2] + 1
+    starts = np.cumsum(gaps + np.concatenate(([0], lens[:-1])))
+    total = int(lens.sum())
+    steps = np.ones(total, dtype=np.int64)
+    firsts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    steps[firsts] = starts - np.concatenate(([0], starts[:-1] + lens[:-1] - 1))
+    steps[0] = starts[0]
+    return np.cumsum(steps).tolist()
+
+
+def _dv_sidecar_read(ref: str, root: str | None) -> bytes:
+    """Resolve + checksum-verify an ``sc1:`` reference's payload."""
+    rel, _, _ = ref[len(_DV_SIDECAR_PREFIX):].rpartition(":")
+    full = rel if os.path.isabs(rel) else os.path.join(root or ".", rel)
+    with open(full, "rb") as f:
+        payload = f.read()
+    want = os.path.basename(rel)[3:-4]  # dv-<sha>.bin
+    got = hashlib.sha256(payload).hexdigest()[: len(want)]
+    if got != want:
+        raise ValueError(
+            f"deletion-vector sidecar {rel} is corrupt "
+            f"(checksum {got} != {want})"
+        )
+    return payload
+
+
 def _pack_dv(indices) -> str:
-    """Sorted row indices → base64 of packed little-endian int64s —
-    JSON-safe, order-canonical (two writers deleting the same rows
-    produce byte-identical vectors)."""
-    import array as _array
-
-    return base64.b64encode(
-        _array.array("q", sorted(set(int(i) for i in indices))).tobytes()
-    ).decode()
+    """Row indices → canonical inline ``r1:`` vector string (spilling
+    variants go through ``AcidTable._dv_entry``, which needs the
+    table root)."""
+    payload, _ = _dv_encode_runs(indices)
+    return _DV_RLE_PREFIX + base64.b64encode(payload).decode()
 
 
-def _unpack_dv(b64: str) -> list[int]:
+def _unpack_dv(val: str, root: str | None = None) -> list[int]:
+    """Vector string (any of the three formats) → sorted index list.
+    ``root`` resolves relative sidecar references (the table path)."""
+    if not val:
+        return []
+    if val.startswith(_DV_RLE_PREFIX):
+        return _dv_decode_runs(base64.b64decode(val[len(_DV_RLE_PREFIX):]))
+    if val.startswith(_DV_SIDECAR_PREFIX):
+        return _dv_decode_runs(_dv_sidecar_read(val, root))
     import array as _array
 
     a = _array.array("q")
-    a.frombytes(base64.b64decode(b64))
+    a.frombytes(base64.b64decode(val))
     return list(a)
+
+
+def _dv_count(val: str | None) -> int:
+    """Masked-row count of a vector string WITHOUT hydrating indices
+    (and without opening sidecars — the count rides the reference)."""
+    if not val:
+        return 0
+    if val.startswith(_DV_SIDECAR_PREFIX):
+        return int(val.rsplit(":", 1)[1])
+    if val.startswith(_DV_RLE_PREFIX):
+        pairs = _dv_unvarints(base64.b64decode(val[len(_DV_RLE_PREFIX):]))
+        return int((pairs[1::2] + 1).sum()) if pairs.size else 0
+    return len(base64.b64decode(val)) // 8
+
+
+def _dv_sidecar_rel(val: str | None) -> str | None:
+    """Table-relative sidecar path of a reference (None for inline /
+    legacy vectors and for absolute references into another table)."""
+    if not val or not val.startswith(_DV_SIDECAR_PREFIX):
+        return None
+    rel, _, _ = val[len(_DV_SIDECAR_PREFIX):].rpartition(":")
+    return None if os.path.isabs(rel) else rel
+
+
+def _dv_abs(val: str | None, root: str) -> str | None:
+    """Absolutize a relative sidecar reference (for shallow CLONE
+    commits and executor-shipped partitions, which resolve without a
+    table root)."""
+    if not val or not val.startswith(_DV_SIDECAR_PREFIX):
+        return val
+    rel, _, n = val[len(_DV_SIDECAR_PREFIX):].rpartition(":")
+    if os.path.isabs(rel):
+        return val
+    return f"{_DV_SIDECAR_PREFIX}{os.path.abspath(os.path.join(root, rel))}:{n}"
 
 
 def _commit_name(version: int) -> str:
@@ -513,7 +688,12 @@ class AcidTable:
 
     _PROTOCOL_KEY = "protocol"
     SUPPORTED_READER_FEATURES = frozenset(
-        {"columnMapping", "deletionVectors", "typeWidening"}
+        {
+            "columnMapping",
+            "deletionVectors",
+            "compressedDeletionVectors",
+            "typeWidening",
+        }
     )
     SUPPORTED_WRITER_FEATURES = frozenset(
         {
@@ -571,6 +751,16 @@ class AcidTable:
         needed_r, needed_w = set(), set()
         if dv and any(e.get("del") for e in dv):
             needed_r.add("deletionVectors")
+            # the varint-RLE / sidecar encodings are a separate reader
+            # capability: an engine build that only understands the
+            # legacy int64 packing must fail FAST, not misdecode
+            if any(
+                (e.get("del") or "").startswith(
+                    (_DV_RLE_PREFIX, _DV_SIDECAR_PREFIX)
+                )
+                for e in dv
+            ):
+                needed_r.add("compressedDeletionVectors")
         if post.get("colmap"):
             needed_r.add("columnMapping")
         for k in post:
@@ -613,7 +803,8 @@ class AcidTable:
         """{live file: sorted masked row indices} at a version
         (merge-on-read state; empty when fully materialized)."""
         return {
-            p: _unpack_dv(b) for p, b in self._resolve_state(as_of)[4].items()
+            p: _unpack_dv(b, self.path)
+            for p, b in self._resolve_state(as_of)[4].items()
         }
 
     def row_count(self, as_of: int | None = None) -> int:
@@ -633,7 +824,7 @@ class AcidTable:
 
                 total += pq.read_metadata(os.path.join(self.path, p)).num_rows
             if p in dvs:
-                total -= len(_unpack_dv(dvs[p]))
+                total -= _dv_count(dvs[p])
         return total
 
     def column_min_max(
@@ -1532,9 +1723,17 @@ class AcidTable:
         uses a single ``monotonically_increasing_id`` pass (unique,
         gap-tolerant), the new watermark is read from the STAGED
         files' own footer stats (so the committed watermark provably
-        covers every written id), and a lost commit race orphans the
-        staging (vacuum-swept) and restages against the winner's
-        watermark."""
+        covers every written id), and a lost commit race REBASES the
+        staged files instead of re-running the data job: when no
+        winner advanced our identity watermark the staged files commit
+        unchanged at the new version; when one did (a concurrent
+        identity append), only the id columns are re-stamped by a
+        constant shift — one read-shift-rewrite of the already-
+        materialized batch, never a re-execution of the (arbitrarily
+        expensive) upstream plan. Row-tracking ids already rebase for
+        free because they are manifest-only (#base_row_id, re-stamped
+        centrally in _try_commit); this extends the same economy to
+        the one id that lives IN the data files."""
         for c in identity:
             if c in df.columns:
                 raise ValueError(
@@ -1544,27 +1743,64 @@ class AcidTable:
         self._enforce_constraints(df)
         colmap = self._colmap()
         phys_part = self._phys_partition_by(partition_by, colmap)
+        phys_of = {c: self._phys_names([c], colmap)[0] for c in identity}
+        staged: tuple[list[dict], str, dict[str, int]] | None = None
         for _ in range(max_retries):
             base = self.latest_version()
             props = self.properties(base)
             if txn is not None:
                 last = self.last_txn_batch(txn[0], as_of=base)
                 if last is not None and txn[1] <= last:
-                    return base
-            out = df.withColumn("__mono", F.monotonically_increasing_id())
-            for c in identity:
-                nxt = props[self._IDENTITY_PREFIX + c]["next"]
-                out = out.withColumn(
-                    c, (F.lit(int(nxt)) + F.col("__mono")).cast("long")
-                )
-            out = out.drop("__mono")
-            add, schema = self._stage_actions(
-                self._physicalize(out, colmap), partition_by=phys_part
-            )
-            new_props = dict(props)
-            phys_of = {
-                c: self._phys_names([c], colmap)[0] for c in identity
+                    return base  # orphaned staging is vacuum-swept
+            nxt = {
+                c: int(props[self._IDENTITY_PREFIX + c]["next"])
+                for c in identity
             }
+            if staged is None:
+                out = df.withColumn(
+                    "__mono", F.monotonically_increasing_id()
+                )
+                for c in identity:
+                    out = out.withColumn(
+                        c, (F.lit(nxt[c]) + F.col("__mono")).cast("long")
+                    )
+                out = out.drop("__mono")
+                add, schema = self._stage_actions(
+                    self._physicalize(out, colmap), partition_by=phys_part
+                )
+                staged = (add, schema, nxt)
+            elif any(nxt[c] < staged[2][c] for c in identity):
+                # the watermark moved BACKWARDS past our stamp (a
+                # restore of an older snapshot raced us): the constant
+                # shift is unsound against a rewound id space — fall
+                # back to a full re-stage against the fresh state
+                staged = None
+                continue
+            elif any(nxt[c] > staged[2][c] for c in identity):
+                # a winner minted ids past ours: re-stamp ONLY the id
+                # columns of the staged files (constant shift keeps
+                # uniqueness and the gap-tolerant contract)
+                prev_add, schema, prev_nxt = staged
+                out = self.spark.read.parquet(
+                    *[
+                        os.path.join(self.path, a["path"])
+                        for a in prev_add
+                    ]
+                )
+                for c in identity:
+                    shift = nxt[c] - prev_nxt[c]
+                    if shift:
+                        out = out.withColumn(
+                            phys_of[c],
+                            (F.col(phys_of[c]) + F.lit(shift)).cast("long"),
+                        )
+                add, schema = self._stage_actions(
+                    out, partition_by=phys_part
+                )
+                staged = (add, schema, nxt)
+            else:
+                add, schema, _ = staged  # watermark untouched: reuse
+            new_props = dict(props)
             for c in identity:
                 top = None
                 for a in add:
@@ -1590,7 +1826,7 @@ class AcidTable:
                     props=new_props,
                 )
             except CommitConflict:
-                continue  # staged files orphan; vacuum sweeps them
+                continue  # rebase the STAGED files on the next pass
             if (
                 self.auto_compact_files
                 and len(self._resolve(v)[0]) > self.auto_compact_files
@@ -2261,6 +2497,30 @@ class AcidTable:
             df = df.drop(self._ROW_ID_COL)
         return df
 
+    def _dv_entry(self, rel: str, indices) -> dict:
+        """Build one commit ``dv`` action for ``rel``, spilling the
+        vector to a content-addressed sidecar under ``data/dvs/`` when
+        the inline encoding outgrows ``_DV_INLINE_MAX`` (the Delta
+        DV-descriptor shape): a 10M-row merge-on-read delete commits a
+        <100-byte reference instead of ~100 MB of JSON payload, and
+        checkpoints / log resolution never carry the bitmap bytes."""
+        payload, n = _dv_encode_runs(indices)
+        inline = _DV_RLE_PREFIX + base64.b64encode(payload).decode()
+        if len(inline) <= _DV_INLINE_MAX:
+            return {"path": rel, "del": inline, "n": n}
+        name = f"dv-{hashlib.sha256(payload).hexdigest()[:32]}.bin"
+        rel_sc = os.path.join(_DATA, _DV_SIDECAR_DIR, name)
+        full = os.path.join(self.path, rel_sc)
+        if not os.path.isfile(full):  # content-addressed: write once
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            tmp = f"{full}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, full)
+        return {"path": rel, "del": f"{_DV_SIDECAR_PREFIX}{rel_sc}:{n}", "n": n}
+
     def _apply_dvs(
         self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
     ) -> DataFrame:
@@ -2289,14 +2549,21 @@ class AcidTable:
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        rows = []
+        import pandas as pd
+
+        frames = []
         for p in rel_paths:
             if p in dvs:
-                fp = "file:" + os.path.abspath(os.path.join(self.path, p))
-                rows.extend((fp, int(i)) for i in _unpack_dv(dvs[p]))
-        if not rows:
+                idx = _unpack_dv(dvs[p], self.path)
+                if idx:
+                    fp = "file:" + os.path.abspath(os.path.join(self.path, p))
+                    frames.append(pd.DataFrame({"__fp": fp, "__ri": idx}))
+        if not frames:
             return out
-        tomb = self.spark.createDataFrame(rows, "__fp string, __ri long")
+        tomb = self.spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            "__fp string, __ri long",
+        )
         return out.join(F.broadcast(tomb), ["__fp", "__ri"], "left_anti")
 
     def _pruned_live(
@@ -2430,10 +2697,8 @@ class AcidTable:
                 entries = []
                 for rel, idx in sorted(by_file.items()):
                     if rel in dvs:
-                        idx = idx + _unpack_dv(dvs[rel])
-                    entries.append(
-                        {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
-                    )
+                        idx = idx + _unpack_dv(dvs[rel], self.path)
+                    entries.append(self._dv_entry(rel, idx))
                 v = self._commit_or_rebase(
                     base, "delete", [], [], schema_json,
                     dv=entries, read_filters=filters,
@@ -2559,10 +2824,8 @@ class AcidTable:
                 entries = []
                 for rel, idx in sorted(by_file.items()):
                     if rel in dvs:
-                        idx = idx + _unpack_dv(dvs[rel])
-                    entries.append(
-                        {"path": rel, "del": _pack_dv(idx), "n": len(set(idx))}
-                    )
+                        idx = idx + _unpack_dv(dvs[rel], self.path)
+                    entries.append(self._dv_entry(rel, idx))
                 self._enforce_constraints(updated_rows)
                 self._check_generated(updated_rows)
                 add, schema = self._stage_actions(
@@ -2736,7 +2999,7 @@ class AcidTable:
             {
                 "path": p,
                 "del": target_dvs.get(p, ""),
-                "n": len(_unpack_dv(target_dvs[p])) if p in target_dvs else 0,
+                "n": _dv_count(target_dvs.get(p)),
             }
             for p in sorted(target_live)
         ]
@@ -3147,7 +3410,7 @@ class AcidTable:
                     p,
                     n[0] if n else None,
                     size,
-                    len(_unpack_dv(dvs[p])) if p in dvs else 0,
+                    _dv_count(dvs.get(p)),
                     json.dumps(stats),
                 )
             )
@@ -3215,7 +3478,7 @@ class AcidTable:
                 row[2] += os.path.getsize(os.path.join(self.path, p))
             except OSError:
                 pass
-            row[3] += len(_unpack_dv(dvs[p])) if p in dvs else 0
+            row[3] += _dv_count(dvs.get(p))
         rows = [
             (
                 json.dumps(dict(zip([str(s) for s in spec], key))),
@@ -3412,7 +3675,7 @@ class AcidTable:
             schema,
             props=props,
             dv=[
-                {"path": p, "del": dvs[p], "n": len(_unpack_dv(dvs[p]))}
+                {"path": p, "del": dvs[p], "n": _dv_count(dvs[p])}
                 for p in sorted(dvs)
             ],
         )
@@ -3505,7 +3768,7 @@ class AcidTable:
             if new != old:
                 dv_entries.append(
                     {"path": p, "del": new,
-                     "n": len(_unpack_dv(new)) if new else 0}
+                     "n": _dv_count(new)}
                 )
         cur = self.latest_version()
         if cur != base:
@@ -3635,7 +3898,7 @@ class AcidTable:
             {
                 "path": p,
                 "del": target_dvs.get(p, ""),
-                "n": len(_unpack_dv(target_dvs[p])) if p in target_dvs else 0,
+                "n": _dv_count(target_dvs.get(p)),
             }
             for p in sorted(target_live)
             if target_dvs.get(p, "") != (dvs_b.get(p, "") if p in live_b else "")
@@ -4597,8 +4860,10 @@ class AcidTable:
         dv_entries = [
             {
                 "path": os.path.abspath(os.path.join(self.path, p)),
-                "del": dvs[p],
-                "n": len(_unpack_dv(dvs[p])),
+                # sidecar references absolutize like the data paths —
+                # the clone resolves them without the source's root
+                "del": _dv_abs(dvs[p], self.path),
+                "n": _dv_count(dvs[p]),
             }
             for p in sorted(dvs)
         ]
@@ -4773,16 +5038,26 @@ class AcidTable:
                 if c.ts >= cutoff:
                     th = min(th, c.version)
             horizon = min(horizon, th)
-        # files referenced by ANY retained snapshot version
+        # files (and DV sidecars) referenced by ANY retained snapshot
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in range(horizon, latest + 1):
-            live, _ = self._resolve(v)
-            referenced |= set(live)
+            state = self._resolve_state(v)
+            referenced |= set(state[0])
+            for val in state[4].values():
+                rel_sc = _dv_sidecar_rel(val)
+                if rel_sc:
+                    referenced_dv.add(rel_sc)
         # every path the log has EVER committed (added then removed ⇒
         # provably superseded; absence ⇒ possibly in-flight)
         ever_committed: set[str] = set()
+        ever_dv: set[str] = set()
         for c in self.history():
             ever_committed |= {a["path"] for a in c.add}
+            for e in c.dv or ():
+                rel_sc = _dv_sidecar_rel(e.get("del"))
+                if rel_sc:
+                    ever_dv.add(rel_sc)
         now = time.time()
         deleted = []
         # adopted files (CONVERT references them at the table root,
@@ -4806,6 +5081,41 @@ class AcidTable:
             sdir = os.path.join(data_root, stage)
             for n in sorted(os.listdir(sdir)):
                 rel = os.path.join(_DATA, stage, n)
+                if n.endswith(".bin"):
+                    # DV sidecars reclaim exactly like data files:
+                    # referenced by a retained snapshot → keep;
+                    # superseded (committed, no longer referenced) →
+                    # delete; never committed → age-gated (possibly a
+                    # writer staging ahead of its commit). A crashed
+                    # writer's ``.tmp-`` leftovers fall in the last
+                    # bucket via the same gate below.
+                    if rel in referenced_dv:
+                        continue
+                    if rel not in ever_dv:
+                        try:
+                            age = now - os.path.getmtime(
+                                os.path.join(self.path, rel)
+                            )
+                        except OSError:
+                            continue
+                        if age < grace_seconds:
+                            continue
+                    if not dry_run:
+                        os.remove(os.path.join(self.path, rel))
+                    deleted.append(rel)
+                    continue
+                if ".tmp-" in n:  # crashed sidecar staging
+                    try:
+                        age = now - os.path.getmtime(
+                            os.path.join(self.path, rel)
+                        )
+                    except OSError:
+                        continue
+                    if age >= grace_seconds:
+                        if not dry_run:
+                            os.remove(os.path.join(self.path, rel))
+                        deleted.append(rel)
+                    continue
                 if not n.endswith(".parquet") or rel in referenced:
                     continue
                 if rel not in ever_committed:

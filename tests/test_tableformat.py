@@ -1676,10 +1676,14 @@ def test_protocol_feature_flags(spark, tmp_path):
     assert t.protocol() == {"reader_features": [], "writer_features": []}
 
     t.delete([("k", "=", 1)], mode="merge_on_read")
-    assert t.protocol()["reader_features"] == ["deletionVectors"]
+    assert t.protocol()["reader_features"] == [
+        "compressedDeletionVectors",
+        "deletionVectors",
+    ]
     t.rename_column("v", "val")
     assert t.protocol()["reader_features"] == [
         "columnMapping",
+        "compressedDeletionVectors",
         "deletionVectors",
     ]
     t.set_check_constraint("pos", "val >= 0")
