@@ -423,7 +423,18 @@ def _table(options):
             "or .option('catalog', root).option('table', name)"
         )
     # planner-only handle: no SparkSession needed for log resolution
-    return AcidTable(None, _local_path(path))
+    t = AcidTable(None, _local_path(path))
+    branch = options.get("branch")
+    if branch:
+        # audit flows read a WAP branch's commit log directly —
+        # snapshot, incremental tail, and readChangeFeed all resolve
+        # against the branch (which SHARES the table's data dir, so
+        # partition paths need no translation); main-table streams
+        # never see branch commits until publish_branch folds them
+        # back as ONE atomic commit. A shallow CLONE needs no option:
+        # it has its own log at its own path.
+        t = t.branch(branch)
+    return t
 
 
 def _as_of_version(t, options) -> int | None:
@@ -1250,6 +1261,16 @@ class _AcidStreamWriter(DataSourceStreamArrowWriter):
         if not self._path:
             raise ValueError(
                 "acidtable stream writer requires .option('path', ...)"
+            )
+        if options.get("branch"):
+            # txn watermarks do NOT carry across publish_branch (the
+            # create_branch contract): a stream writing to a branch
+            # would lose its exactly-once dedup on publish — stream
+            # into main, audit with batch writes on the branch
+            raise ValueError(
+                "acidtable stream writer does not support "
+                ".option('branch', ...) — txn watermarks do not carry "
+                "through publish_branch; stream into the main table"
             )
         self._schema_json, self._rev = _writer_physical(options, schema)
         self._identity, self._schema_json = _writer_identity(

@@ -201,3 +201,60 @@ def test_identity_threaded_appends_stay_unique_and_gapless_watermark(
     assert len(ids) == len(set(ids))
     nxt = t.properties()["identity.id"]["next"]
     assert nxt > max(ids)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_identity_fuzz_races_keep_ids_unique(spark, tmp_path, seed):
+    """Randomized identity-append race sequences (the fuzzer
+    extension from the r9 verdict): each append races an injected
+    winner drawn from {identity append, compact, restore, none};
+    after every step ids are globally unique, rows all present (or
+    provably restored away), and the watermark strictly covers the
+    max live id. Deterministic seed — hypothesis is overkill here
+    because the state space is the race TYPE, not the data."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    t = _identity_table(spark, path, start=0)
+    w = AcidTable(spark, path)
+    expected = {"seed1", "seed2"}
+    restorable = [t.latest_version()]
+    tag = 0
+    for step in range(8):
+        race = rng.choice(["id_append", "compact", "restore", "none"])
+        tag += 1
+        batch = [f"b{tag}_{i}" for i in range(rng.randint(1, 4))]
+        if race == "id_append":
+            wtag = f"w{tag}"
+            wrows = [(f"{wtag}_{i}",) for i in range(2)]
+            _inject_winner_once(
+                t,
+                lambda rows=wrows: w.append(
+                    spark.createDataFrame(rows, "s string").coalesce(1)
+                ),
+            )
+            expected.update(s for s, in wrows)
+        elif race == "compact":
+            _inject_winner_once(t, lambda: w.compact(n_files=1))
+        elif race == "restore":
+            target = rng.choice(restorable)
+            snap_rows = {
+                r["s"] for r in t.snapshot(as_of=target).collect()
+            }
+            _inject_winner_once(t, lambda v=target: w.restore(v))
+            expected = snap_rows
+        t.append(
+            spark.createDataFrame([(s,) for s in batch], "s string")
+            .coalesce(1),
+            max_retries=20,
+        )
+        expected.update(batch)
+        rows = t.snapshot().collect()
+        got = {r["s"] for r in rows}
+        assert got == expected, (step, race)
+        ids = [r["id"] for r in rows]
+        assert len(ids) == len(set(ids)), (step, race)  # never doubled
+        nxt = t.properties()["identity.id"]["next"]
+        assert nxt > max(ids), (step, race)  # watermark monotone cover
+        restorable.append(t.latest_version())

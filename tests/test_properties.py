@@ -1350,3 +1350,178 @@ def test_acid_model_with_interleaved_second_writer(
         assert (got_ins, got_del) == (exp_ins, exp_del), (
             f"CDF v{pv}->v{cv}"
         )
+
+
+@settings(
+    max_examples=int(__import__("os").environ.get("ACID_FUZZ_EXAMPLES", "15")),
+    deadline=None,
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["merge", "update", "delete_cow", "delete_mor",
+                 "replace_where"]
+            ),
+            st.integers(min_value=0, max_value=240),
+            # data winner, injected before the loser's FIRST commit
+            st.sampled_from(["append", "delete_high"]),
+            # second writer, injected before the loser's SECOND
+            # attempt — i.e. exactly while the loser is rebasing, so
+            # the loser must rebase onto a state that itself moved
+            # (rebase-onto-a-rebased-winner chains), with maintenance
+            # verbs (compact / cluster / vacuum) in the mix
+            st.sampled_from(["compact", "cluster", "vacuum", "append2"]),
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_acid_model_with_three_interleaved_writers(
+    spark, tmp_path_factory, steps
+):
+    """Three-writer model fuzzer: every loser operation races a data
+    winner at its first commit attempt AND a maintenance/second-data
+    writer at its second attempt (mid-rebase). Winner key ranges are
+    reserved (>=300 appends, >=250 deletes) so all operations COMMUTE
+    with the loser's (<241) — whatever mix of rebases and re-plans the
+    conflict layer picks, the final state must equal applying all
+    three writers to the model, no write lost or doubled, and the
+    change feed between recorded versions must equal the model diff.
+    This is where rebase-chain bugs live (the two-writer fuzzer found
+    the set_clustering retry race; three-way interleavings exercise
+    rebasing onto a winner that was itself rebased)."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    path = str(tmp_path_factory.mktemp("model3w") / "t")
+    t = AcidTable(spark, path)
+    w1 = AcidTable(spark, path)
+    w2 = AcidTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(0, 100, 7)], "k int, v int"
+        )
+    )
+    t.set_clustering(["k"])
+    model = {k: k * 10 for k in range(0, 100, 7)}
+    history = {t.latest_version(): dict(model)}
+    fresh = iter(range(300, 10_000))
+
+    def snap(as_of=None):
+        return {r.k: r.v for r in t.snapshot(as_of).collect()}
+
+    def inject_two(fn1, fn2):
+        """fn1 fires before the loser's 1st commit attempt, fn2
+        before its 2nd (mid-rebase). Returns per-slot fired flags."""
+        real = AcidTable._try_commit
+        state = {"n": 0}
+
+        def patched(self_, version, *a, **k):
+            state["n"] += 1
+            if state["n"] == 1:
+                fn1()
+            elif state["n"] == 2:
+                fn2()
+            return real(self_, version, *a, **k)
+
+        t._try_commit = patched.__get__(t, AcidTable)
+        return state
+
+    for op, arg, race1, race2 in steps:
+        # -- arm the two winners -------------------------------------
+        ks1 = [next(fresh) for _ in range(2)]
+        if race1 == "append":
+            w1_fn = lambda ks=ks1: w1.append(  # noqa: E731
+                spark.createDataFrame([(k, k) for k in ks], "k int, v int")
+            )
+            w1_model = lambda m, ks=ks1: {**m, **{k: k for k in ks}}  # noqa: E731
+        else:  # delete_high
+            w1_fn = lambda: w1.delete([("k", ">=", 250)])  # noqa: E731
+            w1_model = lambda m: {k: v for k, v in m.items() if k < 250}  # noqa: E731
+
+        ks2 = [next(fresh) for _ in range(2)]
+        if race2 == "append2":
+            w2_fn = lambda ks=ks2: w2.append(  # noqa: E731
+                spark.createDataFrame([(k, k + 1) for k in ks], "k int, v int")
+            )
+            w2_model = lambda m, ks=ks2: {**m, **{k: k + 1 for k in ks}}  # noqa: E731
+        elif race2 == "compact":
+            w2_fn = lambda: w2.compact(n_files=2)  # noqa: E731
+            w2_model = lambda m: m  # noqa: E731
+        elif race2 == "cluster":
+            w2_fn = lambda: w2.optimize_cluster(n_files=2)  # noqa: E731
+            w2_model = lambda m: m  # noqa: E731
+        else:  # vacuum: retention far beyond this run's history so
+            # time travel keeps working; exercises GC racing a commit
+            w2_fn = lambda: w2.vacuum(retain_versions=100)  # noqa: E731
+            w2_model = lambda m: m  # noqa: E731
+
+        state = inject_two(w1_fn, w2_fn)
+
+        # -- the loser's operation -----------------------------------
+        v0 = t.latest_version()
+        if op == "merge":
+            keys = [arg, (arg + 13) % 241]
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 10 + 1) for k in keys], "k int, v int"
+                ),
+                ["k"],
+                max_retries=20,
+            )
+            model.update({k: k * 10 + 1 for k in keys})
+        elif op == "update":
+            t.update({"v": "v + 5"}, [("k", ">=", arg), ("k", "<", 241)])
+            model = {
+                k: (v + 5 if arg <= k < 241 else v)
+                for k, v in model.items()
+            }
+        elif op in ("delete_cow", "delete_mor"):
+            mode = "merge_on_read" if op == "delete_mor" else "copy_on_write"
+            t.delete([("k", "<", arg)], mode=mode)
+            model = {k: v for k, v in model.items() if not k < arg}
+        else:  # replace_where
+            lo, hi = arg, min(arg + 20, 241)
+            rows = [(k, k * 100) for k in range(lo, hi, 5)]
+            t.overwrite_where(
+                spark.createDataFrame(rows, "k int, v int"),
+                [("k", ">=", lo), ("k", "<", hi)],
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+            model.update({k: v for k, v in rows})
+        t._try_commit = AcidTable._try_commit.__get__(t, AcidTable)
+        # winners that never got their injection slot (the loser op
+        # was a no-op, or won on its first retry) still land, so the
+        # race happened from the model's point of view
+        if state["n"] < 1:
+            w1_fn()
+        if state["n"] < 2:
+            w2_fn()
+        model = w2_model(w1_model(model))
+        del v0
+        history[t.latest_version()] = dict(model)
+        assert snap() == model, (op, arg, race1, race2)
+
+    for v, state_ in history.items():
+        assert snap(as_of=v) == state_, f"time travel to v{v}"
+
+    # the change feed between recorded versions equals the model diff
+    recorded = sorted(history)
+    for pv, cv in zip(recorded, recorded[1:]):
+        before, after = history[pv], history[cv]
+        exp_ins = sorted(
+            (k, v) for k, v in after.items() if before.get(k) != v
+        )
+        exp_del = sorted(
+            (k, v) for k, v in before.items() if after.get(k) != v
+        )
+        feed = t.changes(pv, until_version=cv).collect()
+        got_ins = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "insert"
+        )
+        got_del = sorted(
+            (r.k, r.v) for r in feed if r._change_type == "delete"
+        )
+        assert (got_ins, got_del) == (exp_ins, exp_del), (
+            f"CDF v{pv}->v{cv}"
+        )

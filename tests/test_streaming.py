@@ -2035,3 +2035,127 @@ def test_streaming_curated_merge_into_liquid_clustered_table(spark, tmp_path):
     )
     q.awaitTermination(240)
     assert table2.latest_version() == v
+
+
+def test_stream_cdf_over_wap_branch_and_atomic_publish(spark, tmp_path):
+    """Stream-side CDF for write-audit-publish flows (r9 verdict item
+    6): ``.option('branch', name)`` points the acidtable source at a
+    WAP branch's commit log — the audit consumer tails the branch's
+    row-level changes as they land — while a checkpointed CDF stream
+    on MAIN sees nothing until ``publish_branch`` folds the branch
+    back, and then sees the branch's NET effect as ONE atomic commit
+    version."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    br = t.create_branch("audit")
+    br.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    br.merge(spark.createDataFrame([(1, "A")], "k long, v string"), ["k"])
+
+    def drain(sub, **opts):
+        out = str(tmp_path / f"{sub}_out")
+        q = (
+            read_table_stream(spark, p, readChangeFeed="true", **opts)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"{sub}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return sorted(
+                (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []  # no output written yet
+
+    # the branch stream tails the AUDIT log (startingVersion=1 skips
+    # the branch-seed snapshot commit): append + merge's net update
+    got_branch = drain("br", branch="audit", startingVersion="1")
+    assert [(k, v, c) for k, v, c, _ in got_branch] == sorted(
+        [(1, "a", "delete"), (1, "A", "insert"), (4, "d", "insert")]
+    )
+    # main sees ONLY its own append so far — branch commits invisible
+    got_main = drain("main")
+    assert [(k, v, c) for k, v, c, _ in got_main] == [
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    ]
+    v_pub = t.publish_branch("audit")
+    # the checkpointed main stream resumes and sees the publish as ONE
+    # commit carrying the branch's net diff
+    got_pub = drain("main")
+    new = [r for r in got_pub if r not in got_main]
+    assert [(k, v, c) for k, v, c, _ in new] == sorted(
+        [(1, "a", "delete"), (1, "A", "insert"), (4, "d", "insert")]
+    )
+    assert {ver for _, _, _, ver in new} == {v_pub}  # atomic: one version
+
+
+def test_stream_cdf_over_shallow_clone(spark, tmp_path):
+    """A shallow clone is its own table (own log, absolute references
+    into the source): the CDF stream over the CLONE's path replays
+    the clone-seed snapshot as inserts at v0 and then tails the
+    clone's OWN commits — never the source's."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    clone = src.clone_to(str(tmp_path / "cl"))
+    clone.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    src.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_table_stream(
+            spark, str(tmp_path / "cl"), readChangeFeed="true"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # the source's (9, z) append is NOT in the clone's feed
+    assert got == [
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+        (3, "c", "insert"),
+    ]
+
+
+def test_stream_writer_rejects_branch_option(spark, tmp_path):
+    """txn watermarks do not carry through publish_branch, so a
+    branch-targeted stream write would lose exactly-once on publish —
+    rejected with a named error."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.create_branch("audit")
+    src = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(Exception, match="branch"):
+        q = (
+            src.selectExpr("value as k")
+            .writeStream.format("acidtable")
+            .option("path", p)
+            .option("branch", "audit")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
