@@ -19,6 +19,14 @@ local[32] JVM a 0.3 s-median query routinely doubles on scheduler
 jitter, which is noise, while a genuine regression in a query that
 matters moves the needle by half a second or more.
 
+A/B adjudication (round 10): ``--ab-baseline <commit>`` (or
+``$SPARK_GRAFT_AB_BASELINE``) re-runs any SURVIVING regression flags
+at the named commit in a throwaway git worktree on the same host —
+if the old code is equally slow right now, the flag is host drift,
+not a code regression; the per-flag verdicts ride the JSON line
+(``ab_baseline``) and stderr. This replaces the manual
+round-start-commit worktree ritual three rounds performed by hand.
+
 Measurement hygiene (round 6): each query runs ``$SPARK_GRAFT_BENCH_RUNS``
 times (default 2) and the MINIMUM is recorded. Three separate rounds
 had their official numbers poisoned by transient host contention —
@@ -102,10 +110,106 @@ def _check_and_update_lock(
     return regressions
 
 
+def _ab_baseline_run(
+    commit: str, flagged: list[str]
+) -> dict[str, float] | None:
+    """Re-run the flagged queries at a BASELINE commit on this same
+    host, in a throwaway git worktree (fresh process, own JVM): if
+    the old code is equally slow under current host conditions, the
+    flag is host drift, not a code regression. This automates the
+    manual round-start-commit A/B ritual that three separate rounds
+    performed by hand. Returns {query: baseline_seconds} (queries the
+    baseline doesn't know are dropped), or None when the A/B itself
+    failed (reported, never fatal)."""
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        try:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, commit],
+                check=True, capture_output=True, text=True,
+            )
+        except subprocess.CalledProcessError as e:
+            print(f"# ab-baseline: worktree add failed: {e.stderr.strip()}",
+                  file=sys.stderr)
+            return None
+        names = list(flagged)
+        for _ in range(2):  # one retry to drop queries newer than baseline
+            if not names:
+                return {}
+            env = dict(os.environ)
+            env["SPARK_GRAFT_QUERIES"] = ",".join(names)
+            env.pop("SPARK_GRAFT_AB_BASELINE", None)  # no recursion
+            proc = subprocess.run(
+                [sys.executable, os.path.join(wt, "bench.py")],
+                cwd=wt, env=env, capture_output=True, text=True, timeout=3600,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                try:
+                    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                except ValueError:
+                    print("# ab-baseline: unparseable baseline output",
+                          file=sys.stderr)
+                    return None
+                return {
+                    k: v for k, v in payload.get("queries", {}).items()
+                    if v > 0
+                }
+            m = re.search(r"unknown queries \[(.*?)\]", proc.stderr)
+            if not m:
+                tail = proc.stderr.strip().splitlines()[-3:]
+                print(f"# ab-baseline: baseline run failed: {tail}",
+                      file=sys.stderr)
+                return None
+            unknown = set(re.findall(r"'([^']+)'", m.group(1)))
+            names = [n for n in names if n not in unknown]
+        return None
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
+def _ab_verdicts(
+    regressions: dict[str, list], base: dict[str, float]
+) -> dict[str, str]:
+    """Per-flag adjudication: baseline equally over its locked median
+    → host drift; current much slower than baseline under identical
+    conditions → code regression."""
+    out = {}
+    for name, (cur, med) in regressions.items():
+        bt = base.get(name)
+        if bt is None:
+            out[name] = "no-baseline-data (query newer than baseline?)"
+        elif bt > REGRESS_FACTOR * med and bt - med > NOISE_FLOOR_S:
+            out[name] = f"host-drift (baseline {bt}s also over median {med}s)"
+        elif cur > 1.3 * bt:
+            out[name] = f"code-regression (baseline {bt}s vs current {cur}s)"
+        else:
+            out[name] = f"inconclusive (baseline {bt}s, current {cur}s)"
+    return out
+
+
 def main() -> None:
     # Claim the real stdout before anything (incl. the JVM) can write to it.
     real_stdout = os.dup(1)
     os.dup2(2, 1)
+
+    ab_commit = os.environ.get("SPARK_GRAFT_AB_BASELINE")
+    argv = sys.argv[1:]
+    if "--ab-baseline" in argv:
+        i = argv.index("--ab-baseline")
+        if i + 1 >= len(argv):
+            print("error: --ab-baseline requires a commit", file=sys.stderr)
+            sys.exit(2)
+        ab_commit = argv[i + 1]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -211,6 +315,17 @@ def main() -> None:
     for name, (cur, med) in regressions.items():
         print(f"# REGRESSION {name}: {cur}s vs locked median {med}s", file=sys.stderr)
 
+    # --ab-baseline <commit> (or $SPARK_GRAFT_AB_BASELINE): surviving
+    # flags self-adjudicate against the named commit on this host
+    ab_info = None
+    if ab_commit and regressions:
+        base = _ab_baseline_run(ab_commit, list(regressions))
+        if base is not None:
+            verdicts = _ab_verdicts(regressions, base)
+            for name, v in verdicts.items():
+                print(f"# AB {name}: {v}", file=sys.stderr)
+            ab_info = {"commit": ab_commit, "verdicts": verdicts}
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     rest = round(sum(v for k, v in timings.items() if k not in slowest and v > 0), 2)
     line = json.dumps(
@@ -224,6 +339,7 @@ def main() -> None:
             "n_failed": sum(1 for v in timings.values() if v < 0),
             "n_regressed": len(regressions),
             "regressions": dict(list(regressions.items())[:5]),
+            **({"ab_baseline": ab_info} if ab_info else {}),
             "sf": sf,
         },
         separators=(",", ":"),

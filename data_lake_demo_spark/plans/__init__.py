@@ -26,6 +26,9 @@ ALL_MODULES = [llm, events, relational]
 # (portable-family siblings) or by a same-operator in-window row;
 # they lead the r11 rotation.
 WINDOW = [
+    # -- never driver-checked (new in r10) --------------------------------
+    "orders_mor_delete_dv",  # merge-on-read DELETE through the NEW
+    # compressed/sidecar deletion-vector codec, under a value hash
     # -- r6 rows (stalest driver rows in the registry) --------------------
     "bloom_semi_join_orders",
     "doc_quality_model_scores",
@@ -59,7 +62,6 @@ WINDOW = [
     "doc_paragraph_dedup",
     "doc_pmi_collocations",
     "doc_rag_pipeline",
-    "doc_retrieval_join",
     "doc_shard_assign_snake",
     "doc_simhash_buckets_portable",
     "doc_source_quality_eb",
@@ -86,7 +88,8 @@ WINDOW = [
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Deferred to r11 (r7-green, each pinned by an in-window sibling this
-# round): doc_bpe_vocab_tokens (rows-only; token-count twin r8),
+# round): doc_retrieval_join (composed inside the in-window
+# doc_rag_pipeline), doc_bpe_vocab_tokens (rows-only; token-count twin r8),
 # doc_compression_signals (rows-only; portable twin r9),
 # doc_quality_model_scores_frozen (live-twin in window), emb_ivf_ann_
 # portable / emb_pq_ann_portable / emb_ivfpq_ann_portable /

@@ -2121,6 +2121,65 @@ FROM allrows GROUP BY coalesce(status, '~') ORDER BY status
 """
 
 
+def orders_mor_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via compressed deletion vectors end-to-end
+    (new in r10): orders load into a temp AcidTable; a first MOR
+    delete masks every odd key — the maximally RLE-fragmented pattern,
+    which above the 2 KB inline threshold spills the vector to a
+    content-addressed sidecar (data/dvs, the Delta DV-descriptor
+    shape) — and a second MOR delete on a key range MERGES into the
+    existing per-file vectors. No data file is rewritten; the snapshot
+    read masks rows through the broadcast (file, row-index) anti-join,
+    and the surviving per-status quantized aggregate value-hashes
+    against SQL applying both predicates directly. Certifies
+    tableformat._dv_entry / the r1:/sc1: codec under the driver hash.
+    Semantics follow Delta deletion vectors / Iceberg v2 positional
+    deletes (the reference's lake has no row-level delete story)."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="mor_dv_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_orderkey") % 2).alias("r"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        t.delete([("r", "=", 1)], mode="merge_on_read")
+        t.delete([("k", "<", 1000)], mode="merge_on_read")
+        out = (
+            t.snapshot()
+            .groupBy("status")
+            .agg(
+                qsum(F.col("total"), "total_sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "status string, total_sum double, n long"
+    )
+
+
+ORDERS_MOR_DELETE_DV_SQL = f"""
+SELECT o_orderstatus AS status,
+       {_sql_qsum('o_totalprice', 'total_sum')}, count(*) AS n
+FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey >= 1000
+GROUP BY o_orderstatus ORDER BY status
+"""
+
+
 def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``replaceWhere`` as the nightly-backfill verb (new in r8): a
     temp AcidTable partitioned by priority prefix gets ONE partition
@@ -2470,6 +2529,7 @@ QUERIES = {
     # and rows-only approx_stats — all unchanged since their green row.
     "orders_merge_update_columns": orders_merge_update_columns,
     "orders_merge_insert_columns": orders_merge_insert_columns,
+    "orders_mor_delete_dv": orders_mor_delete_dv,
     "orders_replace_where_backfill": orders_replace_where_backfill,
     # registered OUTSIDE the 50-slot driver window this round (the
     # window carries the 48 stale rows per the r7 verdict); in-suite
@@ -2540,6 +2600,7 @@ QUERIES = {
 ORACLE = {
     "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
     "orders_merge_insert_columns": ORDERS_MERGE_INSERT_SQL,
+    "orders_mor_delete_dv": ORDERS_MOR_DELETE_DV_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
