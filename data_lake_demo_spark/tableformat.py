@@ -277,6 +277,33 @@ def _dv_count(val: str | None) -> int:
     return len(base64.b64decode(val)) // 8
 
 
+def _dv_encode_group(pdf):
+    """``groupBy(__fp).applyInPandas`` kernel: per-file varint-RLE
+    encode EXECUTOR-side — the driver collects one (payload, n) row
+    per touched file (O(compressed vector bytes)), never the
+    O(matched rows) Row list."""
+    import pandas as pd
+
+    payload, n = _dv_encode_runs(pdf["__ri"].to_numpy())
+    return pd.DataFrame(
+        {"__fp": [pdf["__fp"].iloc[0]], "payload": [payload], "n": [n]}
+    )
+
+
+def _dv_expand_refs(iterator):
+    """``mapInPandas`` kernel: (file, vector-ref) rows → (file, row
+    index) tombstones, decoded executor-side. Sidecar references
+    arrive absolutized, so the executor reads them off shared storage
+    exactly like a data file."""
+    import pandas as pd
+
+    for pdf in iterator:
+        for fp, ref in zip(pdf["__fp"], pdf["__ref"]):
+            idx = _unpack_dv(ref)
+            if idx:
+                yield pd.DataFrame({"__fp": fp, "__ri": idx})
+
+
 def _dv_sidecar_rel(val: str | None) -> str | None:
     """Table-relative sidecar path of a reference (None for inline /
     legacy vectors and for absolute references into another table)."""
@@ -2497,14 +2524,26 @@ class AcidTable:
             df = df.drop(self._ROW_ID_COL)
         return df
 
-    def _dv_entry(self, rel: str, indices) -> dict:
+    #: accumulated masked rows above which the read-side tombstone set
+    #: is decoded on executors + joined (below: driver-built broadcast,
+    #: strictly cheaper — no shuffle). Class attr so tests can lower it.
+    _DV_BROADCAST_MAX_ROWS = 2_000_000
+
+    def _dv_entry(
+        self, rel: str, indices=None, *, payload: bytes | None = None,
+        n: int | None = None,
+    ) -> dict:
         """Build one commit ``dv`` action for ``rel``, spilling the
         vector to a content-addressed sidecar under ``data/dvs/`` when
         the inline encoding outgrows ``_DV_INLINE_MAX`` (the Delta
         DV-descriptor shape): a 10M-row merge-on-read delete commits a
         <100-byte reference instead of ~100 MB of JSON payload, and
-        checkpoints / log resolution never carry the bitmap bytes."""
-        payload, n = _dv_encode_runs(indices)
+        checkpoints / log resolution never carry the bitmap bytes.
+        Callers holding an executor-encoded payload (see
+        ``_dv_entries_from``) pass it directly; everyone else passes
+        indices."""
+        if payload is None:
+            payload, n = _dv_encode_runs(indices)
         inline = _DV_RLE_PREFIX + base64.b64encode(payload).decode()
         if len(inline) <= _DV_INLINE_MAX:
             return {"path": rel, "del": inline, "n": n}
@@ -2520,6 +2559,48 @@ class AcidTable:
                 os.fsync(f.fileno())
             os.replace(tmp, full)
         return {"path": rel, "del": f"{_DV_SIDECAR_PREFIX}{rel_sc}:{n}", "n": n}
+
+    def _dv_entries_from(
+        self, hits: DataFrame, touched: Sequence[str], dvs: dict[str, str]
+    ) -> list[dict]:
+        """(__fp, __ri) hit coordinates → commit ``dv`` actions, with
+        the per-file RLE encode running on EXECUTORS (one shuffle by
+        file + applyInPandas): the driver receives one compressed
+        payload per file, never the matched rows themselves — the
+        piece that makes a 10M-row merge-on-read delete driver-safe.
+        Files that already carry a vector merge via a sorted-unique
+        union before re-encoding (canonical form preserved)."""
+        import numpy as np
+
+        enc = (
+            hits.groupBy("__fp")
+            .applyInPandas(
+                _dv_encode_group, "__fp string, payload binary, n long"
+            )
+            .collect()
+        )
+        entries = []
+        for r in enc:
+            rel = next((f for f in touched if r["__fp"].endswith(f)), None)
+            if rel is None:  # never expected; fail loud
+                raise RuntimeError(f"unmapped file {r['__fp']}")
+            if rel in dvs:
+                merged = np.union1d(
+                    np.asarray(
+                        _unpack_dv(dvs[rel], self.path), dtype=np.int64
+                    ),
+                    np.asarray(
+                        _dv_decode_runs(bytes(r["payload"])), dtype=np.int64
+                    ),
+                )
+                entries.append(self._dv_entry(rel, merged))
+            else:
+                entries.append(
+                    self._dv_entry(
+                        rel, payload=bytes(r["payload"]), n=int(r["n"])
+                    )
+                )
+        return sorted(entries, key=lambda e: e["path"])
 
     def _apply_dvs(
         self, df: DataFrame, rel_paths: Sequence[str], dvs: dict[str, str]
@@ -2551,15 +2632,35 @@ class AcidTable:
         )
         import pandas as pd
 
-        frames = []
-        for p in rel_paths:
-            if p in dvs:
-                idx = _unpack_dv(dvs[p], self.path)
-                if idx:
-                    fp = "file:" + os.path.abspath(os.path.join(self.path, p))
-                    frames.append(pd.DataFrame({"__fp": fp, "__ri": idx}))
-        if not frames:
+        relevant = [(p, dvs[p]) for p in rel_paths if p in dvs]
+        total = sum(_dv_count(v) for _, v in relevant)
+        if total == 0:
             return out
+        if total > self._DV_BROADCAST_MAX_ROWS:
+            # big accumulated vectors: decode on EXECUTORS (one task
+            # per ref; sidecars read off shared storage like data
+            # files) and let AQE pick the join — the driver never
+            # hydrates the tombstones. Below the threshold the
+            # driver-built broadcast is strictly cheaper (no shuffle).
+            refs = self.spark.createDataFrame(
+                [
+                    (
+                        "file:"
+                        + os.path.abspath(os.path.join(self.path, p)),
+                        _dv_abs(v, self.path),
+                    )
+                    for p, v in relevant
+                ],
+                "__fp string, __ref string",
+            ).repartition(min(len(relevant), 64))
+            tomb = refs.mapInPandas(_dv_expand_refs, "__fp string, __ri long")
+            return out.join(tomb, ["__fp", "__ri"], "left_anti")
+        frames = []
+        for p, v in relevant:
+            idx = _unpack_dv(v, self.path)
+            if idx:
+                fp = "file:" + os.path.abspath(os.path.join(self.path, p))
+                frames.append(pd.DataFrame({"__fp": fp, "__ri": idx}))
         tomb = self.spark.createDataFrame(
             pd.concat(frames, ignore_index=True),
             "__fp string, __ri long",
@@ -2682,23 +2783,10 @@ class AcidTable:
                     self._with_dv_coords(raw, touched, dvs)
                     .filter(pred)
                     .select("__fp", "__ri")
-                    .collect()
                 )
-                if not hits:
+                entries = self._dv_entries_from(hits, touched, dvs)
+                if not entries:
                     return base  # stats false-positive: nothing matched
-                by_file: dict[str, list[int]] = {}
-                for r in hits:
-                    rel = next(
-                        (f for f in touched if r["__fp"].endswith(f)), None
-                    )
-                    if rel is None:  # never expected; fail loud
-                        raise RuntimeError(f"unmapped file {r['__fp']}")
-                    by_file.setdefault(rel, []).append(r["__ri"])
-                entries = []
-                for rel, idx in sorted(by_file.items()):
-                    if rel in dvs:
-                        idx = idx + _unpack_dv(dvs[rel], self.path)
-                    entries.append(self._dv_entry(rel, idx))
                 v = self._commit_or_rebase(
                     base, "delete", [], [], schema_json,
                     dv=entries, read_filters=filters,
@@ -2809,23 +2897,10 @@ class AcidTable:
                     )
                     .filter(pred)
                     .select("__fp", "__ri")
-                    .collect()
                 )
-                if not hits:
+                entries = self._dv_entries_from(hits, touched, dvs)
+                if not entries:
                     return base  # stats false-positive: nothing matched
-                by_file: dict[str, list[int]] = {}
-                for r in hits:
-                    rel = next(
-                        (f for f in touched if r["__fp"].endswith(f)), None
-                    )
-                    if rel is None:  # never expected; fail loud
-                        raise RuntimeError(f"unmapped file {r['__fp']}")
-                    by_file.setdefault(rel, []).append(r["__ri"])
-                entries = []
-                for rel, idx in sorted(by_file.items()):
-                    if rel in dvs:
-                        idx = idx + _unpack_dv(dvs[rel], self.path)
-                    entries.append(self._dv_entry(rel, idx))
                 self._enforce_constraints(updated_rows)
                 self._check_generated(updated_rows)
                 add, schema = self._stage_actions(

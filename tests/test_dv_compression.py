@@ -269,3 +269,23 @@ def test_streaming_batch_read_with_sidecar_dv(spark, tmp_path):
     )
     assert df.count() == 100_000
     assert df.agg({"k": "max"}).first()[0] == 199_998
+
+
+def test_executor_side_dv_apply_above_threshold(spark, tmp_path, monkeypatch):
+    """Above _DV_BROADCAST_MAX_ROWS the read-side tombstones are
+    decoded on executors (mapInPandas over the vector refs) and
+    joined without driver hydration — same results as the broadcast
+    path, proven by lowering the threshold over the same table."""
+    t = _parity_table(spark, str(tmp_path / "t"), 100_000)
+    t.delete([("r", "=", 1)], mode="merge_on_read")
+    t.delete([("k", "<", 10_000)], mode="merge_on_read")  # vector merge
+    want = t.snapshot().count()
+    want_sum = t.snapshot().agg({"k": "sum"}).first()[0]
+    monkeypatch.setattr(AcidTable, "_DV_BROADCAST_MAX_ROWS", 10)
+    assert t.snapshot().count() == want == 45_000
+    assert t.snapshot().agg({"k": "sum"}).first()[0] == want_sum
+    # CDF read also flows through the executor-side mask
+    feed = t.changes(0).groupBy("_change_type").count().collect()
+    assert {r["_change_type"]: r["count"] for r in feed} == {
+        "delete": 55_000
+    }
