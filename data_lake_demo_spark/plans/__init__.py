@@ -14,21 +14,24 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-10 rotation, executing the r9 verdict's item 2
-# verbatim: the 14 queries whose newest driver row is CORRECTNESS_r06
-# (three rounds stale) lead, followed by 36 of the 50 rows whose
-# newest driver row is CORRECTNESS_r07 (oldest block after them).
-# Evicted: the entire r9 window (all 50 entries green in
-# CORRECTNESS_r09.json — 47 value-hash + 3 rows-only-by-design — and
-# re-proven at sf0.001/sf0.01 by the in-suite parity replica on every
-# pytest run). The 14 r7 rows left out of this window are the ones
-# whose semantics are already pinned by an in-window twin this round
-# (portable-family siblings) or by a same-operator in-window row;
-# they lead the r11 rotation.
+# explicit round-10 rotation, executing the r9 verdict's item 2:
+# the TWO queries new this round (never driver-checked — they certify
+# the r10 deletion-vector codec and the merge-on-read MERGE) lead,
+# then all 14 queries whose newest driver row is CORRECTNESS_r06
+# (three rounds stale), then 34 of the 50 rows whose newest driver
+# row is CORRECTNESS_r07. Evicted: the entire r9 window (all 50
+# entries green in CORRECTNESS_r09.json — 47 value-hash + 3
+# rows-only-by-design — and re-proven at sf0.001/sf0.01 by the
+# in-suite parity replica on every pytest run). The 16 r7 rows left
+# out are the ones whose semantics are pinned by an in-window twin
+# this round (portable-family siblings) or by a same-operator
+# in-window row; they lead the r11 rotation.
 WINDOW = [
     # -- never driver-checked (new in r10) --------------------------------
     "orders_mor_delete_dv",  # merge-on-read DELETE through the NEW
     # compressed/sidecar deletion-vector codec, under a value hash
+    "orders_merge_mor_upsert",  # merge-on-read MERGE (DV-based
+    # low-shuffle merge) under a value hash
     # -- r6 rows (stalest driver rows in the registry) --------------------
     "bloom_semi_join_orders",
     "doc_quality_model_scores",
@@ -57,7 +60,6 @@ WINDOW = [
     "doc_dsir_weights",
     "doc_inverted_index",
     "doc_lm_perplexity",
-    "doc_lsh_recall_eval",
     "doc_minhash_dups_portable",
     "doc_paragraph_dedup",
     "doc_pmi_collocations",
@@ -89,7 +91,9 @@ WINDOW = [
 assert len(WINDOW) == 50, len(WINDOW)
 # Deferred to r11 (r7-green, each pinned by an in-window sibling this
 # round): doc_retrieval_join (composed inside the in-window
-# doc_rag_pipeline), doc_bpe_vocab_tokens (rows-only; token-count twin r8),
+# doc_rag_pipeline), doc_lsh_recall_eval (banding recall pinned by the
+# in-window doc_minhash_dups_portable + its hypothesis property test),
+# doc_bpe_vocab_tokens (rows-only; token-count twin r8),
 # doc_compression_signals (rows-only; portable twin r9),
 # doc_quality_model_scores_frozen (live-twin in window), emb_ivf_ann_
 # portable / emb_pq_ann_portable / emb_ivfpq_ann_portable /

@@ -2180,6 +2180,74 @@ GROUP BY o_orderstatus ORDER BY status
 """
 
 
+def orders_merge_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE end-to-end (new in r10): target = even-key
+    orders in a temp AcidTable; source = keys % 3 == 0 with doubled
+    totals; ``merge(mode="merge_on_read")`` masks the matched rows via
+    deletion vectors (no touched file rewritten — asserted by the
+    commit shape in tests) and lands the batch as new files in ONE
+    commit. The final snapshot reduces to a per-status quantized
+    aggregate (batch rows carry status '~') and value-hashes against
+    SQL replaying the anti-join + union. Certifies
+    tableformat._merge_mor_attempt under the driver hash. Semantics
+    follow Delta's DV-based (low-shuffle) merge."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_mor_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") * 2).alias("total"),
+                F.lit("~").alias("status"),
+            ),
+            ["k"],
+            mode="merge_on_read",
+        )
+        out = (
+            t.snapshot()
+            .groupBy("status")
+            .agg(
+                qsum(F.col("total"), "total_sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "status string, total_sum double, n long"
+    )
+
+
+ORDERS_MERGE_MOR_SQL = f"""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 2 = 0),
+batch AS (
+  SELECT o_orderkey AS k, o_totalprice * 2 AS total, '~' AS status
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT * FROM t0 WHERE k NOT IN (SELECT k FROM batch)
+  UNION ALL SELECT * FROM batch)
+SELECT status, {_sql_qsum('total', 'total_sum')}, count(*) AS n
+FROM merged GROUP BY status ORDER BY status
+"""
+
+
 def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``replaceWhere`` as the nightly-backfill verb (new in r8): a
     temp AcidTable partitioned by priority prefix gets ONE partition
@@ -2530,6 +2598,7 @@ QUERIES = {
     "orders_merge_update_columns": orders_merge_update_columns,
     "orders_merge_insert_columns": orders_merge_insert_columns,
     "orders_mor_delete_dv": orders_mor_delete_dv,
+    "orders_merge_mor_upsert": orders_merge_mor_upsert,
     "orders_replace_where_backfill": orders_replace_where_backfill,
     # registered OUTSIDE the 50-slot driver window this round (the
     # window carries the 48 stale rows per the r7 verdict); in-suite
@@ -2601,6 +2670,7 @@ ORACLE = {
     "orders_merge_update_columns": ORDERS_MERGE_UPDATE_SQL,
     "orders_merge_insert_columns": ORDERS_MERGE_INSERT_SQL,
     "orders_mor_delete_dv": ORDERS_MOR_DELETE_DV_SQL,
+    "orders_merge_mor_upsert": ORDERS_MERGE_MOR_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,

@@ -4170,6 +4170,7 @@ class AcidTable:
         updates: DataFrame,
         keys: Sequence[str],
         *,
+        mode: str | None = None,
         dedupe_order: str | None = None,
         txn: tuple[str, int] | None = None,
         partition_by: Sequence[str] | None = None,
@@ -4202,9 +4203,29 @@ class AcidTable:
         read the new column as NULL), and a batch missing committed
         columns fills NULL on its rows — full-row replace semantics.
         Without it, a column-set mismatch raises instead of silently
-        evolving."""
+        evolving.
+
+        ``mode="merge_on_read"`` is Delta's DV-based (low-shuffle)
+        MERGE: matched target rows are MASKED by deletion vectors — no
+        touched file is rewritten — and the (deduped) batch lands
+        whole as new files, in ONE commit. Write amplification drops
+        from O(touched files) to O(batch + compressed vector bytes):
+        on a 100 TB table a CDC trickle that matches one row per file
+        stops rewriting those files wholesale. Same logical result,
+        same CDF net diff (a row replaced by an identical copy still
+        cancels), same conflict rules; read cost accumulates in the
+        vectors until compaction materializes them — the identical
+        trade ``delete(mode="merge_on_read")`` makes. ``mode=None``
+        (default) resolves the ``merge.mode`` TABLE property first
+        (``ALTER TABLE t SET TBLPROPERTIES('merge.mode' =
+        'merge_on_read')`` flips every writer, including SQL MERGE
+        INTO), falling back to copy_on_write."""
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
+        if mode is None:
+            mode = self.properties().get("merge.mode") or "copy_on_write"
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self._reject_reserved_row_id(updates)
         updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
@@ -4226,6 +4247,16 @@ class AcidTable:
             rt_on = self._row_tracking_on(props)
             ranges = self._batch_key_ranges(updates, keys)
             touched = self._touched_files(live, updates, keys, ranges=ranges)
+            if mode == "merge_on_read":
+                v = self._merge_mor_attempt(
+                    base, updates, keys, touched, schema_json, dvs, props,
+                    dedupe_order=dedupe_order, txn=txn,
+                    partition_by=partition_by, auto_evolve=auto_evolve,
+                    ranges=ranges,
+                )
+                if v is not None:
+                    return v
+                continue  # true overlap: re-plan against the new head
             if touched:
                 # committed-schema read, NOT bare spark.read.parquet:
                 # heterogeneous touched footers (a widen/add_columns that
@@ -4294,6 +4325,111 @@ class AcidTable:
                     pass
             return v
         raise CommitConflict(f"merge lost {max_retries} commit races")
+
+    def _merge_mor_attempt(
+        self,
+        base: int,
+        updates: DataFrame,
+        keys: Sequence[str],
+        touched: list[str],
+        schema_json: str | None,
+        dvs: dict[str, str],
+        props: dict,
+        *,
+        dedupe_order: str | None,
+        txn: tuple[str, int] | None,
+        partition_by,
+        auto_evolve: bool,
+        ranges,
+    ) -> int | None:
+        """One merge-on-read MERGE attempt against ``base``: the
+        matched rows' (file, row-index) coordinates become deletion
+        vectors (executor-encoded, sidecar-spilled like any MOR
+        delete) and the deduped batch stages as new files — commit is
+        add + dv, remove NOTHING. Row tracking: matched update rows
+        inherit the masked rows' ids (an update preserves identity),
+        true inserts mint fresh ones — so the CDF's delete+insert pair
+        shares its ``_row_id`` exactly like the copy-on-write plan.
+        Returns the committed version, or None to re-plan."""
+        from data_lake_demo_spark.operators.upsert import (
+            _assert_unique_keys,
+            _latest_per_key,
+        )
+
+        if schema_json is None:
+            raise ValueError(f"table {self.path} has no commits")
+        keys = list(keys)
+        ups = updates
+        if dedupe_order is not None:
+            ups = _latest_per_key(ups, keys, dedupe_order)
+        else:
+            _assert_unique_keys(ups, keys, "update")
+        rt_on = self._row_tracking_on(props)
+        dv_entries: list[dict] = []
+        target = None
+        if touched:
+            if rt_on:  # live (dv-masked) rows donate ids to matches
+                target = self._read_for_rewrite(
+                    touched, schema_json, dvs, base
+                )
+            raw = self._read_files(touched, schema_json)
+            hits = (
+                self._with_dv_coords(raw, touched, dvs)
+                .join(ups.select(*keys).distinct(), keys, "left_semi")
+                .select("__fp", "__ri")
+            )
+            dv_entries = self._dv_entries_from(hits, touched, dvs)
+        # committed-schema alignment — the same unionByName contract
+        # as the copy-on-write plan: batch-missing columns pad NULL,
+        # new columns widen only under auto_evolve, else raise
+        fields = [
+            f
+            for f in json.loads(schema_json)["fields"]
+            if f["name"] != self._ROW_ID_COL
+        ]
+        empty_t = self.spark.createDataFrame(
+            [], T.StructType.fromJson({"type": "struct", "fields": fields})
+        )
+        out = empty_t.unionByName(ups, allowMissingColumns=auto_evolve)
+        if rt_on:
+            if target is not None:
+                out = self._inherit_row_ids(out, target, keys)
+            else:
+                out = out.withColumn(
+                    self._ROW_ID_COL, F.lit(None).cast("long")
+                )
+            out = self._assign_fresh_row_ids(out, props)
+        add, schema = self._stage_actions(out, partition_by=partition_by)
+        if not add and not dv_entries:
+            return base  # empty batch: provably a no-op, no commit
+        key_filters = [
+            (k, "between", (ranges[f"__lo_{k}"], ranges[f"__hi_{k}"]))
+            for k in keys
+            if ranges[f"__lo_{k}"] is not None
+        ]
+        v = self._commit_or_rebase(
+            base,
+            "merge",
+            add,
+            [],
+            self._evolve_schema(schema, base),
+            txn=txn,
+            dv=dv_entries,
+            read_filters=key_filters if len(key_filters) == len(keys)
+            else [],  # a null-range key: treat any add as a match
+            check_adds=True,
+        )
+        if v is None:
+            return None
+        if (
+            self.auto_compact_files
+            and len(self._resolve(v)[0]) > self.auto_compact_files
+        ):
+            try:  # best-effort, same policy as the copy-on-write path
+                return self._auto_optimize()
+            except Exception:
+                pass
+        return v
 
     def merge_apply(
         self,

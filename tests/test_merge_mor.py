@@ -1,0 +1,275 @@
+"""Merge-on-read MERGE (Delta's DV-based / low-shuffle merge):
+matched target rows are masked by deletion vectors, the batch lands
+as new files, no touched file is rewritten
+(AcidTable.merge(mode="merge_on_read") / the merge.mode property).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_demo_spark.tableformat import AcidTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _base(spark, path, **kw):
+    t = AcidTable(spark, path, **kw)
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10, "old") for k in range(8)], "k long, v long, s string"
+        ).coalesce(2)
+    )
+    return t
+
+
+def test_mor_merge_equals_cow_merge(spark, tmp_path):
+    ups = spark.createDataFrame(
+        [(2, 222, "new"), (5, 555, "new"), (11, 111, "new")],
+        "k long, v long, s string",
+    )
+    cow = _base(spark, str(tmp_path / "cow"))
+    mor = _base(spark, str(tmp_path / "mor"))
+    cow.merge(ups, ["k"])
+    mor.merge(ups, ["k"], mode="merge_on_read")
+    assert _rows(cow.snapshot()) == _rows(mor.snapshot())
+    # MOR: nothing removed, vectors mask exactly the matched rows
+    c = mor._read_commit(mor.latest_version())
+    assert c.op == "merge" and c.remove == []
+    assert sum(e["n"] for e in c.dv) == 2  # k=2 and k=5 masked
+    assert sum(len(v) for v in mor.deletion_vectors().values()) == 2
+    # CoW removed its touched files instead
+    assert cow._read_commit(cow.latest_version()).remove
+
+
+def test_mor_merge_cdf_nets_like_cow(spark, tmp_path):
+    """A matched row replaced by an IDENTICAL copy cancels in the
+    change feed; changed rows surface as delete+insert; new keys as
+    insert — byte-for-byte the copy-on-write CDF contract."""
+    t = _base(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    ups = spark.createDataFrame(
+        [(3, 30, "old"), (4, 444, "new"), (100, 1, "new")],
+        "k long, v long, s string",  # k=3 is an identical replacement
+    )
+    t.merge(ups, ["k"], mode="merge_on_read")
+    feed = t.changes(v0).collect()
+    got = sorted((r.k, r.v, r.s, r._change_type) for r in feed)
+    assert got == [
+        (4, 40, "old", "delete"),
+        (4, 444, "new", "insert"),
+        (100, 1, "new", "insert"),
+    ]
+
+
+def test_mor_merge_row_tracking_ids_survive(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    t.set_row_tracking()
+    before = {
+        r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()
+    }
+    ups = spark.createDataFrame(
+        [(1, 111, "new"), (50, 500, "new")], "k long, v long, s string"
+    )
+    t.merge(ups, ["k"], mode="merge_on_read")
+    after = {
+        r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()
+    }
+    assert after[1] == before[1]  # update preserved identity
+    assert after[50] not in before.values()  # insert minted fresh
+    ids = list(after.values())
+    assert len(ids) == len(set(ids))
+
+
+def test_mor_merge_unions_existing_vectors(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    t.delete([("k", "=", 0)], mode="merge_on_read")
+    t.merge(
+        spark.createDataFrame([(1, 111, "new")], "k long, v long, s string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    got = {r.k: (r.v, r.s) for r in t.snapshot().collect()}
+    assert 0 not in got and got[1] == (111, "new")
+    assert len(got) == 7
+    # the file carrying k=0 and k=1 has BOTH indices in one vector
+    assert sorted(
+        n for v in t.deletion_vectors().values() for n in [len(v)]
+    )[-1] == 2
+
+
+def test_mor_merge_compaction_materializes(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([(2, 9, "n")], "k long, v long, s string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    assert t.deletion_vectors()
+    t.compact(n_files=1)
+    assert t.deletion_vectors() == {}
+    assert {r.k: r.v for r in t.snapshot().collect()}[2] == 9
+
+
+def test_mor_merge_schema_evolution_contract(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    # batch missing a committed column: NULL pad under auto_evolve
+    t.merge(
+        spark.createDataFrame([(2, 22)], "k long, v long"),
+        ["k"],
+        mode="merge_on_read",
+        auto_evolve=True,
+    )
+    got = {r.k: (r.v, r.s) for r in t.snapshot().collect()}
+    assert got[2] == (22, None)
+    # new batch column widens the schema under auto_evolve
+    t.merge(
+        spark.createDataFrame([(3, 33, "x", 7)], "k long, v long, s string, extra long"),
+        ["k"],
+        mode="merge_on_read",
+        auto_evolve=True,
+    )
+    got = {r.k: r.extra for r in t.snapshot().collect()}
+    assert got[3] == 7 and got[1] is None
+    # without auto_evolve a mismatch raises (same as copy-on-write)
+    with pytest.raises(Exception):
+        t.merge(
+            spark.createDataFrame([(4, 44)], "k long, v long"),
+            ["k"],
+            mode="merge_on_read",
+        )
+
+
+def test_mor_merge_dedupe_and_multi_match_guard(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10, 0) for k in range(8)], "k long, v long, ts long"
+        ).coalesce(2)
+    )
+    dup = spark.createDataFrame(
+        [(2, 21, 1), (2, 22, 2)], "k long, v long, ts long"
+    )
+    with pytest.raises(ValueError, match="dedupe_order"):
+        t.merge(dup, ["k"], mode="merge_on_read")
+    t.merge(dup, ["k"], mode="merge_on_read", dedupe_order="ts")
+    got = {r.k: (r.v, r.ts) for r in t.snapshot().collect()}
+    assert got[2] == (22, 2)  # latest per key won
+    assert len(got) == 8
+    assert sum(len(v) for v in t.deletion_vectors().values()) == 1
+
+
+def test_merge_mode_table_property_routes_sql_merge(spark, tmp_path):
+    """ALTER TABLE ... SET TBLPROPERTIES('merge.mode'='merge_on_read')
+    flips every writer handle, including SQL MERGE INTO — no file is
+    rewritten by the merge."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"mt": str(tmp_path / "t")})
+    t = sql.table("mt")
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(6)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.set_properties({"merge.mode": "merge_on_read"})
+    spark.createDataFrame([(2, 99), (9, 90)], "k long, v long") \
+        .createOrReplaceTempView("mor_src")
+    sql.sql("MERGE INTO mt AS tg USING mor_src AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[2] == 99 and got[9] == 90 and len(got) == 7
+    # the merge commit removed nothing and carried a vector
+    ops = [(c.op, bool(c.remove), bool(c.dv)) for c in t.history()]
+    merge_commits = [o for o in ops if o[0] in ("merge", "merge_delete")]
+    assert merge_commits and all(
+        not removed and has_dv for _, removed, has_dv in merge_commits
+    )
+
+
+def test_mor_merge_idempotent_txn(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    ups = spark.createDataFrame([(2, 99, "n")], "k long, v long, s string")
+    v1 = t.merge(ups, ["k"], mode="merge_on_read", txn=("app", 3))
+    v2 = t.merge(ups, ["k"], mode="merge_on_read", txn=("app", 3))
+    assert v2 == v1  # replay is a no-op
+    assert t.snapshot().count() == 8
+
+
+def test_mor_merge_conflict_matrix(spark, tmp_path):
+    """MOR merge racing a DISJOINT blind append rebases (one staging);
+    racing an append whose keys may match re-plans."""
+    path = str(tmp_path / "t")
+    t = _base(spark, path)
+    w = AcidTable(spark, path)
+
+    real = t._try_commit
+    state = {"fired": False}
+
+    def patched(version, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            w.append(
+                spark.createDataFrame(
+                    [(1000, 0, "w")], "k long, v long, s string"
+                )
+            )
+        return real(version, *a, **k)
+
+    t._try_commit = patched
+    stage_real = t._stage_actions
+    n = {"n": 0}
+
+    def stage_patched(*a, **k):
+        n["n"] += 1
+        return stage_real(*a, **k)
+
+    t._stage_actions = stage_patched
+    t.merge(
+        spark.createDataFrame([(2, 99, "n")], "k long, v long, s string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    assert n["n"] == 1  # disjoint winner: rebased, no second staging
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[2] == 99 and got[1000] == 0
+
+    # matching-key winner forces a re-plan (second staging)
+    t2 = _base(spark, str(tmp_path / "t2"))
+    w2 = AcidTable(spark, str(tmp_path / "t2"))
+    state2 = {"fired": False}
+    real2 = t2._try_commit
+
+    def patched2(version, *a, **k):
+        if not state2["fired"]:
+            state2["fired"] = True
+            w2.append(
+                spark.createDataFrame(
+                    [(5, -1, "w")], "k long, v long, s string"
+                )
+            )
+        return real2(version, *a, **k)
+
+    t2._try_commit = patched2
+    n2 = {"n": 0}
+    stage_real2 = t2._stage_actions
+
+    def stage_patched2(*a, **k):
+        n2["n"] += 1
+        return stage_real2(*a, **k)
+
+    t2._stage_actions = stage_patched2
+    t2.merge(
+        spark.createDataFrame([(5, 99, "n")], "k long, v long, s string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    assert n2["n"] == 2  # re-planned against the winner's row
+    # both copies of k=5 in the pre-merge state are superseded: the
+    # re-planned merge masked the winner's row too
+    got2 = sorted((r.k, r.v) for r in t2.snapshot().collect() if r.k == 5)
+    assert got2 == [(5, 99)]

@@ -1040,6 +1040,9 @@ def test_row_tracking_invariants_under_op_sequences(spark, tmp_path_factory, ops
             st.tuples(st.just("merge"), st.lists(
                 st.integers(min_value=0, max_value=240),
                 min_size=1, max_size=4, unique=True)),
+            st.tuples(st.just("merge_mor"), st.lists(
+                st.integers(min_value=0, max_value=240),
+                min_size=1, max_size=4, unique=True)),
             st.tuples(st.just("update"), st.integers(min_value=0, max_value=240)),
             st.tuples(st.just("delete_cow"), st.integers(min_value=0, max_value=240)),
             st.tuples(st.just("delete_mor"), st.integers(min_value=0, max_value=240)),
@@ -1086,12 +1089,13 @@ def test_acid_table_matches_reference_model(spark, tmp_path_factory, ops):
                 )
             )
             model.update({k: k * 10 for k in new})
-        elif op == "merge":
+        elif op in ("merge", "merge_mor"):
             t.merge(
                 spark.createDataFrame(
                     [(k, k * 10 + 1) for k in arg], "k int, v int"
                 ),
                 ["k"],
+                mode="merge_on_read" if op == "merge_mor" else None,
             )
             model.update({k: k * 10 + 1 for k in arg})
         elif op == "update":
