@@ -4340,7 +4340,9 @@ class AcidTable:
         txn: tuple[str, int] | None,
         partition_by,
         auto_evolve: bool,
-        ranges,
+        ranges=None,
+        delete_col: str | None = None,
+        unique_keys: bool = False,
     ) -> int | None:
         """One merge-on-read MERGE attempt against ``base``: the
         matched rows' (file, row-index) coordinates become deletion
@@ -4350,7 +4352,13 @@ class AcidTable:
         inherit the masked rows' ids (an update preserves identity),
         true inserts mint fresh ones — so the CDF's delete+insert pair
         shares its ``_row_id`` exactly like the copy-on-write plan.
-        Returns the committed version, or None to re-plan."""
+        ``delete_col`` (the merge_apply shape) masks matched rows for
+        EVERY batch key but stages only the surviving (non-delete)
+        rows — a retraction is a pure mask, an unmatched delete a
+        no-op. ``ranges=None`` skips key-range rebase eligibility:
+        any winner add forces a re-plan (merge_apply's conservative
+        contract). Returns the committed version, or None to
+        re-plan."""
         from data_lake_demo_spark.operators.upsert import (
             _assert_unique_keys,
             _latest_per_key,
@@ -4362,7 +4370,7 @@ class AcidTable:
         ups = updates
         if dedupe_order is not None:
             ups = _latest_per_key(ups, keys, dedupe_order)
-        else:
+        elif not unique_keys:
             _assert_unique_keys(ups, keys, "update")
         rt_on = self._row_tracking_on(props)
         dv_entries: list[dict] = []
@@ -4379,6 +4387,8 @@ class AcidTable:
                 .select("__fp", "__ri")
             )
             dv_entries = self._dv_entries_from(hits, touched, dvs)
+        if delete_col is not None:  # merge_apply: retractions are a
+            ups = ups.filter(~F.col(delete_col)).drop(delete_col)  # pure mask
         # committed-schema alignment — the same unionByName contract
         # as the copy-on-write plan: batch-missing columns pad NULL,
         # new columns widen only under auto_evolve, else raise
@@ -4402,11 +4412,15 @@ class AcidTable:
         add, schema = self._stage_actions(out, partition_by=partition_by)
         if not add and not dv_entries:
             return base  # empty batch: provably a no-op, no commit
-        key_filters = [
-            (k, "between", (ranges[f"__lo_{k}"], ranges[f"__hi_{k}"]))
-            for k in keys
-            if ranges[f"__lo_{k}"] is not None
-        ]
+        key_filters = []
+        if ranges is not None:
+            key_filters = [
+                (k, "between", (ranges[f"__lo_{k}"], ranges[f"__hi_{k}"]))
+                for k in keys
+                if ranges[f"__lo_{k}"] is not None
+            ]
+            if len(key_filters) != len(keys):
+                key_filters = []  # null-range key: any add is a match
         v = self._commit_or_rebase(
             base,
             "merge",
@@ -4415,8 +4429,7 @@ class AcidTable:
             self._evolve_schema(schema, base),
             txn=txn,
             dv=dv_entries,
-            read_filters=key_filters if len(key_filters) == len(keys)
-            else [],  # a null-range key: treat any add as a match
+            read_filters=key_filters,
             check_adds=True,
         )
         if v is None:
@@ -4437,6 +4450,7 @@ class AcidTable:
         keys: Sequence[str],
         delete_col: str,
         *,
+        mode: str | None = None,
         dedupe_order: str | None = None,
         txn: tuple[str, int] | None = None,
         partition_by: Sequence[str] | None = None,
@@ -4454,9 +4468,21 @@ class AcidTable:
         Same manifest-level file skipping, optimistic retry, and
         ``txn`` exactly-once watermark as ``merge``. On a table with
         no commits yet, deletes are no-ops and the surviving upserts
-        become the first snapshot."""
+        become the first snapshot.
+
+        ``mode="merge_on_read"`` (or the ``merge.mode`` table
+        property) applies the batch WITHOUT rewriting any touched
+        file: every matched row masks via a deletion vector (a
+        retraction is a pure mask) and only the surviving upserts
+        land as new files — the cheapest possible CDC apply on a
+        wide table. Falls back to copy-on-write for the seeding
+        commit of an empty table."""
         from data_lake_demo_spark.operators.upsert import merge_apply
 
+        if mode is None:
+            mode = self.properties().get("merge.mode") or "copy_on_write"
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self._reject_reserved_row_id(updates)
         # delete rows never land; only surviving upserts are validated
         updates = self._apply_generated(
@@ -4477,6 +4503,16 @@ class AcidTable:
             live, schema_json, _, props, dvs = self._resolve_state(base)
             rt_on = self._row_tracking_on(props)
             touched = self._touched_files(live, updates, keys)
+            if mode == "merge_on_read" and schema_json is not None:
+                v = self._merge_mor_attempt(
+                    base, updates, keys, touched, schema_json, dvs, props,
+                    dedupe_order=dedupe_order, txn=txn,
+                    partition_by=partition_by, auto_evolve=auto_evolve,
+                    delete_col=delete_col, unique_keys=unique_keys,
+                )
+                if v is not None:
+                    return v
+                continue  # true overlap: re-plan against the new head
             if touched:
                 target = self._read_for_rewrite(touched, schema_json, dvs, base)
             elif schema_json is not None:

@@ -273,3 +273,85 @@ def test_mor_merge_conflict_matrix(spark, tmp_path):
     # re-planned merge masked the winner's row too
     got2 = sorted((r.k, r.v) for r in t2.snapshot().collect() if r.k == 5)
     assert got2 == [(5, 99)]
+
+
+def test_mor_merge_apply_cdc_batch(spark, tmp_path):
+    """merge_apply(mode='merge_on_read'): one CDC batch carrying
+    upserts AND retractions applies as vector masks + new files —
+    equal to the copy-on-write result, no touched file removed."""
+    ups = spark.createDataFrame(
+        [(1, 111, "u", False), (3, 0, "d", True), (99, 9, "i", False),
+         (500, 0, "x", True)],  # unmatched delete: no-op
+        "k long, v long, s string, is_delete boolean",
+    )
+    cow = _base(spark, str(tmp_path / "cow"))
+    mor = _base(spark, str(tmp_path / "mor"))
+    cow.merge_apply(ups, ["k"], "is_delete")
+    mor.merge_apply(ups, ["k"], "is_delete", mode="merge_on_read")
+    assert _rows(cow.snapshot()) == _rows(mor.snapshot())
+    c = mor._read_commit(mor.latest_version())
+    assert c.op == "merge" and c.remove == []
+    # masked: k=1 (updated) + k=3 (retracted) = 2 coordinates
+    assert sum(e["n"] for e in c.dv) == 2
+    got = {r.k for r in mor.snapshot().collect()}
+    assert 3 not in got and 99 in got
+
+
+def test_mor_merge_apply_retraction_only_is_pure_mask(spark, tmp_path):
+    """A batch of pure retractions commits ONLY vectors — zero new
+    files, zero rewrites (the cheapest possible CDC apply)."""
+    t = _base(spark, str(tmp_path / "t"))
+    n_files_before = len(t._resolve(None)[0])
+    t.merge_apply(
+        spark.createDataFrame(
+            [(2, 0, "", True), (6, 0, "", True)],
+            "k long, v long, s string, is_delete boolean",
+        ),
+        ["k"],
+        "is_delete",
+        mode="merge_on_read",
+    )
+    c = t._read_commit(t.latest_version())
+    assert c.add == [] and c.remove == []
+    assert sum(e["n"] for e in c.dv) == 2
+    assert len(t._resolve(None)[0]) == n_files_before
+    assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 3, 4, 5, 7]
+
+
+def test_mor_merge_apply_empty_table_seeds_via_cow(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.merge_apply(
+        spark.createDataFrame(
+            [(1, 10, False), (2, 0, True)], "k long, v long, is_delete boolean"
+        ),
+        ["k"],
+        "is_delete",
+        mode="merge_on_read",
+    )
+    assert _rows(t.snapshot()) == [(1, 10)]
+
+
+def test_mor_merge_apply_row_ids_and_cdf(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    t.set_row_tracking()
+    before = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    v0 = t.latest_version()
+    t.merge_apply(
+        spark.createDataFrame(
+            [(1, 111, "u", False), (3, 0, "", True)],
+            "k long, v long, s string, is_delete boolean",
+        ),
+        ["k"],
+        "is_delete",
+        mode="merge_on_read",
+    )
+    after = {r.k: r._row_id for r in t.snapshot(with_row_ids=True).collect()}
+    assert after[1] == before[1]  # upsert preserved identity
+    assert 3 not in after
+    feed = t.changes(v0, with_row_ids=True).collect()
+    got = sorted((r.k, r._change_type, r._row_id) for r in feed)
+    assert got == [
+        (1, "delete", before[1]),
+        (1, "insert", before[1]),  # the update pair SHARES its id
+        (3, "delete", before[3]),
+    ]
