@@ -1205,8 +1205,8 @@ def test_truncated_string_stats_stay_sound(files, op, probe, probe2):
     steps=st.lists(
         st.tuples(
             st.sampled_from(
-                ["merge", "update", "delete_cow", "delete_mor",
-                 "compact", "cluster", "replace_where"]
+                ["merge", "merge_mor", "update", "delete_cow",
+                 "delete_mor", "compact", "cluster", "replace_where"]
             ),
             st.integers(min_value=0, max_value=240),
             # concurrent winner landing between the loser's plan and
@@ -1283,13 +1283,14 @@ def test_acid_model_with_interleaved_second_writer(
             fired = inject_once(winner_fn)
 
         v0 = t.latest_version()
-        if op == "merge":
+        if op in ("merge", "merge_mor"):
             keys = [arg, (arg + 13) % 241]
             t.merge(
                 spark.createDataFrame(
                     [(k, k * 10 + 1) for k in keys], "k int, v int"
                 ),
                 ["k"],
+                mode="merge_on_read" if op == "merge_mor" else None,
             )
             model.update({k: k * 10 + 1 for k in keys})
         elif op == "update":
@@ -1364,8 +1365,8 @@ def test_acid_model_with_interleaved_second_writer(
     steps=st.lists(
         st.tuples(
             st.sampled_from(
-                ["merge", "update", "delete_cow", "delete_mor",
-                 "replace_where"]
+                ["merge", "merge_mor", "update", "delete_cow",
+                 "delete_mor", "replace_where"]
             ),
             st.integers(min_value=0, max_value=240),
             # data winner, injected before the loser's FIRST commit
@@ -1464,13 +1465,14 @@ def test_acid_model_with_three_interleaved_writers(
 
         # -- the loser's operation -----------------------------------
         v0 = t.latest_version()
-        if op == "merge":
+        if op in ("merge", "merge_mor"):
             keys = [arg, (arg + 13) % 241]
             t.merge(
                 spark.createDataFrame(
                     [(k, k * 10 + 1) for k in keys], "k int, v int"
                 ),
                 ["k"],
+                mode="merge_on_read" if op == "merge_mor" else None,
                 max_retries=20,
             )
             model.update({k: k * 10 + 1 for k in keys})
