@@ -4651,6 +4651,7 @@ class AcidTable:
         current_col: str = "is_current",
         end_col: str = "end_ts",
         dedupe_order: str | None = None,
+        mode: str = "copy_on_write",
         max_retries: int = 5,
     ) -> int:
         """Transactional SCD2 history application: the
@@ -4658,8 +4659,16 @@ class AcidTable:
         rows, append new versions) committed as one atomic
         remove-all+add-all snapshot — readers never see a dimension
         with a key both closed AND still current. Full-table
-        copy-on-write (SCD2 touches the is_current flag across the
-        dimension; dimensions are small relative to facts).
+        copy-on-write by default (SCD2 touches the is_current flag
+        across the dimension; dimensions are small relative to facts).
+
+        ``mode="merge_on_read"`` makes the apply O(changed keys)
+        instead of O(dimension): the matched CURRENT rows mask via
+        deletion vectors, and ONE add carries their closed copies plus
+        the new current versions — no dimension file is rewritten.
+        History rows and unchanged keys are never read or touched
+        (manifest key-range pruning bounds the read to files that may
+        hold a changed key). The 100 TB-dimension shape.
 
         Row tracking note: SCD2 rewrites the whole dimension through
         the version-history operator, and every output row — closed,
@@ -4667,13 +4676,25 @@ class AcidTable:
         colliding: fresh bases come from the central watermark). SCD2
         has its own identity story (the business key + effective
         range), so id preservation is deliberately not threaded
-        through this verb."""
+        through this verb (in MOR mode untouched rows keep their ids
+        for free; closed copies and new versions mint fresh)."""
         from data_lake_demo_spark.operators.upsert import scd2_apply
 
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown scd2 mode {mode!r}")
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
+            if mode == "merge_on_read":
+                v = self._scd2_mor_attempt(
+                    base, changes, key,
+                    effective_col=effective_col, current_col=current_col,
+                    end_col=end_col, dedupe_order=dedupe_order,
+                )
+                if v is not None:
+                    return v
+                continue  # true overlap: re-plan against the new head
             live, _ = self._resolve(base)
             new_dim = scd2_apply(
                 self.snapshot(base),
@@ -4690,6 +4711,99 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"scd2 lost {max_retries} commit races")
+
+    def _scd2_mor_attempt(
+        self,
+        base: int,
+        changes: DataFrame,
+        key: str,
+        *,
+        effective_col: str,
+        current_col: str,
+        end_col: str,
+        dedupe_order: str | None,
+    ) -> int | None:
+        """One merge-on-read SCD2 attempt against ``base``: mask the
+        matched current rows, stage their closed copies + the new
+        current versions, commit add + dv (remove nothing). Mirrors
+        operators/upsert.scd2_apply's close-out semantics row for
+        row — the suite proves snapshot equality against the
+        copy-on-write plan."""
+        from data_lake_demo_spark.operators.upsert import (
+            _assert_unique_keys,
+            _latest_per_key,
+        )
+
+        if dedupe_order is not None:
+            changes = _latest_per_key(changes, [key], dedupe_order)
+        else:
+            _assert_unique_keys(changes, [key], "change")
+        live, schema_json, _, props, dvs = self._resolve_state(base)
+        if schema_json is None:
+            raise ValueError(f"table {self.path} has no commits")
+        colmap = self._colmap(base)
+        phys_changes = self._physicalize(changes, colmap)
+        phys_key = self._phys_names([key], colmap)[0]
+        touched = self._touched_files(live, phys_changes, [phys_key])
+        dv_entries: list[dict] = []
+        closing = None
+        if touched:
+            raw = self._read_files(touched, schema_json)
+            dim = self._logicalize(
+                self._with_dv_coords(raw, touched, dvs),
+                colmap,
+                keep=("__fp", "__ri"),
+            )
+            if self._ROW_ID_COL in dim.columns:
+                dim = dim.drop(self._ROW_ID_COL)
+            matched_cur = dim.filter(F.col(current_col)).join(
+                changes.select(
+                    key, F.col(effective_col).alias("__new_eff")
+                ),
+                key,
+            )
+            dv_entries = self._dv_entries_from(
+                matched_cur.select("__fp", "__ri"), touched, dvs
+            )
+            closing = (
+                matched_cur.drop("__fp", "__ri")
+                .withColumn(end_col, F.col("__new_eff"))
+                .drop("__new_eff")
+                .withColumn(current_col, F.lit(False))
+            )
+        # new current versions (same shape rule as scd2_apply)
+        fields = [
+            f
+            for f in json.loads(schema_json)["fields"]
+            if f["name"] != self._ROW_ID_COL
+        ]
+        struct = T.StructType.fromJson({"type": "struct", "fields": fields})
+        log_struct = T.StructType(
+            [
+                T.StructField(colmap.get(f.name, f.name) or f.name, f.dataType)
+                for f in struct.fields
+            ]
+        )
+        new_rows = changes.withColumn(current_col, F.lit(True)).withColumn(
+            end_col, F.lit(None).cast(log_struct[end_col].dataType)
+        )
+        out = (
+            closing.unionByName(new_rows) if closing is not None else
+            self.spark.createDataFrame([], log_struct).unionByName(new_rows)
+        )
+        add, schema = self._stage_actions(self._physicalize(out, colmap))
+        if not add and not dv_entries:
+            return base
+        return self._commit_or_rebase(
+            base,
+            "scd2",
+            add,
+            [],
+            self._evolve_schema(schema, base),
+            dv=dv_entries,
+            read_filters=[],  # any winner add may be a changed key
+            check_adds=True,
+        )
 
     def compact(
         self, *, n_files: int = 16, filters=(), max_retries: int = 5

@@ -355,3 +355,94 @@ def test_mor_merge_apply_row_ids_and_cdf(spark, tmp_path):
         (1, "insert", before[1]),  # the update pair SHARES its id
         (3, "delete", before[3]),
     ]
+
+
+def _dim(spark, path):
+    t = AcidTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(k, f"v{k}", 100, True, None) for k in range(1, 9)],
+            "k long, attr string, effective_ts long,"
+            " is_current boolean, end_ts long",
+        ),
+        partition_by=["k"],
+    )
+    return t
+
+
+def test_mor_scd2_equals_cow_scd2(spark, tmp_path):
+    """scd2(mode='merge_on_read'): matched current rows mask, ONE add
+    carries the closed copies + the new versions; snapshot equal to
+    the copy-on-write plan, no dimension file removed."""
+    changes = spark.createDataFrame(
+        [(2, "v2b", 200), (5, "v5b", 200), (99, "new", 200)],
+        "k long, attr string, effective_ts long",
+    )
+    cow = _dim(spark, str(tmp_path / "cow"))
+    mor = _dim(spark, str(tmp_path / "mor"))
+    cow.scd2(changes, "k")
+    mor.scd2(changes, "k", mode="merge_on_read")
+    assert _rows(cow.snapshot()) == _rows(mor.snapshot())
+    c = mor._read_commit(mor.latest_version())
+    assert c.op == "scd2" and c.remove == []
+    assert sum(e["n"] for e in c.dv) == 2  # k=2 and k=5 closed out
+    got = _rows(
+        mor.snapshot().select("k", "attr", "is_current", "end_ts")
+    )
+    assert (2, "v2b", True, None) in got and (2, "v2", False, 200) in got
+    assert (99, "new", True, None) in got
+    assert (3, "v3", True, None) in got  # unchanged key untouched
+
+
+def test_mor_scd2_prunes_to_changed_key_files(spark, tmp_path):
+    """Key-range pruning bounds the masked set to files that may hold
+    a changed key — an O(changed keys) apply, not O(dimension)."""
+    t = _dim(spark, str(tmp_path / "t"))  # key-clustered files
+    n_files = len(t._resolve(None)[0])
+    assert n_files > 1
+    t.scd2(
+        spark.createDataFrame(
+            [(1, "x", 200)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+        mode="merge_on_read",
+    )
+    c = t._read_commit(t.latest_version())
+    assert len(c.dv) == 1  # only the file holding k=1 is vectored
+    assert c.remove == []  # no dimension file rewritten
+    assert len(t._resolve(None)[0]) == n_files + len(c.add)
+
+
+def test_mor_scd2_second_change_and_history(spark, tmp_path):
+    """A second change to the same key closes the MOR-written current
+    row (the new files participate in later applies), and history
+    accumulates exactly like copy-on-write."""
+    t = _dim(spark, str(tmp_path / "t"))
+    t.scd2(
+        spark.createDataFrame(
+            [(2, "b", 200)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+        mode="merge_on_read",
+    )
+    t.scd2(
+        spark.createDataFrame(
+            [(2, "c", 300)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+        mode="merge_on_read",
+    )
+    got = _rows(
+        t.snapshot()
+        .filter(F.col("k") == 2)
+        .select("attr", "is_current", "end_ts")
+    )
+    assert got == [("b", False, 300), ("c", True, None), ("v2", False, 200)]
+    # point-in-time: exactly one current row per key at every version
+    for v in range(t.latest_version() + 1):
+        cur = (
+            t.snapshot(as_of=v)
+            .filter(F.col("is_current") & (F.col("k") == 2))
+            .count()
+        )
+        assert cur == 1, v
