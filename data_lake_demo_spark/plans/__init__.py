@@ -15,23 +15,26 @@ ALL_MODULES = [llm, events, relational]
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
 # explicit round-10 rotation, executing the r9 verdict's item 2:
-# the TWO queries new this round (never driver-checked — they certify
-# the r10 deletion-vector codec and the merge-on-read MERGE) lead,
-# then all 14 queries whose newest driver row is CORRECTNESS_r06
-# (three rounds stale), then 34 of the 50 rows whose newest driver
-# row is CORRECTNESS_r07. Evicted: the entire r9 window (all 50
-# entries green in CORRECTNESS_r09.json — 47 value-hash + 3
-# rows-only-by-design — and re-proven at sf0.001/sf0.01 by the
-# in-suite parity replica on every pytest run). The 16 r7 rows left
-# out are the ones whose semantics are pinned by an in-window twin
-# this round (portable-family siblings) or by a same-operator
-# in-window row; they lead the r11 rotation.
+# the THREE queries new this round (never driver-checked — they
+# certify the r10 deletion-vector codec, the merge-on-read MERGE,
+# and the merge-on-read SCD2) lead, then all 14 queries whose newest
+# driver row is CORRECTNESS_r06 (three rounds stale), then 33 of the
+# 50 rows whose newest driver row is CORRECTNESS_r07. Evicted: the
+# entire r9 window (all 50 entries green in CORRECTNESS_r09.json —
+# 47 value-hash + 3 rows-only-by-design — and re-proven at
+# sf0.001/sf0.01 by the in-suite parity replica on every pytest
+# run). The 17 r7 rows left out are the ones whose semantics are
+# pinned by an in-window twin this round (portable-family siblings),
+# a same-operator in-window row, or a hypothesis reference test;
+# they lead the r11 rotation.
 WINDOW = [
     # -- never driver-checked (new in r10) --------------------------------
     "orders_mor_delete_dv",  # merge-on-read DELETE through the NEW
     # compressed/sidecar deletion-vector codec, under a value hash
     "orders_merge_mor_upsert",  # merge-on-read MERGE (DV-based
     # low-shuffle merge) under a value hash
+    "orders_scd2_mor_dimension",  # merge-on-read SCD2 (O(changed
+    # keys) dimension maintenance) under a value hash
     # -- r6 rows (stalest driver rows in the registry) --------------------
     "bloom_semi_join_orders",
     "doc_quality_model_scores",
@@ -82,7 +85,6 @@ WINDOW = [
     "emb_semantic_dedup",
     # events: time-series kernels
     "events_cusum_alarms",
-    "events_gap_fill",
     "events_histogram_quantiles",
     "events_window_funnel",
     # media
@@ -93,6 +95,8 @@ assert len(WINDOW) == 50, len(WINDOW)
 # round): doc_retrieval_join (composed inside the in-window
 # doc_rag_pipeline), doc_lsh_recall_eval (banding recall pinned by the
 # in-window doc_minhash_dups_portable + its hypothesis property test),
+# events_gap_fill (pinned by the hypothesis reference
+# test_gap_fill_matches_python_reference),
 # doc_bpe_vocab_tokens (rows-only; token-count twin r8),
 # doc_compression_signals (rows-only; portable twin r9),
 # doc_quality_model_scores_frozen (live-twin in window), emb_ivf_ann_

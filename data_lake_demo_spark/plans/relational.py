@@ -2248,6 +2248,96 @@ FROM merged GROUP BY status ORDER BY status
 """
 
 
+def orders_scd2_mor_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read SCD2 end-to-end (new in r10): a dimension seeded
+    from every 4th order gets TWO change batches applied with
+    ``scd2(mode="merge_on_read")`` — each apply masks the matched
+    current rows via deletion vectors and adds only the closed copies
+    + new versions (no dimension file rewritten). Batch 1 (every 6th
+    key, doubled price, eff 200) closes the overlap (every 12th key);
+    batch 2 (every 12th key, tripled price, eff 300) closes batch 1's
+    rows. The final (is_current, closed_at) aggregate value-hashes
+    against SQL reconstructing all three generations. Certifies
+    tableformat._scd2_mor_attempt under the driver hash."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="scd2_mor_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(
+            orders.filter(k % 4 == 0).select(
+                k.alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(100).cast("long").alias("effective_ts"),
+                F.lit(True).alias("is_current"),
+                F.lit(None).cast("long").alias("end_ts"),
+            ),
+            partition_by=["k"],
+        )
+        t.scd2(
+            orders.filter(k % 6 == 0).select(
+                k.alias("k"),
+                (F.col("o_totalprice") * 2).alias("price"),
+                F.lit(200).cast("long").alias("effective_ts"),
+            ),
+            "k",
+            mode="merge_on_read",
+        )
+        t.scd2(
+            orders.filter(k % 12 == 0).select(
+                k.alias("k"),
+                (F.col("o_totalprice") * 3).alias("price"),
+                F.lit(300).cast("long").alias("effective_ts"),
+            ),
+            "k",
+            mode="merge_on_read",
+        )
+        out = (
+            t.snapshot()
+            .groupBy(
+                F.col("is_current"),
+                F.coalesce("end_ts", F.lit(-1)).alias("closed_at"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                qsum(F.col("price"), "price_sum"),
+            )
+            .orderBy("is_current", "closed_at")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "is_current boolean, closed_at long, n long, price_sum double"
+    )
+
+
+ORDERS_SCD2_MOR_SQL = f"""
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+vers AS (
+  SELECT p AS price, TRUE AS is_current, CAST(NULL AS BIGINT) AS end_ts
+  FROM o WHERE k % 4 = 0 AND k % 12 != 0
+  UNION ALL
+  SELECT p, FALSE, 200 FROM o WHERE k % 12 = 0
+  UNION ALL
+  SELECT p * 2, TRUE, CAST(NULL AS BIGINT)
+  FROM o WHERE k % 6 = 0 AND k % 12 != 0
+  UNION ALL
+  SELECT p * 2, FALSE, 300 FROM o WHERE k % 12 = 0
+  UNION ALL
+  SELECT p * 3, TRUE, CAST(NULL AS BIGINT) FROM o WHERE k % 12 = 0)
+SELECT is_current, coalesce(end_ts, -1) AS closed_at,
+       count(*) AS n, {_sql_qsum('price', 'price_sum')}
+FROM vers GROUP BY is_current, coalesce(end_ts, -1)
+ORDER BY is_current, closed_at
+"""
+
+
 def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``replaceWhere`` as the nightly-backfill verb (new in r8): a
     temp AcidTable partitioned by priority prefix gets ONE partition
@@ -2599,6 +2689,7 @@ QUERIES = {
     "orders_merge_insert_columns": orders_merge_insert_columns,
     "orders_mor_delete_dv": orders_mor_delete_dv,
     "orders_merge_mor_upsert": orders_merge_mor_upsert,
+    "orders_scd2_mor_dimension": orders_scd2_mor_dimension,
     "orders_replace_where_backfill": orders_replace_where_backfill,
     # registered OUTSIDE the 50-slot driver window this round (the
     # window carries the 48 stale rows per the r7 verdict); in-suite
@@ -2671,6 +2762,7 @@ ORACLE = {
     "orders_merge_insert_columns": ORDERS_MERGE_INSERT_SQL,
     "orders_mor_delete_dv": ORDERS_MOR_DELETE_DV_SQL,
     "orders_merge_mor_upsert": ORDERS_MERGE_MOR_SQL,
+    "orders_scd2_mor_dimension": ORDERS_SCD2_MOR_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,
