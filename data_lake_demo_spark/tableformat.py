@@ -1601,6 +1601,22 @@ class AcidTable:
             props if props is not None else self.properties()
         )
 
+    def _default_write_mode(self, verb_key: str | None = None) -> str:
+        """Resolve a verb's default physical strategy from table
+        properties — Delta's ``enableDeletionVectors`` switch: when
+        set, DELETE / UPDATE / MERGE / SCD2 default to merge-on-read
+        (the verbs' explicit ``mode=`` argument still wins, and a
+        verb-specific key like ``merge.mode`` wins over the blanket
+        switch)."""
+        props = self.properties()
+        if verb_key:
+            specific = props.get(verb_key)
+            if specific:
+                return specific
+        if str(props.get("enableDeletionVectors")).lower() == "true":
+            return "merge_on_read"
+        return "copy_on_write"
+
     def _reject_reserved_row_id(self, df: DataFrame) -> None:
         """``__row_id`` is engine-assigned: a user batch carrying it
         would corrupt the watermark (staged stats would masquerade as
@@ -2739,7 +2755,7 @@ class AcidTable:
         raise CommitConflict(f"truncate lost {max_retries} commit races")
 
     def delete(
-        self, filters, *, mode: str = "copy_on_write", max_retries: int = 5
+        self, filters, *, mode: str | None = None, max_retries: int = 5
     ) -> int:
         """DELETE WHERE. Two physical strategies, same logical result:
 
@@ -2765,6 +2781,8 @@ class AcidTable:
         explicit)."""
         if not filters:
             raise ValueError("delete() requires at least one filter")
+        if mode is None:
+            mode = self._default_write_mode("delete.mode")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown delete mode {mode!r}")
         filters = self._phys_filters(filters)
@@ -2810,7 +2828,7 @@ class AcidTable:
         assignments: dict[str, str],
         filters=(),
         *,
-        mode: str = "copy_on_write",
+        mode: str | None = None,
         max_retries: int = 5,
     ) -> int:
         """UPDATE ... SET col = expr [WHERE ...] — the Delta UPDATE
@@ -2843,6 +2861,8 @@ class AcidTable:
         before anything is committed."""
         if not assignments:
             raise ValueError("update() requires at least one assignment")
+        if mode is None:
+            mode = self._default_write_mode("update.mode")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown update mode {mode!r}")
         # row-level predicate + assignments run in LOGICAL column space;
@@ -4223,7 +4243,7 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_upsert
 
         if mode is None:
-            mode = self.properties().get("merge.mode") or "copy_on_write"
+            mode = self._default_write_mode("merge.mode")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown merge mode {mode!r}")
         self._reject_reserved_row_id(updates)
@@ -4480,7 +4500,7 @@ class AcidTable:
         from data_lake_demo_spark.operators.upsert import merge_apply
 
         if mode is None:
-            mode = self.properties().get("merge.mode") or "copy_on_write"
+            mode = self._default_write_mode("merge.mode")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown merge mode {mode!r}")
         self._reject_reserved_row_id(updates)
@@ -4651,7 +4671,7 @@ class AcidTable:
         current_col: str = "is_current",
         end_col: str = "end_ts",
         dedupe_order: str | None = None,
-        mode: str = "copy_on_write",
+        mode: str | None = None,
         max_retries: int = 5,
     ) -> int:
         """Transactional SCD2 history application: the
@@ -4680,6 +4700,8 @@ class AcidTable:
         for free; closed copies and new versions mint fresh)."""
         from data_lake_demo_spark.operators.upsert import scd2_apply
 
+        if mode is None:
+            mode = self._default_write_mode("scd2.mode")
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown scd2 mode {mode!r}")
         for _ in range(max_retries):

@@ -446,3 +446,60 @@ def test_mor_scd2_second_change_and_history(spark, tmp_path):
             .count()
         )
         assert cur == 1, v
+
+
+def test_enable_deletion_vectors_property_flips_all_verbs(spark, tmp_path):
+    """Delta's actual switch: TBLPROPERTIES('enableDeletionVectors' =
+    'true') makes DELETE / UPDATE / MERGE / SCD2 default to
+    merge-on-read — including through SQL — while an explicit mode
+    argument and a verb-specific key ('delete.mode' etc.) still win."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"dv": str(tmp_path / "t")})
+    t = sql.table("dv")
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(10)], "k long, v long"
+        ).coalesce(1)
+    )
+    sql.sql(
+        "ALTER TABLE dv SET TBLPROPERTIES('enableDeletionVectors'='true')"
+    )
+    sql.sql("DELETE FROM dv WHERE k = 0")
+    sql.sql("UPDATE dv SET v = v + 1 WHERE k = 1")
+    spark.createDataFrame([(2, 99), (77, 7)], "k long, v long") \
+        .createOrReplaceTempView("dvprop_src")
+    sql.sql("MERGE INTO dv AS tg USING dvprop_src AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    # every one of those commits carried a vector and removed nothing
+    verbs = [
+        (c.op, bool(c.remove), bool(c.dv))
+        for c in t.history()
+        if c.op in ("delete", "update", "merge", "merge_delete")
+    ]
+    assert len(verbs) == 3
+    assert all(not removed and has_dv for _, removed, has_dv in verbs)
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert 0 not in got and got[1] == 11 and got[2] == 99 and got[77] == 7
+    # explicit mode still wins over the property
+    t.delete([("k", "=", 3)], mode="copy_on_write")
+    assert t._read_commit(t.latest_version()).remove
+    # a verb-specific key beats the blanket switch
+    t.set_properties({"delete.mode": "copy_on_write"})
+    t.delete([("k", "=", 4)])
+    c = t._read_commit(t.latest_version())
+    assert c.remove and not c.dv
+
+
+def test_enable_deletion_vectors_scd2(spark, tmp_path):
+    t = _dim(spark, str(tmp_path / "t"))
+    t.set_properties({"enableDeletionVectors": "true"})
+    t.scd2(
+        spark.createDataFrame(
+            [(2, "b", 200)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+    )
+    c = t._read_commit(t.latest_version())
+    assert c.op == "scd2" and c.remove == [] and c.dv
