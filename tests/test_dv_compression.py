@@ -289,3 +289,49 @@ def test_executor_side_dv_apply_above_threshold(spark, tmp_path, monkeypatch):
     assert {r["_change_type"]: r["count"] for r in feed} == {
         "delete": 55_000
     }
+
+
+def test_reorg_purge_materializes_sidecar_vectors(spark, tmp_path):
+    """REORG PURGE rewrites exactly the files carrying a vector —
+    sidecar or inline — and only those; the sidecar itself becomes
+    vacuum-reclaimable once out of retention."""
+    t = _parity_table(spark, str(tmp_path / "t"), 200_000, files=2)
+    untouched_before = set(t._resolve(None)[0])
+    t.delete([("r", "=", 1)], mode="merge_on_read")
+    vectored = set(t.deletion_vectors())
+    assert vectored  # at least one file masked via a sidecar vector
+    t.reorg_purge(n_files=1)
+    assert t.deletion_vectors() == {}
+    assert t.snapshot().count() == 100_000
+    # files that never carried a vector survive the purge by path
+    c = t._read_commit(t.latest_version())
+    assert set(c.remove) == vectored
+    assert (untouched_before - vectored) <= set(t._resolve(None)[0])
+    deleted = t.vacuum(retain_versions=1)
+    assert any(rel.endswith(".bin") for rel in deleted)
+
+
+def test_checkpoint_round_trips_sidecar_refs(spark, tmp_path):
+    """A checkpoint written while a sidecar vector is live carries the
+    REFERENCE (not the bitmap bytes), and resolution from the
+    checkpoint masks identically in a fresh handle."""
+    import json as _json
+
+    t = AcidTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(
+        spark.range(200_000).selectExpr("id as k", "id % 2 as r").coalesce(1)
+    )
+    t.delete([("r", "=", 1)], mode="merge_on_read")
+    for i in range(3):  # push past a checkpoint boundary
+        t.append(
+            spark.createDataFrame([(10**9 + i, 0)], "k long, r long")
+        )
+    names = [n for n in t.log.list_names() if n.endswith(".checkpoint.json")]
+    assert names
+    ck = _json.loads(t.log.read(sorted(names)[-1]))
+    refs = list(ck.get("dvs", {}).values())
+    assert refs and all(v.startswith("sc1:") for v in refs)
+    assert len(_json.dumps(ck)) < 50_000  # reference, not payload
+    fresh = AcidTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    assert fresh.snapshot().count() == 100_000 + 3
+    assert fresh.row_count() == 100_000 + 3
