@@ -2778,7 +2778,8 @@ class AcidTable:
 
         Empty filters are rejected (use ``overwrite`` with an empty
         frame to truncate — an explicit full-table delete should look
-        explicit)."""
+        explicit). ``mode=None`` resolves ``delete.mode`` then the
+        blanket ``enableDeletionVectors`` table property."""
         if not filters:
             raise ValueError("delete() requires at least one filter")
         if mode is None:
