@@ -42,6 +42,8 @@ Grammar (case-insensitive keywords; one statement per call):
         [WHEN MATCHED THEN UPDATE SET *]
         [WHEN NOT MATCHED [AND cond] THEN INSERT *
              | INSERT (c1, ...) VALUES (e1, ...)]
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+             | UPDATE SET c = expr[, ...]]
     COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|TEXT]
         [PATTERN = '*.ext'] [FORMAT_OPTIONS ('k' = 'v', ...)]
     RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'
@@ -663,6 +665,11 @@ class AcidSql:
           source half inherently scans the whole target (an anti-join
           against the source keys) — the rewrite itself stays
           manifest-pruned.
+        * ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET
+          c = expr[, ...]`` (Delta's soft-expire sync — e.g. ``SET
+          active = false`` for rows that left the source), alone or
+          with ``UPDATE SET * + INSERT *``; expressions and condition
+          over TARGET columns only, one atomic merge commit.
 
         ``MERGE WITH SCHEMA EVOLUTION INTO ...`` (Delta's clause)
         widens the table with the source's NEW columns in the same
@@ -698,6 +705,8 @@ class AcidSql:
         set_cond = None
         nmbs_delete = False
         nmbs_cond = None
+        nmbs_set = None
+        nmbs_set_cond = None
         insert_spec = None  # (cols|None for *, vals|None, cond|None)
         for clause in _split_top(whens, "WHEN"):
             c = clause.strip()
@@ -711,6 +720,12 @@ class AcidSql:
             nm = re.fullmatch(
                 r"NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?"
                 r"\s*THEN\s+DELETE",
+                c,
+                re.I | re.S,
+            )
+            nmu = re.fullmatch(
+                r"NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?"
+                r"\s*THEN\s+UPDATE\s+SET\s+(.+)",
                 c,
                 re.I | re.S,
             )
@@ -738,6 +753,9 @@ class AcidSql:
             elif nm:
                 nmbs_delete = True
                 nmbs_cond = nm.group(1)
+            elif nmu:
+                nmbs_set_cond = nmu.group(1)
+                nmbs_set = nmu.group(2)
             elif im:
                 cols = [
                     x.strip().strip("`") for x in im.group(2).split(",")
@@ -774,7 +792,13 @@ class AcidSql:
                 )
             for a in aliases:
                 delete_cond = re.sub(rf"\b{a}\.", "", delete_cond)
-        if has_update and has_insert and delete_cond is not None:
+        if (
+            has_update
+            and has_insert
+            and delete_cond is not None
+            and not nmbs_delete
+            and nmbs_set is None
+        ):
             if insert_spec != (None, None, None):
                 raise ValueError(
                     "the CDC apply shape (UPDATE SET * + INSERT * + AND "
@@ -826,6 +850,7 @@ class AcidSql:
                 or has_plain_delete
                 or delete_cond is not None
                 or nmbs_delete
+                or nmbs_set is not None
             ):
                 raise ValueError(
                     "column-level UPDATE SET combines only with "
@@ -834,6 +859,22 @@ class AcidSql:
             return self._merge_update_columns(
                 t, src_df, keys, set_clause, talias, salias, insert_spec,
                 cond=set_cond,
+            )
+        if nmbs_set is not None:
+            if nmbs_delete or has_plain_delete or delete_cond is not None:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET does not "
+                    "combine with a DELETE clause"
+                )
+            if has_update != has_insert or (has_insert and not plain_star):
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET combines "
+                    "with UPDATE SET * + INSERT * (the mirror-source "
+                    "soft-expire sync) or stands alone"
+                )
+            return self._merge_sync_update(
+                t, src_df, keys, nmbs_set_cond, nmbs_set, talias, salias,
+                with_upsert=has_update, auto_evolve=auto_evolve,
             )
         if nmbs_delete:
             if (
@@ -1094,6 +1135,87 @@ class AcidSql:
             .unionByName(gone.withColumn("__mrg_del", F.lit(True)))
         )
         return self._version_df(t.merge_apply(updates, keys, "__mrg_del"))
+
+    def _merge_sync_update(
+        self, t, src_df, keys, cond, set_clause, talias, salias,
+        *, with_upsert, auto_evolve=False,
+    ) -> DataFrame:
+        """``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c =
+        expr[, ...]`` — Delta's soft-expire half of a mirror sync
+        (e.g. ``SET active = false`` on rows that left the source),
+        alone or composed with ``UPDATE SET * + INSERT *``. Lowered as
+        ONE atomic merge commit: the not-matched-by-source target rows
+        (anti-join — like the DELETE variant, this half inherently
+        scans the target) are rebuilt full-row with the assignments
+        applied (expressions over TARGET columns only; each value is
+        cast back to the column's declared type, standard UPDATE
+        semantics) and ride the same upsert batch as the source rows.
+        Works in both copy-on-write and merge-on-read mode via the
+        table's ``merge.mode`` / ``enableDeletionVectors`` properties
+        — the batch goes through the ordinary ``merge`` verb."""
+        from pyspark.sql import functions as F
+
+        tcols = t.snapshot().columns
+        for frag, what in ((cond, "condition"), (set_clause, "assignments")):
+            if frag and salias and re.search(rf"\b{salias}\.", frag):
+                raise ValueError(
+                    f"the NOT MATCHED BY SOURCE {what} may reference "
+                    "target columns only (there is no source row)"
+                )
+        if with_upsert:
+            missing = [c for c in tcols if c not in src_df.columns]
+            if missing:
+                raise ValueError(
+                    f"INSERT * requires the source to carry every target "
+                    f"column; missing {missing}"
+                )
+        gone = t.snapshot().join(
+            src_df.select(*keys).distinct(), keys, "left_anti"
+        )
+        if cond is not None:
+            if talias:
+                cond = re.sub(rf"\b{talias}\.", "", cond)
+            gone = gone.filter(F.expr(cond))
+        if talias:
+            set_clause = re.sub(rf"\b{talias}\.", "", set_clause)
+        assigns = {}
+        for part in _split_top(set_clause, ","):
+            am = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*", part, re.S)
+            if not am:
+                raise ValueError(
+                    f"unsupported SET assignment {part.strip()!r} "
+                    "(col = expr only)"
+                )
+            assigns[am.group(1)] = am.group(2)
+        unknown = set(assigns) - set(tcols)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET targets unknown column(s) {sorted(unknown)}"
+            )
+        if set(assigns) & set(keys):
+            raise ValueError(
+                "the NOT MATCHED BY SOURCE UPDATE cannot assign a merge "
+                "key column (it would change the row's merge identity)"
+            )
+        types = {f.name: f.dataType for f in t.snapshot().schema.fields}
+        changed = gone.select(
+            *[
+                F.expr(assigns[c]).cast(types[c]).alias(c)
+                if c in assigns
+                else F.col(c)
+                for c in tcols
+            ]
+        )
+        if with_upsert:
+            src_part = src_df if auto_evolve else src_df.select(*tcols)
+            updates = src_part.unionByName(
+                changed, allowMissingColumns=auto_evolve
+            )
+        else:
+            updates = changed
+        return self._version_df(
+            t.merge(updates, keys, auto_evolve=auto_evolve)
+        )
 
     # ---- the router ----------------------------------------------------
 

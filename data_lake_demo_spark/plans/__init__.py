@@ -14,100 +14,100 @@ ALL_MODULES = [llm, events, relational]
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
-# explicit round-10 rotation, executing the r9 verdict's item 2:
-# the THREE queries new this round (never driver-checked — they
-# certify the r10 deletion-vector codec, the merge-on-read MERGE,
-# and the merge-on-read SCD2) lead, then all 14 queries whose newest
-# driver row is CORRECTNESS_r06 (three rounds stale), then 33 of the
-# 50 rows whose newest driver row is CORRECTNESS_r07. Evicted: the
-# entire r9 window (all 50 entries green in CORRECTNESS_r09.json —
-# 47 value-hash + 3 rows-only-by-design — and re-proven at
-# sf0.001/sf0.01 by the in-suite parity replica on every pytest
-# run). The 17 r7 rows left out are the ones whose semantics are
-# pinned by an in-window twin this round (portable-family siblings),
-# a same-operator in-window row, or a hypothesis reference test;
-# they lead the r11 rotation.
+# explicit round-11 rotation, executing the r10 verdict's item 2:
+# the TWO queries new this round lead (never driver-checked — they
+# certify the r11 MERGE grammar extension ``WHEN NOT MATCHED BY
+# SOURCE THEN UPDATE SET`` and the CDF ``updateAsImages`` 4-value
+# enum), then ALL 17 queries whose newest driver row is
+# CORRECTNESS_r07 (the block the r10 verdict names for this round —
+# after this window no registry row's union entry is older than r8),
+# then 31 of the 50 rows whose newest driver row is CORRECTNESS_r08.
+# Evicted: the entire r10 window (all 50 entries green in
+# CORRECTNESS_r10.json and re-proven at sf0.001/sf0.01 by the
+# in-suite parity replica on every pytest run). The 19 r8 rows left
+# out are each pinned by an in-window sibling this round (named
+# below); they lead the r12 rotation.
 WINDOW = [
-    # -- never driver-checked (new in r10) --------------------------------
-    "orders_mor_delete_dv",  # merge-on-read DELETE through the NEW
-    # compressed/sidecar deletion-vector codec, under a value hash
-    "orders_merge_mor_upsert",  # merge-on-read MERGE (DV-based
-    # low-shuffle merge) under a value hash
-    "orders_scd2_mor_dimension",  # merge-on-read SCD2 (O(changed
-    # keys) dimension maintenance) under a value hash
-    # -- r6 rows (stalest driver rows in the registry) --------------------
-    "bloom_semi_join_orders",
-    "doc_quality_model_scores",
-    "doc_temperature_mix",
-    "emb_hard_negatives",
-    "events_scd2_point_in_time",
-    "grouping_sets_revenue",
-    "having_filter",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # -- r7 rows (next-stalest block; 36 of 50) ---------------------------
-    # relational tail of TPC-H
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "lineitem_transit_overlaps",
-    # documents: dedup / retrieval / quality
-    "doc_bm25_retrieval",
-    "doc_dedup_index_incremental",
-    "doc_dsir_weights",
-    "doc_inverted_index",
-    "doc_lm_perplexity",
-    "doc_minhash_dups_portable",
-    "doc_paragraph_dedup",
-    "doc_pmi_collocations",
-    "doc_rag_pipeline",
-    "doc_shard_assign_snake",
-    "doc_simhash_buckets_portable",
-    "doc_source_quality_eb",
-    "doc_substring_dedup",
-    "doc_tokenizer_fertility",
-    "doc_weighted_sample",
-    # embeddings: ANN / graph / clustering
-    "emb_ann_recall_at_k",
-    "emb_filtered_ann_portable",
-    "emb_graph_communities",
-    "emb_graph_pagerank",
-    "emb_graph_triangles",
-    "emb_kmeans_portable",
-    "emb_lsh_multiprobe_ann",
-    "emb_mmr_rerank",
-    "emb_semantic_dedup",
-    # events: time-series kernels
-    "events_cusum_alarms",
-    "events_histogram_quantiles",
-    "events_window_funnel",
-    # media
-    "media_video_scene_cuts",
+    # -- never driver-checked (new in r11) --------------------------------
+    "orders_merge_sync_update",  # WHEN NOT MATCHED BY SOURCE THEN
+    # UPDATE SET (Delta's soft-expire mirror sync) through SQL MERGE
+    "orders_cdf_update_images",  # updateAsImages: Delta's 4-value
+    # CDF enum from id-paired delete+insert rows, executor-side
+    # -- r7 rows (stalest driver rows in the registry; all 17) ------------
+    "doc_retrieval_join",
+    "doc_lsh_recall_eval",
+    "doc_bpe_vocab_tokens",
+    "doc_compression_signals",
+    "doc_quality_model_scores_frozen",
+    "emb_ivf_ann_portable",
+    "emb_pq_ann_portable",
+    "emb_ivfpq_ann_portable",
+    "emb_sq_ann",
+    "emb_sq_ann_portable",
+    "events_gap_fill",
+    "events_hourly_anomalies",
+    "events_kmv_retention",
+    "events_lttb_downsample",
+    "media_audio_features_real",
+    "media_image_stats_real",
+    "media_video_frames_real",
+    # -- r8 rows (next-stalest block; 31 of 50) ---------------------------
+    "anti_join_customers_without_orders",
+    "approx_stats",
+    "doc_chunk_overlap",
+    "doc_decontaminate",
+    "doc_dedup_components",
+    "doc_exact_dedup",
+    "doc_fingerprint_buckets",
+    "doc_lang_id",
+    "doc_normalize_scrub",
+    "doc_pack_sequences",
+    "doc_quality_funnel",
+    "doc_repetition_signals",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_mix",
+    "doc_training_pipeline",
+    "doc_winnowing_overlap",
+    "emb_label_centroid_sim",
+    "emb_quantize_int8",
+    "events_asof_last_view",
+    "events_daily_funnel",
+    "events_daily_retention",
+    "events_hll_daily_users",
+    "events_json_extract",
+    "events_rolling_7d_active",
+    "events_sessionization",
+    "events_tumbling_hourly",
+    "group_count_ordinal",
+    "media_feature_stats",
+    "orders_merge_update_columns",
+    "orders_replace_where_backfill",
+    "orders_table_profile",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
-# Deferred to r11 (r7-green, each pinned by an in-window sibling this
-# round): doc_retrieval_join (composed inside the in-window
-# doc_rag_pipeline), doc_lsh_recall_eval (banding recall pinned by the
-# in-window doc_minhash_dups_portable + its hypothesis property test),
-# events_gap_fill (pinned by the hypothesis reference
-# test_gap_fill_matches_python_reference),
-# doc_bpe_vocab_tokens (rows-only; token-count twin r8),
-# doc_compression_signals (rows-only; portable twin r9),
-# doc_quality_model_scores_frozen (live-twin in window), emb_ivf_ann_
-# portable / emb_pq_ann_portable / emb_ivfpq_ann_portable /
-# emb_sq_ann / emb_sq_ann_portable (ANN family; recall-at-k +
-# filtered-portable in window), events_hourly_anomalies,
-# events_kmv_retention, events_lttb_downsample, media_audio_features_
-# real, media_image_stats_real, media_video_frames_real (scene-cuts
-# twin in window). Everything outside this window is r7/r8/r9-green
-# (unchanged since its hash row) and re-proven by the in-suite parity
-# replica each run.
+# Deferred to r12 (r8-green, each pinned by an in-window sibling or a
+# hypothesis reference this round): doc_bpe_token_counts (tokenizer
+# twin doc_tokenizer_fertility r10; vocab twin in window),
+# doc_dedup_components_bigstar (doc_dedup_components in window, same
+# CC operator), doc_minhash_near_dups / doc_simhash_buckets (portable
+# twins r10-green), doc_ngram_jaccard_dups (PPJoin hypothesis pin +
+# doc_lsh_recall_eval in window), emb_near_dups (emb_semantic_dedup
+# composition r10), emb_lsh_ann (superseded by in-suite recall tests
+# + multiprobe r10), q1_pricing_summary (the entry() flagship — the
+# driver smoke-runs it EVERY round), knn_brute_force (exact anchor
+# composed inside recall evals), doc_quality_scores (doc_quality_
+# funnel in window composes it), doc_token_stats (token-budget-mix in
+# window), events_sliding_windows (events_tumbling_hourly in window,
+# same kernel), doc_length_histogram (events_histogram_quantiles
+# r10-green, same kernel), doc_scrub_boilerplate (doc_normalize_scrub
+# in window), doc_split_assign (doc_shard_assign_snake r10-green),
+# doc_domain_mix (doc_token_budget_mix in window; temperature-mix
+# r10), emb_norms (composed by every in-window ANN query),
+# events_daily_from_hourly_rollup (rollup_time pytest pin +
+# daily-retention in window), countmin_event_type_freq (exact twin in
+# suite; KMV + HLL siblings in window). Everything outside this
+# window is r8/r9/r10-green (unchanged since its hash row) and
+# re-proven by the in-suite parity replica each run.
 
 
 def all_queries():

@@ -2317,6 +2317,86 @@ def orders_scd2_mor_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_merge_sync_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta mirror-sync MERGE grammar end-to-end (new in
+    r11), through the SQL route: ``WHEN MATCHED THEN UPDATE SET * /
+    WHEN NOT MATCHED THEN INSERT * / WHEN NOT MATCHED BY SOURCE AND
+    <cond> THEN UPDATE SET ...`` — the soft-expire recipe (rows that
+    left the source flip ``active = false`` instead of deleting) in
+    ONE atomic commit. Target = even-key orders; source = %3-key
+    orders with doubled totals; stale cheap rows (total < 150000)
+    soft-expire with a status stamp. The final (status, active)
+    quantized aggregate value-hashes against SQL replaying the three
+    clause outcomes. Certifies ddl._merge_sync_update."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.ddl import AcidSql
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="merge_sync_upd_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit(True).alias("active"),
+            )
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 2).alias("total"),
+            F.lit("~").alias("status"),
+            F.lit(True).alias("active"),
+        ).createOrReplaceTempView("__sync_upd_src")
+        sql = AcidSql(spark, {"t": root + "/t"})
+        sql.sql(
+            "MERGE INTO t AS tg USING __sync_upd_src AS s ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND tg.total < 150000 "
+            "THEN UPDATE SET active = false, status = 'x'"
+        )
+        out = (
+            t.snapshot()
+            .groupBy("status", "active")
+            .agg(
+                qsum(F.col("total"), "total_sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("status", "active")
+            .collect()
+        )
+    finally:
+        spark.catalog.dropTempView("__sync_upd_src")
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "status string, active boolean, total_sum double, n long"
+    )
+
+
+ORDERS_MERGE_SYNC_UPDATE_SQL = f"""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_totalprice AS total, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 2 = 0),
+b AS (
+  SELECT o_orderkey AS k, o_totalprice * 2 AS total, '~' AS status
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT k, total, status, TRUE AS active FROM b
+  UNION ALL
+  SELECT k, total,
+         CASE WHEN total < 150000 THEN 'x' ELSE status END AS status,
+         total >= 150000 AS active
+  FROM t0 WHERE k NOT IN (SELECT k FROM b))
+SELECT status, active, {_sql_qsum('total', 'total_sum')}, count(*) AS n
+FROM merged GROUP BY status, active ORDER BY status, active
+"""
+
+
 ORDERS_SCD2_MOR_SQL = f"""
 WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
 vers AS (
@@ -2531,6 +2611,85 @@ def orders_cdf_row_id_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's 4-value CDF enum via ``updateAsImages`` (new in r11):
+    a row-tracking AcidTable of even-key orders takes a MERGE (source
+    = keys % 3 == 0, totals bumped by k % 5), and the DSv2 BATCH read
+    with ``readChangeFeed + updateAsImages`` folds the id-paired
+    delete+insert rows into ``update_preimage``/``update_postimage``
+    executor-side; true inserts stay ``insert``. The per-change-type
+    (count, quantized sum) aggregate value-hashes against SQL
+    replaying the merge: pairs are exactly the k % 6 == 0 keys whose
+    bump is non-zero (unchanged rows net out of the feed), inserts
+    the odd multiples of 3. Certifies acid_source._read_change_rows'
+    image pairing under the driver hash."""
+    import shutil
+    import tempfile
+
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="cdf_images_query_")
+    try:
+        t = AcidTable(spark, root + "/t")
+        t.set_row_tracking()
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        v0 = t.latest_version()
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                (
+                    F.col("o_totalprice")
+                    + (F.col("o_orderkey") % 5).cast("double")
+                ).alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            ["k"],
+        )
+        out = (
+            spark.read.format("acidtable")
+            .option("path", root + "/t")
+            .option("readChangeFeed", "true")
+            .option("updateAsImages", "true")
+            .option("startingVersion", v0 + 1)
+            .load()
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                qsum(F.col("total"), "total_sum"),
+            )
+            .orderBy("_change_type")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "_change_type string, n long, total_sum double"
+    )
+
+
+ORDERS_CDF_UPDATE_IMAGES_SQL = f"""
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+feed AS (
+  SELECT 'update_preimage' AS _change_type, p AS total
+  FROM o WHERE k % 6 = 0 AND k % 5 <> 0
+  UNION ALL
+  SELECT 'update_postimage', p + k % 5 FROM o WHERE k % 6 = 0 AND k % 5 <> 0
+  UNION ALL
+  SELECT 'insert', p + k % 5 FROM o WHERE k % 3 = 0 AND k % 2 <> 0)
+SELECT _change_type, count(*) AS n, {_sql_qsum('total', 'total_sum')}
+FROM feed GROUP BY _change_type ORDER BY _change_type
+"""
+
+
 def orders_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Liquid clustering end-to-end under a value hash (new in r8):
     even-key orders land in TWO shuffled appends (every file spans
@@ -2690,6 +2849,8 @@ QUERIES = {
     "orders_mor_delete_dv": orders_mor_delete_dv,
     "orders_merge_mor_upsert": orders_merge_mor_upsert,
     "orders_scd2_mor_dimension": orders_scd2_mor_dimension,
+    "orders_merge_sync_update": orders_merge_sync_update,
+    "orders_cdf_update_images": orders_cdf_update_images,
     "orders_replace_where_backfill": orders_replace_where_backfill,
     # registered OUTSIDE the 50-slot driver window this round (the
     # window carries the 48 stale rows per the r7 verdict); in-suite
@@ -2763,6 +2924,8 @@ ORACLE = {
     "orders_mor_delete_dv": ORDERS_MOR_DELETE_DV_SQL,
     "orders_merge_mor_upsert": ORDERS_MERGE_MOR_SQL,
     "orders_scd2_mor_dimension": ORDERS_SCD2_MOR_SQL,
+    "orders_merge_sync_update": ORDERS_MERGE_SYNC_UPDATE_SQL,
+    "orders_cdf_update_images": ORDERS_CDF_UPDATE_IMAGES_SQL,
     "orders_replace_where_backfill": ORDERS_REPLACE_WHERE_SQL,
     "orders_row_tracking_ids": ORDERS_ROW_TRACKING_SQL,
     "orders_cdf_row_id_pairs": ORDERS_CDF_RID_PAIRS_SQL,

@@ -44,7 +44,11 @@ source shape, expressed through Spark 4's Python Data Source API
   mix updates with true inserts/deletes and the log records
   file-level adds/removes, not row-level provenance. CDC consumers
   keyed to Delta's enum should treat delete+insert at the same key
-  in a merge commit as an update. Memory is
+  in a merge commit as an update — or set
+  ``.option('updateAsImages', 'true')`` (row-tracking tables, batch
+  and stream), which folds id-paired delete+insert rows into
+  ``update_preimage``/``update_postimage`` executor-side for EVERY
+  change commit, yielding Delta's full 4-value enum. Memory is
   bounded by the files one commit touched, which the MERGE/DELETE
   file skipping already minimizes. The same option on a BATCH read
   returns a commit range's change rows
@@ -216,7 +220,10 @@ def _read_parquet_rows(
 
 
 def _read_change_rows(
-    part: _ChangePartition, fields: list[str], with_rid: bool = False
+    part: _ChangePartition,
+    fields: list[str],
+    with_rid: bool = False,
+    as_images: bool = False,
 ):
     """Executor-side net row diff for one commit (CDF mode): rows
     present after-but-not-before are inserts, before-but-not-after
@@ -233,7 +240,16 @@ def _read_change_rows(
     — same value), layout commits still diff to empty, and an update's
     delete+insert pair SHARES its id — the pairing contract that lets
     a downstream consumer reconstruct row-level updates without a
-    natural key."""
+    natural key.
+
+    ``as_images=True`` (the ``updateAsImages`` reader option) FOLDS
+    that pairing into Delta's 4-value change-type enum executor-side:
+    a delete and an insert sharing a row id within one commit relabel
+    to ``update_preimage``/``update_postimage`` (MERGE and MOR verbs
+    included); unpaired rows keep insert/delete. Requires row
+    tracking — ids are read for the pairing even when the consumer
+    didn't ask for the ``_row_id`` column (they're dropped again at
+    emission unless ``with_rid``)."""
     from collections import Counter
 
     def key(v):
@@ -253,11 +269,13 @@ def _read_change_rows(
             return ("__d", tuple(sorted((k, key(x)) for k, x in v.items())))
         return v
 
+    read_rid = with_rid or as_images
+
     def load(entries):
         counts: Counter = Counter()
         originals: dict = {}
         for p, dv, base in entries:
-            for row in _read_parquet_rows(p, fields, dv, base, with_rid):
+            for row in _read_parquet_rows(p, fields, dv, base, read_rid):
                 k = tuple(key(v) for v in row)
                 counts[k] += 1
                 originals[k] = row
@@ -280,16 +298,29 @@ def _read_change_rows(
         if with_rid:  # rid rides LAST in the output schema, after the
             # CDF metadata columns — the read tuples carry it last too
             return (*row[:-1], label, part.version, commit_ts, row[-1])
+        if read_rid:  # rid was read only for image pairing: drop it
+            return (*row[:-1], label, part.version, commit_ts)
         return (*row, label, part.version, commit_ts)
 
     # repr-keyed sort: deterministic output order even when column
     # types are mixed/nested (raw tuple comparison would TypeError)
-    for k, n in sorted((after - before).items(), key=lambda kv: repr(kv[0])):
+    ins_items = sorted((after - before).items(), key=lambda kv: repr(kv[0]))
+    del_items = sorted((before - after).items(), key=lambda kv: repr(kv[0]))
+    paired: set = set()
+    if as_images and not is_update:
+        # id-paired delete+insert within ONE commit = a row UPDATE
+        # (rewrites preserve ids; MERGE/MOR matched rows inherit them)
+        del_rids = {k[-1] for k, _ in del_items if k[-1] is not None}
+        ins_rids = {k[-1] for k, _ in ins_items if k[-1] is not None}
+        paired = del_rids & ins_rids
+    for k, n in ins_items:
+        lbl = "update_postimage" if paired and k[-1] in paired else ins_label
         for _ in range(n):
-            yield emit(rows_a[k], ins_label)
-    for k, n in sorted((before - after).items(), key=lambda kv: repr(kv[0])):
+            yield emit(rows_a[k], lbl)
+    for k, n in del_items:
+        lbl = "update_preimage" if paired and k[-1] in paired else del_label
         for _ in range(n):
-            yield emit(rows_b[k], del_label)
+            yield emit(rows_b[k], lbl)
 
 
 def _row_id_base(stats: dict | None) -> int | None:
@@ -369,6 +400,36 @@ def _rid_enabled(options) -> bool:
     stream, and on the change feed (where an update's delete+insert
     pair shares its id)."""
     return str(options.get("withrowids", "false")).lower() in ("true", "1")
+
+
+def _images_enabled(options) -> bool:
+    """``updateAsImages=true`` (CDF mode, row-tracking tables): fold
+    id-paired delete+insert rows into Delta's 4-value enum —
+    ``update_preimage``/``update_postimage`` — for EVERY change
+    commit (MERGE, MOR UPDATE/DELETE/SCD2 included), not just the
+    ``update()`` verb. Default off: the delete+insert convention is
+    the documented dialect and carries the same information via the
+    shared ``_row_id``."""
+    return str(options.get("updateasimages", "false")).lower() in ("true", "1")
+
+
+def _check_images_options(options, cdf: bool) -> bool:
+    """Validate updateAsImages at PLAN time: it needs the change feed
+    and row tracking (pairing keys on _row_id)."""
+    if not _images_enabled(options):
+        return False
+    if not cdf:
+        raise ValueError(
+            "updateAsImages requires .option('readChangeFeed', 'true')"
+        )
+    t = _table(options)
+    if not t._row_tracking_on():
+        raise ValueError(
+            "updateAsImages requires row tracking "
+            "(AcidTable.set_row_tracking() / ALTER TABLE ... ENABLE ROW "
+            "TRACKING) — the delete+insert pairing keys on _row_id"
+        )
+    return True
 
 
 def _local_path(p: str) -> str:
@@ -496,6 +557,7 @@ def _reverse_colmap(options, pinned: bool = False) -> dict:
 
 class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
+        self._images = _check_images_options(options, _cdf_enabled(options))
         self._options = options
         self._cdf = _cdf_enabled(options)
         self._rid = _rid_enabled(options)
@@ -571,7 +633,9 @@ class _AcidBatchReader(DataSourceReader):
 
     def read(self, partition):
         if isinstance(partition, _ChangePartition):
-            return _read_change_rows(partition, self._fields, self._rid)
+            return _read_change_rows(
+                partition, self._fields, self._rid, self._images
+            )
         if not partition.path:
             return iter(())
         return _read_parquet_rows(
@@ -585,6 +649,7 @@ class _AcidStreamReader(DataSourceStreamReader):
         self._options = options
         self._cdf = _cdf_enabled(options)
         self._rid = _rid_enabled(options)
+        self._images = _check_images_options(options, self._cdf)
         # CDF rows append (_change_type, _commit_version,
         # _commit_timestamp), withRowIds appends _row_id last; data
         # fields are everything before them
@@ -737,7 +802,9 @@ class _AcidStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         if isinstance(partition, _ChangePartition):
-            return _read_change_rows(partition, self._fields, self._rid)
+            return _read_change_rows(
+                partition, self._fields, self._rid, self._images
+            )
         if not partition.path:
             return iter(())
         return _read_parquet_rows(

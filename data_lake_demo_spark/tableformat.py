@@ -281,10 +281,23 @@ def _dv_encode_group(pdf):
     """``groupBy(__fp).applyInPandas`` kernel: per-file varint-RLE
     encode EXECUTOR-side — the driver collects one (payload, n) row
     per touched file (O(compressed vector bytes)), never the
-    O(matched rows) Row list."""
+    O(matched rows) Row list. When the group carries an ``__exref``
+    column (the file's EXISTING vector, absolutized), the union with
+    the accumulated vector also happens here: the executor hydrates
+    the sidecar off shared storage exactly like a data file, so the
+    driver never holds O(masked rows) even after a file accumulates a
+    multi-million-row vector across repeated merge-on-read writes."""
+    import numpy as np
     import pandas as pd
 
-    payload, n = _dv_encode_runs(pdf["__ri"].to_numpy())
+    idx = pdf["__ri"].to_numpy(dtype="int64")
+    if "__exref" in pdf.columns:
+        ref = pdf["__exref"].iloc[0]
+        if isinstance(ref, str) and ref:
+            idx = np.concatenate(
+                [idx, np.asarray(_unpack_dv(ref), dtype=np.int64)]
+            )
+    payload, n = _dv_encode_runs(idx)
     return pd.DataFrame(
         {"__fp": [pdf["__fp"].iloc[0]], "payload": [payload], "n": [n]}
     )
@@ -2022,6 +2035,52 @@ class AcidTable:
             return self.optimize_cluster(n_files=self.auto_compact_files)
         return self.compact(n_files=self.auto_compact_files)
 
+    def _dv_debt_files(self, live, dvs, ratio: float) -> list[str]:
+        """Live files whose deletion vector masks >= ``ratio`` of
+        their rows — selected from manifest stats alone (vector counts
+        ride the reference, record counts ride the add action), zero
+        data reads. A vectored file whose manifest predates record
+        counts is conservatively in debt."""
+        out = []
+        for p, val in dvs.items():
+            st = live.get(p)
+            if st is None:
+                continue
+            n = _dv_count(val)
+            if not n:
+                continue
+            total = st.get("#rows")  # manifest record count: [n]
+            if total is None or n >= ratio * int(total[0]):
+                out.append(p)
+        return sorted(out)
+
+    def _auto_maintain(self, v: int) -> int:
+        """Post-commit layout policy, best-effort (the data commit
+        already landed; any failure here only defers maintenance):
+        first the writer-side file-count autoCompact, then the
+        DELETION-VECTOR DEBT policy — the TABLE property
+        ``optimize.maxDeletedRowsRatio`` (Delta's OPTIMIZE
+        deleted-rows heuristic): any live file whose vector masks >=
+        ratio of its rows is rewritten via ``reorg_purge(min_dv_ratio
+        =...)``, materializing the mask and dropping the vector. This
+        is what keeps a 100 TB table under a sustained merge-on-read
+        CDC trickle from degrading monotonically: read tax (the
+        coords-join mask) stays bounded by the ratio instead of
+        accumulating until a human runs REORG ... APPLY (PURGE)."""
+        try:
+            if (
+                self.auto_compact_files
+                and len(self._resolve(v)[0]) > self.auto_compact_files
+            ):
+                return self._auto_optimize()
+            live, _, _, props, dvs = self._resolve_state(v)
+            r = props.get(self._DV_RATIO_KEY)
+            if r and dvs and self._dv_debt_files(live, dvs, float(r)):
+                return self.reorg_purge(min_dv_ratio=float(r))
+        except Exception:
+            pass
+        return v
+
     def foreach_batch_sink(self, app: str):
         """``writeStream.foreachBatch`` adapter: exactly-once streaming
         ingestion into the ACID table. Structured Streaming guarantees
@@ -2584,10 +2643,22 @@ class AcidTable:
         file + applyInPandas): the driver receives one compressed
         payload per file, never the matched rows themselves — the
         piece that makes a 10M-row merge-on-read delete driver-safe.
-        Files that already carry a vector merge via a sorted-unique
-        union before re-encoding (canonical form preserved)."""
-        import numpy as np
-
+        Files that already carry a vector merge IN THE SAME KERNEL —
+        the existing reference (absolutized) rides into the group as a
+        column, the executor hydrates + unions + re-encodes, and the
+        driver still only ever sees compressed payloads (canonical
+        form preserved by the encode's sort-unique)."""
+        exrefs = {
+            "file:" + os.path.abspath(os.path.join(self.path, p)):
+                _dv_abs(dvs[p], self.path)
+            for p in touched
+            if p in dvs and dvs[p]
+        }
+        if exrefs:
+            ref_df = self.spark.createDataFrame(
+                list(exrefs.items()), "__fp string, __exref string"
+            )
+            hits = hits.join(F.broadcast(ref_df), "__fp", "left")
         enc = (
             hits.groupBy("__fp")
             .applyInPandas(
@@ -2600,22 +2671,11 @@ class AcidTable:
             rel = next((f for f in touched if r["__fp"].endswith(f)), None)
             if rel is None:  # never expected; fail loud
                 raise RuntimeError(f"unmapped file {r['__fp']}")
-            if rel in dvs:
-                merged = np.union1d(
-                    np.asarray(
-                        _unpack_dv(dvs[rel], self.path), dtype=np.int64
-                    ),
-                    np.asarray(
-                        _dv_decode_runs(bytes(r["payload"])), dtype=np.int64
-                    ),
+            entries.append(
+                self._dv_entry(
+                    rel, payload=bytes(r["payload"]), n=int(r["n"])
                 )
-                entries.append(self._dv_entry(rel, merged))
-            else:
-                entries.append(
-                    self._dv_entry(
-                        rel, payload=bytes(r["payload"]), n=int(r["n"])
-                    )
-                )
+            )
         return sorted(entries, key=lambda e: e["path"])
 
     def _apply_dvs(
@@ -2811,7 +2871,7 @@ class AcidTable:
                     dv=entries, read_filters=filters,
                 )
                 if v is not None:
-                    return v
+                    return self._auto_maintain(v)
                 continue  # true overlap: re-plan
             remaining = self._read_for_rewrite(
                 touched, schema_json, dvs, base
@@ -2932,7 +2992,7 @@ class AcidTable:
                     dv=entries, read_filters=phys_filters,
                 )
                 if v is not None:
-                    return v
+                    return self._auto_maintain(v)
                 continue  # true overlap: re-plan
             if masked.filter(pred).limit(1).first() is None:
                 return base  # stats false-positive: nothing matched
@@ -3738,11 +3798,14 @@ class AcidTable:
         The branch seed carries the base's live set BY PATH (no data
         copied), plus schema, properties (constraints keep enforcing
         on branch writes), and deletion vectors. Caveats: txn
-        watermarks do NOT carry (stream into main, not a branch), and
-        main-table ``vacuum`` treats unpublished branch files as
-        uncommitted staging — protected only by the grace window, so
-        don't vacuum main while a branch sits unpublished longer than
-        ``grace_seconds``."""
+        watermarks do NOT carry (stream into main, not a branch).
+        Main-table ``vacuum`` folds every live branch's log into its
+        keep sets (default LocalFS branch backend), so unpublished
+        branch files and sidecars survive arbitrarily long —
+        ``drop_branch`` releases the hold. A branch log on a CUSTOM
+        ``log_store`` backend is invisible to vacuum: there the old
+        rule stands — don't vacuum main while such a branch sits
+        unpublished longer than ``grace_seconds``."""
         self._check_ref_name(name)
         base = self.latest_version()
         if base < 0:
@@ -3816,18 +3879,50 @@ class AcidTable:
             raise ValueError(f"no branch {name!r}")
         ref = f"branch-{name}.ref" + ("" if slot == 0 else f".{slot}")
         try:
-            return json.loads(self.log.read(ref))["base"]
+            base = json.loads(self.log.read(ref))["base"]
         except (FileNotFoundError, KeyError):
             raise ValueError(f"no branch {name!r}") from None
+        if base is None:  # drop_branch tombstone claimed the top slot
+            raise ValueError(f"branch {name!r} was dropped")
+        return base
 
     def branches(self) -> dict[str, int]:
         """{branch name: base version} for every registered branch
-        (a rebased branch reports its CURRENT base)."""
+        (a rebased branch reports its CURRENT base; dropped branches
+        are omitted)."""
         names = set()
         for n in self.log.list_names():
             if n.startswith("branch-") and ".ref" in n:
                 names.add(n[7 : n.index(".ref")])
-        return {n: self._branch_base(n) for n in sorted(names)}
+        out = {}
+        for n in sorted(names):
+            try:
+                out[n] = self._branch_base(n)
+            except ValueError:
+                continue  # tombstoned by drop_branch
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Retire a branch ref (after ``publish_branch``, or to abandon
+        an audit). The LogStore is put-if-absent-only, so the drop is a
+        TOMBSTONE: the next ref slot records ``base: null``, after
+        which ``branches()`` omits the name and ``vacuum`` stops
+        protecting the branch's unpublished files — the step that lets
+        a published/abandoned WAP branch's data actually reclaim. The
+        name stays reserved (re-creating it would rebind the dead
+        slots). Racing a concurrent ``rebase_branch`` for the slot is
+        resolved by the same CAS: exactly one wins."""
+        self._branch_base(name)  # raises for missing or already-dropped
+        slot = self._branch_ref_slot(name)
+        try:
+            self.log.put_if_absent(
+                f"branch-{name}.ref.{slot + 1}",
+                json.dumps({"base": None, "ts": time.time()}).encode(),
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent rebase/drop of branch {name!r} won the ref slot"
+            ) from None
 
     def publish_branch(
         self, name: str, *, log_store: LogStore | None = None
@@ -4335,16 +4430,7 @@ class AcidTable:
             )
             if v is None:
                 continue
-            if (
-                self.auto_compact_files
-                and len(self._resolve(v)[0]) > self.auto_compact_files
-            ):
-                try:  # best-effort like append's: the merge COMMITTED;
-                    # any auto-compact failure only defers layout work
-                    return self._auto_optimize()
-                except Exception:
-                    pass
-            return v
+            return self._auto_maintain(v)
         raise CommitConflict(f"merge lost {max_retries} commit races")
 
     def _merge_mor_attempt(
@@ -4412,11 +4498,18 @@ class AcidTable:
             ups = ups.filter(~F.col(delete_col)).drop(delete_col)  # pure mask
         # committed-schema alignment — the same unionByName contract
         # as the copy-on-write plan: batch-missing columns pad NULL,
-        # new columns widen only under auto_evolve, else raise
+        # new columns widen only under auto_evolve, else raise.
+        # Pending column drops (colmap entry "") are excluded exactly
+        # like the CoW path's target.drop(*dropped): the physical
+        # column lives only in old files, and a physicalized batch can
+        # never carry it — aligning against it would NULL-pad forever
+        # (auto_evolve) or spuriously raise (strict).
+        colmap_a = dict(props.get("colmap") or {})
         fields = [
             f
             for f in json.loads(schema_json)["fields"]
             if f["name"] != self._ROW_ID_COL
+            and colmap_a.get(f["name"], f["name"]) != ""
         ]
         empty_t = self.spark.createDataFrame(
             [], T.StructType.fromJson({"type": "struct", "fields": fields})
@@ -4455,15 +4548,7 @@ class AcidTable:
         )
         if v is None:
             return None
-        if (
-            self.auto_compact_files
-            and len(self._resolve(v)[0]) > self.auto_compact_files
-        ):
-            try:  # best-effort, same policy as the copy-on-write path
-                return self._auto_optimize()
-            except Exception:
-                pass
-        return v
+        return self._auto_maintain(v)
 
     def merge_apply(
         self,
@@ -4716,7 +4801,7 @@ class AcidTable:
                     end_col=end_col, dedupe_order=dedupe_order,
                 )
                 if v is not None:
-                    return v
+                    return self._auto_maintain(v)
                 continue  # true overlap: re-plan against the new head
             live, _ = self._resolve(base)
             new_dim = scd2_apply(
@@ -4794,11 +4879,16 @@ class AcidTable:
                 .drop("__new_eff")
                 .withColumn(current_col, F.lit(False))
             )
-        # new current versions (same shape rule as scd2_apply)
+        # new current versions (same shape rule as scd2_apply).
+        # Pending column drops are excluded from the alignment struct
+        # (mirrors the CoW rewrite's target.drop(*dropped)): a dropped
+        # physical column would otherwise resurface under its PHYSICAL
+        # name in log_struct and break the unionByName against changes
         fields = [
             f
             for f in json.loads(schema_json)["fields"]
             if f["name"] != self._ROW_ID_COL
+            and colmap.get(f["name"], f["name"]) != ""
         ]
         struct = T.StructType.fromJson({"type": "struct", "fields": fields})
         log_struct = T.StructType(
@@ -4964,6 +5054,10 @@ class AcidTable:
         raise CommitConflict(f"optimize lost {max_retries} commit races")
 
     _CLUSTERING_KEY = "clustering.columns"
+    # deleted-rows-ratio purge threshold (Delta's OPTIMIZE heuristic,
+    # cf. delta.io maxDeletedRowsRatio): set as a TABLE property so
+    # EVERY writer handle participates, exactly like merge.mode
+    _DV_RATIO_KEY = "optimize.maxDeletedRowsRatio"
 
     def set_clustering(self, cols: Sequence[str]) -> int:
         """Delta liquid clustering's declaration half (``ALTER TABLE t
@@ -5289,7 +5383,13 @@ class AcidTable:
                 continue
         raise CommitConflict(f"fsck_repair lost {max_retries} commit races")
 
-    def reorg_purge(self, *, n_files: int = 16, max_retries: int = 5) -> int:
+    def reorg_purge(
+        self,
+        *,
+        n_files: int = 16,
+        min_dv_ratio: float | None = None,
+        max_retries: int = 5,
+    ) -> int:
         """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite exactly
         the files that still carry soft-deleted state — merge-on-read
         deletion vectors, or a DROPPED physical column — and clear the
@@ -5299,35 +5399,50 @@ class AcidTable:
         selected from manifest stats alone: a file needs purging iff
         it has a vector, its stats mention a dropped column, or it has
         no stats to prove otherwise. A clean table returns without
-        committing."""
+        committing.
+
+        ``min_dv_ratio`` switches to the DEBT-ONLY mode (the
+        ``optimize.maxDeletedRowsRatio`` auto-policy's worker): only
+        files whose vector masks >= the ratio of their rows are
+        rewritten; lightly-masked files keep their cheap vectors, the
+        column map is untouched, and a below-threshold table is a
+        provable no-op (no commit) — the property that makes the
+        auto-hook idempotent."""
         for _ in range(max_retries):
             base = self.latest_version()
             if base < 0:
                 raise ValueError(f"table {self.path} has no commits")
             live, schema_json, _, props, dvs = self._resolve_state(base)
-            colmap = dict(props.get("colmap") or {})
-            dropped = [p for p, l in colmap.items() if l == ""]
+            if min_dv_ratio is not None:
+                dropped: list[str] = []
+                touched = self._dv_debt_files(live, dvs, float(min_dv_ratio))
+                new_props = None
+            else:
+                colmap = dict(props.get("colmap") or {})
+                dropped = [p for p, l in colmap.items() if l == ""]
 
-            def needs(p, stats):
-                if p in dvs:
-                    return True
-                if not dropped:
-                    return False
-                if not stats:
-                    return True  # unknown layout: conservatively rewrite
-                return any(
-                    d in stats or f"#null:{d}" in stats for d in dropped
+                def needs(p, stats):
+                    if p in dvs:
+                        return True
+                    if not dropped:
+                        return False
+                    if not stats:
+                        return True  # unknown layout: conservatively rewrite
+                    return any(
+                        d in stats or f"#null:{d}" in stats for d in dropped
+                    )
+
+                touched = sorted(
+                    p for p, st in live.items() if needs(p, st)
                 )
-
-            touched = sorted(p for p, st in live.items() if needs(p, st))
-            new_props = None
-            if dropped:
-                kept_map = {p: l for p, l in colmap.items() if l != ""}
-                new_props = dict(props)
-                if kept_map:
-                    new_props["colmap"] = kept_map
-                else:
-                    new_props.pop("colmap", None)
+                new_props = None
+                if dropped:
+                    kept_map = {p: l for p, l in colmap.items() if l != ""}
+                    new_props = dict(props)
+                    if kept_map:
+                        new_props["colmap"] = kept_map
+                    else:
+                        new_props.pop("colmap", None)
             if not touched and new_props is None:
                 return base  # nothing soft-deleted: no commit
             add = []
@@ -5442,6 +5557,37 @@ class AcidTable:
                 rel_sc = _dv_sidecar_rel(e.get("del"))
                 if rel_sc:
                     ever_dv.add(rel_sc)
+        # unpublished WAP branches share the data directory but commit
+        # to their OWN logs — without folding those logs in, vacuum
+        # would classify a branch's data files and DV sidecars as
+        # never-committed and reclaim them after grace_seconds,
+        # bricking the branch before publish_branch. Every snapshot of
+        # every live (non-dropped) branch is protected; drop_branch
+        # releases the hold. Branch logs on a non-default LogStore
+        # backend are invisible here — for those the create_branch
+        # caveat (don't vacuum main while the branch is open) stands.
+        for bname in self.branches():
+            bdir = os.path.join(self.path, f"_branch_{bname}")
+            if not os.path.isdir(bdir):
+                continue  # non-default branch log backend
+            try:
+                bt = self.branch(bname)
+                b_latest = bt.latest_version()
+                for v in range(0, b_latest + 1):
+                    st = bt._resolve_state(v)
+                    referenced |= set(st[0])
+                    for val in st[4].values():
+                        rel_sc = _dv_sidecar_rel(val)
+                        if rel_sc:
+                            referenced_dv.add(rel_sc)
+                for c in bt.history():
+                    ever_committed |= {a["path"] for a in c.add}
+                    for e in c.dv or ():
+                        rel_sc = _dv_sidecar_rel(e.get("del"))
+                        if rel_sc:
+                            ever_dv.add(rel_sc)
+            except Exception:
+                continue  # a torn/foreign branch dir never widens deletes
         now = time.time()
         deleted = []
         # adopted files (CONVERT references them at the table root,

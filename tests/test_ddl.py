@@ -1048,3 +1048,135 @@ def test_insert_by_name(spark, tmp_path):
         .createOrReplaceTempView("bn_bad")
     with pytest.raises(ValueError, match="unknown INSERT columns"):
         sql.sql("INSERT INTO bn BY NAME SELECT * FROM bn_bad")
+
+
+def test_merge_not_matched_by_source_update_sql(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Delta's soft-expire
+    mirror sync): ONE atomic commit upserts the source and flips
+    target rows the source no longer carries; the AND <cond> variant
+    narrows which stale rows are touched."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", True), (2, "b", True), (3, "c", True)],
+            "k int, v string, active boolean",
+        )
+    )
+    v_before = t.latest_version()
+    spark.createDataFrame(
+        [(2, "B2", True), (5, "e", True)], "k int, v string, active boolean"
+    ).createOrReplaceTempView("sync_upd_src")
+    sql.sql(
+        "MERGE INTO t AS tg USING sync_upd_src AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = false"
+    )
+    assert t.latest_version() == v_before + 1  # ONE commit
+    got = {r.k: (r.v, r.active) for r in t.snapshot().collect()}
+    assert got == {
+        1: ("a", False),  # left the source: soft-expired, data kept
+        2: ("B2", True),
+        3: ("c", False),
+        5: ("e", True),
+    }
+
+
+def test_merge_nmbs_update_conditioned_and_alone(spark, tmp_path):
+    """The standalone form (no matched/insert clauses) and the AND
+    <cond> narrowing; assignments may be any target-column expr and
+    cast back to the declared type."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 20, "expire"), (3, 30, "expire")],
+            "k int, n int, tag string",
+        )
+    )
+    spark.createDataFrame([(3,)], "k int").createOrReplaceTempView(
+        "nmbs_keys"
+    )
+    sql.sql(
+        "MERGE INTO t AS tg USING nmbs_keys AS s ON tg.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND tg.tag = 'expire' "
+        "THEN UPDATE SET n = tg.n + 1, tag = 'expired'"
+    )
+    got = {r.k: (r.n, r.tag) for r in t.snapshot().collect()}
+    assert got == {
+        1: (10, "keep"),  # unmatched but fails the condition
+        2: (21, "expired"),  # unmatched + condition -> assignments
+        3: (30, "expire"),  # matched by source: untouched
+    }
+
+
+def test_merge_nmbs_update_error_paths(spark, tmp_path):
+    """Source-column references in the BY SOURCE condition or
+    assignments raise (there is no source row); key assignment and
+    DELETE combination raise too."""
+    import pytest
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    spark.createDataFrame([(1, "a")], "k int, v string") \
+        .createOrReplaceTempView("nmbs_err_src")
+    head = (
+        "MERGE INTO t AS tg USING nmbs_err_src AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+    )
+    with pytest.raises(ValueError, match="target columns only"):
+        sql.sql(
+            head + "WHEN NOT MATCHED BY SOURCE AND s.v = 'x' "
+            "THEN UPDATE SET v = 'y'"
+        )
+    with pytest.raises(ValueError, match="target columns only"):
+        sql.sql(
+            head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        sql.sql(head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 99")
+    with pytest.raises(ValueError, match="does not combine"):
+        sql.sql(
+            head + "WHEN MATCHED AND s.v = 'd' THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'y'"
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        sql.sql(head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET zz = 1")
+
+
+def test_merge_nmbs_update_mor_mode(spark, tmp_path):
+    """The soft-expire sync through merge-on-read: the stale rows mask
+    via deletion vectors and their flipped copies land as new files —
+    no touched file rewritten."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", True), (2, "b", True)], "k int, v string, active boolean"
+        )
+    )
+    sql.sql("ALTER TABLE t SET TBLPROPERTIES('merge.mode'='merge_on_read')")
+    spark.createDataFrame(
+        [(2, "B2", True)], "k int, v string, active boolean"
+    ).createOrReplaceTempView("nmbs_mor_src")
+    sql.sql(
+        "MERGE INTO t USING nmbs_mor_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = false"
+    )
+    c = t._read_commit(t.latest_version())
+    assert c.op == "merge" and c.remove == [] and c.dv
+    got = {r.k: (r.v, r.active) for r in t.snapshot().collect()}
+    assert got == {1: ("a", False), 2: ("B2", True)}

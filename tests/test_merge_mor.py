@@ -503,3 +503,95 @@ def test_enable_deletion_vectors_scd2(spark, tmp_path):
     )
     c = t._read_commit(t.latest_version())
     assert c.op == "scd2" and c.remove == [] and c.dv
+
+
+def test_mor_merge_after_drop_column(spark, tmp_path):
+    """A pending metadata-only column drop must not break MOR merge
+    alignment: the dropped physical column is excluded from the
+    committed-schema alignment frame exactly like the CoW rewrite's
+    target.drop(*dropped) — strict mode (auto_evolve=False) included."""
+    ups = spark.createDataFrame(
+        [(2, 222), (5, 555), (11, 111)], "k long, v long"
+    )
+    cow = _base(spark, str(tmp_path / "cow"))
+    mor = _base(spark, str(tmp_path / "mor"))
+    for t in (cow, mor):
+        t.drop_column("s")
+    cow.merge(ups, ["k"])
+    mor.merge(ups, ["k"], mode="merge_on_read")  # raised pre-fix
+    assert _rows(cow.snapshot()) == _rows(mor.snapshot())
+    assert "s" not in mor.snapshot().columns
+    c = mor._read_commit(mor.latest_version())
+    assert c.op == "merge" and c.remove == [] and c.dv
+
+
+def test_mor_merge_apply_after_drop_column(spark, tmp_path):
+    """Same contract through the merge_apply (delete_col) shape."""
+    t = _base(spark, str(tmp_path / "t"))
+    t.drop_column("s")
+    t.merge_apply(
+        spark.createDataFrame(
+            [(2, 222, False), (3, 0, True)], "k long, v long, __del boolean"
+        ),
+        ["k"],
+        delete_col="__del",
+        mode="merge_on_read",
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[2] == 222 and 3 not in got and got[4] == 40
+
+
+def test_mor_scd2_after_drop_column(spark, tmp_path):
+    """SCD2 merge-on-read with a pending column drop: both the
+    matched-current branch and the all-new-keys (empty-touched
+    log_struct) branch must exclude the dropped physical column."""
+    changes = spark.createDataFrame(
+        [(2, "v2b", 200)], "k long, attr string, effective_ts long"
+    )
+    cow = _dim(spark, str(tmp_path / "cow"))
+    mor = _dim(spark, str(tmp_path / "mor"))
+    for t in (cow, mor):
+        t.add_columns({"extra": "string"})
+        t.drop_column("extra")
+    cow.scd2(changes, "k")
+    mor.scd2(changes, "k", mode="merge_on_read")
+    assert _rows(cow.snapshot()) == _rows(mor.snapshot())
+    # all-new-keys path (closing is None → log_struct union)
+    mor.scd2(
+        spark.createDataFrame(
+            [(99, "new", 300)], "k long, attr string, effective_ts long"
+        ),
+        "k",
+        mode="merge_on_read",
+    )
+    got = _rows(mor.snapshot().select("k", "attr", "is_current"))
+    assert (99, "new", True) in got
+    assert "extra" not in mor.snapshot().columns
+
+
+def test_mor_repeat_writes_union_vectors_executor_side(spark, tmp_path):
+    """Sequential MOR writes that mask more rows of the SAME file must
+    accumulate a canonical unioned vector — and the union happens in
+    the executor-side encode kernel (the existing reference rides into
+    the group), so the driver never hydrates the accumulated index
+    list."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10, "old") for k in range(10)],
+            "k long, v long, s string",
+        ).coalesce(1)
+    )
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+    t.merge(
+        spark.createDataFrame([(3, 333, "new")], "k long, v long, s string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    t.delete([("k", "=", 5)], mode="merge_on_read")
+    dvs = t.deletion_vectors()
+    assert len(dvs) == 1
+    (masked,) = dvs.values()
+    assert sorted(masked) == [1, 3, 5]  # canonical union across writes
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [0, 2, 3, 4, 6, 7, 8, 9]  # k=3 re-added by the merge

@@ -2159,3 +2159,202 @@ def test_stream_writer_rejects_branch_option(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_update_as_images_batch_read(spark, tmp_path):
+    """updateAsImages=true (batch CDF, row-tracking table): id-paired
+    delete+insert rows fold into Delta's 4-value enum for EVERY
+    change commit — a MERGE's matched rows become
+    update_preimage/update_postimage (CoW and MOR alike), true
+    inserts stay insert, pure deletes stay delete. The default read
+    keeps the documented delete+insert convention."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "k long, v string"
+        ).coalesce(1)
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    # CoW merge: one matched update + one true insert
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (9, "new")], "k long, v string"),
+        ["k"],
+    )
+    # MOR merge: matched rows inherit ids through the DV mask
+    t.merge(
+        spark.createDataFrame([(3, "C3")], "k long, v string"),
+        ["k"],
+        mode="merge_on_read",
+    )
+    t.delete([("k", "=", 0)], mode="merge_on_read")
+
+    def read(**opts):
+        r = (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", v0 + 1)
+        )
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(
+            (x.k, x.v, x._change_type, x._commit_version)
+            for x in r.load().collect()
+        )
+
+    assert read(updateAsImages="true") == sorted(
+        [
+            (2, "v2", "update_preimage", v0 + 1),
+            (2, "B2", "update_postimage", v0 + 1),
+            (9, "new", "insert", v0 + 1),
+            (3, "v3", "update_preimage", v0 + 2),
+            (3, "C3", "update_postimage", v0 + 2),
+            (0, "v0", "delete", v0 + 3),
+        ]
+    )
+    # default: the delete+insert convention, unchanged
+    assert read() == sorted(
+        [
+            (2, "v2", "delete", v0 + 1),
+            (2, "B2", "insert", v0 + 1),
+            (9, "new", "insert", v0 + 1),
+            (3, "v3", "delete", v0 + 2),
+            (3, "C3", "insert", v0 + 2),
+            (0, "v0", "delete", v0 + 3),
+        ]
+    )
+
+
+def test_update_as_images_stream_with_row_ids(spark, tmp_path):
+    """The streaming twin, composed with withRowIds: pre/post images
+    SHARE their _row_id (the pairing key), and the CoW update() verb
+    keeps its op-derived labels."""
+    from data_lake_demo_spark.streaming.acid_source import read_table_stream
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.set_row_tracking()
+    t.merge(
+        spark.createDataFrame([(2, 222), (7, 70)], "k long, v long"), ["k"]
+    )
+    t.update({"v": "v + 1"}, [("k", "=", 1)])  # CoW update verb
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        read_table_stream(
+            spark, p,
+            readChangeFeed="true", updateAsImages="true", withRowIds="true",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = spark.read.parquet(out).collect()
+    by_key = {(r.k, r._change_type): r for r in rows}
+    # the merge pair shares its id
+    assert (
+        by_key[(2, "update_preimage")]._row_id
+        == by_key[(2, "update_postimage")]._row_id
+    )
+    assert by_key[(7, "insert")].v == 70
+    # the update() verb pair also shares its id (op-derived labels)
+    assert (
+        by_key[(1, "update_preimage")]._row_id
+        == by_key[(1, "update_postimage")]._row_id
+    )
+    types = sorted(r._change_type for r in rows)
+    assert types.count("update_preimage") == 2
+    assert types.count("update_postimage") == 2
+    assert types.count("insert") == 3 + 1  # initial append fans out + k=7
+
+
+def test_update_as_images_option_validation(spark, tmp_path):
+    """updateAsImages demands readChangeFeed and row tracking — both
+    rejected at PLAN time with actionable errors."""
+    import pytest
+
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("updateAsImages", "true")
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="row tracking"):
+        (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("updateAsImages", "true")
+            .load()
+            .collect()
+        )
+
+
+def test_update_as_images_feeds_ann_apply_changes(spark, tmp_path):
+    """AnnIndex.apply_changes consumes the 4-value enum exactly like
+    the delete+insert convention: an images feed and a default feed
+    drive the index to byte-identical state."""
+    from data_lake_demo_spark.operators.ann_index import AnnIndex
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    dim = 4
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(8)]
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        .coalesce(1)
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame(
+            [(2, [0.5] * dim), (100, [0.25] * dim)],
+            "vec_id long, embedding array<float>",
+        ),
+        ["vec_id"],
+    )
+
+    def feed(**opts):
+        r = (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", v0 + 1)
+        )
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return r.load()
+
+    def build(name, f):
+        ix = AnnIndex.build(t.snapshot(v0), str(tmp_path / name), flat=True)
+        ix.apply_changes(f)
+        return sorted(map(tuple, ix.codes_table.snapshot().collect()))
+
+    assert build("a", feed(updateAsImages="true")) == build("b", feed())

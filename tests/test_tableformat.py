@@ -3959,3 +3959,48 @@ def test_conflict_layer_threaded_mixed_verbs(spark, tmp_path):
     t.optimize_cluster(n_files=4)
     live = t._resolve_state(None)[0]
     assert all("#zcube" in st for st in live.values())
+
+
+def test_vacuum_protects_unpublished_branch_files(spark, tmp_path):
+    """Main-table vacuum folds live WAP branch logs into its keep
+    sets: files only a branch references are NOT crashed-writer
+    garbage, even past the grace window. drop_branch releases the
+    hold and the branch's unpublished files reclaim."""
+    import os
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    br = t.create_branch("wap")
+    br.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    br.delete([("k", "=", 1)], mode="merge_on_read")  # branch DV state
+    branch_files, _ = br._resolve()
+    branch_only = [f for f in branch_files if f not in t._resolve()[0]]
+    assert branch_only
+
+    # grace window elapsed: pre-fix these were "never committed" and
+    # reclaimed, bricking the branch before publish
+    deleted = t.vacuum(retain_versions=10, grace_seconds=0.0)
+    assert not set(branch_only) & set(deleted)
+    assert sorted(r.k for r in br.snapshot().collect()) == [2]
+
+    t.drop_branch("wap")
+    assert "wap" not in t.branches()
+    with pytest.raises(ValueError):
+        t.branch("wap")
+    deleted2 = t.vacuum(retain_versions=10, grace_seconds=0.0)
+    assert set(branch_only) <= set(deleted2)
+    assert not any(
+        os.path.exists(os.path.join(t.path, f)) for f in branch_only
+    )
+    assert [r.k for r in t.snapshot().collect()] == [1]  # main untouched
+
+
+def test_drop_branch_requires_existing(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError):
+        t.drop_branch("ghost")
+    t.create_branch("b")
+    t.drop_branch("b")
+    with pytest.raises(ValueError):
+        t.drop_branch("b")  # tombstoned: dropping again raises
