@@ -34,6 +34,8 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t CREATE TAG name [AS OF VERSION n]
     ALTER TABLE t CREATE BRANCH name
+    ALTER TABLE t DROP BRANCH name
+    REORG TABLE t APPLY (PURGE)
     DELETE FROM t [WHERE conj]        -- no WHERE = truncate (all rows)
     UPDATE t SET a = expr [, b = expr ...] [WHERE conj]
     MERGE [WITH SCHEMA EVOLUTION] INTO t [AS] a
@@ -1502,6 +1504,25 @@ class AcidSql:
         if m:
             self.table(m.group(1)).create_branch(m.group(2))
             return self._version_df(self.table(m.group(1)).latest_version())
+
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+DROP\s+BRANCH\s+({_IDENT})",
+            s,
+            re.I,
+        )
+        if m:  # Iceberg's DROP BRANCH: retire the ref; vacuum may then
+            # reclaim the branch's unpublished files
+            self.table(m.group(1)).drop_branch(m.group(2))
+            return self._version_df(self.table(m.group(1)).latest_version())
+
+        m = re.fullmatch(
+            rf"REORG\s+TABLE\s+({_TREF})\s+APPLY\s*\(\s*PURGE\s*\)",
+            s,
+            re.I,
+        )
+        if m:  # Delta's REORG ... APPLY (PURGE): materialize deletion
+            # vectors + dropped columns (reorg_purge's full mode)
+            return self._version_df(self.table(m.group(1)).reorg_purge())
 
         m = re.fullmatch(
             rf"DELETE\s+FROM\s+({_TREF})(?:\s+WHERE\s+(.+))?", s, re.I | re.S

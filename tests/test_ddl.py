@@ -1180,3 +1180,27 @@ def test_merge_nmbs_update_mor_mode(spark, tmp_path):
     assert c.op == "merge" and c.remove == [] and c.dv
     got = {r.k: (r.v, r.active) for r in t.snapshot().collect()}
     assert got == {1: ("a", False), 2: ("B2", True)}
+
+
+def test_reorg_purge_and_drop_branch_sql(spark, tmp_path):
+    """REORG TABLE t APPLY (PURGE) materializes deletion vectors;
+    ALTER TABLE t DROP BRANCH retires a WAP branch ref."""
+    import pytest
+
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(spark.createDataFrame([(k, k) for k in range(6)], "k int, v int"))
+    t.delete([("k", "<", 2)], mode="merge_on_read")
+    assert t.deletion_vectors()
+    sql.sql("REORG TABLE t APPLY (PURGE)")
+    assert not t.deletion_vectors()
+    assert sorted(r.k for r in t.snapshot().collect()) == [2, 3, 4, 5]
+
+    sql.sql("ALTER TABLE t CREATE BRANCH audit")
+    assert "audit" in t.branches()
+    sql.sql("ALTER TABLE t DROP BRANCH audit")
+    assert "audit" not in t.branches()
+    with pytest.raises(ValueError):
+        sql.sql("ALTER TABLE t DROP BRANCH audit")
