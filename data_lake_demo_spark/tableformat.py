@@ -3023,6 +3023,7 @@ class AcidTable:
         until_version: int | None = None,
         *,
         with_row_ids: bool = False,
+        as_images: bool = False,
     ) -> DataFrame:
         """Change data feed: the NET row-level difference between two
         snapshots, as the table's rows plus a ``_change_type`` column
@@ -3051,14 +3052,29 @@ class AcidTable:
         id, so a downstream consumer reconstructs true row-level
         updates without a natural key — and because rewrites preserve
         ids, carried rows still cancel and layout commits still yield
-        an empty feed."""
+        an empty feed.
+
+        ``as_images=True`` (row-tracking tables; the batch twin of the
+        acidtable reader's ``updateAsImages`` option) folds the
+        id-paired rows into Delta's 4-value enum: a delete and an
+        insert sharing a row id within the range relabel to
+        ``update_preimage``/``update_postimage`` (over a multi-commit
+        range the pair is the row's ORIGINAL image and its FINAL one —
+        intermediate versions net out, the CDF range contract). Ids
+        are joined for the pairing and dropped again unless
+        ``with_row_ids``."""
         until = self.latest_version() if until_version is None else until_version
         live_new, schema_new, _, props_new, dv_new = self._resolve_state(until)
         live_old, schema_old, _, _, dv_old = self._resolve_state(since_version)
-        if with_row_ids and not self._row_tracking_on(props_new):
+        if (with_row_ids or as_images) and not self._row_tracking_on(
+            props_new
+        ):
             raise ValueError(
                 "row tracking is not enabled (set_row_tracking())"
+                + (" — as_images pairs on _row_id" if as_images else "")
             )
+        emit_rids = with_row_ids
+        with_row_ids = with_row_ids or as_images  # read ids for pairing
         # diff on (path, deletion vector): a carried-over file whose
         # vector changed must be read on BOTH sides — each side masked
         # with its own vector, so exceptAll nets to exactly the
@@ -3122,10 +3138,33 @@ class AcidTable:
         a, r = align(a), align(r)
         ins = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
         dels = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+        if as_images:
+            # ids shared between the two sides mark true updates; the
+            # join is churn x churn (the feed's own bound), AQE picks
+            # the strategy. Null ids never pair (SQL join semantics).
+            paired = (
+                ins.select("_row_id")
+                .join(dels.select("_row_id"), "_row_id")
+                .distinct()
+                .withColumn("__paired", F.lit(True))
+            )
+            ins = ins.join(paired, "_row_id", "left").withColumn(
+                "_change_type",
+                F.when(F.col("__paired"), F.lit("update_postimage"))
+                .otherwise(F.col("_change_type")),
+            ).drop("__paired")
+            dels = dels.join(paired, "_row_id", "left").withColumn(
+                "_change_type",
+                F.when(F.col("__paired"), F.lit("update_preimage"))
+                .otherwise(F.col("_change_type")),
+            ).drop("__paired")
+        out = ins.unionByName(dels)
+        if with_row_ids and not emit_rids:
+            out = out.drop("_row_id")
         keep = (
-            ("_change_type", "_row_id") if with_row_ids else ("_change_type",)
+            ("_change_type", "_row_id") if emit_rids else ("_change_type",)
         )
-        return self._logicalize(ins.unionByName(dels), keep=keep)
+        return self._logicalize(out, keep=keep)
 
     def restore(self, version: int, *, max_retries: int = 5) -> int:
         """RESTORE TABLE TO VERSION AS OF — roll the live set back to

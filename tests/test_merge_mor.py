@@ -595,3 +595,49 @@ def test_mor_repeat_writes_union_vectors_executor_side(spark, tmp_path):
     assert sorted(masked) == [1, 3, 5]  # canonical union across writes
     got = sorted(r.k for r in t.snapshot().collect())
     assert got == [0, 2, 3, 4, 6, 7, 8, 9]  # k=3 re-added by the merge
+
+
+def test_changes_as_images_batch_api(spark, tmp_path):
+    """AcidTable.changes(as_images=True) — the batch-API twin of the
+    reader's updateAsImages option: id-paired rows across the range
+    fold into update_preimage/update_postimage (original image vs
+    final image over multi-commit ranges); ids are dropped unless
+    with_row_ids; requires row tracking."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(5)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    t.merge(spark.createDataFrame([(2, 221), (9, 90)], "k long, v long"), ["k"])
+    t.merge(
+        spark.createDataFrame([(2, 222)], "k long, v long"),
+        ["k"],
+        mode="merge_on_read",
+    )  # second update of the same row: range nets original -> final
+    t.delete([("k", "=", 0)])
+
+    feed = sorted(
+        (r.k, r.v, r._change_type)
+        for r in t.changes(v0, as_images=True).collect()
+    )
+    assert feed == sorted(
+        [
+            (2, 20, "update_preimage"),  # ORIGINAL image
+            (2, 222, "update_postimage"),  # FINAL image
+            (9, 90, "insert"),
+            (0, 0, "delete"),
+        ]
+    )
+    assert "_row_id" not in t.changes(v0, as_images=True).columns
+    rid_feed = t.changes(v0, as_images=True, with_row_ids=True)
+    pre = {r._row_id for r in rid_feed.collect() if r._change_type == "update_preimage"}
+    post = {r._row_id for r in rid_feed.collect() if r._change_type == "update_postimage"}
+    assert pre == post and len(pre) == 1
+
+    bare = AcidTable(spark, str(tmp_path / "bare"))
+    bare.append(spark.createDataFrame([(1, 1)], "k long, v long"))
+    with pytest.raises(ValueError, match="row tracking"):
+        bare.changes(0, as_images=True)

@@ -1698,3 +1698,149 @@ def test_scd2_model_with_three_interleaved_writers(
 
     for v, rows in history.items():
         assert snap(as_of=v) == rows, f"time travel to v{v}"
+
+
+@st.composite
+def _merge_stmt(draw):
+    shape = draw(st.sampled_from([
+        "upsert", "cdc_apply", "keyed_delete",
+        "col_update", "col_update_cond", "col_update_insert",
+        "insert_only", "insert_only_cond", "insert_cols",
+        "sync_delete", "sync_delete_cond",
+        "sync_update", "sync_update_cond", "nmbs_update_alone",
+    ]))
+    mor = draw(st.booleans())
+    src_keys = draw(
+        st.lists(st.integers(0, 30), min_size=1, max_size=6, unique=True)
+    )
+    src = [(k, k * 100 + draw(st.integers(0, 9))) for k in src_keys]
+    thr = draw(st.integers(0, 3000))
+    return shape, mor, src, thr
+
+
+@settings(
+    max_examples=int(__import__("os").environ.get("MERGE_FUZZ_EXAMPLES", "10")),
+    deadline=None,
+)
+@given(params=_merge_stmt())
+def test_merge_sql_statement_model_fuzz(spark, tmp_path_factory, params):
+    """Model-based fuzz of the SQL MERGE front door: every supported
+    clause combination (upsert / CDC apply / keyed delete /
+    column-level [conditional] update [+ insert] / [conditional]
+    insert-only / column-list insert / mirror-sync DELETE / soft-expire
+    UPDATE SET / standalone BY SOURCE UPDATE), each in both
+    copy-on-write and merge-on-read mode (the ``merge.mode`` property
+    — physical strategy must never change the logical result), is
+    checked against a plain Python model of Delta's MERGE semantics.
+    This is the layer where the r11 dispatch bug lived (BY SOURCE
+    clauses silently swallowed next to AND-cond DELETE)."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    shape, mor, src, thr = params
+    path = str(tmp_path_factory.mktemp("mrgfuzz") / "t")
+    sql = AcidSql(spark, {"t": path})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10, True) for k in range(0, 31, 3)],
+            "k int, v int, active boolean",
+        )
+    )
+    if mor:
+        t.set_properties({"merge.mode": "merge_on_read"})
+    m = {k: (k * 10, True) for k in range(0, 31, 3)}  # k -> (v, active)
+    s = dict(src)
+    spark.createDataFrame(
+        [(k, v, True) for k, v in src], "k int, v int, active boolean"
+    ).createOrReplaceTempView("mrg_fuzz_src")
+
+    head = "MERGE INTO t AS tg USING mrg_fuzz_src AS s ON tg.k = s.k "
+    if shape == "upsert":
+        stmt = head + ("WHEN MATCHED THEN UPDATE SET * "
+                       "WHEN NOT MATCHED THEN INSERT *")
+        for k, v in s.items():
+            m[k] = (v, True)
+    elif shape == "cdc_apply":
+        stmt = head + (
+            f"WHEN MATCHED AND s.v > {thr} THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        for k, v in s.items():
+            if v > thr:
+                m.pop(k, None)  # unmatched retraction: no-op
+            else:
+                m[k] = (v, True)
+    elif shape == "keyed_delete":
+        stmt = head + "WHEN MATCHED THEN DELETE"
+        for k in s:
+            m.pop(k, None)
+    elif shape in ("col_update", "col_update_cond", "col_update_insert"):
+        cond = f"AND tg.v < {thr} " if shape == "col_update_cond" else ""
+        ins = (
+            "WHEN NOT MATCHED THEN INSERT *"
+            if shape == "col_update_insert" else ""
+        )
+        stmt = head + (
+            f"WHEN MATCHED {cond}THEN UPDATE SET v = tg.v + s.v {ins}"
+        )
+        for k, v in s.items():
+            if k in m:
+                old_v, old_a = m[k]
+                if shape != "col_update_cond" or old_v < thr:
+                    m[k] = (old_v + v, old_a)
+            elif shape == "col_update_insert":
+                m[k] = (v, True)
+    elif shape in ("insert_only", "insert_only_cond"):
+        cond = f"AND s.v > {thr} " if shape == "insert_only_cond" else ""
+        stmt = head + f"WHEN NOT MATCHED {cond}THEN INSERT *"
+        for k, v in s.items():
+            if k not in m and (shape != "insert_only_cond" or v > thr):
+                m[k] = (v, True)
+    elif shape == "insert_cols":
+        stmt = head + (
+            "WHEN NOT MATCHED THEN INSERT (k, v, active) "
+            "VALUES (s.k, s.v + 1, false)"
+        )
+        for k, v in s.items():
+            if k not in m:
+                m[k] = (v + 1, False)
+    elif shape in ("sync_delete", "sync_delete_cond"):
+        cond = f"AND tg.v < {thr} " if shape == "sync_delete_cond" else ""
+        stmt = head + (
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            f"WHEN NOT MATCHED BY SOURCE {cond}THEN DELETE"
+        )
+        gone = [k for k in m if k not in s]
+        for k, v in s.items():
+            m[k] = (v, True)
+        for k in gone:
+            if shape != "sync_delete_cond" or m[k][0] < thr:
+                del m[k]
+    elif shape in ("sync_update", "sync_update_cond"):
+        cond = f"AND tg.v < {thr} " if shape == "sync_update_cond" else ""
+        stmt = head + (
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            f"WHEN NOT MATCHED BY SOURCE {cond}THEN UPDATE SET "
+            "active = false"
+        )
+        gone = [k for k in m if k not in s]
+        for k, v in s.items():
+            m[k] = (v, True)
+        for k in gone:
+            if shape != "sync_update_cond" or m[k][0] < thr:
+                m[k] = (m[k][0], False)
+    else:  # nmbs_update_alone
+        stmt = head + (
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+            "v = tg.v + 1, active = false"
+        )
+        for k in list(m):
+            if k not in s:
+                m[k] = (m[k][0] + 1, False)
+
+    sql.sql(stmt)
+    got = {r.k: (r.v, r.active) for r in t.snapshot().collect()}
+    assert got == m, (shape, mor, src, thr, stmt)
