@@ -195,3 +195,69 @@ def test_bounded_debt_under_sustained_mor_trickle(spark, tmp_path):
     assert _rows(on.snapshot()) == _rows(off.snapshot())
     assert peak_off == 8  # unbounded growth: one masked row per batch
     assert peak_on < peak_off  # policy kept the debt bounded
+
+
+def test_dv_debt_selection_matches_brute_force():
+    """Pure selection math, no Spark: _dv_debt_files == brute-force
+    ratio filter over synthetic manifests, for files with/without
+    record counts and empty/legacy vectors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_lake_demo_spark.tableformat import AcidTable, _pack_dv
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        files=st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            st.tuples(
+                st.integers(min_value=1, max_value=1000),  # rows
+                st.integers(min_value=0, max_value=1000),  # masked
+                st.booleans(),  # carries a #rows stat?
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        ratio=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(files, ratio):
+        live = {
+            p: ({"#rows": [rows]} if has_stat else {})
+            for p, (rows, _, has_stat) in files.items()
+        }
+        dvs = {
+            p: _pack_dv(list(range(masked)))
+            for p, (_, masked, _) in files.items()
+            if masked
+        }
+        got = AcidTable._dv_debt_files(None, live, dvs, ratio)
+        want = sorted(
+            p
+            for p, (rows, masked, has_stat) in files.items()
+            if masked and (not has_stat or masked >= ratio * rows)
+        )
+        assert got == want, (files, ratio)
+
+    check()
+
+
+def test_debt_policy_on_clustered_table(spark, tmp_path):
+    """The ratio purge composes with liquid clustering: debt clears,
+    the clustering declaration survives, and a later OPTIMIZE
+    re-clusters the purge-written files."""
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(20)], "k long, v long"
+        ).coalesce(2)
+    )
+    t.set_clustering(["k"])
+    t.set_properties({"optimize.maxDeletedRowsRatio": "0.2"})
+    t.delete([("k", "<", 6)], mode="merge_on_read")
+    assert t._read_commit(t.latest_version()).op == "purge"
+    assert not t.deletion_vectors()
+    assert t.clustering_columns() == ["k"]
+    t.optimize_cluster(n_files=2)
+    assert sorted(r.k for r in t.snapshot().collect()) == list(range(6, 20))
