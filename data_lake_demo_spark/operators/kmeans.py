@@ -89,3 +89,111 @@ def lloyd_step(
         )
         .orderBy("cell")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    frac: float,
+    *,
+    id_col: str = "vec_id",
+    normalize: bool = True,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cluster-balanced curation (the DataComp/SemDeDup-family shape):
+    assign every vector to its nearest literal centroid and keep, PER
+    CLUSTER, the ``ceil(frac * cluster_size)`` most prototypical rows
+    (smallest squared distance; (quantized-distance, id) is the total
+    order, so the selection is deterministic and engine-portable).
+    Balancing the sample across clusters preserves the corpus's modes
+    instead of letting one dense region dominate a global top-k.
+
+    Scale design (100 TB): the per-cluster rank is NOT a k-partition
+    global window (k cells × n/k rows each would sort-spill whole
+    clusters). Instead, the shard_assign_snake histogram technique:
+
+    1. one map-side pass assigns (cell, quantized d2) — no fan-out;
+    2. a (cell, qd2) COUNT histogram (bounded by distinct quantized
+       distances, not rows) takes a cumulative sum on the tiny
+       aggregated frame;
+    3. each cell's threshold distance T and the residual quota at the
+       tie broadcast back;
+    4. rows strictly below T pass map-side; only the T-tie group —
+       rows sharing ONE quantized distance — pays a bounded
+       ``row_number`` window to fill the remaining quota by id.
+
+    Returns the input columns plus ``cell`` and ``qd2``."""
+    from pyspark.sql import Window as W
+
+    v = to_double_array(F.col(vec_col))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        v = F.transform(v, lambda x: x / nrm)
+    # stage the unit vector and the distance array as COLUMNS before
+    # using them (the lloyd_step discipline): each is referenced many
+    # times downstream, and multiply-referenced non-cheap expressions
+    # survive CollapseProject — inlining them instead would duplicate
+    # the normalization into all k*dim fold terms and the k-fold array
+    # into every consumer (measured 6.7 s vs 0.3 s on 500 rows).
+    staged = df.select("*", v.alias("__u"))
+    dists = F.array(*[_sq_l2(F.col("__u"), c) for c in centroids])
+    staged = staged.select("*", dists.alias("__ds"))
+    # persist the assignment: the histogram pass and the final
+    # selection pass both consume it — cached, the fold runs once and
+    # the cached frame is input-columns + two ints (the MMR
+    # operator's persist-per-round precedent).
+    assigned = staged.select(
+        *df.columns,
+        (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.floor(F.array_min("__ds") * scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("qd2"),
+    ).persist()
+    hist = assigned.groupBy("cell", "qd2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("cell").orderBy("qd2")  # tiny aggregated frame
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy("cell").agg(F.sum("cnt").alias("n_cell"))
+    j = cum.join(totals, "cell").withColumn(
+        "quota", F.ceil(F.lit(float(frac)) * F.col("n_cell")).cast("long")
+    )
+    thr = (
+        j.filter(F.col("cum") >= F.col("quota"))
+        .groupBy("cell", "quota")
+        .agg(F.min("qd2").alias("__t"))
+    )
+    tie_info = thr.join(
+        j.select(
+            "cell",
+            F.col("qd2").alias("__t"),
+            (F.col("cum") - F.col("cnt")).alias("__below"),
+        ),
+        ["cell", "__t"],
+    ).select(
+        "cell", "__t", (F.col("quota") - F.col("__below")).alias("__at_tie")
+    )
+    # one pass over the assignment: rows strictly below the threshold
+    # pass outright; only the tie bucket (one qd2 value per cell)
+    # consults its row_number to fill the residual quota — the window
+    # partitions on (cell, qd2), so no whole-cluster sort exists
+    w_tie = W.partitionBy("cell", "qd2").orderBy(id_col)
+    return (
+        assigned.join(F.broadcast(tie_info), "cell")
+        .filter(F.col("qd2") <= F.col("__t"))
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .filter(
+            (F.col("qd2") < F.col("__t"))
+            | (F.col("__rn") <= F.col("__at_tie"))
+        )
+        .drop("__rn", "__t", "__below", "__at_tie")
+    )

@@ -15,13 +15,13 @@ ALL_MODULES = [llm, events, relational]
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so registration order is load-bearing. ``WINDOW`` is the
 # explicit round-11 rotation, executing the r10 verdict's item 2:
-# the TWO queries new this round lead (never driver-checked — they
+# the THREE queries new this round lead (never driver-checked — they
 # certify the r11 MERGE grammar extension ``WHEN NOT MATCHED BY
-# SOURCE THEN UPDATE SET`` and the CDF ``updateAsImages`` 4-value
-# enum), then ALL 17 queries whose newest driver row is
+# SOURCE THEN UPDATE SET``, the CDF ``updateAsImages`` 4-value
+# enum, and the cluster-balanced curation sampler), then ALL 17 queries whose newest driver row is
 # CORRECTNESS_r07 (the block the r10 verdict names for this round —
 # after this window no registry row's union entry is older than r8),
-# then 31 of the 50 rows whose newest driver row is CORRECTNESS_r08.
+# then 30 of the 50 rows whose newest driver row is CORRECTNESS_r08.
 # Evicted: the entire r10 window (all 50 entries green in
 # CORRECTNESS_r10.json and re-proven at sf0.001/sf0.01 by the
 # in-suite parity replica on every pytest run). The 19 r8 rows left
@@ -33,6 +33,8 @@ WINDOW = [
     # UPDATE SET (Delta's soft-expire mirror sync) through SQL MERGE
     "orders_cdf_update_images",  # updateAsImages: Delta's 4-value
     # CDF enum from id-paired delete+insert rows, executor-side
+    "emb_cluster_balanced_sample",  # DataComp-style per-cluster
+    # prototype sampling via the scale-safe histogram-threshold rank
     # -- r7 rows (stalest driver rows in the registry; all 17) ------------
     "doc_retrieval_join",
     "doc_lsh_recall_eval",
@@ -51,7 +53,7 @@ WINDOW = [
     "media_audio_features_real",
     "media_image_stats_real",
     "media_video_frames_real",
-    # -- r8 rows (next-stalest block; 31 of 50) ---------------------------
+    # -- r8 rows (next-stalest block; 30 of 50) ---------------------------
     "anti_join_customers_without_orders",
     "approx_stats",
     "doc_chunk_overlap",
@@ -82,7 +84,6 @@ WINDOW = [
     "media_feature_stats",
     "orders_merge_update_columns",
     "orders_replace_where_backfill",
-    "orders_table_profile",
 ]
 assert len(WINDOW) == 50, len(WINDOW)
 # Deferred to r12 (r8-green, each pinned by an in-window sibling or a
@@ -105,7 +106,8 @@ assert len(WINDOW) == 50, len(WINDOW)
 # r10), emb_norms (composed by every in-window ANN query),
 # events_daily_from_hourly_rollup (rollup_time pytest pin +
 # daily-retention in window), countmin_event_type_freq (exact twin in
-# suite; KMV + HLL siblings in window). Everything outside this
+# suite; KMV + HLL siblings in window), orders_table_profile (the
+# profile operator's media_feature_stats sibling is in window). Everything outside this
 # window is r8/r9/r10-green (unchanged since its hash row) and
 # re-proven by the in-suite parity replica each run.
 

@@ -2227,6 +2227,77 @@ FROM assigned GROUP BY cell ORDER BY cell
 """
 
 
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation (new in r11 — the DataComp/DsDm
+    family shape): assign every embedding to the literal LCG centroid
+    family (k=8, dim 64 — the same portable coarse stream as
+    emb_kmeans_portable) and keep the 25% most prototypical vectors
+    of EVERY cluster (smallest quantized squared distance,
+    vec_id tie-break), so the curated subset preserves all modes
+    instead of letting the densest region win a global top-k. The
+    Spark plan is the scale-safe histogram-threshold rank (no
+    k-partition global window — operators/kmeans.
+    cluster_balanced_sample); the oracle replays the selection with a
+    plain per-cell window, proving the two formulations identical.
+    Output: per cell, the kept count and the quantized distance sum
+    of the kept rows."""
+    import numpy as np
+
+    from data_lake_demo_spark.operators.kmeans import cluster_balanced_sample
+
+    c = np.arange(8, dtype=np.int64)[:, None]
+    d = np.arange(64, dtype=np.int64)[None, :]
+    cents = (
+        ((c * 8191 + d * 127 + 7) * 1103515245 + 12345) % 2039
+    ) / 2039.0 - 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = cluster_balanced_sample(
+        emb, "embedding", [list(row) for row in cents], 0.25
+    )
+    return (
+        kept.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum("qd2") / 1_000_000.0).alias("d2_sum"),
+            F.min("vec_id").alias("first_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+EMB_CLUSTER_BALANCED_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN v])) FOR x IN v] AS u
+  FROM base),
+dists AS (
+  SELECT vec_id,
+         [ list_sum([ (u[d + 1] - {_KMEANS_CENTROID})
+                      * (u[d + 1] - {_KMEANS_CENTROID})
+                      FOR d IN range(64) ])
+           FOR c IN range(8) ] AS ds
+  FROM unitv),
+assigned AS (
+  SELECT vec_id,
+         CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell,
+         CAST(floor(list_min(ds) * 1000000 + 0.5) AS BIGINT) AS qd2
+  FROM dists),
+ranked AS (
+  SELECT cell, vec_id, qd2,
+         row_number() OVER (PARTITION BY cell ORDER BY qd2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cell) AS n_cell
+  FROM assigned),
+kept AS (SELECT * FROM ranked WHERE rn <= ceil(0.25 * n_cell))
+SELECT cell, count(*) AS n_kept,
+       CAST(sum(qd2) AS DOUBLE) / 1000000 AS d2_sum,
+       min(vec_id) AS first_id
+FROM kept GROUP BY cell ORDER BY cell
+"""
+
+
 def emb_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the LSH similarity graph — the
     data-curation signal "how representative is this vector of its
@@ -4058,6 +4129,7 @@ QUERIES = {
     "doc_lsh_recall_eval": doc_lsh_recall_eval,
     "doc_rag_pipeline": doc_rag_pipeline,
     "emb_kmeans_portable": emb_kmeans_portable,
+    "emb_cluster_balanced_sample": emb_cluster_balanced_sample,
     "emb_graph_pagerank": emb_graph_pagerank,
     "emb_graph_communities": emb_graph_communities,
     "emb_graph_triangles": emb_graph_triangles,
@@ -4120,6 +4192,7 @@ SELECT qid, rk, nid,
 FROM ranked WHERE rk <= 5 ORDER BY qid, rk
 """,
     "emb_kmeans_portable": EMB_KMEANS_PORTABLE_SQL,
+    "emb_cluster_balanced_sample": EMB_CLUSTER_BALANCED_SAMPLE_SQL,
     "emb_graph_pagerank": _pagerank_oracle(),
     "emb_graph_communities": _lpa_oracle(),
     "emb_graph_triangles": _triangles_oracle(),
