@@ -143,12 +143,32 @@ def cluster_balanced_sample(
     # the normalization into all k*dim fold terms and the k-fold array
     # into every consumer (measured 6.7 s vs 0.3 s on 500 rows).
     staged = df.select("*", v.alias("__u"))
-    dists = F.array(*[_sq_l2(F.col("__u"), c) for c in centroids])
+    # the centroid matrix parses as ONE SQL literal: building it with
+    # per-element F.lit would cost k*dim py4j round-trips and a
+    # 512-node Column tree the analyzer re-walks per job — the single
+    # parsed expression is equivalent (same left-to-right fold order,
+    # bit-identical doubles via repr) and shaves seconds off both
+    # construction and planning
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    dists = F.expr(
+        f"transform({cent_sql}, c -> aggregate("
+        "zip_with(__u, c, (a, b) -> (a - b) * (a - b)),"
+        " 0D, (acc, x) -> acc + x))"
+    )
     staged = staged.select("*", dists.alias("__ds"))
-    # persist the assignment: the histogram pass and the final
-    # selection pass both consume it — cached, the fold runs once and
-    # the cached frame is input-columns + two ints (the MMR
-    # operator's persist-per-round precedent).
+    # lineage barrier (the MMR localCheckpoint precedent): without
+    # it, the rule that folds projects into Aggregate inlines the
+    # FULL fold chain into each grouping expression — the histogram
+    # pass would interpret the k*dim lambdas several times per row
+    # (measured ~8x wall). Checkpointed, the assignment materializes
+    # once as a plain projection and both consumers read the blocks
+    # (disk-backed executor-local storage, auto-released by the
+    # ContextCleaner when the frame is dropped). Eager, matching MMR:
+    # the lazy form defers doCheckpoint into the consumers and races
+    # the cleaner (benign but noisy accumulator errors).
     assigned = staged.select(
         *df.columns,
         (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1)
@@ -157,7 +177,7 @@ def cluster_balanced_sample(
         F.floor(F.array_min("__ds") * scale + F.lit(0.5))
         .cast("bigint")
         .alias("qd2"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     hist = assigned.groupBy("cell", "qd2").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -182,18 +202,28 @@ def cluster_balanced_sample(
     ).select(
         "cell", "__t", (F.col("quota") - F.col("__below")).alias("__at_tie")
     )
-    # one pass over the assignment: rows strictly below the threshold
-    # pass outright; only the tie bucket (one qd2 value per cell)
-    # consults its row_number to fill the residual quota — the window
-    # partitions on (cell, qd2), so no whole-cluster sort exists
+    # the threshold table is ONE ROW PER CLUSTER — a bounded driver
+    # collect (the bloom-prune/bounded-sample discipline), inlined as
+    # literal when-chains. This keeps the returned frame a SINGLE
+    # lazy pass over the assignment (no operator-held persist that
+    # nothing could unpersist, no broadcast plan that re-embeds the
+    # histogram subtree): rows strictly below their cell's threshold
+    # pass map-side; only the tie bucket — the rows sharing ONE
+    # quantized distance per cell — consults a (cell, qd2)-partition
+    # row_number to fill the residual quota, so no whole-cluster
+    # global sort exists anywhere.
+    tie_rows = tie_info.collect()
+    if not tie_rows:  # frac == 0 or empty input: nothing qualifies
+        return assigned.filter(F.lit(False))
+    t_col = F.lit(None).cast("bigint")
+    at_col = F.lit(None).cast("long")
+    for r in tie_rows:
+        t_col = F.when(F.col("cell") == r["cell"], F.lit(r["__t"])).otherwise(t_col)
+        at_col = F.when(F.col("cell") == r["cell"], F.lit(r["__at_tie"])).otherwise(at_col)
     w_tie = W.partitionBy("cell", "qd2").orderBy(id_col)
     return (
-        assigned.join(F.broadcast(tie_info), "cell")
-        .filter(F.col("qd2") <= F.col("__t"))
+        assigned.filter(F.col("qd2") <= t_col)
         .withColumn("__rn", F.row_number().over(w_tie))
-        .filter(
-            (F.col("qd2") < F.col("__t"))
-            | (F.col("__rn") <= F.col("__at_tie"))
-        )
-        .drop("__rn", "__t", "__below", "__at_tie")
+        .filter((F.col("qd2") < t_col) | (F.col("__rn") <= at_col))
+        .drop("__rn")
     )

@@ -2054,7 +2054,7 @@ class AcidTable:
                 out.append(p)
         return sorted(out)
 
-    def _auto_maintain(self, v: int) -> int:
+    def _auto_maintain(self, v: int, props_hint: dict | None = None) -> int:
         """Post-commit layout policy, best-effort (the data commit
         already landed; any failure here only defers maintenance):
         first the writer-side file-count autoCompact, then the
@@ -2066,13 +2066,24 @@ class AcidTable:
         is what keeps a 100 TB table under a sustained merge-on-read
         CDC trickle from degrading monotonically: read tax (the
         coords-join mask) stays bounded by the ratio instead of
-        accumulating until a human runs REORG ... APPLY (PURGE)."""
+        accumulating until a human runs REORG ... APPLY (PURGE).
+
+        ``props_hint`` (the verb's already-resolved commit-base
+        properties) lets the no-policy fast path skip the post-commit
+        log resolution entirely — the check must not tax every verb
+        on tables that never opted in. (A property commit landing
+        between base and v is caught on the NEXT write — the policy
+        is amortized maintenance, not a synchronous invariant.)"""
         try:
             if (
                 self.auto_compact_files
                 and len(self._resolve(v)[0]) > self.auto_compact_files
             ):
                 return self._auto_optimize()
+            if props_hint is not None and not props_hint.get(
+                self._DV_RATIO_KEY
+            ):
+                return v  # no debt policy at the commit base
             live, _, _, props, dvs = self._resolve_state(v)
             r = props.get(self._DV_RATIO_KEY)
             if r and dvs and self._dv_debt_files(live, dvs, float(r)):
@@ -2855,7 +2866,7 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(filters, base)
             if not touched:
                 return base  # provably nothing to delete: no commit
-            dvs = self._resolve_state(base)[4]
+            _, _, _, props, dvs = self._resolve_state(base)
             raw = self._read_files(touched, schema_json)
             if mode == "merge_on_read":
                 hits = (
@@ -2871,7 +2882,7 @@ class AcidTable:
                     dv=entries, read_filters=filters,
                 )
                 if v is not None:
-                    return self._auto_maintain(v)
+                    return self._auto_maintain(v, props_hint=props)
                 continue  # true overlap: re-plan
             remaining = self._read_for_rewrite(
                 touched, schema_json, dvs, base
@@ -2938,7 +2949,7 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(phys_filters, base)
             if not touched:
                 return base  # provably nothing to update: no commit
-            dvs = self._resolve_state(base)[4]
+            _, _, _, props, dvs = self._resolve_state(base)
             raw = self._read_files(touched, schema_json)
             # rewrite read: row ids (when tracked) materialize into the
             # hidden column and flow through assignment untouched —
@@ -2992,7 +3003,7 @@ class AcidTable:
                     dv=entries, read_filters=phys_filters,
                 )
                 if v is not None:
-                    return self._auto_maintain(v)
+                    return self._auto_maintain(v, props_hint=props)
                 continue  # true overlap: re-plan
             if masked.filter(pred).limit(1).first() is None:
                 return base  # stats false-positive: nothing matched
@@ -4469,7 +4480,7 @@ class AcidTable:
             )
             if v is None:
                 continue
-            return self._auto_maintain(v)
+            return self._auto_maintain(v, props_hint=props)
         raise CommitConflict(f"merge lost {max_retries} commit races")
 
     def _merge_mor_attempt(
@@ -4587,7 +4598,7 @@ class AcidTable:
         )
         if v is None:
             return None
-        return self._auto_maintain(v)
+        return self._auto_maintain(v, props_hint=props)
 
     def merge_apply(
         self,
@@ -4840,7 +4851,7 @@ class AcidTable:
                     end_col=end_col, dedupe_order=dedupe_order,
                 )
                 if v is not None:
-                    return self._auto_maintain(v)
+                    return v
                 continue  # true overlap: re-plan against the new head
             live, _ = self._resolve(base)
             new_dim = scd2_apply(
@@ -4946,7 +4957,7 @@ class AcidTable:
         add, schema = self._stage_actions(self._physicalize(out, colmap))
         if not add and not dv_entries:
             return base
-        return self._commit_or_rebase(
+        v = self._commit_or_rebase(
             base,
             "scd2",
             add,
@@ -4956,6 +4967,9 @@ class AcidTable:
             read_filters=[],  # any winner add may be a changed key
             check_adds=True,
         )
+        if v is None:
+            return None
+        return self._auto_maintain(v, props_hint=props)
 
     def compact(
         self, *, n_files: int = 16, filters=(), max_retries: int = 5

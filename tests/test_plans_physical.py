@@ -38,6 +38,10 @@ def test_query_build_time_stays_bounded(spark):
     exempt = {
         "doc_dedup_components",
         "doc_dedup_components_bigstar",
+        # label_propagation localCheckpoints its label frame each
+        # round (eager) — the same execute-during-construction shape
+        # as the CC queries above (~2.4-2.9 s at sf0.001)
+        "emb_graph_communities",
         # composes connected_components, so it also EXECUTES its CC
         # rounds eagerly during construction (~2-3 s at sf0.001 —
         # execution cost, not expression-building cost)
@@ -53,6 +57,10 @@ def test_query_build_time_stays_bounded(spark):
         # execution cost, not expression building; its EXPRESSION
         # build is the unrolled 4-round algebra, well under budget)
         "emb_mmr_rerank",
+        # same localCheckpoint(eager=True) materialization as MMR:
+        # the assignment pass + the k-row threshold collect EXECUTE
+        # during construction (execution cost, not expressions)
+        "emb_cluster_balanced_sample",
         # the multi-phase ACID-lifecycle family: each builds a temp
         # AcidTable, runs its verbs (append/merge/cluster/CONVERT/CDF
         # reads — a dozen commits), and COLLECTS the reduced result
@@ -66,6 +74,15 @@ def test_query_build_time_stays_bounded(spark):
         "orders_merge_update_columns",
         "orders_merge_insert_columns",
         "orders_replace_where_backfill",
+        # the merge-on-read lifecycle queries (append + MOR verbs +
+        # aggregate collect, all during construction — execution, not
+        # expressions; 2-3.1 s each at sf0.001, straddling the budget
+        # depending on host load)
+        "orders_mor_delete_dv",
+        "orders_merge_mor_upsert",
+        "orders_scd2_mor_dimension",
+        "orders_merge_sync_update",
+        "orders_cdf_update_images",
         # composes emb_mmr_rerank, so it inherits MMR's eager
         # localCheckpoint (~2.6 s warm — execution, not expressions)
         "doc_rag_pipeline",
