@@ -28,7 +28,8 @@ Grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE t ALTER COLUMN a SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
-    SELECT ... FROM table_changes('t', start [, end] [, 'with_row_ids'])
+    SELECT ... FROM table_changes('t', start [, end]
+        [, 'with_row_ids'] [, 'update_as_images'])
     ALTER TABLE t ENABLE ROW TRACKING
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
@@ -2061,13 +2062,16 @@ class AcidSql:
         change data feed between the versions (``AcidTable.changes``)
         as a temp view, so the standard CDF consumption SQL —
         ``SELECT * FROM table_changes('t', 3) WHERE _change_type =
-        'insert'`` — runs verbatim. A third ``'with_row_ids'`` flag
-        argument adds the stable ``_row_id`` column on row-tracking
-        tables (pairs an update's delete+insert)."""
+        'insert'`` — runs verbatim. Trailing string-flag arguments
+        (any order): ``'with_row_ids'`` adds the stable ``_row_id``
+        column on row-tracking tables (pairs an update's
+        delete+insert); ``'update_as_images'`` folds id-paired rows
+        into Delta's 4-value enum (update_preimage/update_postimage),
+        mirroring the reader's ``updateAsImages`` option."""
         pat = re.compile(
             r"table_changes\s*\(\s*'((?:[^']|'')*)'\s*,\s*(\d+)"
             r"(?:\s*,\s*(\d+))?"
-            r"(?:\s*,\s*'(with_row_ids)')?\s*\)",
+            r"((?:\s*,\s*'(?:with_row_ids|update_as_images)')*)\s*\)",
             re.I,
         )
         lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", s)]
@@ -2079,9 +2083,18 @@ class AcidSql:
             t = self.table(name)
             since = int(m.group(2))
             until = int(m.group(3)) if m.group(3) else None
-            with_ids = m.group(4) is not None
-            df = t.changes(since, until, with_row_ids=with_ids)
-            view = f"__cdf_{abs(hash((name, since, until, with_ids))) % 10**10}"
+            flags = {
+                f.lower() for f in re.findall(r"'(\w+)'", m.group(4) or "")
+            }
+            with_ids = "with_row_ids" in flags
+            as_images = "update_as_images" in flags
+            df = t.changes(
+                since, until, with_row_ids=with_ids, as_images=as_images
+            )
+            view = "__cdf_" + str(
+                abs(hash((name, since, until, with_ids, as_images)))
+                % 10**10
+            )
             df.createOrReplaceTempView(view)
             return view
 

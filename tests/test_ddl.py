@@ -1204,3 +1204,44 @@ def test_reorg_purge_and_drop_branch_sql(spark, tmp_path):
     assert "audit" not in t.branches()
     with pytest.raises(ValueError):
         sql.sql("ALTER TABLE t DROP BRANCH audit")
+
+
+def test_table_changes_update_as_images_flag(spark, tmp_path):
+    """table_changes('t', v, 'update_as_images' [, 'with_row_ids']):
+    the TVF grows the 4-value-enum flag, composing with row ids."""
+    from data_lake_demo_spark.ddl import AcidSql
+
+    sql = AcidSql(spark, {"t": str(tmp_path / "t")})
+    t = sql.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).coalesce(1)
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame([(2, "B2"), (9, "i")], "k int, v string"),
+        ["k"],
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in sql.sql(
+            f"SELECT * FROM table_changes('t', {v0}, "
+            "'update_as_images')"
+        ).collect()
+    )
+    assert got == sorted(
+        [
+            (2, "b", "update_preimage"),
+            (2, "B2", "update_postimage"),
+            (9, "i", "insert"),
+        ]
+    )
+    rid = sql.sql(
+        f"SELECT * FROM table_changes('t', {v0}, "
+        "'with_row_ids', 'update_as_images')"
+    ).collect()
+    pre = [r._row_id for r in rid if r._change_type == "update_preimage"]
+    post = [r._row_id for r in rid if r._change_type == "update_postimage"]
+    assert pre == post and len(pre) == 1
