@@ -50,7 +50,11 @@ source shape, expressed through Spark 4's Python Data Source API
   ``update_preimage``/``update_postimage`` executor-side for EVERY
   change commit, yielding Delta's full 4-value enum. Memory is
   bounded by the files one commit touched, which the MERGE/DELETE
-  file skipping already minimizes. The same option on a BATCH read
+  file skipping already minimizes; for WIDE commits (a full-table
+  rewrite), ``.option('changeDiffBuckets', m)`` decomposes each
+  commit's diff into m deterministic row-hash buckets — m-way
+  parallelism and 1/m per-task memory at m× read amplification
+  (rid-keyed buckets when ids are read, so image pairing survives). The same option on a BATCH read
   returns a commit range's change rows
   (``startingVersion``/``endingVersion`` — Delta's ``table_changes``).
 - **Row ids.** ``withRowIds=true`` (row-tracking tables,
@@ -152,16 +156,32 @@ class _ChangePartition(InputPartition):
     entry is a ``(path, deletion vector | None, row-id base | None)``
     triple — a carried file whose vector changed appears on BOTH
     sides, each masked with its own vector, so the diff nets to the
-    newly-masked rows."""
+    newly-masked rows.
+
+    ``bucket=(i, m)`` scopes the partition to the i-th of m
+    deterministic row-hash buckets (the ``changeDiffBuckets`` option):
+    a commit that touched MANY files — a full-table rewrite, a wide
+    merge — decomposes into m independent diffs instead of one
+    Python task holding the whole commit. The multiset diff
+    distributes perfectly by row hash (a cancelling pair lands in one
+    bucket by construction); the trade is m× read amplification of
+    the touched files, bought back as m× parallelism and 1/m memory."""
 
     def __init__(
-        self, adds: list, removes: list, version: int, ts: float, op: str = ""
+        self,
+        adds: list,
+        removes: list,
+        version: int,
+        ts: float,
+        op: str = "",
+        bucket: tuple[int, int] | None = None,
     ):
         self.adds = adds
         self.removes = removes
         self.version = version
         self.ts = ts
         self.op = op  # commit operation; "update" relabels the diff
+        self.bucket = bucket
 
 
 def _read_parquet_rows(
@@ -270,6 +290,18 @@ def _read_change_rows(
         return v
 
     read_rid = with_rid or as_images
+    bucket = part.bucket
+
+    def bucket_of(k) -> int:
+        # deterministic across processes (no reliance on
+        # PYTHONHASHSEED): crc32 of the canonical key's repr. In rid
+        # mode the row id alone is the bucket key, so an update's
+        # delete+insert pair — different content, same id — stays
+        # co-bucketed and image pairing survives the decomposition.
+        import zlib
+
+        kk = k[-1] if read_rid and k[-1] is not None else k
+        return zlib.crc32(repr(kk).encode()) % bucket[1]
 
     def load(entries):
         counts: Counter = Counter()
@@ -277,6 +309,8 @@ def _read_change_rows(
         for p, dv, base in entries:
             for row in _read_parquet_rows(p, fields, dv, base, read_rid):
                 k = tuple(key(v) for v in row)
+                if bucket is not None and bucket_of(k) != bucket[0]:
+                    continue  # another bucket's task owns this row
                 counts[k] += 1
                 originals[k] = row
         return counts, originals
@@ -328,7 +362,7 @@ def _row_id_base(stats: dict | None) -> int | None:
     return int(b[0]) if b else None
 
 
-def _cdf_partitions(t, start_v: int, end_v: int) -> list:
+def _cdf_partitions(t, start_v: int, end_v: int, buckets: int = 1) -> list:
     """Change partitions for commits in ``[start_v, end_v)``, with
     live-set and deletion-vector state FOLDED commit by commit from a
     single resolve at ``start_v - 1``:
@@ -386,7 +420,20 @@ def _cdf_partitions(t, start_v: int, end_v: int) -> list:
                 _ChangePartition([a], [], v, c.ts, c.op) for a in adds
             )
         elif adds or removes:
-            parts.append(_ChangePartition(adds, removes, v, c.ts, c.op))
+            if buckets > 1:
+                # changeDiffBuckets: a wide commit's diff decomposes
+                # into independent row-hash buckets (see the
+                # _ChangePartition docstring for the trade)
+                parts.extend(
+                    _ChangePartition(
+                        adds, removes, v, c.ts, c.op, bucket=(i, buckets)
+                    )
+                    for i in range(buckets)
+                )
+            else:
+                parts.append(
+                    _ChangePartition(adds, removes, v, c.ts, c.op)
+                )
     return parts
 
 
@@ -411,6 +458,22 @@ def _images_enabled(options) -> bool:
     the documented dialect and carries the same information via the
     shared ``_row_id``."""
     return str(options.get("updateasimages", "false")).lower() in ("true", "1")
+
+
+def _diff_buckets(options, cdf: bool) -> int:
+    """``changeDiffBuckets=m`` (CDF mode): decompose each change
+    commit's diff into m deterministic row-hash buckets — m-way task
+    parallelism and 1/m per-task memory for wide commits, at m× read
+    amplification of the commit's touched files. Default 1 (one diff
+    task per commit, the bounded-by-touched-files contract)."""
+    m = int(options.get("changediffbuckets", 1))
+    if m < 1:
+        raise ValueError("changeDiffBuckets must be >= 1")
+    if m > 1 and not cdf:
+        raise ValueError(
+            "changeDiffBuckets requires .option('readChangeFeed', 'true')"
+        )
+    return m
 
 
 def _check_images_options(options, cdf: bool) -> bool:
@@ -558,6 +621,7 @@ def _reverse_colmap(options, pinned: bool = False) -> dict:
 class _AcidBatchReader(DataSourceReader):
     def __init__(self, options, schema_fields: list[str]):
         self._images = _check_images_options(options, _cdf_enabled(options))
+        self._diff_buckets = _diff_buckets(options, _cdf_enabled(options))
         self._options = options
         self._cdf = _cdf_enabled(options)
         self._rid = _rid_enabled(options)
@@ -609,7 +673,9 @@ class _AcidBatchReader(DataSourceReader):
             end = (
                 int(end_opt) if end_opt is not None else t.latest_version()
             )
-            return _cdf_partitions(t, start, end + 1) or [_FilePartition("")]
+            return _cdf_partitions(
+                t, start, end + 1, buckets=self._diff_buckets
+            ) or [_FilePartition("")]
         as_of = _as_of_version(t, self._options)
         if self._pushed:
             files, _, _ = t._pruned_live(self._pushed, as_of=as_of)
@@ -650,6 +716,7 @@ class _AcidStreamReader(DataSourceStreamReader):
         self._cdf = _cdf_enabled(options)
         self._rid = _rid_enabled(options)
         self._images = _check_images_options(options, self._cdf)
+        self._diff_buckets = _diff_buckets(options, self._cdf)
         # CDF rows append (_change_type, _commit_version,
         # _commit_timestamp), withRowIds appends _row_id last; data
         # fields are everything before them
@@ -765,7 +832,9 @@ class _AcidStreamReader(DataSourceStreamReader):
             # across the batch's commit range (rewrite commits diff
             # their touched pair sets; MOR delete commits emit the
             # newly-masked rows; pure-layout rewrites diff to empty)
-            return _cdf_partitions(t, v0, v1) or [_FilePartition("")]
+            return _cdf_partitions(
+                t, v0, v1, buckets=self._diff_buckets
+            ) or [_FilePartition("")]
         parts = []
         # (v, file) offset semantics: commits < v fully consumed, plus
         # the first `file` files of commit v — so v1 joins the range

@@ -2358,3 +2358,63 @@ def test_update_as_images_feeds_ann_apply_changes(spark, tmp_path):
         return sorted(map(tuple, ix.codes_table.snapshot().collect()))
 
     assert build("a", feed(updateAsImages="true")) == build("b", feed())
+
+
+def test_change_diff_buckets_batch_equals_unbucketed(spark, tmp_path):
+    """changeDiffBuckets=m: a wide commit's CDF diff decomposed into
+    m row-hash buckets equals the single-task diff exactly — plain,
+    with updateAsImages (rid-keyed buckets keep pairs co-located),
+    and with row ids; partition count fans out m per change commit."""
+    from data_lake_demo_spark.streaming.acid_source import (
+        _cdf_partitions,
+        register,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(50)], "k long, v string"
+        ).repartition(4)
+    )
+    t.set_row_tracking()
+    v0 = t.latest_version()
+    # a wide merge: touches every file (scattered keys) + inserts
+    t.merge(
+        spark.createDataFrame(
+            [(k, f"u{k}") for k in range(0, 60, 7)], "k long, v string"
+        ),
+        ["k"],
+    )
+    t.delete([("k", "=", 1)], mode="merge_on_read")
+
+    def read(**opts):
+        r = (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", v0)
+        )
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(map(tuple, r.load().collect()))
+
+    for extra in (
+        {},
+        {"updateAsImages": "true"},
+        {"updateAsImages": "true", "withRowIds": "true"},
+    ):
+        assert read(**extra) == read(changeDiffBuckets="4", **extra), extra
+
+    parts = _cdf_partitions(t, v0 + 1, t.latest_version() + 1, buckets=4)
+    assert len(parts) == 8  # 2 change commits x 4 buckets
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("changeDiffBuckets", "4")
+            .load()
+            .collect()
+        )
