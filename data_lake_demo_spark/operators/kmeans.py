@@ -7,7 +7,11 @@ assign every vector and produce the updated centroids / objective in
 one pass over the data.
 
 Scale design (100 TB): centroids are LITERALS, so the argmin is a
-single map-side expression — an ``array`` of k squared-L2 folds,
+single map-side expression — an ``array`` of k squared-L2 sums
+(EXPANDED per-element arithmetic since r11: the aggregate/zip_with
+folds are CodegenFallback, i.e. interpreted lambda evaluation, which
+dominated wall at ~7 µs/element-op; the expansion is the identical
+left-to-right double arithmetic, whole-stage-codegen'd),
 ``array_min`` for the best distance, ``array_position`` for the cell
 (first index = deterministic smallest-cell tie-break). No per-vector
 fan-out, no window, no join: the only shuffle is the k-row partial
@@ -24,17 +28,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_demo_spark.functions.vector import to_double_array
+from data_lake_demo_spark.functions.vector_expand import (
+    sq_dist_lit_sql,
+    sq_norm_sql,
+)
 
 
-def _sq_l2(u, centroid: list[float]):
-    """Σ (uᵢ - cᵢ)², left fold in double against a literal centroid."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _staged_unit(df: DataFrame, vec_col: str, dim: int, *, normalize: bool):
+    """``df`` plus ``__u`` — the (optionally L2-normalized) double
+    vector — as EXPANDED per-element expressions instead of
+    ``transform``/``aggregate`` folds (r11 optimization: HOFs are
+    CodegenFallback, ~7 µs/element-op interpreted; the expansion is
+    the identical arithmetic in codegen — see vector_expand).
+    The norm is staged as its own column first: multiply-referenced
+    non-cheap expressions survive CollapseProject, so it evaluates
+    once per row instead of once per element."""
+    if normalize:
+        pre = df.select(
+            "*", F.expr(f"SQRT({sq_norm_sql(vec_col, dim)})").alias("__nrm")
+        )
+        u_sql = "array(" + ",".join(
+            f"(CAST({vec_col}[{i}] AS DOUBLE) / __nrm)" for i in range(dim)
+        ) + ")"
+        return pre.select(*df.columns, F.expr(u_sql).alias("__u"))
+    u_sql = "array(" + ",".join(
+        f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)
+    ) + ")"
+    return df.select("*", F.expr(u_sql).alias("__u"))
 
 
 def lloyd_step(
@@ -55,18 +75,21 @@ def lloyd_step(
     - ``c0..c{mean_dims-1}`` — the updated centroid's first
       coordinates (quantized means).
     """
-    v = to_double_array(F.col(vec_col))
-    if normalize:
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        v = F.transform(v, lambda x: x / nrm)
-    staged = df.select(v.alias("__u"))
-    dists = F.array(*[_sq_l2(F.col("__u"), c) for c in centroids])
+    dim = len(centroids[0])
+    staged = _staged_unit(df, vec_col, dim, normalize=normalize).select("__u")
+    # stage the distance array as a COLUMN (the cluster_balanced_sample
+    # discipline): it is referenced three times below, and the staged
+    # multiply-referenced column survives CollapseProject, so the k×dim
+    # arithmetic runs once per row
+    staged = staged.select(
+        "__u",
+        F.expr(
+            "array("
+            + ",".join(sq_dist_lit_sql("__u", c) for c in centroids)
+            + ")"
+        ).alias("__ds"),
+    )
+    dists = F.col("__ds")
     assigned = staged.select(
         F.col("__u").alias("u"),
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
@@ -126,37 +149,21 @@ def cluster_balanced_sample(
     Returns the input columns plus ``cell`` and ``qd2``."""
     from pyspark.sql import Window as W
 
-    v = to_double_array(F.col(vec_col))
-    if normalize:
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        v = F.transform(v, lambda x: x / nrm)
+    dim = len(centroids[0])
     # stage the unit vector and the distance array as COLUMNS before
     # using them (the lloyd_step discipline): each is referenced many
     # times downstream, and multiply-referenced non-cheap expressions
     # survive CollapseProject — inlining them instead would duplicate
-    # the normalization into all k*dim fold terms and the k-fold array
+    # the normalization into all k*dim terms and the k-distance array
     # into every consumer (measured 6.7 s vs 0.3 s on 500 rows).
-    staged = df.select("*", v.alias("__u"))
-    # the centroid matrix parses as ONE SQL literal: building it with
-    # per-element F.lit would cost k*dim py4j round-trips and a
-    # 512-node Column tree the analyzer re-walks per job — the single
-    # parsed expression is equivalent (same left-to-right fold order,
-    # bit-identical doubles via repr) and shaves seconds off both
-    # construction and planning
-    cent_sql = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-        for c in centroids
-    ) + ")"
+    staged = _staged_unit(df, vec_col, dim, normalize=normalize)
+    # per-centroid squared distances as EXPANDED arithmetic (one
+    # parsed SQL expression — identical fold order to the previous
+    # aggregate/zip_with form, but whole-stage-codegen'd instead of
+    # interpreted lambda evaluation; that interpretation dominated
+    # this operator's wall: 7.5 s at sf0.1 for 2,000 rows)
     dists = F.expr(
-        f"transform({cent_sql}, c -> aggregate("
-        "zip_with(__u, c, (a, b) -> (a - b) * (a - b)),"
-        " 0D, (acc, x) -> acc + x))"
+        "array(" + ",".join(sq_dist_lit_sql("__u", c) for c in centroids) + ")"
     )
     staged = staged.select("*", dists.alias("__ds"))
     # lineage barrier (the MMR localCheckpoint precedent): without

@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import cosine, quantize
+from data_lake_demo_spark.functions.vector_expand import cosine_cols_sql
 
 
 def mmr_rerank(
@@ -36,6 +37,7 @@ def mmr_rerank(
     id_col: str = "nid",
     rel_col: str = "rel",
     vec_col: str = "nvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Greedy MMR over per-query candidate pools.
 
@@ -95,7 +97,14 @@ def mmr_rerank(
                 "nid",
                 "rel",
                 "nvec",
-                quantize(cosine(F.col("nvec"), F.col("__pv"))).alias("__sim"),
+                # dim known → expanded cosine (bit-identical to the
+                # fold, codegen'd; see vector_expand). The fold stays
+                # the fallback for callers with unknown dim.
+                quantize(
+                    F.expr(cosine_cols_sql("nvec", "__pv", dim))
+                    if dim
+                    else cosine(F.col("nvec"), F.col("__pv"))
+                ).alias("__sim"),
             )
             .groupBy("qid", "nid")
             .agg(

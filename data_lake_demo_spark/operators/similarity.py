@@ -26,8 +26,10 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
+from data_lake_demo_spark.functions.vector_expand import cosine_cols_sql
 
 
 def brute_force_topk(
@@ -43,6 +45,15 @@ def brute_force_topk(
     Output: (qid, nid, cos_sim) with cos_sim quantized to 1e-6 so
     ordering/tie-breaks are engine-reproducible. Self-matches are
     excluded.
+
+    NOTE(r11): the expanded-arithmetic cosine (vector_expand) was
+    tried here and measured a durable 2x REGRESSION (emb_hard_negatives
+    1.44 s warm vs 0.68 s lock median; knn_brute_force 1.26 vs 0.80):
+    the per-pair projection sits above a BroadcastNestedLoopJoin,
+    whose stage is not whole-stage-codegen'd, so the ~380-node
+    expanded tree evaluates interpreted node-by-node — slower than
+    the HOF fold's single specialized loop over the primitive array.
+    The fold stays.
     """
     q = queries.select(
         F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qvec")
@@ -146,20 +157,67 @@ def lsh_signatures(
     if dim is None:
         dim = infer_dim(df, vec_col)
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = to_double_array(F.col(vec_col))
-    bucket = None
-    for i, p in enumerate(planes):
-        plane = F.expr(_sql_double_array(p))
-        bit = (
-            F.aggregate(
-                F.zip_with(v, plane, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # r11: the n_planes×dim dot products run as an Arrow batch kernel
+    # (the _pq_encode_arrow precedent — PERF.md measured interpreted
+    # HOF folds ~30× slower than the numpy batch form). A pure-JVM
+    # expansion of the folds was tried first and is WORSE here: the
+    # bucket id combines n_planes×dim terms into ONE expression, one
+    # expression compiles into one Java method, and past ~150 terms
+    # Janino dies with "Code grows beyond 64 KB" — whole-stage
+    # codegen is then disabled for every stage the expression lands
+    # in and the big self-join consumers (graph edges, near-dup
+    # candidates) run fully interpreted (measured: emb_graph_triangles
+    # 6 s → 26 s). The kernel keeps the fold's EXACT arithmetic:
+    # float64 accumulation starting at 0.0, adding xᵢ·pᵢ in index
+    # order — bit-identical bucket ids (verified row-for-row vs the
+    # fold at sf0.01/sf0.1 and by the DuckDB parity suite).
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "lsh_bucket"]
+        + [T.StructField("lsh_bucket", T.LongType())]
+    )
+    vname = vec_col
+    d_ = dim
+
+    def op(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            n = len(pdf)
+            if n == 0:
+                pdf["lsh_bucket"] = pd.array([], dtype="Int64")
+                yield pdf
+                continue
+            col = pdf[vname]
+            ok = col.map(
+                lambda v: v is not None and len(v) == d_
+            ).to_numpy(dtype=bool)
+            res = np.full(n, 0, dtype=np.int64)
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in col[ok]]
+                )
+                # strict left fold per plane: acc starts at 0.0 and
+                # adds x[d]·p[d] in dimension order (the aggregate
+                # init + zip_with order), all in float64
+                acc = np.zeros((X.shape[0], P.shape[0]))
+                for d in range(d_):
+                    acc += X[:, d : d + 1] * P[:, d]
+                res[ok] = ((acc > 0).astype(np.int64) * weights).sum(
+                    axis=1
+                )
+            # rows with absent/mis-sized vectors: the fold produced a
+            # NULL bucket (zip_with null-pads); mirror that
+            pdf["lsh_bucket"] = pd.array(
+                [int(r) if o else None for r, o in zip(res, ok)],
+                dtype="Int64",
             )
-            > 0
-        ).cast("long") * F.lit(1 << i).cast("long")
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("lsh_bucket", bucket)
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
 
 
 def lsh_ann_topk(
@@ -218,9 +276,11 @@ def lsh_ann_topk(
         .select(
             "qid",
             "nid",
-            quantize(
-                cosine(to_double_array(F.col("qvec")), to_double_array(F.col("nvec")))
-            ).alias("cos_sim"),
+            # expanded cosine (bit-identical to the fold, codegen'd —
+            # the element casts ARE the to_double_array promotion)
+            quantize(F.expr(cosine_cols_sql("qvec", "nvec", dim))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
@@ -367,12 +427,33 @@ def embedding_near_dup_pairs(
     suits ~10⁵ vectors; a 10⁹-vector corpus wants 20+ planes, i.e.
     ~10⁶ buckets, optionally several independent plane families OR'd
     together to recover recall the extra planes cost)."""
-    sig = lsh_signatures(df, vec_col=vec_col, n_planes=n_planes, seed=seed).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    dim = infer_dim(df, vec_col)
+    from data_lake_demo_spark.functions.vector_expand import (
+        dot_cols_sql,
+        sq_norm_sql,
+    )
+
+    # r11: norms are computed ONCE PER ROW before the self-join (the
+    # fold recomputed sqrt(Σv²) for both sides of every candidate
+    # pair), and the pair dot is expanded arithmetic instead of an
+    # interpreted aggregate/zip_with fold. sqrt-of-self-dot per row
+    # is the same double the per-pair fold produced, and the division
+    # keeps the norm(a)*norm(b) order — bit-identical cos_sim.
+    sig = lsh_signatures(
+        df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "lsh_bucket",
+        F.expr(f"SQRT({sq_norm_sql(vec_col, dim)})").alias("__nrm"),
     )
     # pin the self-join to sort-merge (see minhash_lsh_candidates: a
     # mis-estimated broadcast of the full embedding frame OOMs at scale)
     a, b = sig.alias("a").hint("merge"), sig.alias("b")
+    pair_cos = (
+        f"({dot_cols_sql('a.vec', 'b.vec', dim)}"
+        " / (a.__nrm * b.__nrm))"
+    )
     return (
         a.join(
             b,
@@ -382,9 +463,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            quantize(
-                cosine(to_double_array(F.col("a.vec")), to_double_array(F.col("b.vec")))
-            ).alias("cos_sim"),
+            quantize(F.expr(pair_cos)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

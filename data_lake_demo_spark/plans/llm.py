@@ -13,6 +13,17 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_demo_spark.functions.vector import cosine, quantize, to_double_array
+from data_lake_demo_spark.functions.vector_expand import cosine_cols_sql
+
+# the fixture embeddings are 64-dimensional throughout; the wrappers
+# bake the dim (like the centroid literals) so per-pair cosines can
+# run as expanded codegen'd arithmetic instead of interpreted folds
+# (r11 optimization — bit-identical, see functions/vector_expand)
+_EMB_DIM = 64
+
+
+def _cos64(a: str, b: str) -> F.Column:
+    return F.expr(cosine_cols_sql(a, b, _EMB_DIM))
 from data_lake_demo_spark.operators.dedup import (
     connected_components,
     connected_components_bigstar,
@@ -899,6 +910,11 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .drop("rk")
     )
+    # NOTE(r11): the expanded-arithmetic cosine was tried here and in
+    # the greedy rounds (dim=_EMB_DIM) and measured WORSE (3.1 s →
+    # 5-8 s interleaved A/B): the unrolled k-round lineage embeds the
+    # ~200-term expression into many per-round plans and the fused
+    # stages lose whole-stage codegen. The fold stays.
     return mmr_rerank(pool, k=4, lam=0.7).orderBy("qid", "pick_rank")
 
 
@@ -1045,7 +1061,7 @@ def doc_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .drop("rk")
     )
-    picks = mmr_rerank(pool, k=3, lam=0.7)
+    picks = mmr_rerank(pool, k=3, lam=0.7)  # fold cosine: see emb_mmr_rerank
     return (
         picks.join(
             docs.select(
@@ -1969,6 +1985,11 @@ def emb_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "nid",
+            # fold cosine: the expanded _cos64 measured a durable 1.6x
+            # regression here (1.7 s warm vs 1.09 s lock median) — the
+            # per-pair projection follows a broadcast-hash-join probe
+            # whose stage loses codegen on the ~380-node tree; see the
+            # brute_force_topk note in operators/similarity.py
             quantize(cosine(F.col("qvec"), F.col("nvec"))).alias("cos_q"),
         )
     )
@@ -2650,6 +2671,9 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = emb.join(F.broadcast(centroids), "label")
+    # fold cosine: the expanded _cos64 flagged a 1.5x regression at
+    # sf0.01 (1.67 s vs 1.09 s lock median) — same broadcast-probe
+    # projection shape as emb_ivf_ann_portable; see the note there
     return joined.select(
         "vec_id",
         "label",

@@ -1336,16 +1336,22 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (interpolated) percentiles per group — the ordered-set
     aggregate surface. Both engines linearly interpolate; quantized."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE array-percentile aggregate: two scalar `percentile` calls
+    # each build (and merge, and sort) their own per-group value
+    # buffer of every l_extendedprice; `percentile(col, array(...))`
+    # sorts the one buffer once and interpolates both points from it
+    # — same Percentile evaluator, identical doubles (r11 opt).
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", 0.5).alias("p50_raw"),
-            F.percentile("l_extendedprice", 0.95).alias("p95_raw"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+            ).alias("ps")
         )
         .select(
             "l_returnflag",
-            (F.floor(F.col("p50_raw") * 100 + F.lit(0.5)) / 100.0).alias("p50"),
-            (F.floor(F.col("p95_raw") * 100 + F.lit(0.5)) / 100.0).alias("p95"),
+            (F.floor(F.col("ps")[0] * 100 + F.lit(0.5)) / 100.0).alias("p50"),
+            (F.floor(F.col("ps")[1] * 100 + F.lit(0.5)) / 100.0).alias("p95"),
         )
         .orderBy("l_returnflag")
     )

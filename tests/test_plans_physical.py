@@ -339,7 +339,18 @@ def test_no_python_udf_across_entire_query_registry(spark):
                 "emb_sq_ann_portable",
                 "emb_ivf_ann_portable",  # flat encode/prep kernels
                 "emb_filtered_ann_portable",  # SQ kernels + pre-filter
-                "emb_ann_recall_at_k"}  # approx side = the SQ kernels
+                "emb_ann_recall_at_k",  # approx side = the SQ kernels
+                # r11: lsh_signatures moved to the same Arrow tier
+                # (numpy batch dot products, strict fold order) — the
+                # pure-JVM alternatives both lose: HOF folds are
+                # interpreted per element, and expanded arithmetic
+                # blows Janino's 64 KB method limit and disables
+                # whole-stage codegen for the consuming self-joins.
+                # Every query whose plan consumes sign-LSH buckets:
+                "emb_near_dups", "emb_semantic_dedup",
+                "emb_graph_triangles", "emb_graph_pagerank",
+                "emb_graph_communities", "emb_lsh_ann",
+                "emb_lsh_multiprobe_ann", "doc_retrieval_join"}
     for name, fn in entry.queries().items():
         p = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
