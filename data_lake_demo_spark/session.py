@@ -66,6 +66,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # (parallelismFirst=false was A/B-tested here and REJECTED:
+        # it fixed the KB-sized-shuffle task tax but serialized
+        # CPU-heavy small-byte aggregations — distinct_counts,
+        # exact_percentiles, countmin — onto one task. The default
+        # true + minPartitionSize already coalesces the tiny shuffles
+        # once AQE applies, which the cached-plan conf below restores
+        # for the persisted lifecycle feeds.)
+        # let AQE (incl. partition coalescing) apply inside cached
+        # plans — the ACID lifecycle persists its O(churn) feeds, and
+        # without this every cached materialization runs its shuffles
+        # at the full static partition count
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- scans ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -1258,8 +1258,56 @@ class AcidTable:
             hidden.append(name)
         return out_df, keys, hidden
 
+    # writer file-sizing goal (guide-§6 output sizing: files in the
+    # 128 MB - 1 GB band; small commits collapse to ONE file instead
+    # of one per upstream partition)
+    _TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+    def _plan_size_estimate(self, df: DataFrame) -> int | None:
+        """Catalyst's optimized-plan ``sizeInBytes`` estimate, or None.
+
+        Errs large for opaque operators (mapInPandas, joins without
+        CBO stats), which disables the coalesce below — i.e. the
+        failure mode is exactly today's behavior, never a single
+        giant file."""
+        try:
+            return int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+
+    def _size_output(self, df: DataFrame) -> DataFrame:
+        """Coalesce the staged write to ~target-file-size outputs.
+
+        A 32-partition filtered scan holding a few MB otherwise
+        writes 32 tiny files, and every later snapshot scan, leaf
+        listing and footer-stats read pays per file (measured: the
+        incremental-dedup lifecycle query lists 64 paths per sync at
+        sf0.1). ``coalesce`` (not repartition) adds no shuffle; with
+        an over-estimate it is a no-op.
+
+        An input the caller explicitly ``repartition``-ed keeps its
+        layout — tests and probes construct multi-file tables that
+        way, and an explicit shape is user intent, not an accident of
+        scan parallelism."""
+        try:
+            if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+                return df
+        except Exception:
+            return df
+        est = self._plan_size_estimate(df)
+        if est is None or est <= 0:
+            return df
+        n = max(1, -(-est // self._TARGET_FILE_BYTES))
+        return df.coalesce(n) if n < (1 << 20) else df
+
     def _stage_actions(
-        self, df: DataFrame, *, partition_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        *,
+        partition_by: Sequence[str] | None = None,
+        sized: bool = True,
     ) -> tuple[list[dict], str]:
         """Stage + footer-stats manifest entries (the Iceberg idiom:
         stats ride in the log so planning never opens data files).
@@ -1283,6 +1331,10 @@ class AcidTable:
             df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
             if hidden:
                 df = df.drop(*hidden)  # projection preserves the order
+        elif sized:
+            # callers that pre-repartitioned for an explicit layout
+            # (compact/Z-order/cluster/reorg) pass sized=False
+            df = self._size_output(df)
         files, schema = self._stage(df)
         actions = []
         for f in files:
@@ -5001,7 +5053,9 @@ class AcidTable:
                 return base  # nothing in scope: no commit
             _, table_schema, _, _, dvs = self._resolve_state(base)
             rows = self._read_for_rewrite(touched, table_schema, dvs, base)
-            add, schema = self._stage_actions(rows.repartition(n_files))
+            add, schema = self._stage_actions(
+                rows.repartition(n_files), sized=False
+            )
             commit_schema = table_schema or schema
             if self._ROW_ID_COL in rows.columns:
                 # the rewrite materialized row ids: the committed
@@ -5082,7 +5136,9 @@ class AcidTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            add, schema = self._stage_actions(self._physicalize(laid_out))
+            add, schema = self._stage_actions(
+                self._physicalize(laid_out), sized=False
+            )
             commit_schema = table_schema or schema
             if self._ROW_ID_COL in src.columns:
                 d = json.loads(commit_schema)
@@ -5254,7 +5310,7 @@ class AcidTable:
                 laid_out = rows.repartitionByRange(
                     n_files, *pcols
                 ).sortWithinPartitions(*pcols)
-            add, schema = self._stage_actions(laid_out)
+            add, schema = self._stage_actions(laid_out, sized=False)
             for a in add:
                 st = dict(a.get("stats") or {})
                 st["#zcube"] = [base + 1]
@@ -5504,7 +5560,8 @@ class AcidTable:
                 if dropped:
                     rows = rows.drop(*dropped)
                 add, _ = self._stage_actions(
-                    rows.repartition(min(n_files, len(touched)))
+                    rows.repartition(min(n_files, len(touched))),
+                    sized=False,
                 )
             fields = [
                 f

@@ -35,6 +35,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     queries = entrymod.queries()
@@ -57,7 +59,14 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
+    # Spark 4 rolling event log: eventlog_v2_<appid>/events_*_<appid>
     path = os.path.join(evdir, app_id)
+    if not os.path.isfile(path):
+        d = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        cands = sorted(
+            os.path.join(d, n) for n in os.listdir(d) if n.startswith("events")
+        )
+        path = cands[0]
     jobs: dict[int, dict] = {}
     stage_info: dict[int, dict] = {}
     with open(path) as f:
@@ -103,6 +112,11 @@ def main() -> None:
         if j["desc"]:
             print(f"         desc: {j['desc']}")
     print(f"# sum of job walls: {total:.3f}s (both runs + warmup)")
+    print("# --- heaviest stages ---")
+    for sid, si in sorted(
+        stage_info.items(), key=lambda kv: -kv[1]["ms"]
+    )[:25]:
+        print(f"stage {sid:4d} {si['ms']:6d}ms {si['tasks']:4d}t  {si['name'][:110]}")
     print(f"# event log: {path}")
 
 
