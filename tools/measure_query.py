@@ -31,7 +31,7 @@ def main() -> None:
     tag = None
     suffix = "before"
     if "--runs" in argv:
-        runs = int(argv[argv.index("--runs") + 1])
+        runs = int(argv[argv.index("--runs") + 1])  # 0 = plans only
     if "--explain" in argv:
         tag = argv[argv.index("--explain") + 1]
     if "--suffix" in argv:
