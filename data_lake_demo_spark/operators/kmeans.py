@@ -6,17 +6,16 @@ counterpart for the step that must scale: given fixed centroids,
 assign every vector and produce the updated centroids / objective in
 one pass over the data.
 
-Scale design (100 TB): centroids are LITERALS, so the argmin is a
-single map-side expression — an ``array`` of k squared-L2 sums
-(EXPANDED per-element arithmetic since r11: the aggregate/zip_with
-folds are CodegenFallback, i.e. interpreted lambda evaluation, which
-dominated wall at ~7 µs/element-op; the expansion is the identical
-left-to-right double arithmetic, whole-stage-codegen'd),
-``array_min`` for the best distance, ``array_position`` for the cell
-(first index = deterministic smallest-cell tie-break). No per-vector
-fan-out, no window, no join: the only shuffle is the k-row partial
-aggregate of the update step. Iterating Lloyd = re-calling this with
-the new centroids; each iteration is one map + one tiny shuffle.
+Scale design (100 TB): centroids ride into the assignment as plain
+constants, and the whole assign step is ONE map-side pass — since r11
+an Arrow batch kernel (``_assign_arrow``: the aggregate/zip_with HOF
+folds were CodegenFallback at ~7 µs/element-op, and the expanded-SQL
+replacement blew Janino's 64 KB method limit and ran interpreted with
+a re-attempted compile per action; the numpy kernel keeps the folds'
+exact arithmetic and tie-break). No per-vector fan-out, no window, no
+join: the only shuffle is the k-row partial aggregate of the update
+step. Iterating Lloyd = re-calling this with the new centroids; each
+iteration is one map + one tiny shuffle.
 
 Hash portability: the update means and the inertia objective use the
 integer-quantization fold (floor(x*scale + 0.5) summed as BIGINT), so
@@ -27,34 +26,118 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from data_lake_demo_spark.functions.vector_expand import (
-    sq_dist_lit_sql,
-    sq_norm_sql,
-)
+from pyspark.sql import types as T
 
 
-def _staged_unit(df: DataFrame, vec_col: str, dim: int, *, normalize: bool):
-    """``df`` plus ``__u`` — the (optionally L2-normalized) double
-    vector — as EXPANDED per-element expressions instead of
-    ``transform``/``aggregate`` folds (r11 optimization: HOFs are
-    CodegenFallback, ~7 µs/element-op interpreted; the expansion is
-    the identical arithmetic in codegen — see vector_expand).
-    The norm is staged as its own column first: multiply-referenced
-    non-cheap expressions survive CollapseProject, so it evaluates
-    once per row instead of once per element."""
-    if normalize:
-        pre = df.select(
-            "*", F.expr(f"SQRT({sq_norm_sql(vec_col, dim)})").alias("__nrm")
-        )
-        u_sql = "array(" + ",".join(
-            f"(CAST({vec_col}[{i}] AS DOUBLE) / __nrm)" for i in range(dim)
-        ) + ")"
-        return pre.select(*df.columns, F.expr(u_sql).alias("__u"))
-    u_sql = "array(" + ",".join(
-        f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)
-    ) + ")"
-    return df.select("*", F.expr(u_sql).alias("__u"))
+def _assign_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    normalize: bool,
+    scale: int | None = None,
+    emit_u: bool = False,
+    emit_d2: bool = False,
+) -> DataFrame:
+    """Per-row nearest-centroid assignment as ONE Arrow batch kernel:
+    appends ``cell`` (int, first-index argmin = the deterministic
+    smallest-cell tie-break) and, on request, ``qd2`` (bigint,
+    ``floor(min_d2*scale + 0.5)``), ``d2`` (double) and ``u``
+    (array<double>, the optionally L2-normalized vector).
+
+    r11 second pass: the expanded k×dim SQL arithmetic put ~500 terms
+    into ONE expression; one expression compiles into one Java method
+    and Janino dies past 64 KB ("Code grows beyond 64 KB"), after
+    which the stage runs interpreted AND the doomed compile is
+    re-attempted on EVERY action (failures are not cached — the bench
+    stderr showed one ERROR CodeGenerator per run). Same cure as
+    ``lsh_signatures``: a mapInPandas numpy kernel that keeps the
+    fold's EXACT arithmetic — float64 throughout, every accumulator
+    starts at 0.0 and adds terms in strict index order, the division
+    and quantization reuse the identical double ops — so cell/d2/qd2
+    are bit-identical to both the HOF fold and the expansion
+    (verified row-for-row at sf0.001/0.01/0.1 + the DuckDB parity
+    suite). Rows whose vector is absent or shorter than ``dim``
+    produce NULL outputs, mirroring the NULL-chain the expansion
+    yielded for out-of-bounds element access.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = C.shape
+    fields = list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    if scale is not None:
+        fields.append(T.StructField("qd2", T.LongType()))
+    if emit_d2:
+        fields.append(T.StructField("d2", T.DoubleType()))
+    if emit_u:
+        fields.append(T.StructField("u", T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
+    vname = vec_col
+    scale_ = scale
+    emit_u_, emit_d2_ = emit_u, emit_d2
+
+    def op(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            n = len(pdf)
+            col = pdf[vname]
+            ok = col.map(
+                lambda v: v is not None and len(v) >= dim
+            ).to_numpy(dtype=bool)
+            cell = np.zeros(n, dtype=np.int64)
+            qd2 = np.zeros(n, dtype=np.int64)
+            d2m = np.zeros(n, dtype=np.float64)
+            U = np.zeros((0, dim))
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64)[:dim] for v in col[ok]]
+                )
+                if normalize:
+                    # sq_norm: acc = 0.0, += x[d]·x[d] in dim order
+                    nsq = np.zeros(len(X))
+                    for d in range(dim):
+                        nsq = nsq + X[:, d] * X[:, d]
+                    U = X / np.sqrt(nsq)[:, None]
+                else:
+                    U = X
+                # per-centroid squared L2: acc = 0.0, += (u-c)² in
+                # dim order — the zip_with/left-fold association
+                D2 = np.zeros((len(X), k))
+                for d in range(dim):
+                    diff = U[:, d : d + 1] - C[:, d]
+                    D2 = D2 + diff * diff
+                d2m[ok] = D2.min(axis=1)
+                cell[ok] = np.argmin(D2, axis=1)  # first min index
+                if scale_ is not None:
+                    qd2[ok] = np.floor(
+                        d2m[ok] * scale_ + 0.5
+                    ).astype(np.int64)
+            pdf["cell"] = pd.array(
+                [int(c) if o else None for c, o in zip(cell, ok)],
+                dtype="Int32",
+            )
+            if scale_ is not None:
+                pdf["qd2"] = pd.array(
+                    [int(q) if o else None for q, o in zip(qd2, ok)],
+                    dtype="Int64",
+                )
+            if emit_d2_:
+                pdf["d2"] = pd.array(
+                    [float(x) if o else None for x, o in zip(d2m, ok)],
+                    dtype="Float64",
+                )
+            if emit_u_:
+                rows = iter(U.tolist())
+                pdf["u"] = pd.Series(
+                    [next(rows) if o else None for o in ok],
+                    index=pdf.index,
+                    dtype="object",
+                )
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
 
 
 def lloyd_step(
@@ -75,26 +158,17 @@ def lloyd_step(
     - ``c0..c{mean_dims-1}`` — the updated centroid's first
       coordinates (quantized means).
     """
-    dim = len(centroids[0])
-    staged = _staged_unit(df, vec_col, dim, normalize=normalize).select("__u")
-    # stage the distance array as a COLUMN (the cluster_balanced_sample
-    # discipline): it is referenced three times below, and the staged
-    # multiply-referenced column survives CollapseProject, so the k×dim
-    # arithmetic runs once per row
-    staged = staged.select(
-        "__u",
-        F.expr(
-            "array("
-            + ",".join(sq_dist_lit_sql("__u", c) for c in centroids)
-            + ")"
-        ).alias("__ds"),
-    )
-    dists = F.col("__ds")
-    assigned = staged.select(
-        F.col("__u").alias("u"),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
-        F.array_min(dists).alias("d2"),
-    )
+    # one Arrow batch kernel computes u, cell and d2 per row (see
+    # _assign_arrow: the expanded-SQL form blew Janino's 64 KB method
+    # limit and re-attempted the doomed compile every action)
+    assigned = _assign_arrow(
+        df.select(vec_col),
+        vec_col,
+        centroids,
+        normalize=normalize,
+        emit_u=True,
+        emit_d2=True,
+    ).select("u", "cell", "d2")
     fscale = float(scale)
     qint = lambda col: F.floor(col * scale + F.lit(0.5)).cast("bigint")
     return (
@@ -149,41 +223,20 @@ def cluster_balanced_sample(
     Returns the input columns plus ``cell`` and ``qd2``."""
     from pyspark.sql import Window as W
 
-    dim = len(centroids[0])
-    # stage the unit vector and the distance array as COLUMNS before
-    # using them (the lloyd_step discipline): each is referenced many
-    # times downstream, and multiply-referenced non-cheap expressions
-    # survive CollapseProject — inlining them instead would duplicate
-    # the normalization into all k*dim terms and the k-distance array
-    # into every consumer (measured 6.7 s vs 0.3 s on 500 rows).
-    staged = _staged_unit(df, vec_col, dim, normalize=normalize)
-    # per-centroid squared distances as EXPANDED arithmetic (one
-    # parsed SQL expression — identical fold order to the previous
-    # aggregate/zip_with form, but whole-stage-codegen'd instead of
-    # interpreted lambda evaluation; that interpretation dominated
-    # this operator's wall: 7.5 s at sf0.1 for 2,000 rows)
-    dists = F.expr(
-        "array(" + ",".join(sq_dist_lit_sql("__u", c) for c in centroids) + ")"
-    )
-    staged = staged.select("*", dists.alias("__ds"))
-    # lineage barrier (the MMR localCheckpoint precedent): without
-    # it, the rule that folds projects into Aggregate inlines the
-    # FULL fold chain into each grouping expression — the histogram
-    # pass would interpret the k*dim lambdas several times per row
-    # (measured ~8x wall). Checkpointed, the assignment materializes
-    # once as a plain projection and both consumers read the blocks
-    # (disk-backed executor-local storage, auto-released by the
-    # ContextCleaner when the frame is dropped). Eager, matching MMR:
-    # the lazy form defers doCheckpoint into the consumers and races
-    # the cleaner (benign but noisy accumulator errors).
-    assigned = staged.select(
-        *df.columns,
-        (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1)
-        .cast("int")
-        .alias("cell"),
-        F.floor(F.array_min("__ds") * scale + F.lit(0.5))
-        .cast("bigint")
-        .alias("qd2"),
+    # one Arrow batch kernel computes cell + qd2 per row (see
+    # _assign_arrow: the expanded-SQL form — one ~500-term expression
+    # — blew Janino's 64 KB method limit, ran interpreted anyway, and
+    # re-attempted the doomed compile on every action).
+    # lineage barrier (the MMR localCheckpoint precedent): the
+    # assignment feeds BOTH the histogram pass and the final filter;
+    # checkpointed, the Python-stage assignment materializes once and
+    # both consumers read the blocks (disk-backed executor-local
+    # storage, auto-released by the ContextCleaner when the frame is
+    # dropped). Eager, matching MMR: the lazy form defers
+    # doCheckpoint into the consumers and races the cleaner (benign
+    # but noisy accumulator errors).
+    assigned = _assign_arrow(
+        df, vec_col, centroids, normalize=normalize, scale=scale
     ).localCheckpoint(eager=True)
     hist = assigned.groupBy("cell", "qd2").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -1701,6 +1701,78 @@ def test_gap_fill_locf_and_interpolation(spark):
     assert out[("b", 4)].v is None and out[("b", 5)].v == -4.0
 
 
+def test_kmeans_assign_kernel_matches_hof_fold(spark):
+    """The r11 Arrow assignment kernel (_assign_arrow) must be
+    BIT-identical to the HOF-fold reference it replaced: same
+    normalize-then-squared-L2 arithmetic in the same fold order, same
+    first-index argmin tie-break, same floor(d2*scale+0.5)
+    quantization — and NULL cell/qd2 for absent or short vectors
+    (mirroring the fold's NULL chain on out-of-bounds access)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_demo_spark.operators.kmeans import _assign_arrow
+
+    cents = [
+        [0.25, -0.75, 0.5, 0.125],
+        [-0.1, 0.3, 0.7, -0.9],
+        [0.6, 0.6, -0.2, 0.4],
+    ]
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, -3.0, 0.5]),
+            (1, [0.1, 0.2, 0.3, 0.4]),
+            (2, [-2.5, 0.0, 1.25, -0.125]),
+            (3, [1.0, 2.0]),  # short → NULL outputs
+            (4, None),  # absent → NULL outputs
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.cell, r.qd2)
+        for r in _assign_arrow(
+            df, "embedding", cents, normalize=True, scale=1_000_000
+        ).collect()
+    }
+    # reference: the original aggregate/zip_with fold as SQL HOFs
+    cent_sql = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in cents
+    )
+    ref_rows = (
+        df.filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") >= len(cents[0]))
+        .withColumn(
+            "__u",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE) / "
+                "SQRT(aggregate(embedding, 0D, "
+                "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            ),
+        )
+        .withColumn(
+            "__ds",
+            F.expr(
+                f"transform(array({cent_sql}), c -> "
+                "aggregate(zip_with(__u, c, (a, b) -> (a-b)*(a-b)), "
+                "0D, (a, x) -> a + x))"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.array_position("__ds", F.array_min("__ds")) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.floor(F.array_min("__ds") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("qd2"),
+        )
+        .collect()
+    )
+    for r in ref_rows:
+        assert got[r.vec_id] == (r.cell, r.qd2), r.vec_id
+    assert got[3] == (None, None) and got[4] == (None, None)
+
+
 def test_lloyd_step_assignment_update_and_tiebreak(spark):
     """Distributed Lloyd iteration against hand-computed 2-D case:
     nearest-centroid assignment, smallest-cell tie-break, quantized
