@@ -420,15 +420,30 @@ def _cdf_partitions(t, start_v: int, end_v: int, buckets: int = 1) -> list:
                 _ChangePartition([a], [], v, c.ts, c.op) for a in adds
             )
         elif adds or removes:
-            if buckets > 1:
+            m = buckets
+            if m == 0:
+                # auto (the _diff_buckets sentinel): size m to this
+                # commit's touched rows from the manifest — wide
+                # commits split, pruned CDC commits stay single-task
+                def _rows(st, p):
+                    n = (st.get(p) or {}).get("#rows")
+                    return int(n[0]) if n else 0
+
+                touched = sum(_rows(stats, p) for p in added + changed)
+                touched += sum(_rows(pre_stats, p) for p in removed + changed)
+                m = min(
+                    AUTO_DIFF_MAX_BUCKETS,
+                    max(1, -(-touched // AUTO_DIFF_ROWS_PER_BUCKET)),
+                )
+            if m > 1:
                 # changeDiffBuckets: a wide commit's diff decomposes
                 # into independent row-hash buckets (see the
                 # _ChangePartition docstring for the trade)
                 parts.extend(
                     _ChangePartition(
-                        adds, removes, v, c.ts, c.op, bucket=(i, buckets)
+                        adds, removes, v, c.ts, c.op, bucket=(i, m)
                     )
-                    for i in range(buckets)
+                    for i in range(m)
                 )
             else:
                 parts.append(
@@ -460,13 +475,36 @@ def _images_enabled(options) -> bool:
     return str(options.get("updateasimages", "false")).lower() in ("true", "1")
 
 
+# auto changeDiffBuckets sizing: one diff task per this many touched
+# rows (adds + removes, manifest #rows), capped. 1M rows keeps a task
+# in the low seconds and bounds its memory; the cap bounds the m×
+# read amplification a bucketed diff pays on the commit's files.
+AUTO_DIFF_ROWS_PER_BUCKET = 1_000_000
+AUTO_DIFF_MAX_BUCKETS = 32
+
+
 def _diff_buckets(options, cdf: bool) -> int:
     """``changeDiffBuckets=m`` (CDF mode): decompose each change
     commit's diff into m deterministic row-hash buckets — m-way task
     parallelism and 1/m per-task memory for wide commits, at m× read
-    amplification of the commit's touched files. Default 1 (one diff
-    task per commit, the bounded-by-touched-files contract)."""
-    m = int(options.get("changediffbuckets", 1))
+    amplification of the commit's touched files.
+
+    Default ``auto`` (r11): 0 is returned as a sentinel and
+    ``_cdf_partitions`` derives m PER COMMIT from the manifest row
+    counts of the commit's touched files —
+    ``ceil(touched_rows / AUTO_DIFF_ROWS_PER_BUCKET)`` capped at
+    ``AUTO_DIFF_MAX_BUCKETS`` — so a full-table-touching commit (the
+    one scale cliff the sf1 run surfaced: 22.5 s as ONE Python task)
+    splits, while ordinary manifest-pruned CDC commits keep the
+    single-task bounded diff and pay zero read amplification. Files
+    missing ``#rows`` stats count 0 rows, so the failure mode is the
+    old single-task behavior. The decomposition is row-hash
+    deterministic and equality-tested against the single-task diff
+    across plain/images/row-id modes (test_streaming)."""
+    raw = str(options.get("changediffbuckets", "auto")).lower()
+    if raw == "auto":
+        return 0 if cdf else 1
+    m = int(raw)
     if m < 1:
         raise ValueError("changeDiffBuckets must be >= 1")
     if m > 1 and not cdf:

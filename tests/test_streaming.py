@@ -2418,3 +2418,59 @@ def test_change_diff_buckets_batch_equals_unbucketed(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_change_diff_buckets_auto_sizes_per_commit(spark, tmp_path):
+    """The r11 'auto' default derives m PER COMMIT from manifest
+    #rows: commits under AUTO_DIFF_ROWS_PER_BUCKET touched rows keep
+    ONE diff task (the pre-r11 behavior — pruned CDC commits pay no
+    read amplification), a commit whose touched rows cross the
+    threshold fans out ceil(touched/threshold) capped buckets, and
+    the emitted rows equal an explicit-m read exactly."""
+    from data_lake_demo_spark.streaming import acid_source
+    from data_lake_demo_spark.streaming.acid_source import (
+        _cdf_partitions,
+        register,
+    )
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(50)], "k long, v string"
+        ).repartition(4)
+    )
+    v0 = t.latest_version()
+    # small full-table update: touched rows ≈ 100 « threshold → m=1
+    t.update({"v": "'w'"})
+
+    auto = _cdf_partitions(t, v0 + 1, t.latest_version() + 1, buckets=0)
+    assert len(auto) == 1  # small commit keeps the single-task diff
+
+    # same commit under a 60-row/bucket threshold: 50 removed + 50
+    # added = 100 touched rows → ceil(100/60) = 2 buckets
+    orig = acid_source.AUTO_DIFF_ROWS_PER_BUCKET
+    acid_source.AUTO_DIFF_ROWS_PER_BUCKET = 60
+    try:
+        auto2 = _cdf_partitions(t, v0 + 1, t.latest_version() + 1, buckets=0)
+        assert len(auto2) == 2
+        base = (
+            spark.read.format("acidtable")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", v0)
+        )
+        got_auto = sorted(map(tuple, base.load().collect()))
+        got_m2 = sorted(
+            map(
+                tuple,
+                base.option("changeDiffBuckets", "2").load().collect(),
+            )
+        )
+    finally:
+        acid_source.AUTO_DIFF_ROWS_PER_BUCKET = orig
+    # 50 inserts (startingVersion is inclusive of the append) + the
+    # update's 50 preimage + 50 postimage rows
+    assert got_auto == got_m2 and len(got_auto) == 150
