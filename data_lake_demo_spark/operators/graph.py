@@ -70,7 +70,15 @@ def pagerank_fixed_point(
     score after ``iterations`` rounds.
     """
     if persist:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # r11: hash-partition the edge list by src BEFORE caching —
+        # every iteration joins edges on src (scores and outdeg) and
+        # the out-degree aggregate keys on src, so the cached
+        # partitioning satisfies those distributions and the
+        # per-iteration edge-side Exchanges disappear (guide §2.1:
+        # pay one shuffle once instead of once per iteration). Row
+        # order within partitions changes, which is immaterial: every
+        # score is an integer sum, order-immune by construction.
+        edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -84,6 +92,10 @@ def pagerank_fixed_point(
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    if persist:
+        # referenced every iteration plus the final join; cached it
+        # aggregates once (ContextCleaner reclaims with the rest)
+        outdeg = outdeg.persist(StorageLevel.MEMORY_AND_DISK)
 
     scores = nodes.select("node", F.lit(s0).cast("bigint").alias("s"))
     for it in range(iterations):
@@ -218,7 +230,13 @@ def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
     supplied round count."""
     from pyspark.sql import Window as W
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # r11: hash-partition by src before caching — the per-round
+    # neighbor join keys on src, so the cached partitioning satisfies
+    # its distribution and the round's edge-side Exchange disappears
+    # (guide §2.1; one shuffle once, not once per round). Partition-
+    # internal row order changes, which is immaterial: the round's
+    # count aggregate and smallest-label argmax are order-immune.
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
