@@ -631,7 +631,7 @@ def _change_batches_or_rows(
     """Dispatch: the vectorized rid-keyed diff when its preconditions
     hold, else the row-at-a-time reference path (identical output
     rows either way; order and transport differ as documented).
-    ``vectorized`` is the reader's ``vectorizedDiff`` option — a
+    ``vectorized`` is the reader's ``vectorizedRead`` option — a
     per-read kill switch that travels WITH the pickled reader into
     the Python worker (a module flag would not: workers import this
     module fresh), which is also what lets tests compare both paths
@@ -648,6 +648,107 @@ def _change_batches_or_rows(
         if batches is not None:
             return iter(batches)
     return _read_change_rows(part, fields, with_rid, as_images)
+
+
+def _file_record_batches(
+    path: str,
+    fields: list[str],
+    dv: str | None,
+    rid_base: int | None,
+    with_rid: bool,
+    spark_schema,
+):
+    """Vectorized twin of ``_read_parquet_rows`` for snapshot /
+    append-stream partitions: the whole file becomes Arrow
+    RecordBatches cast to the source's output schema — zero per-row
+    Python. Unlike the diff kernel this path never reorders (file
+    order in = file order out, exactly the reference), and a null row
+    id is simply emitted as null (no uniqueness requirement). Returns
+    None to fall back when a column's type is outside the scalar
+    allowlist or a cast would reinterpret (naive↔aware timestamps) —
+    value semantics through arrow are only certified for the scalar
+    types the diff kernel already vets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from data_lake_demo_spark.tableformat import _unpack_dv
+
+    target = to_arrow_schema(spark_schema)
+    tbl = pq.read_table(path)
+    n = tbl.num_rows
+    names = set(tbl.column_names)
+    arrays = []
+    for f in fields:
+        if f in names:
+            c = tbl.column(f)
+            if not pa.types.is_null(c.type) and not _vec_comparable(c.type):
+                return None
+            arrays.append(c)
+        else:
+            arrays.append(pa.nulls(n))
+    if with_rid:
+        # the _read_parquet_rows coalesce: materialized __row_id,
+        # else manifest base + physical position, else null
+        if "__row_id" in names:
+            rid = tbl.column("__row_id").combine_chunks()
+            if rid.null_count and rid_base is not None:
+                rid = pc.coalesce(
+                    rid,
+                    pa.array(np.arange(rid_base, rid_base + n, dtype=np.int64)),
+                )
+        elif rid_base is not None:
+            rid = pa.array(np.arange(rid_base, rid_base + n, dtype=np.int64))
+        else:
+            rid = pa.nulls(n, type=pa.int64())
+        arrays.append(rid)
+    if dv:
+        keep = np.ones(n, dtype=bool)
+        skip = np.asarray(_unpack_dv(dv), dtype=np.int64)
+        keep[skip[skip < n]] = False
+        mask = pa.array(keep)
+        arrays = [
+            a.filter(mask) if not isinstance(a, pa.ChunkedArray)
+            else a.combine_chunks().filter(mask)
+            for a in arrays
+        ]
+    casted = []
+    for arr, fld in zip(arrays, target):
+        if arr.type != fld.type:
+            if pa.types.is_timestamp(arr.type) and pa.types.is_timestamp(
+                fld.type
+            ) and (arr.type.tz is None) != (fld.type.tz is None):
+                return None  # converter semantics differ: fall back
+            arr = arr.cast(fld.type)
+        casted.append(arr)
+    return pa.Table.from_arrays(casted, schema=target).to_batches(
+        max_chunksize=1 << 16
+    )
+
+
+def _file_batches_or_rows(
+    path: str,
+    fields: list[str],
+    dv: str | None,
+    rid_base: int | None,
+    with_rid: bool,
+    spark_schema,
+    vectorized: bool = True,
+):
+    """Dispatch for file partitions: Arrow batches when possible, the
+    row-at-a-time reference path otherwise (same rows, same order)."""
+    if vectorized and spark_schema is not None:
+        try:
+            batches = _file_record_batches(
+                path, fields, dv, rid_base, with_rid, spark_schema
+            )
+        except Exception:
+            batches = None
+        if batches is not None:
+            return iter(batches)
+    return _read_parquet_rows(path, fields, dv, rid_base, with_rid)
 
 
 def _row_id_base(stats: dict | None) -> int | None:
@@ -757,11 +858,12 @@ def _rid_enabled(options) -> bool:
     return str(options.get("withrowids", "false")).lower() in ("true", "1")
 
 
-def _vectorized_diff(options) -> bool:
-    """``vectorizedDiff=false``: per-read kill switch forcing the
-    row-at-a-time reference diff (identical rows, slower) — the knob
-    equivalence tests and A/B measurements flip."""
-    return str(options.get("vectorizeddiff", "true")).lower() in (
+def _vectorized_read(options) -> bool:
+    """``vectorizedRead=false``: per-read kill switch forcing the
+    row-at-a-time reference paths (identical rows, slower) for both
+    executor kernels — the CDF diff and the file/snapshot read. The
+    knob equivalence tests and A/B measurements flip."""
+    return str(options.get("vectorizedread", "true")).lower() in (
         "true",
         "1",
     )
@@ -964,7 +1066,7 @@ class _AcidBatchReader(DataSourceReader):
         # full Spark StructType (when constructed via the DataSource):
         # the vectorized CDF diff needs the output arrow schema
         self._spark_schema = spark_schema
-        self._vec = _vectorized_diff(options)
+        self._vec = _vectorized_read(options)
         self._images = _check_images_options(options, _cdf_enabled(options))
         self._diff_buckets = _diff_buckets(options, _cdf_enabled(options))
         self._options = options
@@ -1050,16 +1152,16 @@ class _AcidBatchReader(DataSourceReader):
             )
         if not partition.path:
             return iter(())
-        return _read_parquet_rows(
+        return _file_batches_or_rows(
             partition.path, self._fields, partition.dv,
-            partition.base, self._rid,
+            partition.base, self._rid, self._spark_schema, self._vec,
         )
 
 
 class _AcidStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema_fields: list[str], spark_schema=None):
         self._spark_schema = spark_schema
-        self._vec = _vectorized_diff(options)
+        self._vec = _vectorized_read(options)
         self._options = options
         self._cdf = _cdf_enabled(options)
         self._rid = _rid_enabled(options)
@@ -1225,8 +1327,9 @@ class _AcidStreamReader(DataSourceStreamReader):
             )
         if not partition.path:
             return iter(())
-        return _read_parquet_rows(
-            partition.path, self._fields, None, partition.base, self._rid
+        return _file_batches_or_rows(
+            partition.path, self._fields, None, partition.base,
+            self._rid, self._spark_schema, self._vec,
         )
 
     def commit(self, end: dict) -> None:

@@ -2484,7 +2484,7 @@ def test_vectorized_cdf_diff_matches_reference(spark, tmp_path):
     file), the update() verb (op-labeled images), and float columns
     with NaN and null on BOTH sides (NaN==NaN must cancel; null vs
     NaN must NOT) — compared across plain/images/row-id modes, with
-    and without bucket decomposition. ``vectorizedDiff=false`` forces
+    and without bucket decomposition. ``vectorizedRead=false`` forces
     the reference path; it travels with the pickled reader, so the
     comparison exercises the worker-side kernel, not a driver flag."""
     from data_lake_demo_spark.streaming.acid_source import (
@@ -2545,7 +2545,7 @@ def test_vectorized_cdf_diff_matches_reference(spark, tmp_path):
         {},  # plain mode: both reads take the reference path
     ):
         got = read(**extra)
-        ref = read(vectorizedDiff="false", **extra)
+        ref = read(vectorizedRead="false", **extra)
         assert got == ref and got, extra
 
     # fallback unit check: a partition whose files carry no row-id
@@ -2567,3 +2567,55 @@ def test_vectorized_cdf_diff_matches_reference(spark, tmp_path):
         .schema
     )
     assert _rid_change_batches(part, ["k"], False, True, schema) is None
+
+
+def test_vectorized_snapshot_read_matches_reference(spark, tmp_path):
+    """The arrow file-read kernel (snapshot / append-stream
+    partitions) emits the reference path's rows in the SAME order —
+    plain and withRowIds, over deletion-vector-masked files, files
+    predating an added column (null padding), and floats with
+    NaN/null. ``vectorizedRead=false`` is the reference path."""
+    from data_lake_demo_spark.streaming.acid_source import register
+    from data_lake_demo_spark.tableformat import AcidTable
+
+    register(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.set_row_tracking()
+    nan = float("nan")
+    t.append(
+        spark.createDataFrame(
+            [(k, nan if k % 7 == 0 else (None if k % 5 == 0 else k * 0.5))
+             for k in range(30)],
+            "k long, x double",
+        ).repartition(3)
+    )
+    # rewrite only the files holding k<10 with a NEW column: the
+    # untouched files predate "w" and must read as null-padded
+    t.merge(
+        spark.createDataFrame(
+            [(k, k * 1.0, f"w{k}") for k in range(10)],
+            "k long, x double, w string",
+        ),
+        ["k"],
+        auto_evolve=True,
+    )
+    # deletion-vector mask on carried files
+    t.delete([("k", ">", 25)], mode="merge_on_read")
+
+    def canon(row):
+        return tuple(
+            "__nan" if isinstance(v, float) and v != v else v for v in row
+        )
+
+    def read(**opts):
+        r = spark.read.format("acidtable").option("path", p)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        # UNSORTED: the file kernel must preserve row order exactly
+        return [canon(row) for row in r.load().collect()]
+
+    for extra in ({}, {"withRowIds": "true"}):
+        got = read(**extra)
+        ref = read(vectorizedRead="false", **extra)
+        assert got == ref and len(got) == 26, extra
