@@ -101,7 +101,23 @@ def test_query_build_time_stays_bounded(spark):
         worst.append((time.time() - t, name))
     worst.sort(reverse=True)
     offenders = [(round(t, 2), n) for t, n in worst if t > 2.5]
-    assert not offenders, f"slow query builds: {offenders}"
+    # retrial pass (the bench.py adjudication idiom): this VM has
+    # noisy-neighbor bands where ARBITRARY builds measure 1x-4x across
+    # minutes (observed: a different untouched query over budget on
+    # each of four consecutive runs, incl. at a months-old commit).
+    # A real py4j-loop regression is deterministic per query, so
+    # flagging only builds slow TWICE keeps the regression-catching
+    # power and drops the host-band false positives.
+    confirmed = []
+    for t, name in offenders:
+        retries = []
+        for _ in range(2):  # min-of-2, the bench.py idiom: the least-
+            t0 = time.time()  # contended observation is the code's cost
+            qs[name](spark, SF)
+            retries.append(time.time() - t0)
+        if min(retries) > 2.5:
+            confirmed.append((t, round(min(retries), 2), name))
+    assert not confirmed, f"slow query builds (3x consecutive): {confirmed}"
 
 
 def test_q6_pushdown_and_pruning(spark):
