@@ -220,6 +220,22 @@ def main() -> None:
         print(f"error: SPARK_GRAFT_SF_DIR={sf_dir} is not a directory", file=sys.stderr)
         sys.exit(2)
 
+    # r12 measurement hygiene (verdict item 8): the persisted ANN
+    # quantizer cache keys on (sf_dir, params) in a tmpdir that
+    # SURVIVES across bench invocations, so warm benches never timed a
+    # cold index build and a build-cost regression could hide. Point
+    # the cache at a fresh per-run dir: run 1 of the first *_ann query
+    # pays the cold train+add (visible in the per-run stderr line),
+    # run 2 measures the serve-from-persisted-index steady state the
+    # operator declares. Measurement-side only — no query logic moves.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    ann_cache = _tempfile.mkdtemp(prefix="bench_ann_")
+    os.environ["SPARK_GRAFT_ANN_CACHE"] = ann_cache
+    print(f"# ann cache: fresh {ann_cache} (cold build in run 1 of the "
+          "first *_ann query)", file=sys.stderr)
+
     from data_lake_demo_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -303,6 +319,7 @@ def main() -> None:
     total = sum(v for v in timings.values() if v > 0)
 
     spark.stop()
+    _shutil.rmtree(ann_cache, ignore_errors=True)
 
     # The driver's stdout capture keeps only the LAST ~2000 characters;
     # a full 74-query dict (~2.2 KB) gets its head truncated and fails

@@ -146,3 +146,23 @@ def dot_cols(a: str, b: str, dim: int, *, cast: bool = True) -> Column:
 
 def sq_norm(vec: str, dim: int, *, cast: bool = True) -> Column:
     return F.expr(sq_norm_sql(vec, dim, cast=cast))
+
+
+def sig_agreement_sql(a: str, b: str, n: int) -> str:
+    """Σ CAST(a[i] = b[i] AS INT) — the MinHash signature-agreement
+    count (operators/dedup.minhash_lsh_candidates and the streaming
+    near-dup kernel), i.e. the fold
+    ``aggregate(zip_with(a, b, (x,y) -> int(x==y)), 0, acc + x)``
+    as one codegen integer chain with the fold's operand order.
+    Integer addition is exact at any order; null propagation matches
+    the fold (a null element nulls its term, and null + x = null
+    sticks), so the expansion is value-identical on the fixed-length
+    signature arrays both call sites produce."""
+    acc = "0"
+    for i in range(n):
+        acc = f"({acc} + CAST(({a}[{i}] = {b}[{i}]) AS INT))"
+    return acc
+
+
+def sig_agreement(a: str, b: str, n: int) -> Column:
+    return F.expr(sig_agreement_sql(a, b, n))

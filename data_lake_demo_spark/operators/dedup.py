@@ -313,11 +313,15 @@ def minhash_lsh_candidates(
     # otherwise carry both 64-long signature arrays (~1 KB/row) through
     # the dropDuplicates shuffle k times; est is identical for every
     # duplicate, so deduping (id_a, id_b, est) shuffles 24 bytes/row
-    est = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / float(num_hashes)
+    # r12: the agreement fold expanded to a codegen integer chain —
+    # the zip_with/aggregate HOF lambdas are CodegenFallback
+    # (interpreted per element) and this projection sits in the
+    # codegen stage above the pinned sort-merge join, the exact shape
+    # where r11's lsh_ann_topk expansion measured faster (guide §4.1).
+    # Integer sums are order-exact, so est is value-identical.
+    from data_lake_demo_spark.functions.vector_expand import sig_agreement
+
+    est = sig_agreement("a.sig", "b.sig", num_hashes) / float(num_hashes)
     return (
         a.join(
             b,

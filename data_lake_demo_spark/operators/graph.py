@@ -78,7 +78,20 @@ def pagerank_fixed_point(
         # pay one shuffle once instead of once per iteration). Row
         # order within partitions changes, which is immaterial: every
         # score is an integer sum, order-immune by construction.
-        edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+        # r12: the partition COUNT must be explicit — a keyed
+        # repartition without a count is AQE-coalescible, and under
+        # the session's cached-plan-AQE conf the cache then reports a
+        # coalesced partitioning the join can't line up with, putting
+        # the per-iteration Exchange straight back (probed:
+        # plans/r12/graph_smj_partitioned.txt shows the Exchange,
+        # graph_smj_explicit_n.txt shows the cache feeding the SMJ's
+        # Sort directly). The count follows spark.sql.shuffle.
+        # partitions, i.e. the join's own width — scale-adaptive, not
+        # a local constant.
+        n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        edges = edges.repartition(n, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -236,7 +249,13 @@ def label_propagation(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
     # (guide §2.1; one shuffle once, not once per round). Partition-
     # internal row order changes, which is immaterial: the round's
     # count aggregate and smallest-label argmax are order-immune.
-    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # r12: explicit partition count, same rationale as
+    # pagerank_fixed_point above (AQE-coalesced cache partitioning
+    # defeats the join-side reuse; see plans/r12/graph_smj_*.txt).
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_part, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

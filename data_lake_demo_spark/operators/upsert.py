@@ -55,6 +55,7 @@ def merge_upsert(
     *,
     dedupe_order: str | None = None,
     allow_missing_columns: bool = False,
+    unique_keys: bool = False,
 ) -> DataFrame:
     """UPSERT (\"when matched update, when not matched insert\"):
     updated rows replace matched target rows; unmatched target rows
@@ -62,7 +63,9 @@ def merge_upsert(
 
     ``updates`` must be unique per key (checked, like SQL MERGE's
     multiple-match error) unless ``dedupe_order`` names a column whose
-    per-key maximum picks the winning row.
+    per-key maximum picks the winning row, or ``unique_keys=True``
+    asserts the caller already proved uniqueness (AcidTable.merge
+    folds the check into its key-ranges job — one Spark job, not two).
 
     ``allow_missing_columns=True`` is the schema-auto-evolution shape
     (Delta's ``merge.schema.autoMerge``): a NEW source column widens
@@ -73,7 +76,7 @@ def merge_upsert(
     keys = list(keys)
     if dedupe_order is not None:
         updates = _latest_per_key(updates, keys, dedupe_order)
-    else:
+    elif not unique_keys:
         _assert_unique_keys(updates, keys, "update")
     untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return untouched.unionByName(

@@ -3355,8 +3355,10 @@ def doc_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        out or [], "doc_id long, dup_of long, digest string"
+    from data_lake_demo_spark.plans.relational import _result_df
+
+    return _result_df(
+        spark, out or [], "doc_id long, dup_of long, digest string"
     )
 
 

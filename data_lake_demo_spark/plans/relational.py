@@ -36,6 +36,22 @@ from pyspark.sql import Window as W
 
 from data_lake_demo_spark.sources.testdata import load_table
 
+
+def _result_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Collected lifecycle-query rows re-wrapped as a ONE-slice
+    DataFrame. The default ``createDataFrame`` parallelizes a handful
+    of rows over defaultParallelism (=32) near-empty slices and the
+    bench's noop sink schedules all 32 (~0.37 s of tail per query);
+    ``.coalesce(1)`` is strictly WORSE — the single coalesced task
+    evaluates all 32 parent slices SEQUENTIALLY through the Python
+    worker at ~0.18 s of round-trip each (≈6 s, measured r12, the one
+    regression this round's A/B caught). One slice at creation = one
+    task, one worker round trip (measured 0.2-0.5 s vs 0.7-1.0 for
+    32 slices vs 5.6-6.0 for coalesce(1))."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
 SCALE = 1000
 
 
@@ -2029,7 +2045,8 @@ def orders_merge_update_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "status string, total_sum double, n long"
     )
 
@@ -2104,7 +2121,8 @@ def orders_merge_insert_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "status string, total_sum double, n long"
     )
 
@@ -2172,7 +2190,8 @@ def orders_mor_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "status string, total_sum double, n long"
     )
 
@@ -2234,7 +2253,8 @@ def orders_merge_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "status string, total_sum double, n long"
     )
 
@@ -2318,7 +2338,8 @@ def orders_scd2_mor_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "is_current boolean, closed_at long, n long, price_sum double"
     )
 
@@ -2379,7 +2400,8 @@ def orders_merge_sync_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("__sync_upd_src")
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "status string, active boolean, total_sum double, n long"
     )
 
@@ -2463,7 +2485,7 @@ def orders_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(out, "prio string, total_sum double, n long")
+    return _result_df(spark, out, "prio string, total_sum double, n long")
 
 
 ORDERS_REPLACE_WHERE_SQL = f"""
@@ -2538,7 +2560,8 @@ def orders_row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "kept_id boolean, is_new boolean, n long, total_sum double"
     )
 
@@ -2610,7 +2633,8 @@ def orders_cdf_row_id_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out,
         "status string, n_upd long, n_key_stable long, "
         "old_sum double, new_sum double",
@@ -2677,7 +2701,8 @@ def orders_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _result_df(
+        spark,
         out, "_change_type string, n long, total_sum double"
     )
 
@@ -2741,7 +2766,7 @@ def orders_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(out, "status string, n long, total_sum double")
+    return _result_df(spark, out, "status string, n long, total_sum double")
 
 
 def orders_convert_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,7 +2810,7 @@ def orders_convert_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(out, "status string, n long, total_sum double")
+    return _result_df(spark, out, "status string, n long, total_sum double")
 
 
 ORDERS_CONVERT_SQL = f"""

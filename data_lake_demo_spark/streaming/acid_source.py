@@ -175,6 +175,7 @@ class _ChangePartition(InputPartition):
         ts: float,
         op: str = "",
         bucket: tuple[int, int] | None = None,
+        rid_range: tuple | None = None,
     ):
         self.adds = adds
         self.removes = removes
@@ -182,6 +183,15 @@ class _ChangePartition(InputPartition):
         self.ts = ts
         self.op = op  # commit operation; "update" relabels the diff
         self.bucket = bucket
+        # rid-RANGE scoping (r12, rid-reading modes only): this task
+        # owns rows whose stable id falls in [lo, hi) (None = open
+        # end; the lo=None partition also owns null ids). Unlike the
+        # crc32 hash buckets, contiguous ranges let the executor skip
+        # whole parquet ROW GROUPS via footer min/max — the m× read
+        # amplification the hash decomposition paid disappears. An
+        # update's delete+insert pair shares its id, so pairing and
+        # cancellation survive the decomposition exactly as before.
+        self.rid_range = rid_range
 
 
 def _read_parquet_rows(
@@ -291,6 +301,17 @@ def _read_change_rows(
 
     read_rid = with_rid or as_images
     bucket = part.bucket
+    rid_range = part.rid_range
+
+    def in_range(k) -> bool:
+        # rid-RANGE partition ownership (reference twin of the kernel's
+        # range mask): rid in [lo, hi), open ends unbounded; a null rid
+        # (file predating tracking) belongs to the FIRST range (lo None)
+        lo, hi = rid_range
+        rid = k[-1]
+        if rid is None:
+            return lo is None
+        return (lo is None or rid >= lo) and (hi is None or rid < hi)
 
     def bucket_of(k) -> int:
         # deterministic across processes (no reliance on
@@ -311,6 +332,8 @@ def _read_change_rows(
                 k = tuple(key(v) for v in row)
                 if bucket is not None and bucket_of(k) != bucket[0]:
                     continue  # another bucket's task owns this row
+                if rid_range is not None and not in_range(k):
+                    continue  # another range's task owns this row
                 counts[k] += 1
                 originals[k] = row
         return counts, originals
@@ -377,6 +400,63 @@ def _vec_comparable(t) -> bool:
     )
 
 
+def _rid_range_read(path: str, base, rng: tuple):
+    """Row-group-scoped file read for a rid-RANGE partition (r12
+    verdict item 6): select only the row groups whose rid span —
+    footer ``__row_id`` min/max statistics when the file carries the
+    materialized column, else ``base`` + the group's position window —
+    can intersect ``[lo, hi)``. Each of a commit's m range tasks then
+    reads ~1/m of the touched bytes instead of re-reading every file,
+    which is the m× amplification the crc32 hash-bucket decomposition
+    paid (a hash bucket's rows are scattered uniformly through every
+    row group, so nothing could be skipped).
+
+    Returns ``(arrow_table, positions, total_rows)`` where
+    ``positions`` are the FILE-ABSOLUTE row indices of the rows read
+    (the deletion-vector mask and ``base``-derived rids are keyed on
+    physical position), or ``None`` when any row group's rid span is
+    unknowable (stats missing, or possible nulls with no manifest
+    base) — the caller falls back exactly as for any other
+    precondition miss. A group whose ``__row_id`` column may contain
+    nulls widens its span with the ``base + position`` window the
+    null coalesce would produce."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    lo, hi = rng
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    rid_idx = names.index("__row_id") if "__row_id" in names else None
+    sel, pos_parts, off = [], [], 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        nrows = rg.num_rows
+        if rid_idx is not None:
+            st = rg.column(rid_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            glo, ghi = int(st.min), int(st.max) + 1
+            nulls = st.null_count if st.has_null_count else None
+            if nulls is None or nulls:
+                if base is None:
+                    return None  # null rids, no base: kernel bails anyway
+                glo = min(glo, base + off)
+                ghi = max(ghi, base + off + nrows)
+        elif base is not None:
+            glo, ghi = base + off, base + off + nrows
+        else:
+            return None
+        if (lo is None or ghi > lo) and (hi is None or glo < hi):
+            sel.append(g)
+            pos_parts.append(np.arange(off, off + nrows, dtype=np.int64))
+        off += nrows
+    if not sel:
+        return None, np.empty(0, dtype=np.int64), md.num_rows
+    tbl = f.read_row_groups(sel)
+    return tbl, np.concatenate(pos_parts), md.num_rows
+
+
 def _rid_change_batches(
     part: _ChangePartition,
     fields: list[str],
@@ -426,11 +506,26 @@ def _rid_change_batches(
 
     target = to_arrow_schema(spark_schema)
 
+    rng = part.rid_range
+
     def load_side(entries):
         # -> (pa.Table over `fields`, np.int64 rids) | None (fallback)
         tables, rid_parts, types_seen = [], [], {}
         for path, dv, base in entries:
-            tbl = pq.read_table(path)
+            if rng is not None:
+                # rid-RANGE partition: read only the row groups whose
+                # rid span can intersect [lo, hi) — the whole point of
+                # the range decomposition (see _rid_range_read)
+                scoped = _rid_range_read(path, base, rng)
+                if scoped is None:
+                    return None
+                tbl, pos, total = scoped
+                if tbl is None:
+                    continue  # every row group provably outside range
+            else:
+                tbl = pq.read_table(path)
+                total = tbl.num_rows
+                pos = np.arange(total, dtype=np.int64)
             n = tbl.num_rows
             names = set(tbl.column_names)
             # stable id per PHYSICAL position (pre-mask) — the
@@ -441,17 +536,14 @@ def _rid_change_batches(
                 if mat.null_count:
                     if base is None:
                         return None
-                    pos = pa.array(
-                        np.arange(base, base + n, dtype=np.int64)
-                    )
-                    mat = pc.coalesce(mat, pos)
+                    mat = pc.coalesce(mat, pa.array(base + pos))
                     if mat.null_count:
                         return None
                 rids = mat.to_numpy(zero_copy_only=False).astype(
                     np.int64, copy=False
                 )
             elif base is not None:
-                rids = np.arange(base, base + n, dtype=np.int64)
+                rids = base + pos
             else:
                 return None
             cols = []
@@ -470,11 +562,25 @@ def _rid_change_batches(
                 pa.table({"__dummy": pa.nulls(n)})
             )
             if dv:
-                keep = np.ones(n, dtype=bool)
+                # the vector indexes physical positions in the FULL
+                # file; map through `pos` for a row-group-scoped read
+                keep_full = np.ones(total, dtype=bool)
                 skip = np.asarray(_unpack_dv(dv), dtype=np.int64)
-                keep[skip[skip < n]] = False
+                keep_full[skip[skip < total]] = False
+                keep = keep_full[pos]
                 side = side.filter(pa.array(keep))
                 rids = rids[keep]
+            if rng is not None:
+                # exact ownership: stats only bounded the row groups
+                lo, hi = rng
+                m = np.ones(rids.size, dtype=bool)
+                if lo is not None:
+                    m &= rids >= lo
+                if hi is not None:
+                    m &= rids < hi
+                if not m.all():
+                    side = side.filter(pa.array(m))
+                    rids = rids[m]
             tables.append(side)
             rid_parts.append(rids)
         if not tables:
@@ -620,6 +726,251 @@ def _rid_change_batches(
     return out.to_batches(max_chunksize=1 << 16)
 
 
+#: once-per-process marker for vectorized-kernel fallbacks caused by an
+#: EXCEPTION (r11 advice: a kernel that starts raising — e.g. a pyarrow
+#: upgrade — must not become an invisible 10x regression; planned
+#: precondition misses returning None stay silent by design)
+_FALLBACK_WARNED = False
+
+
+def _warn_fallback(kind: str, exc: Exception) -> None:
+    global _FALLBACK_WARNED
+    if _FALLBACK_WARNED:
+        return
+    _FALLBACK_WARNED = True
+    import sys
+
+    print(
+        f"acidtable: vectorized {kind} kernel raised "
+        f"{type(exc).__name__}: {exc} — falling back to the "
+        "row-at-a-time reference path (results identical, slower); "
+        "further fallbacks in this worker are not logged",
+        file=sys.stderr,
+    )
+
+
+def _plain_change_batches(part: _ChangePartition, fields: list[str], spark_schema):
+    """Vectorized (Arrow + numpy) twin of ``_read_change_rows`` for
+    PLAIN mode (no row ids read — untracked tables): returns
+    ``pyarrow.RecordBatch`` list, or None to fall back. r11 shipped
+    the rid-keyed kernel; this closes the remaining §4 row loop
+    (r12 verdict item 5).
+
+    The reference multiset diff groups rows by a canonical content
+    key under Python ``==``/``hash`` — replicated here exactly with
+    one Arrow hash-aggregation over both sides at once:
+
+    * float columns split into (is-NaN flag, value with NaN→0.0 and
+      −0.0→+0.0): all NaNs equal each other (the reference sentinel),
+      −0.0 equals +0.0 (Python ``==``), null stays null and equals
+      only null — the `-0.0`/NaN edge cases called out in the r11
+      design note, each pinned by a test;
+    * every other allowlisted type compares exactly under one arrow
+      type per column (a cross-side type mismatch — int file vs
+      widened float file mid-evolution — falls back, same rule as the
+      rid kernel, because promoted compare is lossy above 2^53);
+    * per-side counts and first/last positions ride the same
+      aggregation: net count > 0 emits the AFTER side's LAST
+      occurrence (the reference ``originals`` dict is last-wins) that
+      many times as inserts, net < 0 symmetrically as deletes.
+
+    Two deliberate differences, the same two the rid kernel declared:
+    rows are emitted ordered by the canonical key columns instead of
+    by ``repr`` of the key tuple (deterministic either way — building
+    the repr strings would reintroduce a per-row Python loop), and
+    rows reach the JVM as Arrow batches. Bucketed partitions
+    (``changeDiffBuckets`` on an untracked table) fall back: the
+    bucket function is crc32-of-repr over the whole key, inherently
+    row-at-a-time, and ALL buckets of a commit must bucket
+    identically or rows would be dropped/duplicated across tasks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from data_lake_demo_spark.tableformat import _unpack_dv
+
+    if part.bucket is not None or part.rid_range is not None or not fields:
+        # rid_range partitions are planned only in rid-reading modes,
+        # which dispatch to _rid_change_batches; guard anyway — the
+        # reference path scopes them correctly
+        return None
+    target = to_arrow_schema(spark_schema)
+
+    def load_side(entries):
+        tables, types_seen = [], {}
+        for path, dv, _base in entries:
+            tbl = pq.read_table(path)
+            n = tbl.num_rows
+            names = set(tbl.column_names)
+            cols = []
+            for f in fields:
+                if f in names:
+                    c = tbl.column(f)
+                    t = c.type
+                    if not pa.types.is_null(t):
+                        types_seen.setdefault(f, set()).add(t)
+                        if not _vec_comparable(t):
+                            return None
+                    cols.append(c)
+                else:
+                    cols.append(pa.nulls(n))
+            side = pa.table(dict(zip(fields, cols)))
+            if dv:
+                keep = np.ones(n, dtype=bool)
+                skip = np.asarray(_unpack_dv(dv), dtype=np.int64)
+                keep[skip[skip < n]] = False
+                side = side.filter(pa.array(keep))
+            tables.append(side)
+        if not tables:
+            return pa.table({f: pa.nulls(0) for f in fields}), {}
+        tbl = (
+            tables[0]
+            if len(tables) == 1
+            else pa.concat_tables(tables, promote_options="permissive")
+        )
+        return tbl, types_seen
+
+    after = load_side(part.adds)
+    if after is None:
+        return None
+    before = load_side(part.removes)
+    if before is None:
+        return None
+    tbl_a, types_a = after
+    tbl_b, types_b = before
+    common = {}
+    for f in fields:
+        ts = types_a.get(f, set()) | types_b.get(f, set())
+        if len(ts) > 1:
+            return None
+        common[f] = next(iter(ts)) if ts else None
+
+    def norm(tbl):
+        # a side whose files all predate a column reads it null-typed;
+        # cast to the other side's type (all-null cast is exact) so
+        # the cross-side grouping and the final take/cast line up
+        cols = []
+        for f in fields:
+            c = tbl.column(f).combine_chunks()
+            if common[f] is not None and pa.types.is_null(c.type):
+                c = c.cast(common[f])
+            cols.append(c)
+        return pa.table(dict(zip(fields, cols)))
+
+    tbl_a, tbl_b = norm(tbl_a), norm(tbl_b)
+
+    def _fill_zero(t):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.scalar("", t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.scalar(b"", t)
+        if pa.types.is_boolean(t):
+            return pa.scalar(False, t)
+        return pa.scalar(0, t)
+
+    def canon_columns(tbl):
+        """NULL-FREE key columns whose arrow equality == the reference
+        key()'s Python equality. pyarrow 16's hash grouper mis-splits
+        groups on NULLABLE key columns once the key row gets wide
+        (reproduced: identical printed keys land in several groups),
+        so validity is encoded EXPLICITLY — a uint8 flag per column
+        (0 value, 1 null, 2 NaN) plus the value with null/NaN filled
+        by a type-constant the flag disambiguates. Floats additionally
+        normalize -0.0 → +0.0 (Python == treats them equal)."""
+        out = []
+        for f in fields:
+            c = tbl.column(f).combine_chunks()
+            if pa.types.is_null(c.type):
+                continue  # all-null on BOTH sides: constant key, no-op
+            isnull = pc.cast(pc.is_null(c), pa.uint8())
+            if pa.types.is_floating(c.type):
+                isnan = pc.fill_null(pc.is_nan(c), False)
+                flag = pc.add(
+                    isnull,
+                    pc.multiply(pc.cast(isnan, pa.uint8()), pa.scalar(2, pa.uint8())),
+                )
+                val = pc.if_else(isnan, pa.scalar(0.0, c.type), c)
+                val = pc.fill_null(val, pa.scalar(0.0, c.type))
+                # IEEE: -0.0 + 0.0 = +0.0
+                val = pc.add(val, pa.scalar(0.0, c.type))
+                out += [flag, val]
+            else:
+                out += [isnull, pc.fill_null(c, _fill_zero(c.type))]
+        return out
+
+    na, nb = tbl_a.num_rows, tbl_b.num_rows
+    keys_a, keys_b = canon_columns(tbl_a), canon_columns(tbl_b)
+    if not keys_a:  # every column all-null on both sides: degenerate
+        return None
+    key_names = [f"__k{i}" for i in range(len(keys_a))]
+    combo = {
+        nm: pa.chunked_array([ca, cb])
+        for nm, ca, cb in zip(key_names, keys_a, keys_b)
+    }
+    combo["__cnt"] = pa.chunked_array(
+        [np.ones(na, dtype=np.int64), np.full(nb, -1, dtype=np.int64)]
+    )
+    combo["__pa"] = pa.chunked_array(
+        [np.arange(na, dtype=np.int64), np.full(nb, -1, dtype=np.int64)]
+    )
+    combo["__pb"] = pa.chunked_array(
+        [np.full(na, -1, dtype=np.int64), np.arange(nb, dtype=np.int64)]
+    )
+    g = pa.TableGroupBy(pa.table(combo), key_names).aggregate(
+        [("__cnt", "sum"), ("__pa", "max"), ("__pb", "max")]
+    )
+    # deterministic output order: the canonical key columns (the
+    # reference sorts by repr of the key tuple — same determinism,
+    # different collation; documented above)
+    g = g.sort_by([(k, "ascending") for k in key_names])
+    cnt = g.column("__cnt_sum").to_numpy(zero_copy_only=False)
+    pa_last = g.column("__pa_max").to_numpy(zero_copy_only=False)
+    pb_last = g.column("__pb_max").to_numpy(zero_copy_only=False)
+    ins_mask, del_mask = cnt > 0, cnt < 0
+    ins_idx = np.repeat(pa_last[ins_mask], cnt[ins_mask])
+    del_idx = np.repeat(pb_last[del_mask], -cnt[del_mask])
+
+    is_update = part.op == "update"
+    ins_label = "update_postimage" if is_update else "insert"
+    del_label = "update_preimage" if is_update else "delete"
+    commit_ts = datetime.fromtimestamp(part.ts, tz=timezone.utc)
+
+    def side_table(src, idx, label):
+        take = pa.array(idx)
+        n = idx.size
+        arrays = [
+            src.column(f).combine_chunks().take(take) for f in fields
+        ]
+        zeros = pa.array(np.zeros(n, dtype=np.int32))
+        arrays.append(pa.array([label], type=pa.string()).take(zeros))
+        arrays.append(pa.array(np.full(n, part.version, dtype=np.int64)))
+        ts_tt = target.field(len(fields) + 2).type
+        ts_one = pa.array([commit_ts], type=ts_tt)
+        arrays.append(ts_one.take(pa.array(np.zeros(n, dtype=np.int32))))
+        casted = []
+        for arr, fld in zip(arrays, target):
+            if arr.type != fld.type:
+                if pa.types.is_timestamp(arr.type) and pa.types.is_timestamp(
+                    fld.type
+                ) and (arr.type.tz is None) != (fld.type.tz is None):
+                    # naive↔aware reinterpretation differs from the
+                    # Python converter's session-tz semantics
+                    raise ValueError("timestamp tz mismatch")
+                arr = arr.cast(fld.type)
+            casted.append(arr)
+        return pa.Table.from_arrays(casted, schema=target)
+
+    out = pa.concat_tables(
+        [
+            side_table(tbl_a, ins_idx, ins_label),
+            side_table(tbl_b, del_idx, del_label),
+        ]
+    )
+    return out.to_batches(max_chunksize=1 << 16)
+
+
 def _change_batches_or_rows(
     part: _ChangePartition,
     fields: list[str],
@@ -628,23 +979,26 @@ def _change_batches_or_rows(
     spark_schema,
     vectorized: bool = True,
 ):
-    """Dispatch: the vectorized rid-keyed diff when its preconditions
-    hold, else the row-at-a-time reference path (identical output
-    rows either way; order and transport differ as documented).
+    """Dispatch: the vectorized diff — rid-keyed in the rid-reading
+    modes, content-keyed in plain mode — when its preconditions hold,
+    else the row-at-a-time reference path (identical output rows
+    either way; order and transport differ as documented).
     ``vectorized`` is the reader's ``vectorizedRead`` option — a
     per-read kill switch that travels WITH the pickled reader into
     the Python worker (a module flag would not: workers import this
     module fresh), which is also what lets tests compare both paths
     through a real Spark plan."""
-    if vectorized and spark_schema is not None and (
-        with_rid or as_images
-    ):
+    if vectorized and spark_schema is not None:
         try:
-            batches = _rid_change_batches(
-                part, fields, with_rid, as_images, spark_schema
-            )
-        except Exception:
-            batches = None  # any arrow surprise → reference path
+            if with_rid or as_images:
+                batches = _rid_change_batches(
+                    part, fields, with_rid, as_images, spark_schema
+                )
+            else:
+                batches = _plain_change_batches(part, fields, spark_schema)
+        except Exception as e:  # any arrow surprise → reference path
+            _warn_fallback("CDF diff", e)
+            batches = None
         if batches is not None:
             return iter(batches)
     return _read_change_rows(part, fields, with_rid, as_images)
@@ -744,7 +1098,8 @@ def _file_batches_or_rows(
             batches = _file_record_batches(
                 path, fields, dv, rid_base, with_rid, spark_schema
             )
-        except Exception:
+        except Exception as e:
+            _warn_fallback("file read", e)
             batches = None
         if batches is not None:
             return iter(batches)
@@ -756,7 +1111,97 @@ def _row_id_base(stats: dict | None) -> int | None:
     return int(b[0]) if b else None
 
 
-def _cdf_partitions(t, start_v: int, end_v: int, buckets: int = 1) -> list:
+def _rid_file_intervals(entries) -> list | None:
+    """Plan-time rid span ``(lo, hi, rows)`` per touched file, or None
+    when any file's span is unknowable — ``base + [0, #rows)`` from
+    the manifest when the commit log proves the derivation, else the
+    parquet footer's ``__row_id`` min/max (a KB-sized metadata read
+    per file, paid only for commits wide enough to split). Mirrors
+    ``_rid_range_read``'s executor-side rules, including the null
+    widening."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for path, _dv, base in entries:
+        n_rows = None
+        try:
+            md = pq.ParquetFile(path).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            n_rows = md.num_rows
+            if n_rows == 0:
+                continue
+            if "__row_id" not in names:
+                if base is None:
+                    return None
+                out.append((base, base + n_rows, n_rows))
+                continue
+            idx = names.index("__row_id")
+            lo = hi = None
+            nulls = 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                nulls += (
+                    st.null_count if st.has_null_count else md.num_rows
+                )
+                glo, ghi = int(st.min), int(st.max) + 1
+                lo = glo if lo is None else min(lo, glo)
+                hi = ghi if hi is None else max(hi, ghi)
+            if nulls:
+                if base is None:
+                    return None
+                lo = min(lo, base)
+                hi = max(hi, base + n_rows)
+            out.append((lo, hi, n_rows))
+        except Exception:
+            return None
+    return out
+
+
+def _rid_range_bounds(adds, removes, m: int) -> list | None:
+    """m contiguous rid ranges ``[(None, b1), (b1, b2), …, (b, None)]``
+    splitting a wide commit's diff by STABLE ROW ID instead of by row
+    hash (r12 verdict item 6): an update's delete+insert pair shares
+    its id, so pairing and cancellation survive exactly as with hash
+    buckets, but contiguous ranges let each task skip whole row groups
+    via footer min/max — no m× re-read of the touched files.
+    Boundaries are row-weighted quantiles over the files' rid
+    intervals (uniform density within each interval — balance is
+    best-effort; correctness only needs disjoint cover, which any
+    increasing boundary list gives). None → caller uses hash buckets."""
+    ia = _rid_file_intervals(adds)
+    if ia is None:
+        return None
+    ib = _rid_file_intervals(removes)
+    if ib is None:
+        return None
+    ivals = sorted(ia + ib)
+    total = sum(r for _, _, r in ivals)
+    if total == 0:
+        return None
+    bounds: list[int] = []
+    step = total / m
+    target, acc = step, 0.0
+    for lo, hi, rows in ivals:
+        while len(bounds) < m - 1 and target <= acc + rows:
+            frac = (target - acc) / rows
+            b = int(lo + (hi - lo) * frac)
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+            target += step
+        acc += rows
+    if not bounds:
+        return None
+    edges = [None, *bounds, None]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+def _cdf_partitions(
+    t, start_v: int, end_v: int, buckets: int = 1, rid_mode: bool = False
+) -> list:
     """Change partitions for commits in ``[start_v, end_v)``, with
     live-set and deletion-vector state FOLDED commit by commit from a
     single resolve at ``start_v - 1``:
@@ -772,6 +1217,12 @@ def _cdf_partitions(t, start_v: int, end_v: int, buckets: int = 1) -> list:
     Each side's entries carry the file's manifest ``#base_row_id``
     (folded the same way, so the remove side sees the stats the file
     was LIVE under) — consumed only in withRowIds mode.
+
+    ``rid_mode`` (withRowIds / updateAsImages reads): commits wide
+    enough to decompose split by contiguous rid RANGE instead of row
+    hash when every touched file's rid span is provable at plan time
+    (see ``_rid_range_bounds``) — same output, no m× read
+    amplification.
     """
     live_map, _, _, _, dvs = t._resolve_state(start_v - 1 if start_v > 0 else -1)
     stats = dict(live_map)  # path -> manifest stats while live
@@ -830,15 +1281,30 @@ def _cdf_partitions(t, start_v: int, end_v: int, buckets: int = 1) -> list:
                     max(1, -(-touched // AUTO_DIFF_ROWS_PER_BUCKET)),
                 )
             if m > 1:
-                # changeDiffBuckets: a wide commit's diff decomposes
-                # into independent row-hash buckets (see the
-                # _ChangePartition docstring for the trade)
-                parts.extend(
-                    _ChangePartition(
-                        adds, removes, v, c.ts, c.op, bucket=(i, m)
-                    )
-                    for i in range(m)
+                # decompose the wide commit's diff: by contiguous rid
+                # RANGE when ids are being read and every touched
+                # file's rid span is provable (row-group skipping, no
+                # read amplification — r12), else by deterministic
+                # row-hash bucket (m× re-read, the r11 shape)
+                ranges = (
+                    _rid_range_bounds(adds, removes, m)
+                    if rid_mode
+                    else None
                 )
+                if ranges:
+                    parts.extend(
+                        _ChangePartition(
+                            adds, removes, v, c.ts, c.op, rid_range=r
+                        )
+                        for r in ranges
+                    )
+                else:
+                    parts.extend(
+                        _ChangePartition(
+                            adds, removes, v, c.ts, c.op, bucket=(i, m)
+                        )
+                        for i in range(m)
+                    )
             else:
                 parts.append(
                     _ChangePartition(adds, removes, v, c.ts, c.op)
@@ -1121,7 +1587,8 @@ class _AcidBatchReader(DataSourceReader):
                 int(end_opt) if end_opt is not None else t.latest_version()
             )
             return _cdf_partitions(
-                t, start, end + 1, buckets=self._diff_buckets
+                t, start, end + 1, buckets=self._diff_buckets,
+                rid_mode=self._rid or self._images,
             ) or [_FilePartition("")]
         as_of = _as_of_version(t, self._options)
         if self._pushed:
@@ -1283,7 +1750,8 @@ class _AcidStreamReader(DataSourceStreamReader):
             # their touched pair sets; MOR delete commits emit the
             # newly-masked rows; pure-layout rewrites diff to empty)
             return _cdf_partitions(
-                t, v0, v1, buckets=self._diff_buckets
+                t, v0, v1, buckets=self._diff_buckets,
+                rid_mode=self._rid or self._images,
             ) or [_FilePartition("")]
         parts = []
         # (v, file) offset semantics: commits < v fully consumed, plus

@@ -47,11 +47,14 @@ DOC_SCHEMA = T.StructType(
 
 
 def _est_jaccard(num_hashes: int) -> F.Column:
-    return F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / float(num_hashes)
+    # r12: expanded to a codegen integer chain, mirroring the batch
+    # operator (operators/dedup.minhash_lsh_candidates) — the HOF
+    # fold is CodegenFallback, interpreted per element per candidate
+    # pair; integer sums are order-exact so the estimate is
+    # value-identical (guide §4.1).
+    from data_lake_demo_spark.functions.vector_expand import sig_agreement
+
+    return sig_agreement("sig_a", "sig_b", num_hashes) / float(num_hashes)
 
 
 def _candidates(

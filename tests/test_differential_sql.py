@@ -333,7 +333,17 @@ def date_arith_queries(draw):
         st.lists(
             st.sampled_from(
                 [
-                    f"{ts} + INTERVAL {draw(st.sampled_from([1, 5, 30]))} DAY",
+                    # 30 DAY deliberately absent: DuckDB 1.0 interval
+                    # equality normalizes 1 MONTH = 30 DAY, and its
+                    # CSE then unifies `col + INTERVAL 30 DAY` with
+                    # `col + INTERVAL 1 MONTH` in one SELECT, returning
+                    # the day-add for both (reproduced standalone:
+                    # DATE '1995-01-13' + both intervals → Feb 12
+                    # twice over a parquet column). Spark is right;
+                    # the oracle is buggy — keep the generator off the
+                    # colliding pair. Found by this fuzzer in the r12
+                    # round-start full-suite run.
+                    f"{ts} + INTERVAL {draw(st.sampled_from([1, 5, 20]))} DAY",
                     f"{ts} + INTERVAL {draw(st.sampled_from([1, 3, 12]))} MONTH",
                     f"CAST(date_trunc('month', {ts}) AS DATE)",
                     f"CAST(date_trunc('quarter', {ts}) AS DATE)",
